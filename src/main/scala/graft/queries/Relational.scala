@@ -1,0 +1,652 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Generalized relational operator surface (SURVEY.md §2.2–2.8).
+  *
+  * Each query is a declarative DataFrame plan — Catalyst handles predicate
+  * pushdown, column pruning, and join strategy selection; every query has a
+  * DuckDB oracle in [[oracles]] with identical column names and ORDER BY so
+  * the driver's hash-compare is deterministic.
+  *
+  * Scale notes (100 TB design intent) are on each query: which side
+  * broadcasts, where the shuffle lands, and why the plan survives 1000
+  * executors.
+  */
+object Relational {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** q01 — scan + filter + projection. Both predicate and projection reach
+    * the parquet reader (PushedFilters / ReadSchema), so at 100 TB this
+    * reads only 2 row-group columns and prunes row groups on shipdate
+    * stats. Mirrors reference P4/P5 filters (R/functions.R:64-65,175).
+    */
+  val q01PrunedScan: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice").as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** q02 — hash aggregation with partial (map-side) combine: TPC-H Q1
+    * shape. 4-6 groups means the shuffle moves only num_partitions×groups
+    * rows after partial agg — scales linearly. Reference A1-ish grouped
+    * summarise (R/functions.R:183-185).
+    */
+  val q02AggPushdown: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q03 — 3-way join + agg (J2). orders⋈lineitem shuffles on orderkey;
+    * customer (dim) broadcasts. Revenue per market segment.
+    */
+  val q03JoinAgg: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q04 — broadcast hash join against a small dimension (J1): `part` is
+    * tiny relative to the fact table at any SF, so it broadcasts and the
+    * fact side never shuffles.
+    */
+  val q04BroadcastJoin: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+      .orderBy("p_brand")
+
+  /** q05 — 5-way star join (flagship): region⋈nation⋈customer are chained
+    * broadcasts; only orders⋈lineitem shuffles. Revenue by region/nation.
+    */
+  val q05StarJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    val r  = Tables.region(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q06 — left-semi join (EXISTS; reference J4 `%in%` classification).
+    * Semi-join keeps only the probe side's columns, so no payload shuffle
+    * for the build side beyond its key.
+    */
+  val q06SemiJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o1999 = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    c.join(o1999, c("c_custkey") === o1999("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q07 — left-anti join (NOT IN; reference J3 inactive-ID exclusion,
+    * R/functions.R:215) + broadcast dim join for labels.
+    */
+  val q07AntiJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_no_order_customers"))
+      .orderBy("n_name")
+  }
+
+  /** q08 — windowed top-k per group (reference J5/A4: latest-event-per-cert
+    * done as row_number over a partition instead of a correlated per-row
+    * lookup). One shuffle on the partition key; no driver collect.
+    */
+  val q08WindowTopk: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** q09 — running-frame window (rows between unbounded preceding and
+    * current) + lag. Frame evaluation is streaming within each partition —
+    * no extra shuffle beyond the partitionBy.
+    */
+  val q09WindowRunning: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        round(sum("o_totalprice")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_spend"),
+        coalesce(lag("o_orderkey", 1).over(w), lit(-1L)).as("prev_orderkey"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q10 — exact dedup by key (reference A3 `distinct(.keep_all)`),
+    * deterministic keep-lowest via min. Aggregation form (not
+    * dropDuplicates) so the result is order-independent and the shuffle is
+    * a plain partial-agg'd groupBy.
+    */
+  val q10DedupExact: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min("l_orderkey").as("first_orderkey"),
+        count(lit(1)).as("n_dupes"))
+      .orderBy("l_partkey", "l_suppkey")
+
+  /** q11 — global top-k (reference O3 largest/smallest): TakeOrderedAndProject,
+    * i.e. per-partition heap + driver merge of k rows — no full sort at scale.
+    */
+  val q11TopkOrders: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** q12 — CASE/conditional projection + conditional aggregation
+    * (reference P7 `ifelse` chains, R/functions.R:208-212,490-498).
+    */
+  val q12CaseWhen: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .withColumn("qty_bucket",
+        when(col("l_quantity") <= 10, "small")
+          .when(col("l_quantity") <= 30, "medium")
+          .otherwise("large"))
+      .groupBy("qty_bucket")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+          .otherwise(lit(0.0))), 2).as("returned_value"),
+        round(avg("l_discount"), 4).as("avg_disc"))
+      .orderBy("qty_bucket")
+
+  /** q13 — date functions (reference §2.8: year()/date ordering/sentinel
+    * dates): calendar rollup by year × month.
+    */
+  val q13DateFunctions: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_orderdate").cast("date")).as("first_day"),
+        max(col("o_orderdate").cast("date")).as("last_day"),
+        round(sum("o_totalprice"), 2).as("month_value"))
+      .orderBy("yr", "mo")
+
+  /** q14 — string kernel ops (reference §2.8 regex/lower/concat/substr):
+    * all codegen'd Catalyst built-ins, no UDFs.
+    */
+  val q14StringFunctions: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        concat(col("p_brand"), lit("|"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 3).as("prefix3"),
+        when(col("p_name").rlike("gear|bolt"), true).otherwise(false)
+          .as("is_hardware"))
+      .filter(col("p_partkey") < 500)
+      .orderBy("p_partkey")
+
+  /** q15 — set operations (reference U1/§2.7): customers active in 1995
+    * vs 1996 → intersect / except / union, tagged and counted.
+    */
+  val q15SetOps: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def active(y: Int): DataFrame = o
+      .filter(year(col("o_orderdate")) === y)
+      .select("o_custkey").distinct()
+    val a = active(1995)
+    val b = active(1996)
+    val both    = a.intersect(b).agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("both_years"))
+    val only95  = a.except(b).agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("only_1995"))
+    val either  = a.union(b).distinct().agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("either_year"))
+    both.union(only95).union(either).select("tag", "n").orderBy("tag")
+  }
+
+  /** q16 — rollup (multi-level aggregate; north-star grouping-sets
+    * coverage, SURVEY §2.4). Null grouping keys are coalesced to 'ALL' so
+    * null-ordering differences between engines can't bite.
+    */
+  val q16Rollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_lines"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** q17 — decorrelated latest-per-key (reference J5: "latest chronology
+    * event per certificate" done per-row in R; here one window pass +
+    * filter — the hand-decorrelated form SURVEY §4 calls for).
+    */
+  val q17LatestPerKey: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("o_custkey") < 300)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("date").as("latest_order_date"),
+        col("o_orderkey").as("latest_orderkey"),
+        col("o_totalprice").as("latest_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  /** q18 — grouped existential filter (reference P9/A7: keep group members
+    * iff any row in the group matches). Window max over a boolean — one
+    * shuffle, no self-join.
+    */
+  val q18GroupAnyFilter: Q = (s, d) => {
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(s, d)
+      .withColumn("has_bulk",
+        max(when(col("l_quantity") > 49, 1).otherwise(0)).over(w))
+      .filter(col("has_bulk") === 1)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q19 — universal quantifier aggregate (reference A5: int-downcast rule
+    * `all(x == floor(x))`, R/functions.R:220-224) via `every`.
+    */
+  val q19EveryDowncast: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        every(col("l_quantity") === floor(col("l_quantity")))
+          .as("all_integral"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
+  /** q20 — generator/explode (reference §2.8 `unnest`): word frequencies
+    * from split part names. Explode-then-agg does partial aggregation
+    * before the shuffle.
+    */
+  val q20ExplodeWords: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+
+  /** q21 — event-time tumbling window over the events table (batch form of
+    * SURVEY §2.9's streaming path; the streaming twin is
+    * `s01_stream_tumbling`). Hour truncation keys the shuffle.
+    */
+  val q21EventsHourly: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .filter(col("hour_start") < "2024-01-03 00:00:00")
+      .orderBy("hour_start", "event_type")
+
+  /** q22 — sessionization via lag + cumulative conditional sum (gap > 30
+    * min starts a new session). The classic two-window pattern; partitions
+    * by user so it scales with user cardinality.
+    */
+  val q22Sessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(max("session_id").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** q23 — pivot-style conditional aggregation (portable across engines,
+    * unlike engine-native PIVOT syntax): events per ISO weekday ×
+    * event_type.
+    */
+  val q23PivotConditional: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("isodow", weekday(col("ts")) + 1)
+      .groupBy("isodow")
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("n_purchase"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+        sum(when(col("event_type") === "signup", 1).otherwise(0))
+          .as("n_signup"),
+        count(lit(1)).as("n_total"))
+      .orderBy("isodow")
+
+  /** q24 — approx distinct (HLL) next to the exact count. No oracle —
+    * sketch values are engine-specific — but the driver still checks rows
+    * land. At 100 TB approx_count_distinct is the only affordable form.
+    */
+  val q24ApproxDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  /** q25 — range (non-equi) join: price-band classification. Band table is
+    * tiny → broadcast nested loop, which is the right physical plan for a
+    * non-equi join against a constant-size dim at any scale.
+    */
+  val q25RangeJoin: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val bands = Seq(
+      ("budget", 0.0, 20000.0),
+      ("mid", 20000.0, 60000.0),
+      ("premium", 60000.0, 1e18))
+      .toDF("band", "lo", "hi")
+    Tables.orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("band_value"))
+      .orderBy("band")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pruned_scan" -> q01PrunedScan,
+    "q02_agg_pushdown" -> q02AggPushdown,
+    "q03_join_agg" -> q03JoinAgg,
+    "q04_broadcast_join" -> q04BroadcastJoin,
+    "q05_star_join" -> q05StarJoin,
+    "q06_semi_join" -> q06SemiJoin,
+    "q07_anti_join" -> q07AntiJoin,
+    "q08_window_topk" -> q08WindowTopk,
+    "q09_window_running" -> q09WindowRunning,
+    "q10_dedup_exact" -> q10DedupExact,
+    "q11_topk_orders" -> q11TopkOrders,
+    "q12_case_when" -> q12CaseWhen,
+    "q13_date_functions" -> q13DateFunctions,
+    "q14_string_functions" -> q14StringFunctions,
+    "q15_set_ops" -> q15SetOps,
+    "q16_rollup" -> q16Rollup,
+    "q17_latest_per_key" -> q17LatestPerKey,
+    "q18_group_any_filter" -> q18GroupAnyFilter,
+    "q19_every_downcast" -> q19EveryDowncast,
+    "q20_explode_words" -> q20ExplodeWords,
+    "q21_events_hourly" -> q21EventsHourly,
+    "q22_sessionize" -> q22Sessionize,
+    "q23_pivot_conditional" -> q23PivotConditional,
+    "q24_approx_distinct" -> q24ApproxDistinct,
+    "q25_range_join" -> q25RangeJoin,
+  )
+
+  /** DuckDB oracles. Column names and ORDER BY match the Spark plans
+    * exactly; integer sums are cast to BIGINT (DuckDB widens to HUGEINT),
+    * timestamps are cast to DATE or formatted as strings.
+    */
+  val oracles: Map[String, String] = Map(
+    "q01_pruned_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice AS price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_broadcast_join" ->
+      """SELECT p_brand, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q05_star_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1999-01-01'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT n_name, count(*) AS n_no_order_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate < TIMESTAMP '1995-04-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q08_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders WHERE o_custkey < 200) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q09_window_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_spend,
+        |  coalesce(lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC), -1) AS prev_orderkey
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q10_dedup_exact" ->
+      """SELECT l_partkey, l_suppkey, min(l_orderkey) AS first_orderkey,
+        |  count(*) AS n_dupes
+        |FROM lineitem GROUP BY l_partkey, l_suppkey
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
+    "q11_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q12_case_when" ->
+      """SELECT CASE WHEN l_quantity <= 10 THEN 'small'
+        |            WHEN l_quantity <= 30 THEN 'medium'
+        |            ELSE 'large' END AS qty_bucket,
+        |  count(*) AS n_lines,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice
+        |                 ELSE 0.0 END), 2) AS returned_value,
+        |  round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY 1 ORDER BY qty_bucket""".stripMargin,
+    "q13_date_functions" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  count(*) AS n_orders,
+        |  min(CAST(o_orderdate AS DATE)) AS first_day,
+        |  max(CAST(o_orderdate AS DATE)) AS last_day,
+        |  round(sum(o_totalprice), 2) AS month_value
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "q14_string_functions" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        |  length(p_name) AS name_len,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  p_brand || '|' || p_type AS brand_type,
+        |  substr(p_name, 1, 3) AS prefix3,
+        |  CASE WHEN regexp_matches(p_name, 'gear|bolt') THEN true
+        |       ELSE false END AS is_hardware
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
+    "q15_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE year(o_orderdate) = 1995),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE year(o_orderdate) = 1996)
+        |SELECT 'both_years' AS tag,
+        |  CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT
+        |    SELECT * FROM b)) AS BIGINT) AS n
+        |UNION ALL SELECT 'only_1995',
+        |  CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT
+        |    SELECT * FROM b)) AS BIGINT)
+        |UNION ALL SELECT 'either_year',
+        |  CAST((SELECT count(*) FROM (SELECT * FROM a UNION
+        |    SELECT * FROM b)) AS BIGINT)
+        |ORDER BY tag""".stripMargin,
+    "q16_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_lines, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q17_latest_per_key" ->
+      """SELECT o_custkey, CAST(o_orderdate AS DATE) AS latest_order_date,
+        |  o_orderkey AS latest_orderkey, o_totalprice AS latest_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk FROM orders) t
+        |WHERE rk = 1 AND o_custkey < 300 ORDER BY o_custkey""".stripMargin,
+    "q18_group_any_filter" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT l_partkey FROM lineitem
+        |  GROUP BY l_partkey HAVING max(l_quantity) > 49)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q19_every_downcast" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity = floor(l_quantity)) AS all_integral,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q20_explode_words" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word ORDER BY n DESC, word ASC""".stripMargin,
+    "q21_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |HAVING hour_start < '2024-01-03 00:00:00'
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "q22_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events WHERE user_id < 50),
+        |m AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_us IS NULL
+        |         OR epoch_us(ts) - prev_us > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q23_pivot_conditional" ->
+      """SELECT isodow(ts) AS isodow,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
+        |  count(*) AS n_total
+        |FROM events GROUP BY 1 ORDER BY isodow""".stripMargin,
+    "q25_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('budget', 0.0, 20000.0), ('mid', 20000.0, 60000.0),
+        |  ('premium', 60000.0, 1e18))
+        |SELECT band, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS band_value
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+  )
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Relational
+
+/** Semantic invariants for the relational operator surface. The
+  * DuckDB-oracle hash compare is the driver's gate; these tests pin the
+  * semantics that survive any scale factor.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("every query runs and returns rows at sf0.001") {
+    Relational.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q02 aggregation totals reconcile with raw scan") {
+    val total = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .count()
+    val aggd = Relational.q02AggPushdown(spark, sf)
+      .agg(sum("count_order")).head().getLong(0)
+    assert(total === aggd)
+  }
+
+  test("q06 semi + q07 anti partition the customer set w.r.t. same probe") {
+    val c = Tables.customer(spark, sf)
+    val probe = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select("o_custkey")
+    val semi = c.join(probe, c("c_custkey") === probe("o_custkey"),
+      "left_semi").count()
+    val anti = c.join(probe, c("c_custkey") === probe("o_custkey"),
+      "left_anti").count()
+    assert(semi + anti === c.count())
+  }
+
+  test("q08 window top-k returns at most k rows per group, ranked") {
+    val df = Relational.q08WindowTopk(spark, sf)
+    val bad = df.groupBy("o_custkey").agg(count(lit(1)).as("n"),
+      max("rk").as("maxrk"))
+      .filter(col("n") > 3 || col("maxrk") > 3)
+    assert(bad.isEmpty)
+  }
+
+  test("q16 rollup grand-total row equals table count") {
+    val all = Relational.q16Rollup(spark, sf)
+      .filter(col("returnflag") === "ALL" && col("linestatus") === "ALL")
+      .select("n_lines").head().getLong(0)
+    assert(all === Tables.lineitem(spark, sf).count())
+  }
+
+  test("q19 downcast rule: all lineitem quantities are integral") {
+    Relational.q19EveryDowncast(spark, sf).collect()
+      .foreach(r => assert(r.getAs[Boolean]("all_integral")))
+  }
+
+  test("q22 sessionization: session counts bounded by event counts") {
+    Relational.q22Sessionize(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events"))
+    }
+  }
+
+  test("q11 top-k is ordered descending") {
+    val prices = Relational.q11TopkOrders(spark, sf)
+      .collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("broadcast joins actually broadcast (q04 plan)") {
+    val plan = Relational.q04BroadcastJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin in plan:\n$plan")
+  }
+}
