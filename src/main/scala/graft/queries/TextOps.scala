@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextHash
+
+/** Training-data text pipeline operators (builder-prompt mandate):
+  * token counting, quality scoring, language-ID, exact + near dedup
+  * (MinHash-LSH, SimHash, n-gram Jaccard), and winnowing fingerprints,
+  * all over the `documents` table.
+  *
+  * Scale design: every operator is a map-side projection or a key-bucketed
+  * shuffle — no driver-side loops, no cross join of the full corpus. The
+  * near-dup operators use the standard banding trick so candidate
+  * generation shuffles on (band, bucket) keys instead of comparing all
+  * pairs: at 100 TB that is the difference between feasible and O(n²).
+  */
+object TextOps {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Per-language stopword markers, space-padded so they match whole
+    * tokens. Single source of truth for BOTH the Spark plan and the
+    * generated DuckDB oracle (t03).
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " los "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "zh" -> Seq("的", "是", "了"),
+  )
+
+  /** Occurrence-count SQL fragment, portable across Spark SQL and DuckDB:
+    * both implement `replace` with identical left-to-right non-overlap
+    * semantics, and the length delta is an exact multiple of the marker
+    * length, so float division is exact.
+    */
+  /** Note: `CAST(n AS DOUBLE)` rather than an `n.0` literal — Spark SQL
+    * parses `5.0` as DECIMAL(2,1) and the division would come out
+    * DecimalType, while DuckDB yields DOUBLE; the cast keeps both double.
+    */
+  private def occExpr(m: String): String =
+    s"(length(p) - length(replace(p, '$m', ''))) / " +
+      s"CAST(${m.length} AS DOUBLE)"
+
+  private def langScoreExpr(markers: Seq[String]): String =
+    markers.map(occExpr).mkString(" + ")
+
+  private val langCaseExpr: String = {
+    val langs = langMarkers.map(_._1)
+    val whens = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      val conds = rest.map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  /** t01 — token counting: whitespace tokenization, per document.
+    * Pure map-side projection — trivially scales.
+    */
+  val t01TokenCounts: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        length(col("text")).as("n_chars_text"))
+      .orderBy("doc_id")
+
+  /** t02 — document quality scoring: length, lexical diversity, average
+    * word length, English-stopword ratio, and a keep/drop flag. The
+    * standard cheap pre-filter before expensive dedup in a training-data
+    * pipeline; all codegen'd built-ins, no UDF.
+    */
+  val t02QualityScore: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("p", concat(lit(" "), trim(col("text")), lit(" ")))
+      .selectExpr(
+        "doc_id",
+        "size(split(trim(text), '\\\\s+')) AS n_words",
+        "size(array_distinct(split(trim(text), '\\\\s+'))) AS n_distinct",
+        s"${langScoreExpr(langMarkers.head._2)} AS stop_hits",
+        "length(text) AS n_chars_text")
+      .selectExpr(
+        "doc_id", "n_words", "n_distinct",
+        "round(n_distinct / CAST(n_words AS DOUBLE), 4) AS lexical_diversity",
+        "round(stop_hits / CAST(n_words AS DOUBLE), 4) AS stopword_ratio",
+        "(n_words >= 20 AND n_distinct / CAST(n_words AS DOUBLE) >= 0.2) " +
+          "AS keep_doc")
+      .orderBy("doc_id")
+
+  /** t03 — language identification via per-language stopword-marker
+    * scoring (n-gram-profile heuristic, SQL-portable form). The marker
+    * table generates both this plan and the DuckDB oracle.
+    */
+  val t03LangId: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .withColumn("p", concat(lit(" "), trim(col("text")), lit(" ")))
+      .selectExpr(Seq("doc_id", "lang") ++
+        langMarkers.map { case (l, ms) =>
+          s"${langScoreExpr(ms)} AS s_$l"
+        }: _*)
+    scored
+      .selectExpr(Seq("doc_id", "lang") ++
+        langMarkers.map { case (l, _) => s"s_$l" } ++
+        Seq(s"$langCaseExpr AS predicted_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** t04 — exact dedup by content hash (reference A3 generalized): md5
+    * over a 50-char prefix groups near-identical leads; keep-lowest id.
+    * GroupBy on the hash = one shuffle keyed by digest — uniform
+    * distribution, no skew, scales to any corpus.
+    */
+  val t04ExactDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(substring(col("text"), 1, 50).cast("binary")).as("key"))
+      .agg(count(lit(1)).as("n_dupes"), min("doc_id").as("keep_doc"))
+      .filter(col("n_dupes") > 1)
+      .orderBy("key")
+
+  /** t05 — n-gram (word-set) Jaccard similarity as a relational
+    * set-similarity join: explode distinct tokens, equi-join on token,
+    * count intersections, derive |A∪B| = |A|+|B|−|A∩B|. This is the
+    * scalable form (token-keyed shuffle) — array intersection per pair
+    * would need both documents co-resident. Candidate pairs here:
+    * consecutive doc_ids < 200.
+    */
+  val t05WordJaccard: Q = (s, d) => {
+    def words: DataFrame = Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("word"))
+    val cnt = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = words.withColumnRenamed("doc_id", "d1")
+    val b = words.withColumnRenamed("doc_id", "d2")
+      .withColumnRenamed("word", "word2")
+    val inter = a.join(b,
+        col("word") === col("word2") && col("d2") === col("d1") + 1)
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    val ca = cnt.withColumnRenamed("doc_id", "d1")
+      .withColumnRenamed("n", "na")
+    val cb = cnt.withColumnRenamed("doc_id", "d2")
+      .withColumnRenamed("n", "nb")
+    inter.join(ca, "d1").join(cb, "d2")
+      .select(col("d1"), col("d2"),
+        round(col("i") / (col("na") + col("nb") - col("i")), 4)
+          .as("jaccard"))
+      .orderBy("d1")
+  }
+
+  /** t06 — MinHash + LSH near-duplicate detection (Broder '97 resemblance
+    * + banding). 128-perm signatures map-side (UDF over 5-char shingles);
+    * 16 bands × 8 rows explode to (band, bucket) keys; the self-join on
+    * bucket generates candidates; exact shingle-set Jaccard verifies.
+    * The only shuffles are the bucket groupBy and the two id-keyed text
+    * joins for verification — never an all-pairs comparison.
+    */
+  val t06MinHashLsh: Q = (s, d) =>
+    minHashPairs(Tables.documents(s, d).select("doc_id", "text"), 0.5)
+
+  /** Core MinHash-LSH pair generator over any (doc_id, text) frame. */
+  def minHashPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val nPerm = 128; val bands = 16; val rowsPerBand = nPerm / bands
+    val bandsUdf = udf { (text: String) =>
+      val sig = TextHash.minHashSignature(
+        TextHash.shingleHashes(text, 5), nPerm)
+      (0 until bands).map { b =>
+        var h = 0xcbf29ce484222325L ^ b.toLong
+        var i = b * rowsPerBand
+        while (i < (b + 1) * rowsPerBand) {
+          h = TextHash.mix64(h ^ sig(i)); i += 1
+        }
+        h
+      }
+    }
+    val jacUdf = udf { (ta: String, tb: String) =>
+      TextHash.jaccard(
+        TextHash.shingleHashes(ta, 5), TextHash.shingleHashes(tb, 5))
+    }
+    val buckets = docs
+      .select(col("doc_id"),
+        posexplode(bandsUdf(col("text"))).as(Seq("band", "bucket")))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(docs.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("text", "text1"), "d1")
+      .join(docs.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("text", "text2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(jacUdf(col("text1"), col("text2")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("d1", "d2")
+  }
+
+  /** t07 — SimHash near-dup (Charikar/Manku): 64-bit signature map-side,
+    * then the 4×16-bit block trick — any pair within Hamming distance 3
+    * shares at least one exact block, so candidates come from equi-joins
+    * on (block_idx, block_value), never an O(n²) scan. Exact Hamming via
+    * codegen'd bit_count.
+    */
+  val t07SimHashBands: Q = (s, d) =>
+    simHashPairs(Tables.documents(s, d).select("doc_id", "text"), 3)
+
+  /** Core SimHash block-join pair generator over any (doc_id, text)
+    * frame. maxHamming must be ≤ 3 for the 4-block guarantee to be
+    * exhaustive (pigeonhole: d ≤ 3 bit flips can't touch all 4 blocks).
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-block LSH only exhaustive for hamming <= 3")
+    val shUdf = udf((t: String) => TextHash.simHash(t))
+    val sigs = docs.select(col("doc_id"), shUdf(col("text")).as("sh"))
+    val blocks = sigs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sh"), b * 16)
+          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("blk", "blkval")))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.blkval") === col("b.blkval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
+
+  /** t08 — winnowing document fingerprints (Schleimer et al. SIGMOD'03):
+    * per-doc selected k-gram hash set, map-side UDF. Output is the
+    * fingerprint cardinality + min fingerprint per doc (stable scalars).
+    */
+  val t08WinnowFingerprint: Q = (s, d) => {
+    val fpUdf = udf((t: String) => TextHash.winnow(t, 5, 8))
+    Tables.documents(s, d)
+      .select(col("doc_id"), fpUdf(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
+        element_at(col("fp"), 1).as("min_fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** t09 — character trigram frequencies via generator explode
+    * (SURVEY §2.8 unnest generalized): top-20 trigrams corpus-wide.
+    * Explode happens before the shuffle, partial agg combines map-side.
+    */
+  val t09CharTrigrams: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 3)
+      .select(col("text"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+      .selectExpr("substr(text, CAST(i AS INT), 3) AS g")
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g").asc)
+      .limit(20)
+
+  /** t10 — corpus stats rollup by language and source (the bookkeeping
+    * agg every dataset build ships with).
+    */
+  val t10CorpusStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  val queries: Map[String, Q] = Map(
+    "t01_token_counts" -> t01TokenCounts,
+    "t02_quality_score" -> t02QualityScore,
+    "t03_lang_id" -> t03LangId,
+    "t04_exact_dedup" -> t04ExactDedup,
+    "t05_word_jaccard" -> t05WordJaccard,
+    "t06_minhash_lsh" -> t06MinHashLsh,
+    "t07_simhash_bands" -> t07SimHashBands,
+    "t08_winnow_fingerprint" -> t08WinnowFingerprint,
+    "t09_char_trigrams" -> t09CharTrigrams,
+    "t10_corpus_stats" -> t10CorpusStats,
+  )
+
+  val oracles: Map[String, String] = {
+    val langScoreSql = langMarkers.map { case (l, ms) =>
+      s"${langScoreExpr(ms)} AS s_$l"
+    }.mkString(",\n  ")
+    val langCols = langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+    Map(
+      "t01_token_counts" ->
+        """SELECT doc_id, lang,
+          |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+          |    AS n_tokens,
+          |  CAST(length(text) AS INT) AS n_chars_text
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "t02_quality_score" ->
+        """WITH base AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+          |      AS n_words,
+          |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+          |      AS INT) AS n_distinct,
+          |    (length(p) - length(replace(p, ' the ', '')))
+          |      / CAST(5 AS DOUBLE)
+          |      + (length(p) - length(replace(p, ' and ', '')))
+          |      / CAST(5 AS DOUBLE)
+          |      + (length(p) - length(replace(p, ' of ', '')))
+          |      / CAST(4 AS DOUBLE)
+          |      AS stop_hits
+          |  FROM (SELECT doc_id, text, ' ' || trim(text) || ' ' AS p
+          |        FROM documents))
+          |SELECT doc_id, n_words, n_distinct,
+          |  round(n_distinct / CAST(n_words AS DOUBLE), 4)
+          |    AS lexical_diversity,
+          |  round(stop_hits / CAST(n_words AS DOUBLE), 4) AS stopword_ratio,
+          |  (n_words >= 20 AND n_distinct / CAST(n_words AS DOUBLE) >= 0.2)
+          |    AS keep_doc
+          |FROM base ORDER BY doc_id""".stripMargin,
+      "t03_lang_id" ->
+        s"""SELECT doc_id, lang, $langCols,
+           |  $langCaseExpr AS predicted_lang
+           |FROM (SELECT doc_id, lang,
+           |  $langScoreSql
+           |  FROM (SELECT doc_id, lang, ' ' || trim(text) || ' ' AS p
+           |        FROM documents))
+           |ORDER BY doc_id""".stripMargin,
+      "t04_exact_dedup" ->
+        """SELECT md5(substr(text, 1, 50)) AS key, count(*) AS n_dupes,
+          |  min(doc_id) AS keep_doc
+          |FROM documents GROUP BY 1 HAVING count(*) > 1
+          |ORDER BY key""".stripMargin,
+      "t05_word_jaccard" ->
+        """WITH w AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest(string_split_regex(trim(text), '\s+')) AS word
+          |  FROM documents WHERE doc_id < 200),
+          |cnt AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          |  FROM w a JOIN w b ON a.word = b.word AND b.doc_id = a.doc_id + 1
+          |  GROUP BY 1, 2)
+          |SELECT d1, d2,
+          |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+          |FROM inter
+          |JOIN cnt ca ON ca.doc_id = d1
+          |JOIN cnt cb ON cb.doc_id = d2
+          |ORDER BY d1""".stripMargin,
+      "t09_char_trigrams" ->
+        """SELECT g, count(*) AS n FROM (
+          |  SELECT substr(text, CAST(i AS INT), 3) AS g
+          |  FROM documents JOIN range(1, 10001) t(i)
+          |    ON t.i <= length(text) - 2
+          |  WHERE length(text) >= 3)
+          |GROUP BY g ORDER BY n DESC, g ASC LIMIT 20""".stripMargin,
+      "t10_corpus_stats" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+          |    AS total_tokens,
+          |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4)
+          |    AS avg_tokens,
+          |  count(DISTINCT source) AS n_sources
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import graft.functions.TextHash
+import graft.queries.TextOps
+
+/** Unit + property tests for the text-pipeline operator family —
+  * MinHash/SimHash/winnowing semantics that the DuckDB oracle can't
+  * express (SURVEY §5 test plan).
+  */
+class TextSpec extends SparkSpec {
+
+  // --- pure kernel properties ---
+
+  test("hashString is deterministic and spreads") {
+    assert(TextHash.hashString("spark") === TextHash.hashString("spark"))
+    assert(TextHash.hashString("spark") !== TextHash.hashString("sparl"))
+  }
+
+  test("jaccard: identical sets 1.0, disjoint 0.0") {
+    val a = TextHash.shingleHashes("the quick brown fox jumps", 5)
+    val b = TextHash.shingleHashes("zzzzzzzqqqqqqqwwwwwww", 5)
+    assert(TextHash.jaccard(a, a) === 1.0)
+    assert(TextHash.jaccard(a, b) === 0.0)
+  }
+
+  test("minhash signature equality fraction estimates jaccard") {
+    val base = "spark catalyst tungsten shuffle partition broadcast " * 6
+    val edit = base.replace("shuffle", "exchnge")
+    val sa = TextHash.shingleHashes(base, 5)
+    val sb = TextHash.shingleHashes(edit, 5)
+    val trueJ = TextHash.jaccard(sa, sb)
+    val ma = TextHash.minHashSignature(sa, 128)
+    val mb = TextHash.minHashSignature(sb, 128)
+    val est = ma.zip(mb).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(est - trueJ) < 0.15,
+      s"estimate $est vs true $trueJ")
+  }
+
+  test("minhash of identical text is identical (dup always caught)") {
+    val t = "identical document text for exact duplicate detection"
+    val s1 = TextHash.minHashSignature(TextHash.shingleHashes(t, 5), 128)
+    val s2 = TextHash.minHashSignature(TextHash.shingleHashes(t, 5), 128)
+    assert(s1.sameElements(s2))
+  }
+
+  test("simhash: identical → 0 hamming; near text → small hamming") {
+    val a = "spark query engine for large scale data processing pipelines"
+    val b = "spark query engine for large scale data processing pipeline"
+    assert(TextHash.hamming(TextHash.simHash(a), TextHash.simHash(a)) === 0)
+    val near = TextHash.hamming(TextHash.simHash(a), TextHash.simHash(b))
+    val far = TextHash.hamming(TextHash.simHash(a),
+      TextHash.simHash("completely unrelated words about cooking recipes"))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("winnowing: substring sharing guarantees shared fingerprints") {
+    val shared = "the winnowing algorithm selects minima per window"
+    val a = "prefix text one " + shared
+    val b = "other prelude xx " + shared + " suffix"
+    val fa = TextHash.winnow(a, 5, 8).toSet
+    val fb = TextHash.winnow(b, 5, 8).toSet
+    assert(fa.intersect(fb).nonEmpty)
+  }
+
+  test("property: minhash estimate within 0.3 of true jaccard (100 seeds)") {
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(42)
+    def doc(): String = Array.fill(30)(words(rnd.nextInt(words.length)))
+      .mkString(" ")
+    (1 to 100).foreach { _ =>
+      val (a, b) = (doc(), doc())
+      val sa = TextHash.shingleHashes(a, 5)
+      val sb = TextHash.shingleHashes(b, 5)
+      val trueJ = TextHash.jaccard(sa, sb)
+      val est = TextHash.minHashSignature(sa, 128)
+        .zip(TextHash.minHashSignature(sb, 128))
+        .count { case (x, y) => x == y } / 128.0
+      assert(math.abs(est - trueJ) <= 0.3, s"est=$est true=$trueJ a=$a b=$b")
+    }
+  }
+
+  // --- distributed operator semantics ---
+
+  test("minHashPairs finds planted exact + near duplicates") {
+    import spark.implicits._
+    val base = "large scale training data deduplication with minhash " +
+      "lsh banding over character shingles for the win"
+    val corpus = Seq(
+      (0L, base),
+      (1L, base), // exact dup — must be found (prob 1)
+      (2L, base.replace("win", "won")), // near dup
+      (3L, "totally different content about geospatial service areas"),
+      (4L, "yet another unrelated document mentioning alaska utilities"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.minHashPairs(corpus, 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup missed: $pairs")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      s"near dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simHashPairs agrees with the kernel's hamming distances") {
+    import spark.implicits._
+    val base = "structured streaming watermark tumbling window state " +
+      "store checkpoint recovery exactly once semantics guarantee"
+    val texts = Seq(
+      0L -> base,
+      1L -> base, // identical → hamming 0, must always be found
+      2L -> (base + " extra"),
+      3L -> "alaska electric utility certificate chronology geometry")
+    val corpus = texts.toDF("doc_id", "text")
+    val got = TextOps.simHashPairs(corpus, 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val sig = texts.toMap.view.mapValues(TextHash.simHash).toMap
+    val expected = (for {
+      (i, si) <- sig; (j, sj) <- sig
+      if i < j && TextHash.hamming(si, sj) <= 3
+    } yield (i, j)).toSet
+    assert(got === expected)
+    assert(got.contains((0L, 1L)), "identical docs must always be caught")
+  }
+
+  test("t06 reported pairs all have jaccard >= 0.5 and d1 < d2") {
+    TextOps.t06MinHashLsh(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+    }
+  }
+
+  test("t03 lang scores are non-negative and predicted is a known lang") {
+    val rows = TextOps.t03LangId(spark, sf).collect()
+    val known = Set("en", "es", "de", "fr", "zh")
+    rows.foreach { r =>
+      assert(known.contains(r.getAs[String]("predicted_lang")))
+      assert(r.getAs[Double]("s_en") >= 0.0)
+    }
+  }
+
+  test("t04 dedup groups have n_dupes > 1 and stable keeper") {
+    TextOps.t04ExactDedup(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_dupes") > 1)
+      assert(r.getAs[Long]("keep_doc") >= 0)
+    }
+  }
+}
