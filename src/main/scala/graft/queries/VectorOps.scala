@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextHash
+
+/** Similarity search over the `embeddings` table (builder-prompt
+  * mandate): brute-force cosine top-k as the correctness baseline and a
+  * random-hyperplane LSH bucketed variant as the 100 TB scale path.
+  *
+  * Vector math stays inside codegen'd higher-order functions
+  * (`transform`/`zip_with`/`aggregate`) — no Python, no driver loops.
+  * The only UDF is the LSH bucketer (one int per row, map-side).
+  */
+object VectorOps {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val Dim = 64
+
+  /** Embeddings with the float array upcast to double once — all
+    * downstream arithmetic is then exact-ulp identical to the DuckDB
+    * oracle's CAST(... AS DOUBLE).
+    */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** v01 — brute-force cosine top-k for a fixed query set. The query side
+    * is tiny → broadcast; the corpus side streams through one pass with a
+    * per-partition top-k (TakeOrdered-like via window over qid). At scale
+    * this is the exact-rerank stage of any ANN pipeline. Ranking is over
+    * the ROUNDED similarity (+ id tiebreak) so both engines rank
+    * identically despite last-ulp float-sum differences.
+    */
+  val v01KnnBrute: Q = (s, d) => {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))),
+          4).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("qid", "rk", "vec_id", "cos_sim")
+      .orderBy("qid", "rk")
+  }
+
+  /** v02 — per-label centroid (first 4 dims): posexplode the vector and
+    * aggregate by (label, dim) — the distributed layout for any
+    * vector-wide statistic; no vector ever has to fit a single reducer.
+    */
+  val v02LabelCentroids: Q = (s, d) =>
+    emb(s, d)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .filter(col("pos") < 4)
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(round(avg("x"), 5).as("centroid"), count(lit(1)).as("n_vecs"))
+      .orderBy("label", "dim")
+
+  /** v03 — ANN via multi-table random-hyperplane LSH (Charikar'02):
+    * 8 tables × 8 deterministic pseudo-random planes. Each vector lands
+    * in one 8-bit bucket per table (posexplode, same banding layout as
+    * MinHash-LSH); a candidate is any vector sharing (table, bucket)
+    * with the query; exact cosine reranks candidates. Shuffles only on
+    * (table, bucket) keys — never all-pairs. Rows-only — graded against
+    * v01 brute-force recall in VectorSpec.
+    */
+  val v03AnnLsh: Q = (s, d) => annLsh(emb(s, d), maxQid = 50)
+
+  /** 24 tables × 6 planes: tuned for this corpus, whose true nearest
+    * neighbors sit at cos≈0.36 (near-random vectors — hit prob ≈0.75
+    * there). On genuinely clustered data (cos ≥ 0.8) the same config
+    * gives recall ≈1 with far fewer junk candidates; at 100 TB, table
+    * count scales candidate volume linearly, so it's the knob to trade
+    * recall vs. rerank cost.
+    */
+  private val Tables_ = 24
+  private val PlanesPerTable = 6
+
+  def annLsh(e: DataFrame, maxQid: Int): DataFrame = {
+    val nPlanes = Tables_ * PlanesPerTable
+    val planes: Array[Array[Double]] = Array.tabulate(nPlanes, Dim) {
+      (p, j) =>
+        TextHash.mix64(p.toLong * Dim + j).toDouble / Long.MaxValue.toDouble
+    }
+    val bucketsUdf = udf { (v: Seq[Double]) =>
+      (0 until Tables_).map { t =>
+        var b = 0
+        var p = 0
+        while (p < PlanesPerTable) {
+          val plane = planes(t * PlanesPerTable + p)
+          var acc = 0.0
+          var j = 0
+          while (j < Dim && j < v.length) { acc += plane(j) * v(j); j += 1 }
+          if (acc >= 0) b |= (1 << p)
+          p += 1
+        }
+        b
+      }
+    }
+    val bucketed = e
+      .select(col("vec_id"), col("v"),
+        posexplode(bucketsUdf(col("v"))).as(Seq("tbl", "bucket")))
+    val q = bucketed.filter(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"),
+        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    // Dedup candidate (qid, vec_id) pairs on narrow keys BEFORE joining
+    // the wide vector payload back — at scale this is the difference
+    // between shuffling ids and shuffling the whole embedding matrix.
+    val candIds = bucketed.select("vec_id", "tbl", "bucket").join(q,
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+    val cand = candIds
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .join(e.select(col("vec_id"), col("v")), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))),
+          4).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("vec_id").as("ann_nid"), col("cos_sim"))
+      .orderBy("qid")
+  }
+
+  /** v04 — vector norm statistics per label (corpus sanity check every
+    * embedding pipeline runs before indexing).
+    */
+  val v04NormStats: Q = (s, d) =>
+    emb(s, d)
+      .select(col("label"), norm(col("v")).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("nrm"), 4).as("avg_norm"),
+        round(min("nrm"), 4).as("min_norm"),
+        round(max("nrm"), 4).as("max_norm"))
+      .orderBy("label")
+
+  val queries: Map[String, Q] = Map(
+    "v01_knn_brute" -> v01KnnBrute,
+    "v02_label_centroids" -> v02LabelCentroids,
+    "v03_ann_lsh" -> v03AnnLsh,
+    "v04_norm_stats" -> v04NormStats,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "v01_knn_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e
+        |          GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, x, i FROM e WHERE vec_id IN (0, 1, 2)),
+        |dots AS (
+        |  SELECT q.qid, e.vec_id, sum(q.x * e.x) AS dot
+        |  FROM q JOIN e ON q.i = e.i WHERE e.vec_id <> q.qid
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, dots.vec_id,
+        |    round(dot / (nq.nrm * ne.nrm), 4) AS cos_sim
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = qid
+        |  JOIN norms ne ON ne.vec_id = dots.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos_sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        |  FROM scored)
+        |SELECT qid, CAST(rk AS INT) AS rk, vec_id, cos_sim FROM ranked
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "v02_label_centroids" ->
+      """SELECT label, CAST(i AS INT) AS dim,
+        |  round(avg(CAST(x AS DOUBLE)), 5) AS centroid,
+        |  count(*) AS n_vecs
+        |FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |        generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings)
+        |WHERE i <= 4 GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    "v04_norm_stats" ->
+      """WITH n AS (
+        |  SELECT label, vec_id, sqrt(sum(x*x)) AS nrm
+        |  FROM (SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        |        FROM embeddings)
+        |  GROUP BY label, vec_id)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(nrm), 4) AS avg_norm,
+        |  round(min(nrm), 4) AS min_norm,
+        |  round(max(nrm), 4) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.VectorOps
+
+/** Semantics of the similarity-search operators; the ANN path is graded
+  * against the exact brute-force baseline (recall), since no SQL oracle
+  * can express it.
+  */
+class VectorSpec extends SparkSpec {
+
+  test("v01 brute-force knn: 5 neighbors per query, ranked, self excluded") {
+    val rows = VectorOps.v01KnnBrute(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length === 5)
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to 5))
+      assert(!rs.exists(_.getAs[Long]("vec_id") == qid), "self in results")
+      val sims = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+      sims.foreach(s => assert(s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("v02 centroids cover every (label, dim<=4) cell") {
+    val rows = VectorOps.v02LabelCentroids(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(rows.length === labels * 4)
+  }
+
+  test("v03 ANN top-1 matches brute-force top-1 for most queries (recall)") {
+    // Brute-force ground truth: exact top-1 neighbor per qid < 50.
+    val ann = VectorOps.v03AnnLsh(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("ann_nid")).toMap
+    val e = Tables.embeddings(spark, sf).selectExpr(
+      "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val q = e.filter(col("vec_id") < 50)
+      .withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qv")
+    val dotc = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val brute = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), dotc.as("dot"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("dot").desc, col("vec_id").asc)))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id"))
+      .toMap
+    val hits = brute.count { case (qid, nid) => ann.get(qid).contains(nid) }
+    // Single-probe 16-bit LSH: expect imperfect but substantial recall.
+    assert(hits >= brute.size / 4,
+      s"ANN recall too low: $hits/${brute.size}")
+    assert(ann.nonEmpty)
+  }
+
+  test("v04 norms: embeddings are ~unit-norm") {
+    VectorOps.v04NormStats(spark, sf).collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("avg_norm") - 1.0) < 0.01)
+    }
+  }
+}
