@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, TextOps, VectorOps}
+import graft.queries.{GeoOps, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +21,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ VectorOps.queries
+    Relational.queries ++ TextOps.queries ++ VectorOps.queries ++
+      GeoOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextOps.oracles ++ VectorOps.oracles
+    Relational.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
+      GeoOps.oracles
 }

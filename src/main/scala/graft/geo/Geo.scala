@@ -1,0 +1,218 @@
+package graft.geo
+
+import org.locationtech.jts.geom._
+import org.locationtech.jts.geom.util.GeometryFixer
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+import org.locationtech.jts.operation.union.UnaryUnionOp
+import scala.jdk.CollectionConverters._
+
+/** Pure JTS geometry kernel (no Spark dependency — unit-testable first,
+  * SURVEY §7.1 module 1). Geometries travel through the engine as 2-D WKB
+  * byte arrays (BinaryType columns); every Catalyst expression in
+  * `graft.functions.GeoFunctions` delegates here.
+  *
+  * Reference semantics mirrored (file:line into /root/reference):
+  *  - make-valid on ingest: R/functions.R:182,468
+  *  - collect-without-dissolve (`st_combine`): R/functions.R:183-184,471
+  *  - dissolving union (`st_union`): R/functions.R:406,431
+  *  - Z/M dropped (2-D forced): R/functions.R:429
+  */
+object Geo {
+
+  val factory = new GeometryFactory(new PrecisionModel(), 4326)
+
+  // WKBReader/Writer are not thread-safe — thread-local instances.
+  private val wkbReader = ThreadLocal.withInitial(() => new WKBReader(factory))
+  private val wkbWriter =
+    ThreadLocal.withInitial(() => new WKBWriter(2)) // force 2-D
+  private val wktReader = ThreadLocal.withInitial(() => new WKTReader(factory))
+  private val wktWriter = ThreadLocal.withInitial(() => new WKTWriter(2))
+
+  def toWkb(g: Geometry): Array[Byte] = wkbWriter.get.write(g)
+  def fromWkb(b: Array[Byte]): Geometry = wkbReader.get.read(b)
+  def toWkt(g: Geometry): String = wktWriter.get.write(g)
+  def fromWkt(s: String): Geometry = wktReader.get.read(s)
+
+  def point(lon: Double, lat: Double): Geometry =
+    factory.createPoint(new Coordinate(lon, lat))
+
+  /** JTS GeometryFixer — repairs self-intersections etc. (reference
+    * `st_make_valid`). Valid input passes through untouched.
+    */
+  def makeValid(g: Geometry): Geometry =
+    if (g.isValid) g else GeometryFixer.fix(g)
+
+  /** Collect WITHOUT dissolving — reference `st_combine`
+    * (R/functions.R:471 comment makes the distinction explicit). Same-type
+    * inputs produce a Multi*; mixed inputs a GeometryCollection.
+    */
+  def collect(gs: Seq[Geometry]): Geometry = {
+    val flat = gs.filter(g => g != null && !g.isEmpty)
+    if (flat.isEmpty) factory.createGeometryCollection()
+    else if (flat.forall(_.isInstanceOf[Polygon]))
+      factory.createMultiPolygon(flat.map(_.asInstanceOf[Polygon]).toArray)
+    else if (flat.forall(_.isInstanceOf[Point]))
+      factory.createMultiPoint(flat.map(_.asInstanceOf[Point]).toArray)
+    else if (flat.forall(_.isInstanceOf[LineString]))
+      factory.createMultiLineString(
+        flat.map(_.asInstanceOf[LineString]).toArray)
+    else factory.createGeometryCollection(flat.toArray)
+  }
+
+  /** Dissolving union over a set — reference `st_union(collection)`. */
+  def unionAll(gs: Seq[Geometry]): Geometry = {
+    val flat = gs.filter(g => g != null && !g.isEmpty)
+    if (flat.isEmpty) factory.createGeometryCollection()
+    else UnaryUnionOp.union(flat.asJavaCollection)
+  }
+
+  /** Any polygonal geometry → MultiPolygon (published-layer contract:
+    * all 108 reference features are MultiPolygon).
+    */
+  def toMultiPolygon(g: Geometry): Geometry = g match {
+    case mp: MultiPolygon => mp
+    case p: Polygon => factory.createMultiPolygon(Array(p))
+    case gc: GeometryCollection =>
+      val polys = (0 until gc.getNumGeometries).map(gc.getGeometryN).flatMap {
+        case p: Polygon => Seq(p)
+        case mp: MultiPolygon =>
+          (0 until mp.getNumGeometries)
+            .map(mp.getGeometryN(_).asInstanceOf[Polygon])
+        case _ => Seq.empty
+      }
+      factory.createMultiPolygon(polys.toArray)
+    case other => throw new IllegalArgumentException(
+      s"not polygonal: ${other.getGeometryType}")
+  }
+
+  // --- GeoJSON (hand-rolled: no jackson-datatype-jts on classpath) ---
+
+  private def coordJson(c: Coordinate): String = s"[${c.x},${c.y}]"
+
+  private def ringJson(r: LineString): String =
+    r.getCoordinates.map(coordJson).mkString("[", ",", "]")
+
+  private def polygonRings(p: Polygon): String = {
+    val rings = Seq(p.getExteriorRing) ++
+      (0 until p.getNumInteriorRing).map(p.getInteriorRingN)
+    rings.map(ringJson).mkString("[", ",", "]")
+  }
+
+  def toGeoJson(g: Geometry): String = g match {
+    case p: Point =>
+      s"""{"type":"Point","coordinates":${coordJson(p.getCoordinate)}}"""
+    case l: LineString =>
+      s"""{"type":"LineString","coordinates":${ringJson(l)}}"""
+    case p: Polygon =>
+      s"""{"type":"Polygon","coordinates":${polygonRings(p)}}"""
+    case mp: MultiPolygon =>
+      val polys = (0 until mp.getNumGeometries)
+        .map(i => polygonRings(mp.getGeometryN(i).asInstanceOf[Polygon]))
+      s"""{"type":"MultiPolygon","coordinates":${
+        polys.mkString("[", ",", "]")}}"""
+    case mp: MultiPoint =>
+      val pts = mp.getCoordinates.map(coordJson)
+      s"""{"type":"MultiPoint","coordinates":${pts.mkString("[", ",", "]")}}"""
+    case gc: GeometryCollection =>
+      val geoms = (0 until gc.getNumGeometries).map(i =>
+        toGeoJson(gc.getGeometryN(i)))
+      s"""{"type":"GeometryCollection","geometries":${
+        geoms.mkString("[", ",", "]")}}"""
+    case other => throw new IllegalArgumentException(
+      s"unsupported: ${other.getGeometryType}")
+  }
+
+  /** Minimal recursive-descent GeoJSON geometry parser (numbers, arrays,
+    * strings only — geometry objects have no exotic JSON).
+    */
+  def fromGeoJson(json: String): Geometry = {
+    val typeRe = """"type"\s*:\s*"(\w+)"""".r
+    val gtype = typeRe.findFirstMatchIn(json).map(_.group(1)).getOrElse(
+      throw new IllegalArgumentException("no type in GeoJSON"))
+    if (gtype == "GeometryCollection") {
+      val inner = json.substring(json.indexOf("\"geometries\""))
+      // split top-level objects inside the geometries array
+      val start = inner.indexOf('[')
+      var depth = 0; var objStart = -1
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      var i = start
+      var objDepth = 0
+      while (i < inner.length && depth >= 0) {
+        inner(i) match {
+          case '[' => depth += 1
+          case ']' => depth -= 1; if (depth == 0) i = inner.length
+          case '{' =>
+            if (objDepth == 0) objStart = i
+            objDepth += 1
+          case '}' =>
+            objDepth -= 1
+            if (objDepth == 0) parts += inner.substring(objStart, i + 1)
+          case _ =>
+        }
+        i += 1
+      }
+      return factory.createGeometryCollection(
+        parts.map(fromGeoJson).toArray)
+    }
+    val coordStart = json.indexOf("\"coordinates\"")
+    val arr = json.substring(json.indexOf('[', coordStart))
+    val (parsed, _) = parseArray(arr, 0)
+    gtype match {
+      case "Point" =>
+        val c = parsed.asInstanceOf[Seq[Double]]
+        point(c.head, c(1))
+      case "LineString" =>
+        factory.createLineString(coords(parsed))
+      case "Polygon" => polygonFrom(parsed)
+      case "MultiPoint" =>
+        factory.createMultiPoint(
+          parsed.asInstanceOf[Seq[Seq[Double]]]
+            .map(c => factory.createPoint(new Coordinate(c.head, c(1))))
+            .toArray)
+      case "MultiLineString" =>
+        factory.createMultiLineString(
+          parsed.asInstanceOf[Seq[Any]]
+            .map(l => factory.createLineString(coords(l))).toArray)
+      case "MultiPolygon" =>
+        factory.createMultiPolygon(
+          parsed.asInstanceOf[Seq[Any]].map(polygonFrom).toArray)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  private def coords(a: Any): Array[Coordinate] =
+    a.asInstanceOf[Seq[Seq[Double]]]
+      .map(c => new Coordinate(c.head, c(1))).toArray
+
+  private def polygonFrom(a: Any): Polygon = {
+    val rings = a.asInstanceOf[Seq[Any]].map(r =>
+      factory.createLinearRing(coords(r)))
+    factory.createPolygon(rings.head, rings.tail.toArray)
+  }
+
+  /** Parse a JSON array of (numbers | nested arrays) starting at `from`
+    * (which must point at '['); returns (value, indexAfter).
+    */
+  private def parseArray(s: String, from: Int): (Seq[Any], Int) = {
+    require(s(from) == '[', s"expected [ at $from")
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var i = from + 1
+    while (i < s.length) {
+      s(i) match {
+        case '[' =>
+          val (v, next) = parseArray(s, i)
+          out += v
+          i = next
+        case ']' => return (out.toSeq, i + 1)
+        case c if c == ',' || c.isWhitespace => i += 1
+        case _ =>
+          var j = i
+          while (j < s.length && s(j) != ',' && s(j) != ']') j += 1
+          out += s.substring(i, j).trim.toDouble
+          i = j
+      }
+    }
+    throw new IllegalArgumentException("unterminated array")
+  }
+}

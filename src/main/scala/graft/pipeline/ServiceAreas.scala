@@ -1,0 +1,235 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{DateFunctions, GeoFunctions}
+import graft.functions.GeoFunctions._
+import graft.functions.DateFunctions.convert_two_digit_years
+import graft.sources.{GeoJson, Kml}
+
+/** The reference's flagship pipeline (SURVEY §3 E2) rebuilt as one
+  * declarative Spark plan per stage: KML service-area geometries +
+  * certificate metadata + chronology events → validated, patched,
+  * published GeoJSON layers.
+  *
+  * Stage map (reference file:line in /root/reference/R/functions.R):
+  *  - cleanCertificates: 194-228 (classify + filter active utilities)
+  *  - processChronology: 251-277 (sentinel dates, sort)
+  *  - enrichCertificates: 306-380 (first/latest event per cert — the
+  *    J5 correlated lookup decorrelated into one window pass;
+  *    KML-description regex split 337-349; freshness flag 287-304)
+  *  - buildLayer: 173-192,446-476 (KML scan → make-valid → per-cert
+  *    st_collect → broadcast join metadata)
+  *  - applyMergePatches: 421-444 (acquired utilities unioned into
+  *    acquirers, gated on expected KML version)
+  *  - publish: 500-529,559 (final schema + sync status + GeoJSON sink)
+  *
+  * All dimension joins broadcast (≤ hundreds of rows of metadata at
+  * reference scale; at engine scale the fact side — KML features — is
+  * the only large input and is never collected).
+  */
+object ServiceAreas {
+
+  case class MergePatch(certTo: Double, certFrom: Double)
+
+  case class Config(
+      operatorIds: Seq[Double] = Seq.empty,
+      inactiveExtraIds: Seq[Double] = Seq.empty,
+      mergePatches: Seq[MergePatch] = Seq.empty,
+      // cert → expected KML "most recent update" date (gate, _targets.R:170-192)
+      expectedKmlDates: Map[Double, String] = Map.empty)
+
+  /** Clean + classify the scraped certificate list
+    * (R/functions.R:194-228). Null cert numbers dropped, operators
+    * flagged, inactive + operator rows excluded from the cleaned set.
+    */
+  def cleanCertificates(certs: DataFrame, cfg: Config): DataFrame =
+    certs
+      .filter(col("certificate_number").isNotNull)
+      .withColumn("entity_type",
+        when(col("certificate_number").isin(cfg.operatorIds: _*),
+          "operator").otherwise("utility"))
+      .filter(col("certificate_status") === "Active" &&
+        col("entity_type") === "utility" &&
+        !col("certificate_number").isin(cfg.inactiveExtraIds: _*))
+
+  /** Chronology events: blank dates → 1900-01-01 sentinel, two-digit
+    * year pivot, stable sort (R/functions.R:251-277).
+    */
+  def processChronology(chron: DataFrame): DataFrame =
+    chron
+      .withColumn("order_date",
+        convert_two_digit_years(coalesce(col("order_date"), lit(""))))
+      .orderBy(col("certificate"), col("order_date"))
+
+  /** Enrich certificates with first/latest chronology events — the
+    * decorrelated rewrite of the reference's per-row lookups (J5):
+    * one window pass, one broadcast join.
+    */
+  def enrichCertificates(cleaned: DataFrame, chron: DataFrame): DataFrame = {
+    val w = Window.partitionBy("certificate")
+    val events = chron
+      .withColumn("is_area_change",
+        !col("type").isin("Deregulated", "Controlling Interest"))
+      .withColumn("rk_last", row_number().over(
+        w.orderBy(col("order_date").desc)))
+      .withColumn("rk_first", row_number().over(
+        w.orderBy(col("order_date").asc)))
+      .withColumn("last_area_change_date",
+        max(when(col("is_area_change"), col("order_date"))).over(w))
+    val latest = events.filter(col("rk_last") === 1).select(
+      col("certificate"),
+      col("order_date").as("certificate_last_update_date"),
+      col("order_number").as("certificate_last_update_order"),
+      col("type").as("certificate_last_update_type"),
+      col("last_area_change_date"))
+    val first = events.filter(col("rk_first") === 1).select(
+      col("certificate"),
+      year(col("order_date")).as("certificate_granted_year"))
+    cleaned
+      .join(broadcast(latest),
+        cleaned("certificate_number") === latest("certificate"), "left")
+      .drop("certificate")
+      .join(broadcast(first),
+        cleaned("certificate_number") === first("certificate"), "left")
+      .drop("certificate")
+  }
+
+  /** KML dir → one validated geometry per certificate
+    * (R/functions.R:446-476): cert number from the file name, make-valid
+    * per feature, collect (NOT dissolve) per cert.
+    */
+  def buildGeometry(spark: SparkSession, kmlGlob: String): DataFrame = {
+    GeoFunctions.registerAll(spark)
+    Kml.read(spark, kmlGlob)
+      .withColumn("certificate_number",
+        regexp_extract(col("path"), """([\d]+(\.[\d]+)?)-servicearea""", 1)
+          .cast("double"))
+      .filter(col("certificate_number").isNotNull)
+      .withColumn("geometry", st_makeValid(col("geometry")))
+      .withColumn("kml_date_raw",
+        regexp_extract(col("description"),
+          """[\d]{1,2}/[\d]{1,2}/(?:[\d]{4}|[\d]{2})""", 0))
+      .groupBy("certificate_number")
+      .agg(
+        st_collect_agg(col("geometry")).as("geometry"),
+        max(when(col("kml_date_raw") =!= "",
+          convert_two_digit_years(col("kml_date_raw"))))
+          .as("geometry_last_update"))
+  }
+
+  /** Merge acquired utilities' polygons into acquirers
+    * (R/functions.R:421-444), version-gated (_targets.R:170-192): a
+    * patch applies only when the acquired cert's KML date matches the
+    * expected snapshot — otherwise the patch is skipped with the
+    * original rows kept (graceful degradation, SURVEY §5.2).
+    * Distributed form: map cert → target cert, group-union by target.
+    */
+  def applyMergePatches(spark: SparkSession, geo: DataFrame,
+      cfg: Config): DataFrame = {
+    import spark.implicits._
+    if (cfg.mergePatches.isEmpty) return geo
+    val gateOk: MergePatch => Boolean = p =>
+      cfg.expectedKmlDates.get(p.certFrom).forall { expected =>
+        val actual = geo
+          .filter(col("certificate_number") === p.certFrom)
+          .select(date_format(col("geometry_last_update"), "M/d/yyyy"))
+          .collect().headOption.flatMap(r => Option(r.getString(0)))
+        actual.contains(expected)
+      }
+    val applied = cfg.mergePatches.filter(gateOk)
+    val mapping = applied.map(p => (p.certFrom, p.certTo))
+      .toDF("from_cert", "to_cert")
+    geo
+      .join(broadcast(mapping),
+        col("certificate_number") === col("from_cert"), "left")
+      .withColumn("target_cert",
+        coalesce(col("to_cert"), col("certificate_number")))
+      .groupBy(col("target_cert").as("certificate_number"))
+      .agg(
+        st_union_agg(col("geometry")).as("geometry"),
+        max(col("geometry_last_update")).as("geometry_last_update"))
+  }
+
+  /** Final published schema + sync status (R/functions.R:490-529,
+    * about.qmd:30-42). geometry_is_current: KML-embedded date >= last
+    * service-area-changing chronology event; 3-valued (null = unknown).
+    */
+  def publishLayer(enriched: DataFrame, geo: DataFrame): DataFrame =
+    geo.join(broadcast(enriched), Seq("certificate_number"), "inner")
+      .withColumn("geometry_is_current",
+        when(col("geometry_last_update").isNull ||
+          col("last_area_change_date").isNull, lit(null).cast("boolean"))
+          .otherwise(col("geometry_last_update") >=
+            col("last_area_change_date")))
+      .withColumn("geometry_cert_sync_status",
+        when(col("geometry_is_current") === true, "up_to_date")
+          .when(col("geometry_is_current") === false, "outdated")
+          .otherwise("unknown"))
+      .select(
+        col("certificate_number"),
+        col("entity"),
+        col("certificate_name"),
+        col("cpcn_url").as("certificate_url"),
+        col("certificate_granted_year"),
+        col("certificate_last_update_date"),
+        col("certificate_last_update_order"),
+        col("certificate_last_update_type"),
+        col("geometry_last_update"),
+        col("geometry_is_current"),
+        col("geometry_cert_sync_status"),
+        col("geometry"))
+
+  /** Conditional whole-column int downcast (reference A5,
+    * R/functions.R:220-224,524-528): cast to int iff every value is
+    * integral — a plan-dependent schema, so necessarily a two-pass
+    * action (SURVEY §7.4).
+    */
+  def maybeDowncastToInt(df: DataFrame, colName: String): DataFrame = {
+    val allInt = df
+      .agg(every(col(colName) === floor(col(colName)) ||
+        col(colName).isNull))
+      .head().getBoolean(0)
+    if (allInt) df.withColumn(colName, col(colName).cast("int")) else df
+  }
+
+  /** End-to-end run under StageCache memoization; writes raw + cleaned
+    * GeoJSON layers and returns the cleaned DataFrame.
+    */
+  def run(spark: SparkSession, certsCsv: String, chronCsv: String,
+      kmlGlob: String, cfg: Config, outDir: String,
+      cacheDir: String): DataFrame = {
+    DateFunctions.registerAll(spark)
+    GeoFunctions.registerAll(spark)
+    val cache = new StageCache(spark, cacheDir)
+    def csv(p: String) = spark.read
+      .option("header", "true").option("inferSchema", "true").csv(p)
+
+    val cleaned = cache.stage("clean_certificates", "v1", Seq(certsCsv)) {
+      cleanCertificates(csv(certsCsv), cfg)
+    }
+    val chron = cache.stage("chronology", "v1", Seq(chronCsv)) {
+      processChronology(csv(chronCsv))
+    }
+    val enriched = cache.stage("enriched", "v1", Seq(certsCsv, chronCsv)) {
+      enrichCertificates(cleaned, chron)
+    }
+    val geoRaw = buildGeometry(spark, kmlGlob)
+
+    // raw layer: original CSV columns + geometry (R/functions.R:173-192)
+    val raw = geoRaw.join(broadcast(csv(certsCsv)
+        .filter(col("certificate_number").isNotNull)),
+      Seq("certificate_number"), "inner")
+    GeoJson.write(raw.drop("geometry_last_update"), "geometry",
+      s"$outDir/service-areas-raw.geojson", "service-areas-raw")
+
+    val patched = applyMergePatches(spark, geoRaw, cfg)
+    val published =
+      maybeDowncastToInt(publishLayer(enriched, patched),
+        "certificate_number")
+    GeoJson.write(published, "geometry",
+      s"$outDir/service-areas.geojson", "service-areas")
+    published
+  }
+}

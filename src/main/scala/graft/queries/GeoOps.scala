@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GeoFunctions
+import graft.functions.GeoFunctions._
+
+/** Geospatial operator surface over synthetic points derived from the
+  * customer table (SURVEY §2.3 J7/J8, §2.8 ST_ table, README.md:6-8
+  * motivating questions generalized).
+  *
+  * Points are derived with pure integer arithmetic (`custkey*37 % 360`)
+  * so coordinates are exact in both engines, and the DuckDB oracles for
+  * containment reduce to exact comparisons / cross-product sign tests —
+  * making the JTS predicates hash-verifiable without a spatial extension.
+  */
+object GeoOps {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic synthetic point table: one point per customer. */
+  private def points(s: SparkSession, d: String): DataFrame = {
+    GeoFunctions.registerAll(s)
+    Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+      ((col("c_custkey") * 37 % 360) - 180 + lit(0.5)).cast("double")
+        .as("lon"),
+      ((col("c_custkey") * 53 % 180) - 90 + lit(0.5)).cast("double")
+        .as("lat"))
+  }
+
+  private val pointsSql =
+    """SELECT c_custkey, c_mktsegment, c_nationkey,
+      |  CAST((c_custkey * 37 % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+      |  CAST((c_custkey * 53 % 180) - 90 + 0.5 AS DOUBLE) AS lat
+      |FROM customer""".stripMargin
+
+  /** g01 — bbox containment (reference J8 viewport filter): ST_Contains
+    * against a rectangle. In the plan the geometry predicate is a
+    * map-side filter; at scale a bbox pre-filter on lon/lat min/max
+    * columns would push to parquet stats first (same shape as the
+    * reference's zoom-gate).
+    */
+  val g01BboxContains: Q = (s, d) => {
+    val rect = st_geomFromText(
+      lit("POLYGON ((-60 -30, 40 -30, 40 45, -60 45, -60 -30))"))
+    points(s, d)
+      .filter(st_contains(rect, st_point(col("lon"), col("lat"))))
+      .select("c_custkey", "lon", "lat")
+      .orderBy("c_custkey")
+  }
+
+  /** g02 — point-in-polygon against a non-rectangular (triangle) region
+    * (reference J7 click-lookup): count customers per market segment
+    * inside the region.
+    */
+  val g02TrianglePip: Q = (s, d) => {
+    val tri = st_geomFromText(
+      lit("POLYGON ((-100 -60, 140 -60, 20 70, -100 -60))"))
+    points(s, d)
+      .filter(st_contains(tri, st_point(col("lon"), col("lat"))))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_inside"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** g03 — per-nation convex hull area ranking (README.md:7
+    * largest/smallest generalized): st_collect per nation → hull → area
+    * top-k. Geometry agg shuffles only nation keys. Rows-only (no
+    * spatial SQL oracle); semantics pinned in GeoQuerySpec.
+    */
+  val g03HullAreaTopk: Q = (s, d) =>
+    points(s, d)
+      .select(col("c_nationkey"),
+        st_point(col("lon"), col("lat")).as("pt"))
+      .groupBy("c_nationkey")
+      .agg(st_collect_agg(col("pt")).as("pts"),
+        count(lit(1)).as("n_points"))
+      .select(col("c_nationkey"), col("n_points"),
+        round(st_area(st_convexHull(col("pts"))), 6).as("hull_area"))
+      .orderBy(col("hull_area").desc, col("c_nationkey").asc)
+      .limit(10)
+
+  /** g04 — collect vs dissolve semantics per region (reference
+    * st_combine/st_union distinction, R/functions.R:471): buffered cells
+    * would overlap; we union nation hulls per region. Rows-only.
+    */
+  val g04UnionVsCollect: Q = (s, d) => {
+    val hulls = points(s, d)
+      .select(col("c_nationkey"),
+        st_point(col("lon"), col("lat")).as("pt"))
+      .groupBy("c_nationkey")
+      .agg(st_convexHull(st_collect_agg(col("pt"))).as("hull"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+    hulls.groupBy("n_regionkey")
+      .agg(
+        st_numGeometries(st_collect_agg(col("hull"))).as("n_parts"),
+        round(st_area(st_union_agg(col("hull"))), 6).as("dissolved_area"))
+      .orderBy("n_regionkey")
+  }
+
+  /** g05 — spatial binning (60° grid): the scalable form of a spatial
+    * join against a regular grid — cell id from coordinates, pure
+    * integer arithmetic, shuffle on cell id. The geometry round-trips
+    * through WKB (st_point → st_x/st_y) to exercise the codec in-plan.
+    */
+  val g05GridBin: Q = (s, d) =>
+    points(s, d)
+      .select(st_point(col("lon"), col("lat")).as("pt"))
+      .select(
+        floor((st_x(col("pt")) + 180) / 60).cast("int").as("cell_x"),
+        floor((st_y(col("pt")) + 90) / 60).cast("int").as("cell_y"))
+      .groupBy("cell_x", "cell_y")
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy("cell_x", "cell_y")
+
+  val queries: Map[String, Q] = Map(
+    "g01_bbox_contains" -> g01BboxContains,
+    "g02_triangle_pip" -> g02TrianglePip,
+    "g03_hull_area_topk" -> g03HullAreaTopk,
+    "g04_union_vs_collect" -> g04UnionVsCollect,
+    "g05_grid_bin" -> g05GridBin,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Strict interior test matches JTS contains (boundary excluded);
+    // +0.5 offsets guarantee no point ever lies on a boundary.
+    "g01_bbox_contains" ->
+      s"""WITH p AS ($pointsSql)
+         |SELECT c_custkey, lon, lat FROM p
+         |WHERE lon > -60 AND lon < 40 AND lat > -30 AND lat < 45
+         |ORDER BY c_custkey""".stripMargin,
+    // CCW triangle (-100,-60) (140,-60) (20,70): interior = all three
+    // cross products strictly positive. Exact double arithmetic.
+    "g02_triangle_pip" ->
+      s"""WITH p AS ($pointsSql)
+         |SELECT c_mktsegment, count(*) AS n_inside FROM p
+         |WHERE 240 * (lat + 60) > 0
+         |  AND -120 * (lat + 60) - 130 * (lon - 140) > 0
+         |  AND -120 * (lat - 70) + 130 * (lon - 20) > 0
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "g05_grid_bin" ->
+      s"""WITH p AS ($pointsSql)
+         |SELECT CAST(floor((lon + 180) / 60) AS INT) AS cell_x,
+         |  CAST(floor((lat + 90) / 60) AS INT) AS cell_y,
+         |  count(*) AS n_points
+         |FROM p GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin,
+  )
+}

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions
+import graft.functions.GeoFunctions._
+import graft.geo.Geo
+import graft.sources.{GeoJson, Kml}
+
+/** Geometry kernel, Catalyst expression, and source/sink tests
+  * (SURVEY §5 engine test plan: make_valid on self-intersecting ring,
+  * collect vs union semantics, contains with holes, KML quirks).
+  */
+class GeoSpec extends SparkSpec {
+
+  private lazy val _ = GeoFunctions.registerAll(spark)
+
+  // --- kernel ---
+
+  test("wkb/wkt round trip") {
+    val g = Geo.fromWkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(Geo.fromWkb(Geo.toWkb(g)).equalsTopo(g))
+  }
+
+  test("makeValid repairs a self-intersecting bowtie") {
+    val bowtie = Geo.fromWkt("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))")
+    assert(!bowtie.isValid)
+    val fixed = Geo.makeValid(bowtie)
+    assert(fixed.isValid)
+    assert(math.abs(fixed.getArea - 50.0) < 1e-9) // two 25-unit triangles
+  }
+
+  test("collect keeps parts, union dissolves (reference st_combine vs st_union)") {
+    val a = Geo.fromWkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val b = Geo.fromWkt("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))") // overlaps a
+    val collected = Geo.collect(Seq(a, b))
+    val dissolved = Geo.unionAll(Seq(a, b))
+    assert(collected.getNumGeometries === 2)
+    assert(collected.getGeometryType === "MultiPolygon")
+    assert(dissolved.getNumGeometries === 1)
+    // overlap counted twice in collect, once in union
+    assert(math.abs(collected.getArea - 32.0) < 1e-9)
+    assert(math.abs(dissolved.getArea - 28.0) < 1e-9)
+  }
+
+  test("contains excludes boundary; polygon hole excluded") {
+    val holed = Geo.fromWkt(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(holed.contains(Geo.point(2, 2)))
+    assert(!holed.contains(Geo.point(5, 5)))   // in the hole
+    assert(!holed.contains(Geo.point(0, 5)))   // on boundary
+  }
+
+  test("geojson round trip incl. multipolygon and holes") {
+    val wkts = Seq(
+      "POINT (1.5 -2.5)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    wkts.foreach { w =>
+      val g = Geo.fromWkt(w)
+      val back = Geo.fromGeoJson(Geo.toGeoJson(g))
+      assert(back.equalsTopo(g), s"round trip failed for $w")
+    }
+  }
+
+  // --- Catalyst expressions ---
+
+  test("st_ expressions evaluate through SQL and Column API") {
+    GeoFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT st_area(st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))
+        |  AS a,
+        |  st_contains(st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),
+        |              st_point(2.0, 2.0)) AS c,
+        |  st_astext(st_point(3.0, 4.0)) AS t""".stripMargin).head()
+    assert(row.getAs[Double]("a") === 16.0)
+    assert(row.getAs[Boolean]("c"))
+    assert(row.getAs[String]("t") === "POINT (3 4)")
+  }
+
+  test("st_makevalid expression fixes invalid geometry in a DataFrame") {
+    GeoFunctions.registerAll(spark)
+    import spark.implicits._
+    val df = Seq("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))").toDF("wkt")
+      .select(st_makeValid(st_geomFromText(col("wkt"))).as("g"))
+      .select(st_isValid(col("g")).as("valid"), st_area(col("g")).as("area"))
+    val r = df.head()
+    assert(r.getAs[Boolean]("valid"))
+    assert(math.abs(r.getAs[Double]("area") - 50.0) < 1e-9)
+  }
+
+  test("st_collect_agg vs st_union_agg grouped semantics") {
+    GeoFunctions.registerAll(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+      (1, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"),
+      (2, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+      .toDF("k", "wkt")
+      .select(col("k"), st_geomFromText(col("wkt")).as("g"))
+    val agg = df.groupBy("k").agg(
+      st_numGeometries(st_collect_agg(col("g"))).as("n_collect"),
+      st_area(st_union_agg(col("g"))).as("union_area"))
+      .orderBy("k").collect()
+    assert(agg(0).getAs[Int]("n_collect") === 2)
+    assert(math.abs(agg(0).getAs[Double]("union_area") - 28.0) < 1e-9)
+    assert(agg(1).getAs[Int]("n_collect") === 1)
+  }
+
+  // --- KML source ---
+
+  private val kmlDoc =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+      |<Placemark>
+      |  <name>Certificate No. 99 Test Utility</name>
+      |  <description>Granted to: TEST UTILITY (Electric)</description>
+      |  <Polygon><outerBoundaryIs><LinearRing><coordinates>
+      |    -150.0,61.0,0 -149.0,61.0,0 -149.0,62.0,0 -150.0,62.0,0 -150.0,61.0,0
+      |  </coordinates></LinearRing></outerBoundaryIs>
+      |  <innerBoundaryIs><LinearRing><coordinates>
+      |    -149.7,61.3 -149.3,61.3 -149.3,61.7 -149.7,61.7 -149.7,61.3
+      |  </coordinates></LinearRing></innerBoundaryIs></Polygon>
+      |</Placemark>
+      |<Placemark>
+      |  <name>Certificate No. 100</name>
+      |  <MultiGeometry>
+      |    <Polygon><outerBoundaryIs><LinearRing><coordinates>
+      |      0,0 1,0 1,1 0,1 0,0
+      |    </coordinates></LinearRing></outerBoundaryIs></Polygon>
+      |    <Polygon><outerBoundaryIs><LinearRing><coordinates>
+      |      5,5 6,5 6,6 5,6 5,5
+      |    </coordinates></LinearRing></outerBoundaryIs></Polygon>
+      |  </MultiGeometry>
+      |</Placemark>
+      |<Placemark><name>A Point</name>
+      |  <Point><coordinates>-147.7,64.8,120</coordinates></Point>
+      |</Placemark>
+      |</Document></kml>""".stripMargin
+
+  test("kml parser: polygon+hole, multigeometry, Z dropped, names kept") {
+    val feats = Kml.parseFeatures(kmlDoc)
+    assert(feats.length === 3)
+    val poly = Geo.fromWkb(feats(0).geometry)
+    assert(poly.getGeometryType === "Polygon")
+    assert(feats(0).name === "Certificate No. 99 Test Utility")
+    assert(feats(0).description.contains("Granted to"))
+    // hole is excluded from area: 1.0 - 0.16 = 0.84 deg²
+    assert(math.abs(poly.getArea - 0.84) < 1e-9)
+    val multi = Geo.fromWkb(feats(1).geometry)
+    assert(multi.getNumGeometries === 2)
+    val pt = Geo.fromWkb(feats(2).geometry)
+    assert(pt.getGeometryType === "Point")
+    assert(pt.getCoordinate.getZ.isNaN) // Z dropped
+  }
+
+  test("kml distributed read via spark text wholetext") {
+    val dir = java.nio.file.Files.createTempDirectory("kmltest")
+    java.nio.file.Files.writeString(dir.resolve("a.kml"), kmlDoc)
+    val df = Kml.read(spark, dir.toString + "/*.kml")
+    assert(df.count() === 3)
+    assert(df.columns.toSeq ===
+      Seq("path", "name", "description", "geometry"))
+  }
+
+  // --- GeoJSON sink/source ---
+
+  test("geojson write + read round trip with properties") {
+    GeoFunctions.registerAll(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1, "one", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+      (2, "two", "POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))"))
+      .toDF("id", "label", "wkt")
+      .select(col("id"), col("label"),
+        st_geomFromText(col("wkt")).as("geometry"))
+    val path = java.nio.file.Files.createTempDirectory("geojson")
+      .resolve("layer.geojson").toString
+    GeoJson.write(df, "geometry", path, "test-layer")
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(txt.contains("\"FeatureCollection\""))
+    assert(txt.contains("CRS84"))
+    val back = GeoJson.read(spark, path)
+    assert(back.count() === 2)
+    val areas = back.select(st_area(col("geometry")).as("a"))
+      .collect().map(_.getAs[Double]("a")).sorted
+    assert(areas.sameElements(Array(4.0, 4.0)))
+    // overwrite semantics: write again, still 2 features
+    GeoJson.write(df, "geometry", path, "test-layer")
+    assert(GeoJson.read(spark, path).count() === 2)
+  }
+}
