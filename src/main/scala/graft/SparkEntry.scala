@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{GeoOps, Relational, TextOps, VectorOps}
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +24,23 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ VectorOps.queries ++
-      GeoOps.queries
+      GeoOps.queries ++ Multimodal.queries ++
+      Map[String, (SparkSession, String) => DataFrame](
+        "s01_stream_tumbling" -> ((s, d) => EventStreams.replayHourly(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
-      GeoOps.oracles
+      GeoOps.oracles ++ Multimodal.oracles ++ Map(
+        // Streaming replay is provably batch-equivalent (35-day
+        // watermark drops nothing on historical replay).
+        "s01_stream_tumbling" ->
+          """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+            |    AS hour_start,
+            |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            |FROM events GROUP BY 1, 2
+            |HAVING hour_start < '2024-01-03 00:00:00'
+            |ORDER BY hour_start, event_type""".stripMargin)
 }

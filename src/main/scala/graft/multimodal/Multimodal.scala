@@ -1,0 +1,180 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal (image/audio/video) column handling (builder-prompt
+  * mandate): media as opaque `binary` columns + typed metadata, with
+  * decode / feature-extract / resize / frame-sample operators.
+  *
+  * No codec libraries ship in this environment, so the pixel/sample
+  * work is STUBBED with a deterministic fake format ("GR" container:
+  * 8-byte header + payload). Everything Spark-side is real and tested —
+  * schema, binary columns, header parsing, mapPartitions batch shape,
+  * generator explode for frames — and swapping `decodePayload` /
+  * `FeatureExtractor.features` for a real codec (JavaCV, TwelveMonkeys,
+  * pdfbox...) changes no plan shape.
+  *
+  * Scale design: every operator is map-side over the binary column;
+  * frame explode multiplies rows before the shuffle (partial agg
+  * applies); feature extraction is mapPartitions with per-partition
+  * buffer reuse — the Scala analogue of Python's mapInPandas batch UDF.
+  */
+object Multimodal {
+
+  // --- fake "GR" media container ---
+  // header: magic 'G','R' | width:2 LE | height:2 LE | channels:1 | codec:1
+
+  val HeaderLen = 8
+
+  def encodeBlob(payload: Array[Byte], width: Int, height: Int,
+      channels: Int, codec: Int): Array[Byte] = {
+    val out = new Array[Byte](HeaderLen + payload.length)
+    out(0) = 'G'; out(1) = 'R'
+    out(2) = (width & 0xff).toByte; out(3) = ((width >> 8) & 0xff).toByte
+    out(4) = (height & 0xff).toByte; out(5) = ((height >> 8) & 0xff).toByte
+    out(6) = (channels & 0xff).toByte
+    out(7) = (codec & 0xff).toByte
+    System.arraycopy(payload, 0, out, HeaderLen, payload.length)
+    out
+  }
+
+  case class Meta(width: Int, height: Int, channels: Int, codec: Int,
+      payload_bytes: Int)
+
+  /** STUB decode: parses the fake header. A real implementation would
+    * hand `blob` to an image codec here; the schema contract is what
+    * downstream operators program against.
+    */
+  def decodeMeta(blob: Array[Byte]): Meta = {
+    require(blob.length >= HeaderLen && blob(0) == 'G' && blob(1) == 'R',
+      "not a GR container")
+    Meta(
+      (blob(2) & 0xff) | ((blob(3) & 0xff) << 8),
+      (blob(4) & 0xff) | ((blob(5) & 0xff) << 8),
+      blob(6) & 0xff, blob(7) & 0xff,
+      blob.length - HeaderLen)
+  }
+
+  /** Deterministic media table derived from `documents`: the text bytes
+    * play the role of pixel data. Dimensions derive from n_chars so the
+    * DuckDB oracle can recompute them from the source table.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val mk = udf { (text: String, nChars: Int) =>
+      encodeBlob(text.getBytes("UTF-8"),
+        (nChars % 64) + 1, (nChars % 48) + 1, 3, 1)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        mk(col("text"), col("n_chars").cast("int")).as("blob"))
+  }
+
+  /** Decode operator: blob → typed metadata struct columns. */
+  def withMeta(media: DataFrame): DataFrame = {
+    val dec = udf { (blob: Array[Byte]) => decodeMeta(blob) }
+    media.withColumn("meta", dec(col("blob")))
+      .select(col("*"), col("meta.*")).drop("meta")
+  }
+
+  /** STUB resize: rewrites header dimensions (where a real scaler would
+    * transform pixels). Plan shape: pure map-side binary→binary.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val rs = udf { (blob: Array[Byte]) =>
+      val m = decodeMeta(blob)
+      encodeBlob(blob.drop(HeaderLen), w, h, m.channels, m.codec)
+    }
+    media.withColumn("blob", rs(col("blob")))
+  }
+
+  /** Feature extraction via mapPartitions (the mapInPandas analogue):
+    * 16-bin byte histogram per blob, L1-normalized — buffer reused
+    * across the partition, output schema fixed.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("features", ArrayType(FloatType), nullable = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      val hist = new Array[Long](16) // reused per partition
+      rows.map { r =>
+        java.util.Arrays.fill(hist, 0L)
+        val blob = r.getAs[Array[Byte]]("blob")
+        var i = HeaderLen
+        while (i < blob.length) { hist((blob(i) & 0xff) >> 4) += 1; i += 1 }
+        val n = math.max(1L, blob.length - HeaderLen).toDouble
+        val feats = hist.map(c => (c / n).toFloat)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: treat the payload as fixed-size frames (video
+    * analogue) and explode one row per frame — generator before shuffle.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int): DataFrame = {
+    val frames = udf { (blob: Array[Byte]) =>
+      blob.drop(HeaderLen).grouped(frameBytes).toSeq
+    }
+    media
+      .select(col("doc_id"),
+        posexplode(frames(col("blob"))).as(Seq("frame_idx", "frame")))
+  }
+
+  // --- driver-contract queries ---
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** m01 — decode metadata (oracle recomputes dims from n_chars). */
+  val m01MediaMeta: Q = (s, d) =>
+    withMeta(mediaTable(s, d))
+      .select("doc_id", "width", "height", "channels", "payload_bytes")
+      .orderBy("doc_id")
+
+  /** m02 — per-language mean feature vector (first 4 histogram bins):
+    * mapPartitions features → posexplode → agg, all distributed.
+    */
+  val m02MediaFeatures: Q = (s, d) =>
+    extractFeatures(mediaTable(s, d))
+      .select(col("lang"), posexplode(col("features"))
+        .as(Seq("bin", "weight")))
+      .filter(col("bin") < 4)
+      .groupBy("lang", "bin")
+      .agg(round(avg("weight"), 5).as("mean_weight"))
+      .orderBy("lang", "bin")
+
+  /** m03 — frame sampling cardinality (oracle: ceil division on
+    * n_chars). Explode + reaggregate proves the generator path.
+    */
+  val m03FrameSample: Q = (s, d) =>
+    frameSample(mediaTable(s, d), 256)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame"))).as("payload_bytes"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "m01_media_meta" -> m01MediaMeta,
+    "m02_media_features" -> m02MediaFeatures,
+    "m03_frame_sample" -> m03FrameSample,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(n_chars % 64 + 1 AS INT) AS width,
+        |  CAST(n_chars % 48 + 1 AS INT) AS height,
+        |  3 AS channels,
+        |  CAST(length(text) AS INT) AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m03_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames,
+        |  CAST(length(text) AS BIGINT) AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming path over the `events` table (SURVEY §2.9: the
+  * reference is batch-only; the generalized engine adds readStream +
+  * watermark + tumbling windows + custom state, mirroring "re-run the
+  * pipeline on new certificate events").
+  *
+  * The replay helpers run a real streaming query (micro-batch engine,
+  * state store, watermarks) against the static parquet — so the driver's
+  * verify gate exercises the streaming engine itself, with results
+  * provably equal to the batch plan.
+  */
+object EventStreams {
+
+  /** Raw parquet schema: ts is TIMESTAMP(NANOS) stored as INT64 — read
+    * as long (matches Tables.events handling) and truncated to micros.
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of the events parquet with event-time column. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob (not a bare file path) so the stream source infers the
+    // parent directory as basePath
+    spark.readStream.schema(rawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour window aggregation with a watermark. Late-data
+    * tolerance is 35 days so a full historical replay drops nothing —
+    * making the streaming result provably equal to the batch query and
+    * the DuckDB oracle.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "35 days")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2)
+        .as("sum_value"))
+
+  /** Run the streaming query to completion over the static input (memory
+    * sink, complete mode) and return the final table — a batch-shaped
+    * DataFrame suitable for the driver's verify dump.
+    */
+  def replayHourly(spark: SparkSession, dir: String): DataFrame = {
+    val qn = s"stream_hourly_${math.abs(dir.hashCode)}"
+    val q = hourlyAgg(readEvents(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(qn).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(qn)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .filter(col("hour_start") < "2024-01-03 00:00:00")
+      .orderBy("hour_start", "event_type")
+  }
+
+  // --- stateful processing (flatMapGroupsWithState) ---
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(sessionCount: Long, lastTs: Long,
+      eventsInSession: Long)
+  case class SessionUpdate(user_id: Long, sessionCount: Long,
+      eventsInLastBatch: Long)
+
+  /** 30-minute-gap sessionization as explicit keyed state — the
+    * streaming twin of the q22 window-function batch query. State is one
+    * tiny struct per user: scales with key cardinality, not event count.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue,
+            0L))
+          var n = 0L
+          sorted.foreach { e =>
+            val gap = e.ts.getTime - st.lastTs
+            st =
+              if (st.lastTs == Long.MinValue || gap > 30L * 60 * 1000)
+                SessionState(st.sessionCount + 1, e.ts.getTime, 1L)
+              else
+                SessionState(st.sessionCount, e.ts.getTime,
+                  st.eventsInSession + 1)
+            n += 1
+          }
+          state.update(st)
+          Iterator(SessionUpdate(uid, st.sessionCount, n))
+      }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.queries.Relational
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionUpdate}
+
+/** Structured Streaming semantics: historical replay must equal the
+  * batch plan, and keyed session state must carry across micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly replay equals the batch q21 result") {
+    val streamed = EventStreams.replayHourly(spark, sf).collect()
+    val batch = Relational.q21EventsHourly(spark, sf).collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("hour_start") === b.getAs[String]("hour_start"))
+      assert(s.getAs[String]("event_type") === b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n_events") === b.getAs[Long]("n_events"))
+      assert(s.getAs[Double]("sum_value") === b.getAs[Double]("sum_value"))
+    }
+  }
+
+  test("flatMapGroupsWithState session state carries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_test").start()
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    try {
+      // batch 1: two events 5 min apart → one session
+      input.addData(Event(1, ts(0), 7L, "click", 1.0),
+        Event(2, ts(5), 7L, "view", 1.0))
+      q.processAllAvailable()
+      val b1 = spark.table("sess_test").as[SessionUpdate].collect()
+      assert(b1.length === 1)
+      assert(b1.head.sessionCount === 1)
+      // batch 2: 10 min later (same session), then 45-min gap (new one)
+      input.addData(Event(3, ts(15), 7L, "click", 1.0),
+        Event(4, ts(60), 7L, "purchase", 1.0))
+      q.processAllAvailable()
+      val b2 = spark.table("sess_test").as[SessionUpdate].collect()
+      assert(b2.length === 2)
+      assert(b2.map(_.sessionCount).max === 2,
+        "state must remember batch-1 session and open a second one")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization agrees with batch q22 for sampled users") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay real events for users < 10 through the stateful operator
+    val events = Tables.events(spark, sf)
+      .filter(col("user_id") < 10)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_real").start()
+    try {
+      input.addData(events.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedCounts = spark.table("sess_real").as[SessionUpdate]
+      .collect().groupBy(_.user_id)
+      .view.mapValues(_.map(_.sessionCount).max).toMap
+    val batch = Relational.q22Sessionize(spark, sf)
+      .filter(col("user_id") < 10).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions"))
+      .toMap
+    assert(streamedCounts === batch)
+  }
+}
