@@ -176,7 +176,7 @@ object GeoFunctions {
   case class STContains(left: Expression, right: Expression)
       extends GeoBinaryPredicate {
     override def nullSafeEval(a: Any, b: Any): Any =
-      geom(a).contains(geom(b))
+      Geo.preparedCached(bytes(a)).contains(Geo.fromWkbCached(bytes(b)))
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
     override def prettyName: String = "st_contains"
@@ -185,7 +185,7 @@ object GeoFunctions {
   case class STIntersects(left: Expression, right: Expression)
       extends GeoBinaryPredicate {
     override def nullSafeEval(a: Any, b: Any): Any =
-      geom(a).intersects(geom(b))
+      Geo.preparedCached(bytes(a)).intersects(Geo.fromWkbCached(bytes(b)))
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
     override def prettyName: String = "st_intersects"
@@ -193,7 +193,10 @@ object GeoFunctions {
 
   case class STWithin(left: Expression, right: Expression)
       extends GeoBinaryPredicate {
-    override def nullSafeEval(a: Any, b: Any): Any = geom(a).within(geom(b))
+    // a within b  ⇔  b contains a; prepare b (the repeated side in a
+    // point-in-region query is usually the region).
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Geo.preparedCached(bytes(b)).contains(Geo.fromWkbCached(bytes(a)))
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
     override def prettyName: String = "st_within"

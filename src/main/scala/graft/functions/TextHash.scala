@@ -30,22 +30,42 @@ object TextHash {
     mix64(h)
   }
 
-  /** Character k-shingle hashes (distinct). Rolling window over the raw
-    * string; k=5 default mirrors common near-dup pipelines.
+  /** FNV-1a 64 over a byte window, splitmix-finalized — equals
+    * hashString(new String(bytes, from, len)) for ASCII input.
     */
-  def shingleHashes(text: String, k: Int): Array[Long] = {
-    if (text.length < k) return Array(hashString(text))
-    val out = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i + k <= text.length) {
-      out.add(hashString(text.substring(i, i + k)))
+  @inline private def hashWindow(bytes: Array[Byte], from: Int,
+      len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    val end = from + len
+    while (i < end) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
       i += 1
     }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
-    var j = 0
-    while (it.hasNext) { arr(j) = it.next(); j += 1 }
-    arr
+    mix64(h)
+  }
+
+  /** Character k-shingle hashes (distinct, sorted). Operates on the
+    * UTF-8 byte array directly — no per-window substring allocation —
+    * then sorts + dedups in place. Hot path of MinHash at corpus scale.
+    */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length < k) return Array(hashWindow(bytes, 0, bytes.length))
+    val n = bytes.length - k + 1
+    val all = new Array[Long](n)
+    var i = 0
+    while (i < n) { all(i) = hashWindow(bytes, i, k); i += 1 }
+    java.util.Arrays.sort(all)
+    // in-place dedup
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
+      i += 1
+    }
+    if (w == n) all else java.util.Arrays.copyOf(all, w)
   }
 
   /** MinHash signature of `n` permutations over the shingle-hash set.
@@ -110,26 +130,43 @@ object TextHash {
 
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken SIGMOD'03):
     * k-gram hashes, sliding window of w, keep each window's minimum
-    * (rightmost on ties). Returns the distinct selected hashes, sorted.
+    * (rightmost on ties — enforced by `<=` when extending the deque).
+    * O(n) via a monotonic deque instead of O(n·w) rescans. Returns the
+    * distinct selected hashes, sorted.
     */
   def winnow(text: String, k: Int, w: Int): Array[Long] = {
-    if (text.length < k) return Array(hashString(text))
-    val n = text.length - k + 1
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length < k) return Array(hashWindow(bytes, 0, bytes.length))
+    val n = bytes.length - k + 1
     val grams = new Array[Long](n)
     var i = 0
-    while (i < n) { grams(i) = hashString(text.substring(i, i + k)); i += 1 }
-    if (n <= w) return { val d = grams.distinct.sorted; d }
-    val picked = new java.util.TreeSet[java.lang.Long]()
-    var start = 0
-    while (start + w <= n) {
-      var m = grams(start); var mi = start
-      var j = start
-      while (j < start + w) {
-        if (grams(j) <= m) { m = grams(j); mi = j }
-        j += 1
+    while (i < n) { grams(i) = hashWindow(bytes, i, k); i += 1 }
+    if (n <= w) {
+      java.util.Arrays.sort(grams)
+      var ww = 0
+      i = 0
+      while (i < n) {
+        if (ww == 0 || grams(i) != grams(ww - 1)) {
+          grams(ww) = grams(i); ww += 1
+        }
+        i += 1
       }
-      picked.add(grams(mi))
-      start += 1
+      return java.util.Arrays.copyOf(grams, ww)
+    }
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    // monotonic deque of indices; front = window min, ties keep rightmost
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < n) {
+      while (tail > head && grams(deque(tail - 1)) >= grams(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      val start = i - w + 1
+      if (start >= 0) {
+        while (deque(head) < start) head += 1
+        picked.add(grams(deque(head)))
+      }
+      i += 1
     }
     val arr = new Array[Long](picked.size)
     val it = picked.iterator()

@@ -30,6 +30,34 @@ object Geo {
 
   def toWkb(g: Geometry): Array[Byte] = wkbWriter.get.write(g)
   def fromWkb(b: Array[Byte]): Geometry = wkbReader.get.read(b)
+
+  // Per-thread identity-keyed memo of the last decode: a constant
+  // geometry argument (folded literal) arrives as the SAME byte array
+  // reference on every row of a task, so predicates against a fixed
+  // polygon skip re-parsing WKB per row.
+  private val lastDecode = new ThreadLocal[(Array[Byte], Geometry)]
+  def fromWkbCached(b: Array[Byte]): Geometry = {
+    val last = lastDecode.get
+    if (last != null && (last._1 eq b)) last._2
+    else { val g = fromWkb(b); lastDecode.set((b, g)); g }
+  }
+
+  // Same trick for JTS prepared geometries: point-in-polygon against a
+  // repeated polygon gets the indexed (interval-tree) predicate path —
+  // the standard spatial-join inner loop.
+  private val lastPrepared = new ThreadLocal[
+    (Array[Byte], org.locationtech.jts.geom.prep.PreparedGeometry)]
+  def preparedCached(b: Array[Byte])
+      : org.locationtech.jts.geom.prep.PreparedGeometry = {
+    val last = lastPrepared.get
+    if (last != null && (last._1 eq b)) last._2
+    else {
+      val p = org.locationtech.jts.geom.prep.PreparedGeometryFactory
+        .prepare(fromWkb(b))
+      lastPrepared.set((b, p))
+      p
+    }
+  }
   def toWkt(g: Geometry): String = wktWriter.get.write(g)
   def fromWkt(s: String): Geometry = wktReader.get.read(s)
 

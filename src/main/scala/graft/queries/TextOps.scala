@@ -162,7 +162,11 @@ object TextOps {
     minHashPairs(Tables.documents(s, d).select("doc_id", "text"), 0.5)
 
   /** Core MinHash-LSH pair generator over any (doc_id, text) frame. */
-  def minHashPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def minHashPairs(docs0: DataFrame, minJaccard: Double): DataFrame = {
+    // Single-file local inputs arrive as one partition — spread before
+    // the signature stage so it parallelizes (no-op-sized on a cluster).
+    val docs = docs0.repartition(
+      docs0.sparkSession.sparkContext.defaultParallelism)
     val nPerm = 128; val bands = 16; val rowsPerBand = nPerm / bands
     val bandsUdf = udf { (text: String) =>
       val sig = TextHash.minHashSignature(
@@ -180,9 +184,13 @@ object TextOps {
       TextHash.jaccard(
         TextHash.shingleHashes(ta, 5), TextHash.shingleHashes(tb, 5))
     }
+    // Persist: the self-join references this frame on both sides —
+    // without materialization the signature UDF (the most expensive map
+    // stage at corpus scale) would run over the corpus twice.
     val buckets = docs
       .select(col("doc_id"),
         posexplode(bandsUdf(col("text"))).as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") &&
@@ -214,14 +222,17 @@ object TextOps {
     * frame. maxHamming must be ≤ 3 for the 4-block guarantee to be
     * exhaustive (pigeonhole: d ≤ 3 bit flips can't touch all 4 blocks).
     */
-  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simHashPairs(docs0: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-block LSH only exhaustive for hamming <= 3")
+    val docs = docs0.repartition(
+      docs0.sparkSession.sparkContext.defaultParallelism)
     val shUdf = udf((t: String) => TextHash.simHash(t))
     val sigs = docs.select(col("doc_id"), shUdf(col("text")).as("sh"))
     val blocks = sigs.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16)
           .bitwiseAND(lit(0xffffL))): _*)).as(Seq("blk", "blkval")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.blk") === col("b.blk") &&

