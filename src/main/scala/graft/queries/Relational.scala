@@ -423,7 +423,60 @@ object Relational {
       .orderBy("band")
   }
 
+  /** q26 — ordered string aggregation (reference A2: PLSS codes folded
+    * into an `(MTRS='..') OR ..` query string, R/functions.R:385-392).
+    * Sort inside the aggregate for determinism.
+    */
+  val q26StringAgg: Q = (s, d) =>
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        array_join(array_sort(collect_list(col("s_name"))), " | ")
+          .as("supplier_list"),
+        count(lit(1)).as("n_suppliers"))
+      .orderBy("n_name")
+
+  /** q27 — positional slice (reference P8: `slice(-(1:2), -nrow(t))` —
+    * drop scraped header rows + trailer). Position is only meaningful
+    * under an explicit order; the slice runs on an ordered window.
+    * Positional ops are inherently sequential — the reference applies
+    * them to driver-small scraped tables, and so do we (top-20 frame).
+    */
+  val q27PositionalSlice: Q = (s, d) => {
+    val top20 = Tables.orders(s, d)
+      .orderBy(col("o_orderkey").asc).limit(20)
+    val w = Window.orderBy(col("o_orderkey").asc)
+    top20
+      .withColumn("pos", row_number().over(w))
+      .withColumn("total", count(lit(1)).over(
+        Window.partitionBy()))
+      .filter(col("pos") > 2 && col("pos") < col("total"))
+      .select("pos", "o_orderkey", "o_totalprice")
+      .orderBy("pos")
+  }
+
+  /** q28 — JSON extraction from the events props column (reference map
+    * client parses GeoJSON properties via `.json()`, index.qmd:24;
+    * engine-side: get_json_object, codegen'd).
+    */
+  val q28JsonExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      // floor-div, not cast-of-division: double→int casts truncate in
+      // Spark but round in DuckDB
+      .withColumn("k_bucket", floor(col("k") / 10).cast("int"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg("value"), 2).as("avg_value"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("k_bucket")
+
   val queries: Map[String, Q] = Map(
+    "q26_string_agg" -> q26StringAgg,
+    "q27_positional_slice" -> q27PositionalSlice,
+    "q28_json_extract" -> q28JsonExtract,
     "q01_pruned_scan" -> q01PrunedScan,
     "q02_agg_pushdown" -> q02AggPushdown,
     "q03_join_agg" -> q03JoinAgg,
@@ -456,6 +509,33 @@ object Relational {
     * timestamps are cast to DATE or formatted as strings.
     */
   val oracles: Map[String, String] = Map(
+    "q26_string_agg" ->
+      """SELECT n_name,
+        |  string_agg(s_name, ' | ' ORDER BY s_name) AS supplier_list,
+        |  count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q27_positional_slice" ->
+      """WITH top20 AS (
+        |  SELECT * FROM orders ORDER BY o_orderkey ASC LIMIT 20),
+        |pos AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY o_orderkey ASC) AS INT)
+        |      AS pos,
+        |    CAST(count(*) OVER () AS INT) AS total,
+        |    o_orderkey, o_totalprice
+        |  FROM top20)
+        |SELECT pos, o_orderkey, o_totalprice FROM pos
+        |WHERE pos > 2 AND pos < total ORDER BY pos""".stripMargin,
+    "q28_json_extract" ->
+      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT)
+        |    / 10.0) AS INT) AS k_bucket,
+        |  count(*) AS n_events,
+        |  round(avg(value), 2) AS avg_value,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+        |    AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+        |    AS max_k
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
     "q01_pruned_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice AS price
         |FROM lineitem

@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.Relational
+
+/** Physical-plan quality gates (builder prompt: "explain the plan and
+  * iterate until it's the plan you'd want"). These assert the
+  * scale-critical plan properties hold, so a regression that silently
+  * drops a pushdown or broadcasts the wrong side fails CI.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter and projection push into the parquet scan") {
+    val p = plan("q01_pruned_scan")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("GreaterThan(l_quantity"), s"quantity not pushed:\n$p")
+    // projection pruning: scan must not read the unused discount column
+    assert(!p.contains("l_discount"), s"scan reads unused columns:\n$p")
+  }
+
+  test("q05: star joins broadcast the dimension sides") {
+    val p = plan("q05_star_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3,
+      s"expected >=3 broadcast joins (customer/nation/region):\n$p")
+  }
+
+  test("q02: partial aggregation before the shuffle") {
+    val p = plan("q02_agg_pushdown")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q11: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q11_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$p")
+  }
+
+  test("q06: semi join stays a semi join (no payload join)") {
+    val p = plan("q06_semi_join")
+    assert(p.contains("LeftSemi"), s"semi join lost:\n$p")
+  }
+
+  test("whole-stage codegen covers the q02 agg pipeline") {
+    // AQE hides codegen markers until the final plan materializes —
+    // execute first, then inspect; codegen'd stages render as "*(n)"
+    val df = SparkEntry.queries("q02_agg_pushdown")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen spans:\n$p")
+  }
+}

@@ -17,6 +17,8 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // full PushedFilters/ReadSchema strings for plan assertions
+      .config("spark.sql.maxMetadataStringLength", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
