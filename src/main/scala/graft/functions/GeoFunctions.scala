@@ -182,6 +182,19 @@ object GeoFunctions {
     override def prettyName: String = "st_contains"
   }
 
+  /** Evaluation-identical twin of [[STContains]] emitted by the
+    * SpatialFilterRewrite optimizer rule — a distinct node so the
+    * rewrite doesn't re-match its own output.
+    */
+  case class STContainsExact(left: Expression, right: Expression)
+      extends GeoBinaryPredicate {
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Geo.preparedCached(bytes(a)).contains(Geo.fromWkbCached(bytes(b)))
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+    override def prettyName: String = "st_contains_exact"
+  }
+
   case class STIntersects(left: Expression, right: Expression)
       extends GeoBinaryPredicate {
     override def nullSafeEval(a: Any, b: Any): Any =
@@ -280,11 +293,13 @@ object GeoFunctions {
   /** Register every ST_ function in the session's FunctionRegistry
     * (idempotent) so both SQL text and the Column API below resolve.
     */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "scala_udf")
     }
+    graft.plans.SpatialFilterRewrite.install(spark)
+  }
 
   // --- Column API (resolves through the registry via call_function) ---
   def st_point(lon: Column, lat: Column): Column =
