@@ -473,7 +473,22 @@ object Relational {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("k_bucket")
 
+  /** q29 — exact interpolated percentiles (both engines implement the
+    * same linear-interpolation definition: Spark `percentile`, DuckDB
+    * `quantile_cont`). At 100 TB you'd switch to `approx_percentile`
+    * (KLL/GK sketch) — kept exact here so the oracle can hash-match.
+    */
+  val q29Percentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.25)"), 2).as("p25_qty"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "q29_percentiles" -> q29Percentiles,
     "q26_string_agg" -> q26StringAgg,
     "q27_positional_slice" -> q27PositionalSlice,
     "q28_json_extract" -> q28JsonExtract,
@@ -509,6 +524,13 @@ object Relational {
     * timestamps are cast to DATE or formatted as strings.
     */
   val oracles: Map[String, String] = Map(
+    "q29_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS med_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+        |  round(quantile_cont(l_quantity, 0.25), 2) AS p25_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q26_string_agg" ->
       """SELECT n_name,
         |  string_agg(s_name, ' | ' ORDER BY s_name) AS supplier_list,

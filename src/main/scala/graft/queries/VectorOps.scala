@@ -164,6 +164,88 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** v05 — ANN via IVF (inverted-file index, the FAISS IVF-Flat shape):
+    * a deterministic k-means coarse quantizer (Lloyd's on a driver-side
+    * sample — the ONLY driver-side step, and it touches `nlist*40`
+    * vectors regardless of corpus size), broadcast centroids, map-side
+    * cell assignment, and a probe of the `nprobe` nearest cells per
+    * query. Shuffle is keyed by cell id; rerank is exact cosine over
+    * probed cells only — corpus_fraction ≈ nprobe/nlist.
+    */
+  val v05AnnIvf: Q = (s, d) => annIvf(emb(s, d), maxQid = 50,
+    nlist = 16, nprobe = 4)
+
+  def annIvf(e0: DataFrame, maxQid: Int, nlist: Int,
+      nprobe: Int): DataFrame = {
+    val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
+
+    // --- train coarse quantizer on a bounded sample (deterministic:
+    // lowest vec_ids; k-means init = stride over the sample) ---
+    val sample = e0.orderBy("vec_id").limit(nlist * 40)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var centroids = Array.tabulate(nlist)(i =>
+      sample((i * sample.length) / nlist).clone())
+    for (_ <- 0 until 10) {
+      val sums = Array.fill(nlist)(new Array[Double](Dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val c = nearestCell(centroids, v)
+        var j = 0
+        while (j < Dim) { sums(c)(j) += v(j); j += 1 }
+        counts(c) += 1
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c)
+        else { val s2 = sums(c); s2.indices.foreach(j =>
+          s2(j) /= counts(c)); s2 })
+    }
+    val bc = e0.sparkSession.sparkContext.broadcast(centroids)
+
+    val cellUdf = udf { (v: Seq[Double]) =>
+      nearestCell(bc.value, v.toArray)
+    }
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      bc.value.indices
+        .map(c => (c, dist2(bc.value(c), va)))
+        .sortBy(_._2).take(nprobe).map(_._1)
+    }
+
+    val assigned = e.withColumn("cell", cellUdf(col("v")))
+    val q = assigned.filter(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(probeUdf(col("v"))).as("cell"))
+    val cand = assigned.join(q,
+        Seq("cell")).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosUdf(col("qv"), col("v")), 4).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("vec_id").as("ann_nid"), col("cos_sim"))
+      .orderBy("qid")
+  }
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def nearestCell(centroids: Array[Array[Double]],
+      v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val d = dist2(centroids(c), v)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** v04 — vector norm statistics per label (corpus sanity check every
     * embedding pipeline runs before indexing).
     */
@@ -182,6 +264,7 @@ object VectorOps {
     "v02_label_centroids" -> v02LabelCentroids,
     "v03_ann_lsh" -> v03AnnLsh,
     "v04_norm_stats" -> v04NormStats,
+    "v05_ann_ivf" -> v05AnnIvf,
   )
 
   val oracles: Map[String, String] = Map(

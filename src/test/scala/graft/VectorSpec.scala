@@ -55,6 +55,33 @@ class VectorSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("v05 IVF ANN: deterministic, nonempty, reasonable recall") {
+    val ivf1 = VectorOps.v05AnnIvf(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("ann_nid")).toMap
+    val ivf2 = VectorOps.v05AnnIvf(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("ann_nid")).toMap
+    assert(ivf1 === ivf2, "IVF must be deterministic across runs")
+    assert(ivf1.size === 50)
+    // nprobe/nlist = 1/4 of the space searched; on near-random vectors
+    // expect at least ~1/4 recall of exact top-1 (cells are balanced)
+    val e = Tables.embeddings(spark, sf).selectExpr(
+      "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val q = e.filter(col("vec_id") < 50)
+      .withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qv")
+    val dotc = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val brute = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), dotc.as("dot"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("dot").desc, col("vec_id").asc)))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id"))
+      .toMap
+    val hits = brute.count { case (k, v) => ivf1.get(k).contains(v) }
+    assert(hits >= 8, s"IVF recall too low: $hits/50")
+  }
+
   test("v04 norms: embeddings are ~unit-norm") {
     VectorOps.v04NormStats(spark, sf).collect().foreach { r =>
       assert(math.abs(r.getAs[Double]("avg_norm") - 1.0) < 0.01)
