@@ -125,6 +125,15 @@ object GeoFunctions {
     override def prettyName: String = "st_area"
   }
 
+  /** Geodesic area in km² (spherical excess on the authalic sphere). */
+  case class STAreaSpherical(child: Expression) extends GeoUnary {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any = Geo.sphericalAreaKm2(geom(v))
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def prettyName: String = "st_area_spherical"
+  }
+
   case class STEnvelope(child: Expression) extends GeoUnary {
     override def dataType: DataType = BinaryType
     override def nullSafeEval(v: Any): Any = Geo.toWkb(geom(v).getEnvelope)
@@ -275,6 +284,7 @@ object GeoFunctions {
     "st_makevalid" -> (es => STMakeValid(es.head)),
     "st_isvalid" -> (es => STIsValid(es.head)),
     "st_area" -> (es => STArea(es.head)),
+    "st_area_spherical" -> (es => STAreaSpherical(es.head)),
     "st_envelope" -> (es => STEnvelope(es.head)),
     "st_convexhull" -> (es => STConvexHull(es.head)),
     "st_centroid" -> (es => STCentroid(es.head)),
@@ -313,6 +323,8 @@ object GeoFunctions {
   def st_makeValid(g: Column): Column = call_function("st_makevalid", g)
   def st_isValid(g: Column): Column = call_function("st_isvalid", g)
   def st_area(g: Column): Column = call_function("st_area", g)
+  def st_area_spherical(g: Column): Column =
+    call_function("st_area_spherical", g)
   def st_envelope(g: Column): Column = call_function("st_envelope", g)
   def st_convexHull(g: Column): Column = call_function("st_convexhull", g)
   def st_centroid(g: Column): Column = call_function("st_centroid", g)

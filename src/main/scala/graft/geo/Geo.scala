@@ -113,6 +113,44 @@ object Geo {
       s"not polygonal: ${other.getGeometryType}")
   }
 
+  /** Geodesic (spherical) polygon area in km² — the v2 answer to the
+    * "largest service area" question (SURVEY §7.4: planar degrees² is
+    * the documented v1 semantics; CRS84 degrees distort with latitude).
+    * Spherical-excess formula on the WGS84 authalic sphere; holes
+    * subtract, multi-parts sum.
+    */
+  val EarthAuthalicRadiusKm = 6371.0072
+  def sphericalAreaKm2(g: Geometry): Double = g match {
+    case p: Polygon =>
+      val outer = ringSphericalArea(p.getExteriorRing.getCoordinates)
+      val holes = (0 until p.getNumInteriorRing)
+        .map(i => ringSphericalArea(p.getInteriorRingN(i).getCoordinates))
+        .sum
+      outer - holes
+    case gc: GeometryCollection =>
+      (0 until gc.getNumGeometries)
+        .map(i => sphericalAreaKm2(gc.getGeometryN(i))).sum
+    case _ => 0.0
+  }
+
+  /** Absolute spherical area of one ring (l'Huilier via the shoelace-on-
+    * sphere formula, Chamberlain & Duquette, JPL 2007).
+    */
+  private def ringSphericalArea(cs: Array[Coordinate]): Double = {
+    if (cs.length < 4) return 0.0
+    var total = 0.0
+    var i = 0
+    val n = cs.length - 1 // closed ring: last == first
+    while (i < n) {
+      val p1 = cs(i); val p2 = cs((i + 1) % n)
+      total += math.toRadians(p2.x - p1.x) *
+        (2 + math.sin(math.toRadians(p1.y)) +
+          math.sin(math.toRadians(p2.y)))
+      i += 1
+    }
+    math.abs(total) * EarthAuthalicRadiusKm * EarthAuthalicRadiusKm / 2.0
+  }
+
   // --- GeoJSON (hand-rolled: no jackson-datatype-jts on classpath) ---
 
   private def coordJson(c: Coordinate): String = s"[${c.x},${c.y}]"

@@ -287,7 +287,33 @@ object TextOps {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
 
+  /** t11 — full dedup cascade: exact (md5 keep-lowest) then near-dup
+    * (MinHash-LSH pairs, greedy drop-higher-id — the standard practical
+    * policy; transitive closure via iterated passes if needed). Returns
+    * the keep-list. This is the operator a training-data pipeline
+    * actually runs; stage order matters at scale (cheap exact pass
+    * shrinks the corpus before signatures are computed).
+    */
+  val t11DedupCascade: Q = (s, d) =>
+    dedupCorpus(Tables.documents(s, d).select("doc_id", "text"), 0.8)
+
+  def dedupCorpus(docs: DataFrame, jaccardThreshold: Double): DataFrame = {
+    // exact pass: one survivor (lowest id) per md5(text)
+    val exactKeep = docs
+      .groupBy(md5(col("text").cast("binary")).as("k"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val survivors = docs.join(exactKeep, "doc_id")
+    // near-dup pass: greedy drop the higher id of each similar pair
+    val dropIds = minHashPairs(survivors, jaccardThreshold)
+      .select(col("d2").as("doc_id")).distinct()
+    survivors.select("doc_id")
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t11_dedup_cascade" -> t11DedupCascade,
     "t01_token_counts" -> t01TokenCounts,
     "t02_quality_score" -> t02QualityScore,
     "t03_lang_id" -> t03LangId,

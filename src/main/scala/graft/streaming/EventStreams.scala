@@ -69,6 +69,22 @@ object EventStreams {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Incremental layer refresh via foreachBatch (SURVEY §2.9: the
+    * generalized "re-run the pipeline on new certificate events"): each
+    * micro-batch republishes the layer produced by `buildLayer` over
+    * the accumulated state. Returns the query for the caller to manage.
+    */
+  def publishOnEvents(events: DataFrame,
+      buildLayer: (SparkSession, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (!batch.isEmpty) buildLayer(batch.sparkSession, batchId)
+      }
+      .start()
+
   // --- stateful processing (flatMapGroupsWithState) ---
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

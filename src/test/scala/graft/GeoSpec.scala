@@ -63,6 +63,25 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("spherical area: 1-degree square at the equator ≈ 12364 km²") {
+    val eq = Geo.fromWkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    val areaEq = Geo.sphericalAreaKm2(eq)
+    assert(math.abs(areaEq - 12364.0) < 10.0, s"got $areaEq")
+    // same square at 60°N covers ~half the area (cos 60 ≈ 0.5 shrink)
+    val hi = Geo.fromWkt("POLYGON ((0 60, 1 60, 1 61, 0 61, 0 60))")
+    val areaHi = Geo.sphericalAreaKm2(hi)
+    assert(areaHi < areaEq * 0.55 && areaHi > areaEq * 0.4, s"got $areaHi")
+    // holes subtract
+    val holed = Geo.fromWkt(
+      "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0), (0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))")
+    assert(math.abs(Geo.sphericalAreaKm2(holed) -
+      (Geo.sphericalAreaKm2(Geo.fromWkt(
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")) -
+        Geo.sphericalAreaKm2(Geo.fromWkt(
+          "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"))))
+      < 1.0)
+  }
+
   // --- Catalyst expressions ---
 
   test("st_ expressions evaluate through SQL and Column API") {

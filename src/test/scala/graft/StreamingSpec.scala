@@ -51,6 +51,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch republishes a layer per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val published = new java.util.concurrent.atomic.AtomicLong(-1)
+    val publishCount = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = EventStreams.publishOnEvents(input.toDF(),
+      (_, batchId) => { published.set(batchId); publishCount
+        .incrementAndGet() })
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    try {
+      input.addData(Event(1, ts(0), 1L, "click", 1.0))
+      q.processAllAvailable()
+      assert(publishCount.get === 1)
+      input.addData(Event(2, ts(1), 1L, "view", 2.0))
+      q.processAllAvailable()
+      assert(publishCount.get === 2, "second batch must republish")
+      assert(published.get >= 1)
+    } finally q.stop()
+  }
+
   test("streaming sessionization agrees with batch q22 for sampled users") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

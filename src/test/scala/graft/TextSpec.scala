@@ -129,6 +129,22 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpus cascade: exact dups, near dups dropped; rest kept") {
+    import spark.implicits._
+    val base = "training data deduplication cascade with exact and " +
+      "near duplicate stages running over the corpus at scale"
+    val corpus = Seq(
+      (0L, base),
+      (1L, base), // exact dup of 0 → dropped in exact pass
+      (2L, base.replace("scale", "scples")), // near dup → dropped
+      (3L, "совершенно другой документ о геометрии сервисных зон"),
+      (4L, "the quick brown fox jumps over the lazy dog repeatedly"))
+      .toDF("doc_id", "text")
+    val kept = TextOps.dedupCorpus(corpus, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 3L, 4L), s"got $kept")
+  }
+
   test("t03 lang scores are non-negative and predicted is a known lang") {
     val rows = TextOps.t03LangId(spark, sf).collect()
     val known = Set("en", "es", "de", "fr", "zh")
