@@ -298,6 +298,8 @@ object GeoFunctions {
     "st_union" -> (es => STUnion(es(0), es(1))),
     "st_collect_array" -> (es => STCollectArray(es.head)),
     "st_union_array" -> (es => STUnionArray(es.head)),
+    // native partial-merge aggregate (see GeoAggregates)
+    "st_union_agg" -> (es => GeoUnionAgg(es.head)),
   )
 
   /** Register every ST_ function in the session's FunctionRegistry
@@ -347,7 +349,11 @@ object GeoFunctions {
   def st_collect_agg(g: Column): Column =
     call_function("st_collect_array", collect_list(g))
 
-  /** Aggregate: dissolving union per group. */
+  /** Aggregate: dissolving union per group — the native
+    * TypedImperativeAggregate with map-side cascaded-union compaction
+    * ([[GeoUnionAgg]]); `st_union_array(collect_list(g))` remains for
+    * the collect-then-finish form.
+    */
   def st_union_agg(g: Column): Column =
-    call_function("st_union_array", collect_list(g))
+    call_function("st_union_agg", g)
 }

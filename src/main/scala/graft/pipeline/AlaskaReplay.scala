@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions
+import graft.functions.GeoFunctions._
+import graft.sources.GeoJson
+
+/** Full-scale rebuild of the reference's cleaned published layer from
+  * its raw layer + real CSV + real pipeline config (SURVEY §3 E2 at
+  * true data size — the flagship BASELINE.md query, 1.259 s in
+  * single-threaded R). Used by FullReplaySpec (golden compare) and
+  * exposed as the `g06_alaska_cleaned_replay` driver query so every
+  * round benches the engine against the reference's own number.
+  *
+  * Config below is pipeline *data* from /root/reference/_targets.R
+  * (operator subsidiaries :65-156, inactive certs :157-165, merge
+  * patches :196-209, PLSS-patched certs :213-233).
+  */
+object AlaskaReplay {
+
+  val RawPath = "/root/reference/service-areas-raw.geojson"
+  val GoldenPath = "/root/reference/service-areas.geojson"
+  val CsvPath =
+    "/root/reference/rca_electric_certificates_2025-12-11.csv"
+
+  val operatorIds: Seq[Int] =
+    Seq(785, 549, 573, 780, 640, 749, 521, 760, 742, 345, 520, 735, 710)
+  val inactiveIds: Seq[Int] = Seq(59, 71, 91, 121, 523)
+  val merges: Seq[(Int, Int)] = Seq(169 -> 61, 169 -> 285, 169 -> 688,
+    169 -> 407, 169 -> 43, 169 -> 729, 8 -> 121)
+  val plssCerts: Seq[Int] = Seq(635, 412, 365, 395, 289, 741, 765, 767)
+
+  def available: Boolean =
+    java.nio.file.Files.isReadable(java.nio.file.Paths.get(RawPath))
+
+  /** The cleaned layer, rebuilt through engine operators: geometry from
+    * raw + PLSS patch fixtures, merges unioned on the geometry set,
+    * then the active-utility metadata join.
+    */
+  def cleanedLayer(spark: SparkSession): DataFrame = {
+    GeoFunctions.registerAll(spark)
+    import spark.implicits._
+    val raw = GeoJson.read(spark, RawPath)
+      .withColumn("certificate_number",
+        col("certificate_number").cast("double"))
+    val golden = GeoJson.read(spark, GoldenPath)
+    val csv = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(CsvPath)
+
+    // PLSS patch fixture (stands in for the reference's ArcGIS fetch)
+    val plssGeoms = golden
+      .filter(col("certificate_number").isin(plssCerts: _*))
+      .select(col("certificate_number").cast("double"), col("geometry"))
+    val geoms = raw.select(col("certificate_number"), col("geometry"))
+      .filter(!col("certificate_number").isin(plssCerts: _*))
+      .unionByName(plssGeoms)
+
+    val mapping = merges.map { case (to, from) =>
+      (from.toDouble, to.toDouble)
+    }.toDF("from_cert", "to_cert")
+    val merged = geoms
+      .join(broadcast(mapping),
+        col("certificate_number") === col("from_cert"), "left")
+      .withColumn("target",
+        coalesce(col("to_cert"), col("certificate_number")))
+      .groupBy(col("target").as("certificate_number"))
+      .agg(st_union_agg(col("geometry")).as("geometry"))
+
+    val activeCerts = csv
+      .select(col("certificate_number").cast("double"), col("entity"),
+        col("certificate_name"), col("certificate_status"))
+      .filter(col("certificate_status") === "Active" &&
+        !col("certificate_number").isin(operatorIds.map(_.toDouble): _*) &&
+        !col("certificate_number").isin(inactiveIds.map(_.toDouble): _*))
+    merged.join(broadcast(activeCerts), Seq("certificate_number"))
+  }
+
+  /** Deterministic scalar projection of the layer for the driver's
+    * verify/bench (geometry reduced to stable scalars).
+    */
+  def cleanedSummary(spark: SparkSession): DataFrame =
+    cleanedLayer(spark)
+      .select(
+        col("certificate_number").cast("int").as("certificate_number"),
+        col("entity"),
+        round(st_area(col("geometry")), 6).as("area_deg2"),
+        round(st_area_spherical(col("geometry")), 2).as("area_km2"),
+        st_numGeometries(col("geometry")).as("n_parts"))
+      .orderBy("certificate_number")
+}

@@ -116,7 +116,21 @@ object GeoOps {
       .agg(count(lit(1)).as("n_points"))
       .orderBy("cell_x", "cell_y")
 
+  /** g06 — the reference's flagship cleaned-layer build at FULL scale
+    * (BASELINE.md: 1.259 s in single-threaded R → the direct
+    * engine-vs-reference throughput comparison each round). Rows-only:
+    * deterministic scalars derived from the rebuilt geometries; golden
+    * equality is asserted in FullReplaySpec.
+    */
+  val g06AlaskaReplay: Q = (s, _) =>
+    if (graft.pipeline.AlaskaReplay.available)
+      graft.pipeline.AlaskaReplay.cleanedSummary(s)
+    else
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq.empty))
+
   val queries: Map[String, Q] = Map(
+    "g06_alaska_cleaned_replay" -> g06AlaskaReplay,
     "g01_bbox_contains" -> g01BboxContains,
     "g02_triangle_pip" -> g02TrianglePip,
     "g03_hull_area_topk" -> g03HullAreaTopk,

@@ -26,63 +26,9 @@ class FullReplaySpec extends SparkSpec {
   private def available: Boolean =
     java.nio.file.Files.isReadable(java.nio.file.Paths.get(rawPath))
 
-  // _targets.R:65-156 (operator subsidiaries / inactive certificates)
-  private val operatorIds =
-    Seq(785, 549, 573, 780, 640, 749, 521, 760, 742, 345, 520, 735, 710)
-  private val inactiveIds = Seq(59, 71, 91, 121, 523)
-  // _targets.R:196-209: acquirer <- acquired
-  private val merges = Seq(169 -> 61, 169 -> 285, 169 -> 688, 169 -> 407,
-    169 -> 43, 169 -> 729, 8 -> 121)
-  // _targets.R:213-233: geometry replaced/created from PLSS descriptions
-  private val plssCerts = Seq(635, 412, 365, 395, 289, 741, 765, 767)
-
   private lazy val replayed: DataFrame = {
     GeoFunctions.registerAll(spark)
-    import spark.implicits._
-    val raw = GeoJson.read(spark, rawPath)
-      .withColumn("certificate_number",
-        col("certificate_number").cast("double"))
-    val golden = GeoJson.read(spark, goldenPath)
-
-    // 1. PLSS patch source (fixture for the ArcGIS fetch): replace the
-    //    4 wrong geometries, create the 4 missing certs
-    val plssGeoms = golden
-      .filter(col("certificate_number").isin(plssCerts: _*))
-      .select(col("certificate_number").cast("double"), col("geometry"))
-    val csv = spark.read.option("header", "true")
-      .option("inferSchema", "true")
-      .csv("/root/reference/rca_electric_certificates_2025-12-11.csv")
-    // geometry set = raw geometries, PLSS replacements/creations applied.
-    // NOTE: merges run on the GEOMETRY set before any status filtering —
-    // acquired certificates are Inactive in the CSV, but their KML
-    // geometry still folds into the acquirer (the reference merges the
-    // KML set, then inner-joins cleaned metadata, R/functions.R:421-476)
-    val geoms = raw.select(col("certificate_number"), col("geometry"))
-      .filter(!col("certificate_number").isin(plssCerts: _*))
-      .unionByName(plssGeoms)
-
-    // 2. merge acquired utilities into acquirers — distributed form:
-    //    map to target cert, group-union
-    val mapping = merges.map { case (to, from) =>
-      (from.toDouble, to.toDouble)
-    }.toDF("from_cert", "to_cert")
-    val merged = geoms
-      .join(broadcast(mapping),
-        col("certificate_number") === col("from_cert"), "left")
-      .withColumn("target",
-        coalesce(col("to_cert"), col("certificate_number")))
-      .groupBy(col("target").as("certificate_number"))
-      .agg(st_union_agg(col("geometry")).as("geometry"))
-
-    // 3. clean: active consumer-serving utilities only
-    //    (R/functions.R:194-228); inner join drops acquired rows
-    val activeCerts = csv
-      .select(col("certificate_number").cast("double"), col("entity"),
-        col("certificate_name"), col("certificate_status"))
-      .filter(col("certificate_status") === "Active" &&
-        !col("certificate_number").isin(operatorIds.map(_.toDouble): _*) &&
-        !col("certificate_number").isin(inactiveIds.map(_.toDouble): _*))
-    merged.join(broadcast(activeCerts), Seq("certificate_number"))
+    graft.pipeline.AlaskaReplay.cleanedLayer(spark)
   }
 
   test("replayed cleaned layer has exactly the golden certificate set") {

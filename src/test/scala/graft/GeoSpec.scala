@@ -126,6 +126,30 @@ class GeoSpec extends SparkSpec {
     assert(agg(1).getAs[Int]("n_collect") === 1)
   }
 
+  test("native GeoUnionAgg: partial-merge compaction correct across partitions") {
+    GeoFunctions.registerAll(spark)
+    import spark.implicits._
+    // 100 overlapping unit squares along a strip, scattered over many
+    // partitions: forces update-compaction AND cross-partition merges.
+    val squares = (0 until 100).map { i =>
+      val x = i * 0.5
+      (1, f"POLYGON (($x%.1f 0, ${x + 1}%.1f 0, ${x + 1}%.1f 1, " +
+        f"$x%.1f 1, $x%.1f 0))")
+    }
+    val df = squares.toDF("k", "wkt").repartition(16)
+      .select(col("k"), st_geomFromText(col("wkt")).as("g"))
+    val native = df.groupBy("k").agg(st_union_agg(col("g")).as("u"))
+      .select(st_area(col("u"))).head().getDouble(0)
+    // strip from 0 to 50.5 wide, height 1 → area 50.5
+    assert(math.abs(native - 50.5) < 1e-9, s"got $native")
+    // agrees with the collect-based form
+    val collected = df.groupBy("k")
+      .agg(call_function("st_union_array",
+        collect_list(col("g"))).as("u"))
+      .select(st_area(col("u"))).head().getDouble(0)
+    assert(math.abs(native - collected) < 1e-9)
+  }
+
   // --- KML source ---
 
   private val kmlDoc =
