@@ -41,17 +41,20 @@ object AlaskaReplay {
   def cleanedLayer(spark: SparkSession): DataFrame = {
     GeoFunctions.registerAll(spark)
     import spark.implicits._
-    val raw = GeoJson.read(spark, RawPath)
+    // lean line-based reads: no JSON schema-inference pass
+    val raw = GeoJson.readFields(spark, RawPath, Seq("certificate_number"))
       .withColumn("certificate_number",
         col("certificate_number").cast("double"))
-    val golden = GeoJson.read(spark, GoldenPath)
     val csv = spark.read.option("header", "true")
       .option("inferSchema", "true").csv(CsvPath)
 
     // PLSS patch fixture (stands in for the reference's ArcGIS fetch)
-    val plssGeoms = golden
-      .filter(col("certificate_number").isin(plssCerts: _*))
-      .select(col("certificate_number").cast("double"), col("geometry"))
+    val plssGeoms = GeoJson
+      .readFields(spark, GoldenPath, Seq("certificate_number"))
+      .withColumn("certificate_number",
+        col("certificate_number").cast("double"))
+      .filter(col("certificate_number").isin(plssCerts.map(_.toDouble): _*))
+      .select(col("certificate_number"), col("geometry"))
     val geoms = raw.select(col("certificate_number"), col("geometry"))
       .filter(!col("certificate_number").isin(plssCerts: _*))
       .unionByName(plssGeoms)

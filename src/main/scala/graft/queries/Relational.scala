@@ -487,7 +487,20 @@ object Relational {
         round(expr("percentile(l_quantity, 0.25)"), 2).as("p25_qty"))
       .orderBy("l_returnflag")
 
+  /** q30 — CUBE (full grouping-sets lattice; q16 covers ROLLUP). */
+  val q30Cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_value"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_value"))
+      .orderBy("status", "priority")
+
   val queries: Map[String, Q] = Map(
+    "q30_cube" -> q30Cube,
     "q29_percentiles" -> q29Percentiles,
     "q26_string_agg" -> q26StringAgg,
     "q27_positional_slice" -> q27PositionalSlice,
@@ -524,6 +537,13 @@ object Relational {
     * timestamps are cast to DATE or formatted as strings.
     */
   val oracles: Map[String, String] = Map(
+    "q30_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_value
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q29_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS med_price,

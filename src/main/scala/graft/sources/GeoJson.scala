@@ -37,6 +37,24 @@ object GeoJson {
       col("f.properties.*"))
   }
 
+  /** Lean FeatureCollection reader for one-feature-per-line files (the
+    * shape both the reference and our sink emit): no schema-inference
+    * pass — named properties are pulled with get_json_object. Line-based
+    * text scan → fully distributed and splittable, unlike multiLine
+    * JSON which is one record per file.
+    */
+  def readFields(spark: SparkSession, path: String,
+      properties: Seq[String]): DataFrame = {
+    val decode = udf { (j: String) => Geo.toWkb(Geo.fromGeoJson(j)) }
+    val feature = regexp_replace(trim(col("value")), ",$", "")
+    val propCols = properties.map(p =>
+      get_json_object(feature, s"$$.properties.$p").as(p))
+    spark.read.text(path)
+      .filter(trim(col("value")).startsWith("{ \"type\": \"Feature\""))
+      .select(propCols :+
+        decode(get_json_object(feature, "$.geometry")).as("geometry"): _*)
+  }
+
   /** Serialize rows to GeoJSON feature strings. `geometryCol` must be
     * WKB binary; all other columns become properties.
     */
