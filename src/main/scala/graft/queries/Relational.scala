@@ -499,7 +499,44 @@ object Relational {
         col("n_orders"), col("total_value"))
       .orderBy("status", "priority")
 
+  /** q31 — AS-OF join (each event matched to the same key's most recent
+    * order at-or-before the event time). Spark has no asof operator;
+    * the scalable form is the union-merge: tag both streams, union,
+    * one window pass per key ordered by time does last-observation-
+    * carried-forward, then keep probe rows. ONE shuffle on the key —
+    * no range-join explosion, no per-row subquery. Orders are deduped
+    * to one per (key, date) first so tie-breaking is well-defined in
+    * both engines (DuckDB's native ASOF JOIN is the oracle).
+    */
+  val q31AsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") < 200)
+      .select(col("event_id"), col("user_id").as("k"), col("ts"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("k"),
+        col("o_orderdate").as("ots"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val tagged = ev
+      .select(col("k"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("long").as("o_orderkey"))
+      .unionByName(ord.select(col("k"), col("ots").as("ts"),
+        lit(0).as("side"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey")))
+    // order-side rows sort BEFORE a same-instant event (side 0 < 1):
+    // an order at exactly ts matches, per ASOF >= semantics
+    val w = Window.partitionBy("k")
+      .orderBy(col("ts").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_orderkey", last(col("o_orderkey"), true).over(w))
+      .filter(col("side") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("asof_orderkey"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q31_asof_join" -> q31AsofJoin,
     "q30_cube" -> q30Cube,
     "q29_percentiles" -> q29Percentiles,
     "q26_string_agg" -> q26StringAgg,
@@ -537,6 +574,18 @@ object Relational {
     * timestamps are cast to DATE or formatted as strings.
     */
   val oracles: Map[String, String] = Map(
+    "q31_asof_join" ->
+      """WITH ord AS (
+        |  SELECT o_custkey AS k, o_orderdate AS ots,
+        |    max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |ev AS (SELECT event_id, user_id AS k, ts FROM events
+        |       WHERE user_id < 200)
+        |SELECT ev.event_id, ev.k AS user_id,
+        |  ord.o_orderkey AS asof_orderkey
+        |FROM ev ASOF JOIN ord
+        |  ON ev.k = ord.k AND ev.ts >= ord.ots
+        |ORDER BY event_id""".stripMargin,
     "q30_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

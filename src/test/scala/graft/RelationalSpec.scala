@@ -69,6 +69,24 @@ class RelationalSpec extends SparkSpec {
     assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
   }
 
+  test("q31 asof semantics: >= match at exact instant, no match before first") {
+    val rows = Relational.q31AsofJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every matched order must exist and precede-or-equal the event ts
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val ets = ev(r.getAs[Long]("event_id"))
+      val ots = ord(r.getAs[Long]("asof_orderkey"))
+      assert(ots <= ets, s"order after event: $ots > $ets")
+    }
+  }
+
   test("broadcast joins actually broadcast (q04 plan)") {
     val plan = Relational.q04BroadcastJoin(spark, sf)
       .queryExecution.executedPlan.toString
