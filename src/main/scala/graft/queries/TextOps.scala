@@ -312,6 +312,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup: drop new-batch documents that near-duplicate
+    * the EXISTING corpus or an earlier new-batch doc — what a streaming
+    * ingestion pipeline runs per batch. Same banded-LSH machinery; the
+    * corpus side's signatures would be precomputed/stored in a real
+    * deployment (here recomputed — the plan shape is identical).
+    * Returns the kept subset of `newDocs`. Doc ids must be globally
+    * unique across both frames.
+    */
+  def dedupIncremental(corpus: DataFrame, newDocs: DataFrame,
+      jaccardThreshold: Double): DataFrame = {
+    val all = corpus.select(col("doc_id"), col("text"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newDocs.select(col("doc_id"), col("text"))
+        .withColumn("is_new", lit(true)))
+    val flags = all.select(col("doc_id"), col("is_new"))
+    val pairs = minHashPairs(all.select("doc_id", "text"),
+      jaccardThreshold)
+    val f1 = flags.withColumnRenamed("doc_id", "d1")
+      .withColumnRenamed("is_new", "new1")
+    val f2 = flags.withColumnRenamed("doc_id", "d2")
+      .withColumnRenamed("is_new", "new2")
+    val withFlags = pairs.join(f1, "d1").join(f2, "d2")
+    // a new doc is dropped if it pairs with a corpus doc, or with an
+    // earlier (lower-id) new doc
+    val dropNew = withFlags.select(
+      when(col("new1") && !col("new2"), col("d1"))
+        .when(col("new2") && !col("new1"), col("d2"))
+        .when(col("new1") && col("new2"),
+          greatest(col("d1"), col("d2")))
+        .as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+    newDocs.join(dropNew, Seq("doc_id"), "left_anti")
+  }
+
   val queries: Map[String, Q] = Map(
     "t11_dedup_cascade" -> t11DedupCascade,
     "t01_token_counts" -> t01TokenCounts,

@@ -145,6 +145,24 @@ class TextSpec extends SparkSpec {
     assert(kept === Set(0L, 3L, 4L), s"got $kept")
   }
 
+  test("dedupIncremental: drops corpus dups and intra-batch dups, keeps novel") {
+    import spark.implicits._
+    val a = "existing corpus document about spark catalyst optimizer " +
+      "rules and physical planning strategies for large clusters"
+    val c = "fresh near duplicate pair about minhash banding and " +
+      "locality sensitive hashing for near duplicate detection"
+    val corpus = Seq((0L, a)).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, a), // dup of corpus → dropped
+      (11L, "genuinely novel content about alaska service areas"),
+      (12L, c), // intra-batch pair, lower id → kept
+      (13L, c.replace("detection", "detect"))) // near dup of 12 → dropped
+      .toDF("doc_id", "text")
+    val kept = TextOps.dedupIncremental(corpus, newDocs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 12L), s"got $kept")
+  }
+
   test("t03 lang scores are non-negative and predicted is a known lang") {
     val rows = TextOps.t03LangId(spark, sf).collect()
     val known = Set("en", "es", "de", "fr", "zh")
