@@ -23,9 +23,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/codegen warmup so the first measured query isn't charged for
-    // session bring-up.
+    // session bring-up: generic codegen, the JSON source, and the
+    // JTS/WKB geometry path all get JIT'd here.
     spark.range(1000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
+    locally {
+      import spark.implicits._
+      spark.read.json(Seq("""{"a": 1}""", """{"a": 2}""").toDS).count()
+      graft.functions.GeoFunctions.registerAll(spark)
+      spark.sql(
+        """SELECT st_area(st_makevalid(st_geomfromtext(
+          |'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'))) AS a""".stripMargin)
+        .count()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
