@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Formal DataSourceV2 KML source: `spark.read.format("kml").load(path)`
+  * (SURVEY S4/§7.1 module 4 — "Implement KmlRelation (DataSourceV2)").
+  *
+  * One InputPartition per KML file; each partition's reader StAX-parses
+  * its file into (path, name, description, geometry WKB) rows. File
+  * listing happens at planning time on the driver (small file counts —
+  * the reference's corpus is ~130 files; for huge file sets the
+  * wholetext-based [[Kml.read]] path reuses Spark's distributed file
+  * index instead, same schema).
+  */
+class KmlDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kml"
+
+  override def inferSchema(
+      options: CaseInsensitiveStringMap): StructType =
+    KmlDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KmlTable(properties.asScala.getOrElse("path",
+      throw new IllegalArgumentException("kml source requires a path")))
+}
+
+object KmlDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("description", StringType, nullable = true),
+    StructField("geometry", BinaryType, nullable = true)))
+
+  def listFiles(pathSpec: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(pathSpec)
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator().asScala
+        .filter(_.toString.toLowerCase.endsWith(".kml"))
+        .map(_.toString).toSeq.sorted
+    else if (pathSpec.contains("*")) {
+      val dir = p.getParent
+      val glob = p.getFileName.toString
+      val matcher = java.nio.file.FileSystems.getDefault
+        .getPathMatcher(s"glob:$glob")
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(f => matcher.matches(f.getFileName))
+        .map(_.toString).toSeq.sorted
+    } else Seq(pathSpec)
+  }
+}
+
+class KmlTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"kml:$path"
+  override def schema(): StructType = KmlDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KmlScan(path)
+}
+
+class KmlScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = KmlDataSource.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    KmlDataSource.listFiles(path).map(KmlInputPartition(_): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KmlReaderFactory
+}
+
+case class KmlInputPartition(file: String) extends InputPartition
+
+class KmlReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[KmlInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val features = Kml.parseFeatures(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(file)), "UTF-8")).iterator
+      override def next(): Boolean = features.hasNext
+      override def get(): InternalRow = {
+        val f = features.next()
+        InternalRow(
+          UTF8String.fromString(file),
+          if (f.name == null) null else UTF8String.fromString(f.name),
+          if (f.description == null) null
+          else UTF8String.fromString(f.description),
+          f.geometry)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -206,6 +206,21 @@ class GeoSpec extends SparkSpec {
       Seq("path", "name", "description", "geometry"))
   }
 
+  test("DataSourceV2: spark.read.format(kml) matches Kml.read") {
+    val dir = java.nio.file.Files.createTempDirectory("kmlv2")
+    java.nio.file.Files.writeString(dir.resolve("a.kml"), kmlDoc)
+    val v2 = spark.read.format("kml").load(dir.toString)
+    assert(v2.schema.fieldNames.toSeq ===
+      Seq("path", "name", "description", "geometry"))
+    assert(v2.count() === 3)
+    val wholetext = Kml.read(spark, dir.toString + "/*.kml")
+    assert(v2.select("name").collect().map(_.getString(0)).sorted
+      .sameElements(
+        wholetext.select("name").collect().map(_.getString(0)).sorted))
+    // one partition per file
+    assert(v2.rdd.getNumPartitions === 1)
+  }
+
   // --- GeoJSON sink/source ---
 
   test("geojson write + read round trip with properties") {
