@@ -535,7 +535,23 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q32 — ranking-function window coverage: ntile quartiles +
+    * percent_rank over order values per status.
+    */
+  val q32RankingWindows: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        dense_rank().over(w).as("drank"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q32_ranking_windows" -> q32RankingWindows,
     "q31_asof_join" -> q31AsofJoin,
     "q30_cube" -> q30Cube,
     "q29_percentiles" -> q29Percentiles,
@@ -574,6 +590,15 @@ object Relational {
     * timestamps are cast to DATE or formatted as strings.
     */
   val oracles: Map[String, String] = Map(
+    "q32_ranking_windows" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  CAST(dense_rank() OVER w AS INT) AS drank
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "q31_asof_join" ->
       """WITH ord AS (
         |  SELECT o_custkey AS k, o_orderdate AS ots,

@@ -223,6 +223,28 @@ class GeoSpec extends SparkSpec {
 
   // --- GeoJSON sink/source ---
 
+  test("partitioned NDJSON geojson sink round trips") {
+    GeoFunctions.registerAll(spark)
+    import spark.implicits._
+    val df = (1 to 40).map(i =>
+      (i, s"POLYGON (($i 0, ${i + 1} 0, ${i + 1} 1, $i 1, $i 0))"))
+      .toDF("id", "wkt")
+      .select(col("id"), st_geomFromText(col("wkt")).as("geometry"))
+      .repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("ndgeo").toString +
+      "/layer"
+    GeoJson.writePartitioned(df, "geometry", dir)
+    val back = GeoJson.readFeatureLines(spark, dir)
+    assert(back.count() === 40)
+    val ids = back.select(
+      get_json_object(col("properties_json"), "$.id").cast("int"))
+      .collect().map(_.getInt(0)).sorted
+    assert(ids.sameElements(1 to 40))
+    val totalArea = back.select(st_area(col("geometry")).as("a"))
+      .agg(org.apache.spark.sql.functions.sum("a")).head().getDouble(0)
+    assert(math.abs(totalArea - 40.0) < 1e-9)
+  }
+
   test("geojson write + read round trip with properties") {
     GeoFunctions.registerAll(spark)
     import spark.implicits._
