@@ -481,9 +481,13 @@ object Relational {
   val q29Percentiles: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
+      // round to 3, not 2: medians of 2-decimal prices land EXACTLY on
+      // .005 — the 2-decimal rounding boundary — so engine ulp noise
+      // would decide the cent; 3-decimal rounding keeps values on-grid
+      // and boundaries off-grid
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 3).as("med_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 3).as("p90_price"),
         round(expr("percentile(l_quantity, 0.25)"), 2).as("p25_qty"))
       .orderBy("l_returnflag")
 
@@ -620,8 +624,8 @@ object Relational {
         |ORDER BY status, priority""".stripMargin,
     "q29_percentiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS med_price,
-        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+        |  round(quantile_cont(l_extendedprice, 0.5), 3) AS med_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 3) AS p90_price,
         |  round(quantile_cont(l_quantity, 0.25), 2) AS p25_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
