@@ -125,6 +125,20 @@ object GeoFunctions {
     override def prettyName: String = "st_area"
   }
 
+  /** Great-circle distance in km between two point geometries. */
+  case class STDistanceSphere(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val pa = Geo.fromWkbCached(bytes(a)).getCoordinate
+      val pb = Geo.fromWkbCached(bytes(b)).getCoordinate
+      Geo.haversineKm(pa.x, pa.y, pb.x, pb.y)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+    override def prettyName: String = "st_distance_sphere"
+  }
+
   /** Geodesic area in km² (spherical excess on the authalic sphere). */
   case class STAreaSpherical(child: Expression) extends GeoUnary {
     override def dataType: DataType = DoubleType
@@ -285,6 +299,7 @@ object GeoFunctions {
     "st_isvalid" -> (es => STIsValid(es.head)),
     "st_area" -> (es => STArea(es.head)),
     "st_area_spherical" -> (es => STAreaSpherical(es.head)),
+    "st_distance_sphere" -> (es => STDistanceSphere(es(0), es(1))),
     "st_envelope" -> (es => STEnvelope(es.head)),
     "st_convexhull" -> (es => STConvexHull(es.head)),
     "st_centroid" -> (es => STCentroid(es.head)),
@@ -327,6 +342,12 @@ object GeoFunctions {
   def st_area(g: Column): Column = call_function("st_area", g)
   def st_area_spherical(g: Column): Column =
     call_function("st_area_spherical", g)
+  def st_distance_sphere(a: Column, b: Column): Column =
+    call_function("st_distance_sphere", a, b)
+
+  /** Great-circle proximity predicate (ST_DWithin analogue, km). */
+  def st_dwithin_km(a: Column, b: Column, km: Double): Column =
+    st_distance_sphere(a, b) <= km
   def st_envelope(g: Column): Column = call_function("st_envelope", g)
   def st_convexHull(g: Column): Column = call_function("st_convexhull", g)
   def st_centroid(g: Column): Column = call_function("st_centroid", g)

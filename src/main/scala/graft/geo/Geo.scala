@@ -113,6 +113,19 @@ object Geo {
       s"not polygonal: ${other.getGeometryType}")
   }
 
+  /** Great-circle (haversine) distance in km between two lon/lat
+    * points on the authalic sphere.
+    */
+  def haversineKm(lon1: Double, lat1: Double, lon2: Double,
+      lat2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon / 2), 2)
+    2 * EarthAuthalicRadiusKm * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
   /** Geodesic (spherical) polygon area in km² — the v2 answer to the
     * "largest service area" question (SURVEY §7.4: planar degrees² is
     * the documented v1 semantics; CRS84 degrees distort with latitude).

@@ -554,7 +554,30 @@ object Relational {
       .orderBy("o_orderstatus", "o_orderkey")
   }
 
+  /** q33 — mergeable HLL sketches (Spark 3.5+ hll_sketch_agg /
+    * hll_union_agg): per-day distinct-user sketches unioned into a
+    * weekly estimate — the reaggregatable form a 100 TB rollup needs
+    * (raw countDistinct can't be merged across partial results). No
+    * oracle: sketch estimates are engine-specific; exact counts ride
+    * along for the spec's sanity bound.
+    */
+  val q33HllSketchUnion: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(dayofyear(col("ts")).as("doy"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        countDistinct("user_id").as("exact_daily"))
+    daily
+      .withColumn("week", ((col("doy") - 1) / 7).cast("int"))
+      .groupBy("week")
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+        sum("exact_daily").as("sum_daily_exact"),
+        count(lit(1)).as("n_days"))
+      .orderBy("week")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q33_hll_sketch_union" -> q33HllSketchUnion,
     "q32_ranking_windows" -> q32RankingWindows,
     "q31_asof_join" -> q31AsofJoin,
     "q30_cube" -> q30Cube,

@@ -346,7 +346,38 @@ object TextOps {
     newDocs.join(dropNew, Seq("doc_id"), "left_anti")
   }
 
+  /** t12 — TF-IDF top terms per document (relevance scoring — the
+    * ranking primitive of corpus search/filtering): term frequencies
+    * and document frequencies as two aggregations over one exploded
+    * token frame, broadcast-joined; top-3 terms per doc by windowed
+    * rank over the ROUNDED score (ln() may differ in last ulp across
+    * engines).
+    */
+  val t12TfIdf: Q = (s, d) => {
+    val w = Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = w.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = w.distinct().groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") *
+          log(col("n").cast("double") / col("df")), 4).as("tfidf"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t12_tfidf" -> t12TfIdf,
     "t11_dedup_cascade" -> t11DedupCascade,
     "t01_token_counts" -> t01TokenCounts,
     "t02_quality_score" -> t02QualityScore,
@@ -403,6 +434,25 @@ object TextOps {
            |  FROM (SELECT doc_id, lang, ' ' || trim(text) || ' ' AS p
            |        FROM documents))
            |ORDER BY doc_id""".stripMargin,
+      "t12_tfidf" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |    unnest(string_split_regex(trim(text), '\s+')) AS term
+          |  FROM documents WHERE doc_id < 100),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+          |dfreq AS (SELECT term, count(*) AS df
+          |          FROM (SELECT DISTINCT doc_id, term FROM w) GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM documents WHERE doc_id < 100),
+          |scored AS (
+          |  SELECT doc_id, tf.term,
+          |    round(tf * ln(CAST(n.n AS DOUBLE) / df), 4) AS tfidf
+          |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+          |ranked AS (
+          |  SELECT doc_id, term, tfidf, row_number() OVER (
+          |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+          |  FROM scored)
+          |SELECT doc_id, CAST(rk AS INT) AS rk, term, tfidf FROM ranked
+          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
       "t04_exact_dedup" ->
         """SELECT md5(substr(text, 1, 50)) AS key, count(*) AS n_dupes,
           |  min(doc_id) AS keep_doc

@@ -87,6 +87,40 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q33 HLL union estimate within 5% of true weekly distinct") {
+    val got = Relational.q33HllSketchUnion(spark, sf).collect()
+    assert(got.nonEmpty)
+    val truth = Tables.events(spark, sf)
+      .withColumn("week", (((dayofyear(col("ts")) - 1) / 7)).cast("int"))
+      .groupBy("week").agg(countDistinct("user_id").as("exact"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val est = r.getAs[Long]("approx_users").toDouble
+      val exact = truth(r.getAs[Int]("week")).toDouble
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"week ${r.getInt(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("st_distance_sphere: Fairbanks to Anchorage ≈ 420 km") {
+    graft.functions.GeoFunctions.registerAll(spark)
+    val d = spark.sql(
+      """SELECT st_distance_sphere(st_point(-147.7164, 64.8378),
+        |  st_point(-149.9003, 61.2181)) AS km""".stripMargin)
+      .head().getDouble(0)
+    assert(d > 400 && d < 440, s"got $d")
+    import spark.implicits._
+    val near = Seq(("a", -147.7, 64.8), ("b", -149.9, 61.2))
+      .toDF("id", "lon", "lat")
+      .select(col("id"), graft.functions.GeoFunctions
+        .st_point(col("lon"), col("lat")).as("p"))
+    val fb = graft.functions.GeoFunctions
+      .st_point(lit(-147.7164), lit(64.8378))
+    val within = near.filter(graft.functions.GeoFunctions
+      .st_dwithin_km(col("p"), fb, 50.0)).collect()
+    assert(within.map(_.getString(0)).toSeq === Seq("a"))
+  }
+
   test("broadcast joins actually broadcast (q04 plan)") {
     val plan = Relational.q04BroadcastJoin(spark, sf)
       .queryExecution.executedPlan.toString
