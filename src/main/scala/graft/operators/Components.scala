@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list via iterative min-label
+  * propagation (the scalable alternative to union-find for duplicate
+  * *groups*: near-duplication is transitive through chains A≈B≈C even
+  * when A and C don't pair directly).
+  *
+  * Each iteration is one join + one aggregation, both keyed shuffles;
+  * lineage is cut with localCheckpoint so plans stay bounded. Converges
+  * in O(graph diameter) iterations — near-dup graphs are shallow
+  * (small clusters), so a handful in practice.
+  */
+object Components {
+
+  /** @param edges two-column frame (d1, d2) of undirected edges
+    * @return (node, component) where component = min node id reachable
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val bidir = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .persist()
+    var labels = bidir.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate labels: own + min label among neighbors
+      val viaNeighbors = bidir
+        .join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("component"))
+      val next = labels.select("node", "component")
+        .union(viaNeighbors)
+        .groupBy("node").agg(min("component").as("component"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.component") =!= col("o.component"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    bidir.unpersist()
+    labels
+  }
+
+  /** Transitive dedup keep-list: from near-dup edges over `docs`,
+    * keep exactly one representative (min id) per duplicate component
+    * plus every unpaired document.
+    */
+  def transitiveKeepList(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val comp = connectedComponents(edges)
+    val drop = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    docs.select("doc_id").distinct()
+      .join(drop, Seq("doc_id"), "left_anti")
+  }
+}
