@@ -34,12 +34,15 @@ object DateFunctions {
     LocalDate.of(y, m, d)
   }
 
-  /** convert_two_digit_years(str) → DateType (days since epoch). */
+  /** convert_two_digit_years(str) → DateType (days since epoch).
+    * Null input → null (standard nullSafeEval contract); EMPTY STRING →
+    * 1900-01-01 sentinel. Callers reading sources that deliver blanks
+    * as null (e.g. Spark's CSV reader) must coalesce to "" first if
+    * they want the sentinel — see processChronology.
+    */
   case class TwoDigitYearDate(child: Expression) extends UnaryExpression
       with CodegenFallback {
     override def dataType: DataType = DateType
-    // blank → sentinel, so NOT null-intolerant: override eval, not
-    // nullSafeEval (null input still yields null; "" yields sentinel).
     override def nullSafeEval(v: Any): Any =
       parseFlexibleDate(v.toString).toEpochDay.toInt
     override protected def withNewChildInternal(c: Expression): Expression =

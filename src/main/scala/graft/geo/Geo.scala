@@ -31,15 +31,30 @@ object Geo {
   def toWkb(g: Geometry): Array[Byte] = wkbWriter.get.write(g)
   def fromWkb(b: Array[Byte]): Geometry = wkbReader.get.read(b)
 
-  // Per-thread identity-keyed memo of the last decode: a constant
+  // Per-thread identity-keyed memo of the last TWO decodes: a constant
   // geometry argument (folded literal) arrives as the SAME byte array
   // reference on every row of a task, so predicates against a fixed
-  // polygon skip re-parsing WKB per row.
-  private val lastDecode = new ThreadLocal[(Array[Byte], Geometry)]
+  // polygon skip re-parsing WKB per row. Two slots so a binary
+  // expression alternating sides (e.g. st_distance_sphere(lit, col))
+  // doesn't thrash the constant side out of the cache.
+  private final class DecodeCache {
+    var k1: Array[Byte] = _; var v1: Geometry = _
+    var k2: Array[Byte] = _; var v2: Geometry = _
+  }
+  private val lastDecode =
+    ThreadLocal.withInitial(() => new DecodeCache)
   def fromWkbCached(b: Array[Byte]): Geometry = {
-    val last = lastDecode.get
-    if (last != null && (last._1 eq b)) last._2
-    else { val g = fromWkb(b); lastDecode.set((b, g)); g }
+    val c = lastDecode.get
+    if (c.k1 eq b) c.v1
+    else if (c.k2 eq b) { // promote to slot 1
+      val g = c.v2
+      c.k2 = c.k1; c.v2 = c.v1; c.k1 = b; c.v1 = g
+      g
+    } else {
+      val g = fromWkb(b)
+      c.k2 = c.k1; c.v2 = c.v1; c.k1 = b; c.v1 = g
+      g
+    }
   }
 
   // Same trick for JTS prepared geometries: point-in-polygon against a
@@ -192,6 +207,12 @@ object Geo {
     case mp: MultiPoint =>
       val pts = mp.getCoordinates.map(coordJson)
       s"""{"type":"MultiPoint","coordinates":${pts.mkString("[", ",", "]")}}"""
+    case ml: MultiLineString =>
+      // must precede GeometryCollection: JTS Multi* extend it
+      val lines = (0 until ml.getNumGeometries)
+        .map(i => ringJson(ml.getGeometryN(i).asInstanceOf[LineString]))
+      s"""{"type":"MultiLineString","coordinates":${
+        lines.mkString("[", ",", "]")}}"""
     case gc: GeometryCollection =>
       val geoms = (0 until gc.getNumGeometries).map(i =>
         toGeoJson(gc.getGeometryN(i)))

@@ -69,13 +69,16 @@ object ServiceAreas {
     */
   def enrichCertificates(cleaned: DataFrame, chron: DataFrame): DataFrame = {
     val w = Window.partitionBy("certificate")
+    // order_number tiebreak: tied dates are common (all blank dates
+    // collapse to the 1900-01-01 sentinel) and row_number over an
+    // ambiguous order would make last/first event nondeterministic
     val events = chron
       .withColumn("is_area_change",
         !col("type").isin("Deregulated", "Controlling Interest"))
       .withColumn("rk_last", row_number().over(
-        w.orderBy(col("order_date").desc)))
+        w.orderBy(col("order_date").desc, col("order_number").desc)))
       .withColumn("rk_first", row_number().over(
-        w.orderBy(col("order_date").asc)))
+        w.orderBy(col("order_date").asc, col("order_number").asc)))
       .withColumn("last_area_change_date",
         max(when(col("is_area_change"), col("order_date"))).over(w))
     val latest = events.filter(col("rk_last") === 1).select(
@@ -130,14 +133,23 @@ object ServiceAreas {
       cfg: Config): DataFrame = {
     import spark.implicits._
     if (cfg.mergePatches.isEmpty) return geo
+    // one pass collects every gated cert's KML date (collecting inside
+    // a per-patch closure would re-execute the whole upstream KML plan
+    // once per patch)
+    val gatedCerts = cfg.mergePatches.map(_.certFrom)
+      .filter(cfg.expectedKmlDates.contains)
+    val actualDates: Map[Double, String] =
+      if (gatedCerts.isEmpty) Map.empty
+      else geo
+        .filter(col("certificate_number").isin(gatedCerts: _*))
+        .select(col("certificate_number"),
+          date_format(col("geometry_last_update"), "M/d/yyyy"))
+        .collect()
+        .flatMap(r => Option(r.getString(1)).map(r.getDouble(0) -> _))
+        .toMap
     val gateOk: MergePatch => Boolean = p =>
-      cfg.expectedKmlDates.get(p.certFrom).forall { expected =>
-        val actual = geo
-          .filter(col("certificate_number") === p.certFrom)
-          .select(date_format(col("geometry_last_update"), "M/d/yyyy"))
-          .collect().headOption.flatMap(r => Option(r.getString(0)))
-        actual.contains(expected)
-      }
+      cfg.expectedKmlDates.get(p.certFrom).forall(expected =>
+        actualDates.get(p.certFrom).contains(expected))
     val applied = cfg.mergePatches.filter(gateOk)
     val mapping = applied.map(p => (p.certFrom, p.certTo))
       .toDF("from_cert", "to_cert")
@@ -206,13 +218,18 @@ object ServiceAreas {
     def csv(p: String) = spark.read
       .option("header", "true").option("inferSchema", "true").csv(p)
 
-    val cleaned = cache.stage("clean_certificates", "v1", Seq(certsCsv)) {
+    // config participates in the cache key: a changed exclusion list or
+    // patch table must invalidate config-dependent stages
+    val cfgVer = "v1-" + Integer.toHexString(cfg.toString.hashCode)
+
+    val cleaned = cache.stage("clean_certificates", cfgVer, Seq(certsCsv)) {
       cleanCertificates(csv(certsCsv), cfg)
     }
     val chron = cache.stage("chronology", "v1", Seq(chronCsv)) {
       processChronology(csv(chronCsv))
     }
-    val enriched = cache.stage("enriched", "v1", Seq(certsCsv, chronCsv)) {
+    val enriched = cache.stage("enriched", cfgVer,
+      Seq(certsCsv, chronCsv)) {
       enrichCertificates(cleaned, chron)
     }
     val geoRaw = buildGeometry(spark, kmlGlob)

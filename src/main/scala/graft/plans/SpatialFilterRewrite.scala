@@ -26,8 +26,14 @@ object SpatialFilterRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case STContains(lit @ Literal(wkb: Array[Byte], BinaryType),
-          pt @ STPoint(x, y)) if x.deterministic && y.deterministic =>
+          pt @ STPoint(x0, y0)) if x0.deterministic && y0.deterministic =>
         val env = Geo.fromWkb(wkb).getEnvelopeInternal
+        // explicit casts: the rule runs post-analysis, so no implicit
+        // coercion would fix GreaterThanOrEqual(IntegerType, Double lit)
+        val x = if (x0.dataType == org.apache.spark.sql.types.DoubleType)
+          x0 else Cast(x0, org.apache.spark.sql.types.DoubleType)
+        val y = if (y0.dataType == org.apache.spark.sql.types.DoubleType)
+          y0 else Cast(y0, org.apache.spark.sql.types.DoubleType)
         val bbox = And(
           And(GreaterThanOrEqual(x, Literal(env.getMinX)),
             LessThanOrEqual(x, Literal(env.getMaxX))),

@@ -186,7 +186,10 @@ object TextOps {
     }
     // Persist: the self-join references this frame on both sides —
     // without materialization the signature UDF (the most expensive map
-    // stage at corpus scale) would run over the corpus twice.
+    // stage at corpus scale) would run over the corpus twice. The frame
+    // is narrow (id + two ints per band) and left to LRU eviction: the
+    // returned DataFrame is lazy, so an eager unpersist would defeat
+    // the cache before the caller materializes.
     val buckets = docs
       .select(col("doc_id"),
         posexplode(bandsUdf(col("text"))).as(Seq("band", "bucket")))

@@ -45,12 +45,18 @@ object GeoJson {
     */
   def readFields(spark: SparkSession, path: String,
       properties: Seq[String]): DataFrame = {
-    val decode = udf { (j: String) => Geo.toWkb(Geo.fromGeoJson(j)) }
+    val decode = udf { (j: String) =>
+      if (j == null || j.isEmpty || j == "null") null
+      else Geo.toWkb(Geo.fromGeoJson(j))
+    }
     val feature = regexp_replace(trim(col("value")), ",$", "")
     val propCols = properties.map(p =>
       get_json_object(feature, s"$$.properties.$p").as(p))
     spark.read.text(path)
-      .filter(trim(col("value")).startsWith("{ \"type\": \"Feature\""))
+      // match both the reference's spaced style and our sink's compact
+      // one-feature-per-line output
+      .filter(trim(col("value"))
+        .rlike("""^\{\s*"type"\s*:\s*"Feature""""))
       .select(propCols :+
         decode(get_json_object(feature, "$.geometry")).as("geometry"): _*)
   }
@@ -97,11 +103,16 @@ object GeoJson {
       dir: String): Unit =
     featureLines(df, geometryCol).write.mode("overwrite").text(dir)
 
-  /** Read back a newline-delimited feature layer. */
+  /** Read back a newline-delimited feature layer. Null geometries (the
+    * sink writes `"geometry":null`) come back as null WKB.
+    */
   def readFeatureLines(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.text(dir)
     val geomRe = """"geometry":(\{.*\})\}\s*$"""
-    val decode = udf { (j: String) => Geo.toWkb(Geo.fromGeoJson(j)) }
+    val decode = udf { (j: String) =>
+      if (j == null || j.isEmpty) null
+      else Geo.toWkb(Geo.fromGeoJson(j))
+    }
     raw.select(
       decode(regexp_extract(col("value"), geomRe, 1)).as("geometry"),
       get_json_object(col("value"), "$.properties").as("properties_json"))

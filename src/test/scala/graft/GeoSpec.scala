@@ -245,6 +245,21 @@ class GeoSpec extends SparkSpec {
     assert(math.abs(totalArea - 40.0) < 1e-9)
   }
 
+  test("readFields reads our own sink's compact single-file output") {
+    GeoFunctions.registerAll(spark)
+    import spark.implicits._
+    val df = Seq((7, "POINT (1 2)"), (8, "POINT (3 4)"))
+      .toDF("id", "wkt")
+      .select(col("id"), st_geomFromText(col("wkt")).as("geometry"))
+    val path = java.nio.file.Files.createTempDirectory("gjcompact")
+      .resolve("layer.geojson").toString
+    GeoJson.write(df, "geometry", path, "compact")
+    val back = GeoJson.readFields(spark, path, Seq("id"))
+    assert(back.count() === 2)
+    assert(back.select(col("id").cast("int")).collect()
+      .map(_.getInt(0)).sorted.sameElements(Array(7, 8)))
+  }
+
   test("geojson write + read round trip with properties") {
     GeoFunctions.registerAll(spark)
     import spark.implicits._
