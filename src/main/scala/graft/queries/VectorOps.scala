@@ -259,7 +259,26 @@ object VectorOps {
         round(max("nrm"), 4).as("max_norm"))
       .orderBy("label")
 
+  /** v06 — embedding-cosine near-duplicate pairs (the vector-space
+    * dedup mode of the mandate list): all pairs above a similarity
+    * threshold within a bounded id range, exact and oracled. The
+    * bounded quadratic candidate set is the correctness baseline; the
+    * scale path for the full corpus is v03/v05 (LSH/IVF candidates +
+    * this exact filter).
+    */
+  val v06EmbeddingNearDup: Q = (s, d) => {
+    val e = emb(s, d).filter(col("vec_id") < 300)
+    val a = e.select(col("vec_id").as("d1"), col("v").as("v1"))
+    val b = e.select(col("vec_id").as("d2"), col("v").as("v2"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(cosUdf(col("v1"), col("v2")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v06_embedding_neardup" -> v06EmbeddingNearDup,
     "v01_knn_brute" -> v01KnnBrute,
     "v02_label_centroids" -> v02LabelCentroids,
     "v03_ann_lsh" -> v03AnnLsh,
@@ -268,6 +287,23 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "v06_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id < 300),
+        |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e
+        |          GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2, sum(a.x * b.x) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+        |FROM dots
+        |JOIN norms na ON na.vec_id = d1
+        |JOIN norms nb ON nb.vec_id = d2
+        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.35
+        |ORDER BY d1, d2""".stripMargin,
     "v01_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
