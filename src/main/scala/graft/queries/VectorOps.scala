@@ -268,7 +268,9 @@ object VectorOps {
     */
   val v06EmbeddingNearDup: Q = (s, d) => {
     val e = emb(s, d).filter(col("vec_id") < 300)
+    // spread the stream side: single-file input = one partition locally
     val a = e.select(col("vec_id").as("d1"), col("v").as("v1"))
+      .repartition(s.sparkContext.defaultParallelism)
     val b = e.select(col("vec_id").as("d2"), col("v").as("v2"))
     a.join(broadcast(b), col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
