@@ -29,7 +29,7 @@ object Bench {
       .format("noop").mode("overwrite").save()
     locally {
       import spark.implicits._
-      spark.read.json(Seq("""{"a": 1}""", """{"a": 2}""").toDS).count()
+      spark.read.json(Seq("""{"a": 1}""", """{"a": 2}""").toDS()).count()
       graft.functions.GeoFunctions.registerAll(spark)
       spark.sql(
         """SELECT st_area(st_makevalid(st_geomfromtext(

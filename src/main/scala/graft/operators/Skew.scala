@@ -47,7 +47,7 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String], buckets: Int,
       aggs: Seq[AggSpec]): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partialCol(aggs.head), aggs.tail.map(partialCol): _*)
@@ -65,7 +65,7 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       buckets: Int): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(buckets)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val explodedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLeft.join(explodedRight, Seq(key, "__salt"))

@@ -66,7 +66,7 @@ object GeoJson {
     */
   private def featureLines(df: DataFrame, geometryCol: String): DataFrame = {
     val props = df.schema.fieldNames.filterNot(_ == geometryCol)
-    val propsStruct = struct(props.map(col): _*)
+    val propsStruct = struct(props.toIndexedSeq.map(col): _*)
     val geo = udf { (wkb: Array[Byte]) =>
       if (wkb == null) null else Geo.toGeoJson(Geo.fromWkb(wkb))
     }
