@@ -379,7 +379,42 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** t13 — BM25 document scoring for a fixed query (Robertson/Spärck
+    * Jones; k1=1.2, b=0.75): the standard retrieval ranking over the
+    * same tf/df/length statistics as t12, one aggregation pipeline +
+    * broadcast joins. Top-10 documents for a 3-term query.
+    */
+  val t13Bm25: Q = (s, d) => {
+    val k1 = 1.2; val b = 0.75
+    val queryTerms = Seq("spark", "window", "hash")
+    val docs = Tables.documents(s, d)
+    val w = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      avg("dl").as("avgdl"))
+    val tf = w.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = w.filter(col("term").isin(queryTerms: _*))
+      .distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(broadcast(dl), "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) +
+            lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy("doc_id")
+      .agg(round(sum("term_score"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t13_bm25" -> t13Bm25,
     "t12_tfidf" -> t12TfIdf,
     "t11_dedup_cascade" -> t11DedupCascade,
     "t01_token_counts" -> t01TokenCounts,
@@ -437,6 +472,33 @@ object TextOps {
            |  FROM (SELECT doc_id, lang, ' ' || trim(text) || ' ' AS p
            |        FROM documents))
            |ORDER BY doc_id""".stripMargin,
+      // all numeric literals CAST to DOUBLE: bare 2.2 is DECIMAL in
+      // DuckDB and the decimal arithmetic path diverges from Spark's
+      // double path before rounding
+      "t13_bm25" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |    unnest(string_split_regex(trim(text), '\s+')) AS term
+          |  FROM documents),
+          |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+          |       WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2),
+          |dfreq AS (SELECT term, count(*) AS df
+          |          FROM (SELECT DISTINCT doc_id, term FROM w
+          |                WHERE term IN ('spark', 'window', 'hash'))
+          |          GROUP BY 1)
+          |SELECT doc_id, round(sum(
+          |    ln((n - df + CAST(0.5 AS DOUBLE))
+          |       / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+          |    * (tf * CAST(2.2 AS DOUBLE))
+          |    / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+          |       + CAST(0.75 AS DOUBLE) * dl / avgdl))), 4) AS bm25
+          |FROM tf
+          |JOIN dfreq USING (term)
+          |JOIN dl USING (doc_id)
+          |CROSS JOIN stats
+          |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
       "t12_tfidf" ->
         """WITH w AS (
           |  SELECT doc_id,

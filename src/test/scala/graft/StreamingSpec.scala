@@ -51,6 +51,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window agrees with the q22 lag/sum sessionization") {
+    val native = Tables.events(spark, sf)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes"))
+      .count()
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val handRolled = Relational.q22Sessionize(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("n_sessions")).toMap
+    assert(native === handRolled,
+      "session_window and lag/cumsum sessionization must agree")
+  }
+
   test("foreachBatch republishes a layer per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
