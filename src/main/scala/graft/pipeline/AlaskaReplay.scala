@@ -45,8 +45,12 @@ object AlaskaReplay {
     val raw = GeoJson.readFields(spark, RawPath, Seq("certificate_number"))
       .withColumn("certificate_number",
         col("certificate_number").cast("double"))
+    // explicit schema: inferSchema would cost a second full pass
     val csv = spark.read.option("header", "true")
-      .option("inferSchema", "true").csv(CsvPath)
+      .schema("certificate_number DOUBLE, certificate_type STRING, " +
+        "entity STRING, certificate_name STRING, utility_type STRING, " +
+        "certificate_status STRING, cpcn_url STRING, entity_url STRING")
+      .csv(CsvPath)
 
     // PLSS patch fixture (stands in for the reference's ArcGIS fetch)
     val plssGeoms = GeoJson
