@@ -126,7 +126,10 @@ object TextOps {
     * count intersections, derive |A∪B| = |A|+|B|−|A∩B|. This is the
     * scalable form (token-keyed shuffle) — array intersection per pair
     * would need both documents co-resident. Candidate pairs here:
-    * consecutive doc_ids < 200.
+    * consecutive doc_ids < 200. At corpus scale the token join key is
+    * skewed by common words — production set-similarity joins add
+    * prefix filtering (PPJoin: join only on each doc's rarest tokens)
+    * or drop stop-tokens; `Skew.saltedJoin` is the generic fallback.
     */
   val t05WordJaccard: Q = (s, d) => {
     def words: DataFrame = Tables.documents(s, d)
