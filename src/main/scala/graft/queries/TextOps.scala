@@ -154,6 +154,57 @@ object TextOps {
       .orderBy("d1")
   }
 
+  /** PPJoin-style prefix-filtered set-similarity join (Xiao et al.
+    * WWW'08): EXACT all-pairs word-set Jaccard ≥ threshold without the
+    * full token join. Tokens are ranked by ascending global frequency;
+    * each doc only emits its first `|d| - ceil(t*|d|) + 1` rarest
+    * tokens (any pair with J ≥ t MUST share one of these), so the join
+    * key distribution concentrates on RARE tokens — the skew of t05's
+    * naive token join disappears by construction. Candidates verify
+    * with the exact jaccard kernel.
+    */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+")))
+        .as("word"))
+    val freq = tokens.groupBy("word").agg(count(lit(1)).as("freq"))
+    val ranked = tokens.join(freq, "word")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("freq").asc, col("word").asc)))
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val prefix = ranked.filter(
+      col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.word") === col("b.word") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val jacUdf2 = udf { (ta: String, tb: String) =>
+      val wa = ta.trim.split("\\s+").distinct.sorted
+      val wb = tb.trim.split("\\s+").distinct.sorted
+      var i = 0; var j = 0; var inter = 0
+      while (i < wa.length && j < wb.length) {
+        val c = wa(i).compareTo(wb(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1 else j += 1
+      }
+      inter.toDouble / (wa.length + wb.length - inter)
+    }
+    val texts = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("text", "t1"), "d1")
+      .join(texts.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("text", "t2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(jacUdf2(col("t1"), col("t2")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("d1", "d2")
+  }
+
   /** t06 — MinHash + LSH near-duplicate detection (Broder '97 resemblance
     * + banding). 128-perm signatures map-side (UDF over 5-char shingles);
     * 16 bands × 8 rows explode to (band, bucket) keys; the self-join on

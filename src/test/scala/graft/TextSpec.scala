@@ -163,6 +163,29 @@ class TextSpec extends SparkSpec {
     assert(kept === Set(11L, 12L), s"got $kept")
   }
 
+  test("prefix-filtered jaccard join is EXACT: finds every pair brute force finds") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 80)
+      .select("doc_id", "text")
+    val threshold = 0.6
+    val got = TextOps.prefixJaccardPairs(docs, threshold)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // brute force over all pairs on the driver
+    val texts = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")
+        .distinct.toSet).toMap
+    val ids = texts.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      inter = texts(i).intersect(texts(j)).size
+      union = texts(i).size + texts(j).size - inter
+      if union > 0 && inter.toDouble / union >= threshold
+    } yield (i, j)).toSet
+    assert(got === expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("t03 lang scores are non-negative and predicted is a known lang") {
     val rows = TextOps.t03LangId(spark, sf).collect()
     val known = Set("en", "es", "de", "fr", "zh")
