@@ -91,6 +91,29 @@ object TextHash {
     sig
   }
 
+  /** Exact Jaccard over the DISTINCT character k-gram STRING sets of two
+    * texts — the verify kernel of the SQL-portable MinHash path: must
+    * equal the relational form (distinct `substr(text, i, k)` sets
+    * joined on gram) exactly, which it does because both count the same
+    * integer intersection/sizes. Character-based like SQL `substr`
+    * (astral-plane code points differ between UTF-16 and code-point
+    * indexing; the corpus contract is BMP text).
+    */
+  def stringGramJaccard(a: String, b: String, k: Int): Double = {
+    def grams(s: String): java.util.HashSet[String] = {
+      val set = new java.util.HashSet[String]()
+      var i = 0
+      while (i + k <= s.length) { set.add(s.substring(i, i + k)); i += 1 }
+      set
+    }
+    val ga = grams(a); val gb = grams(b)
+    var inter = 0
+    val it = ga.iterator()
+    while (it.hasNext) if (gb.contains(it.next())) inter += 1
+    val union = ga.size + gb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   /** Exact Jaccard over two sorted distinct hash arrays. */
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
     var i = 0; var j = 0; var inter = 0

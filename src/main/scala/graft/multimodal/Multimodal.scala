@@ -163,18 +163,49 @@ object Multimodal {
     "m03_frame_sample" -> m03FrameSample,
   )
 
+  // Oracle payload sizes count BYTES via octet_length(encode(text)) —
+  // the Spark side measures the UTF-8 payload, and length(text) counts
+  // CHARACTERS, which only agrees on all-ASCII corpora (ADVICE r01).
   val oracles: Map[String, String] = Map(
     "m01_media_meta" ->
       """SELECT doc_id,
         |  CAST(n_chars % 64 + 1 AS INT) AS width,
         |  CAST(n_chars % 48 + 1 AS INT) AS height,
         |  3 AS channels,
-        |  CAST(length(text) AS INT) AS payload_bytes
+        |  CAST(octet_length(encode(text)) AS INT) AS payload_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // m02 twin recomputes the byte histogram from the hex encoding of
+    // the UTF-8 payload: byte i's HIGH NIBBLE is hex char 2i-1, so the
+    // 16-bin histogram is a frequency count over odd hex positions —
+    // exact at byte level, non-ASCII safe. Zero-count bins must still
+    // contribute weight 0 to the mean (the Spark side explodes a dense
+    // 16-bin vector), hence the doc × bin grid + left join.
+    "m02_media_features" ->
+      """WITH hx AS (
+        |  SELECT doc_id, lang, lower(hex(encode(text))) AS hs,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    strpos('0123456789abcdef',
+        |      substr(hs, 2 * CAST(i AS INT) - 1, 1)) - 1 AS bin,
+        |    count(*) AS c
+        |  FROM (SELECT doc_id, hs, unnest(range(1, n + 1)) AS i FROM hx)
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT doc_id, lang, n, unnest(range(0, 4)) AS bin FROM hx),
+        |feat AS (
+        |  SELECT g.lang, CAST(g.bin AS INT) AS bin,
+        |    CAST(coalesce(c.c, 0) / CAST(g.n AS DOUBLE) AS FLOAT) AS w
+        |  FROM grid g
+        |  LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.bin = c.bin)
+        |SELECT lang, bin, round(avg(w), 5) AS mean_weight
+        |FROM feat GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
     "m03_frame_sample" ->
       """SELECT doc_id,
-        |  CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames,
-        |  CAST(length(text) AS BIGINT) AS payload_bytes
+        |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT)
+        |    AS n_frames,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -65,10 +65,14 @@ object GeoOps {
       .orderBy("c_mktsegment")
   }
 
-  /** g03 — per-nation convex hull area ranking (README.md:7
-    * largest/smallest generalized): st_collect per nation → hull → area
-    * top-k. Geometry agg shuffles only nation keys. Rows-only (no
-    * spatial SQL oracle); semantics pinned in GeoQuerySpec.
+  /** g03 — per-nation convex hull envelope-area ranking (README.md:7
+    * largest/smallest generalized): st_collect per nation → hull →
+    * envelope → area top-k. Geometry agg shuffles only nation keys.
+    * Oracle-able since round 2: envelope(hull(pts)) ≡ envelope(pts), so
+    * the area reduces to exact min/max arithmetic in DuckDB — coordinate
+    * deltas are integer-valued doubles, making the product exact. The
+    * hull itself still runs in-plan; its exact AREA (not SQL-expressible
+    * without a spatial extension) stays pinned in GeoQuerySpec.
     */
   val g03HullAreaTopk: Q = (s, d) =>
     points(s, d)
@@ -78,13 +82,18 @@ object GeoOps {
       .agg(st_collect_agg(col("pt")).as("pts"),
         count(lit(1)).as("n_points"))
       .select(col("c_nationkey"), col("n_points"),
-        round(st_area(st_convexHull(col("pts"))), 6).as("hull_area"))
-      .orderBy(col("hull_area").desc, col("c_nationkey").asc)
+        round(st_area(st_envelope(st_convexHull(col("pts")))), 6)
+          .as("hull_bbox_area"))
+      .orderBy(col("hull_bbox_area").desc, col("c_nationkey").asc)
       .limit(10)
 
   /** g04 — collect vs dissolve semantics per region (reference
-    * st_combine/st_union distinction, R/functions.R:471): buffered cells
-    * would overlap; we union nation hulls per region. Rows-only.
+    * st_combine/st_union distinction, R/functions.R:471): union nation
+    * hulls per region. Oracle-able since round 2: n_parts counts the
+    * collected (undissolved) members, and the dissolved union's ENVELOPE
+    * area equals the envelope of all the region's points — exact min/max
+    * arithmetic in DuckDB. The full JTS dissolve still runs in-plan; the
+    * dissolved exact area stays pinned in GeoQuerySpec.
     */
   val g04UnionVsCollect: Q = (s, d) => {
     val hulls = points(s, d)
@@ -97,7 +106,8 @@ object GeoOps {
     hulls.groupBy("n_regionkey")
       .agg(
         st_numGeometries(st_collect_agg(col("hull"))).as("n_parts"),
-        round(st_area(st_union_agg(col("hull"))), 6).as("dissolved_area"))
+        round(st_area(st_envelope(st_union_agg(col("hull")))), 6)
+          .as("union_bbox_area"))
       .orderBy("n_regionkey")
   }
 
@@ -155,6 +165,26 @@ object GeoOps {
          |  AND -120 * (lat + 60) - 130 * (lon - 140) > 0
          |  AND -120 * (lat - 70) + 130 * (lon - 20) > 0
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // Envelope areas reduce to exact min/max arithmetic: lon/lat are
+    // k+0.5 doubles, so deltas are integer-valued and the product is
+    // exact in both engines (JTS's shoelace over the rectangle is exact
+    // too — products carry ≤2 fractional bits at magnitude < 2^15).
+    "g03_hull_area_topk" ->
+      s"""WITH p AS ($pointsSql)
+         |SELECT c_nationkey, count(*) AS n_points,
+         |  round((max(lon) - min(lon)) * (max(lat) - min(lat)), 6)
+         |    AS hull_bbox_area
+         |FROM p GROUP BY 1
+         |ORDER BY hull_bbox_area DESC, c_nationkey ASC
+         |LIMIT 10""".stripMargin,
+    "g04_union_vs_collect" ->
+      s"""WITH p AS ($pointsSql)
+         |SELECT n_regionkey,
+         |  CAST(count(DISTINCT c_nationkey) AS INT) AS n_parts,
+         |  round((max(lon) - min(lon)) * (max(lat) - min(lat)), 6)
+         |    AS union_bbox_area
+         |FROM p JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
     "g05_grid_bin" ->
       s"""WITH p AS ($pointsSql)
          |SELECT CAST(floor((lon + 180) / 60) AS INT) AS cell_x,

@@ -121,17 +121,103 @@ object TextOps {
       .filter(col("n_dupes") > 1)
       .orderBy("key")
 
-  /** t05 — n-gram (word-set) Jaccard similarity as a relational
-    * set-similarity join: explode distinct tokens, equi-join on token,
-    * count intersections, derive |A∪B| = |A|+|B|−|A∩B|. This is the
-    * scalable form (token-keyed shuffle) — array intersection per pair
-    * would need both documents co-resident. Candidate pairs here:
-    * consecutive doc_ids < 200. At corpus scale the token join key is
-    * skewed by common words — production set-similarity joins add
-    * prefix filtering (PPJoin: join only on each doc's rarest tokens)
-    * or drop stop-tokens; `Skew.saltedJoin` is the generic fallback.
+  /** SQL-portable 48-bit hash: md5 hex prefix → bigint. The DuckDB twin
+    * is `CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)` — both engines
+    * agree on md5 hex, and 48 bits stay exact through every numeric
+    * path. Used by the DECLARED near-dup queries (t06/t07/t08) so the
+    * whole MinHash/SimHash/winnowing pipeline is hash-verifiable against
+    * the oracle; the splitmix kernels in [[graft.functions.TextHash]]
+    * remain the fast single-pass production path (cross-checked in
+    * TextSpec) — md5 costs more per gram but is still map-side linear.
     */
-  val t05WordJaccard: Q = (s, d) => {
+  private def h48(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  private val h48Sql = (x: String) =>
+    s"CAST('0x' || substr(md5($x), 1, 12) AS BIGINT)"
+
+  /** Affine permutation family for the portable MinHash: p_j(h) =
+    * (a_j·h + b_j) mod 2^48 with ODD a_j < 2^15 — each map is a
+    * bijection on [0, 2^48) (odd multiplier is invertible mod 2^48),
+    * a_j·h + b_j < 2^63 so the arithmetic is exact BIGINT in BOTH
+    * engines (no wrap, no HUGEINT), and it costs integer ops instead of
+    * a per-seed md5 (the md5-per-seed form measured ~15 s at sf0.1;
+    * this is the remaining single md5 per gram plus pennies).
+    */
+  private val minHashSeeds: Seq[(Int, Long, Long)] =
+    (0 until 32).map { j =>
+      (j, (16384L + (j * 997L % 16384L)) | 1L, j * 7919L + 13L)
+    }
+  private val Mask48 = (1L << 48) - 1
+
+  /** DuckDB CTE chain computing the portable MinHash-LSH verified pairs
+    * (`pairs(d1, d2, jaccard)`) over any (doc_id, text) relation —
+    * the twin of [[minHashPairsPortable]] (same k=5 shingles, 32
+    * affine permutations of one md5-derived gram hash, 8 bands × 4
+    * rows, exact-Jaccard verify). Shared by the t06 and t11 oracles so
+    * both stay in lockstep with the Spark plan's parameters.
+    */
+  private def minHashCtes(srcSql: String, thr: Double): String = {
+    val seedRows = minHashSeeds
+      .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
+    s"""g AS (
+       |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(1, length(text) - 3)) AS i
+       |        FROM ($srcSql) WHERE length(text) >= 5)),
+       |gh AS (SELECT doc_id, gram, ${h48Sql("gram")} AS h FROM g),
+       |mh AS (
+       |  SELECT doc_id, seed, min((a * h + b) & $Mask48) AS mh
+       |  FROM gh CROSS JOIN (VALUES $seedRows) s(seed, a, b)
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+       |    concat_ws(',',
+       |      max(CASE WHEN seed % 4 = 0 THEN mh END),
+       |      max(CASE WHEN seed % 4 = 1 THEN mh END),
+       |      max(CASE WHEN seed % 4 = 2 THEN mh END),
+       |      max(CASE WHEN seed % 4 = 3 THEN mh END)) AS bucket
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       |inter AS (
+       |  SELECT d1, d2, count(*) AS i
+       |  FROM cand
+       |  JOIN g ga ON ga.doc_id = d1
+       |  JOIN g gb ON gb.doc_id = d2 AND gb.gram = ga.gram
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2,
+       |    round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+       |  FROM inter
+       |  JOIN sz ca ON ca.doc_id = d1
+       |  JOIN sz cb ON cb.doc_id = d2
+       |  WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= $thr)""".stripMargin
+  }
+
+  /** t05 — exact word-set Jaccard pairs ≥ threshold via the PPJoin
+    * prefix filter (declared plan since round 2 — the naive token join
+    * is skew-prone at corpus scale; the prefix join concentrates the
+    * join key on RARE tokens by construction, see
+    * [[prefixJaccardPairs]]). Oracle: brute-force all-pairs SQL —
+    * PPJoin is exact, so outputs coincide.
+    */
+  val t05WordJaccard: Q = (s, d) =>
+    prefixJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select("doc_id", "text"),
+      0.6)
+
+  /** Naive token-join form of t05 (pre-round-2 declared plan): kept as
+    * the TextSpec cross-check baseline for [[prefixJaccardPairs]].
+    * Consecutive-id pairs only; token-keyed shuffle is skewed by common
+    * words at corpus scale.
+    */
+  def naiveConsecutiveJaccard(s: SparkSession, d: String): DataFrame = {
     def words: DataFrame = Tables.documents(s, d)
       .filter(col("doc_id") < 200)
       .select(col("doc_id"),
@@ -206,14 +292,77 @@ object TextOps {
   }
 
   /** t06 — MinHash + LSH near-duplicate detection (Broder '97 resemblance
-    * + banding). 128-perm signatures map-side (UDF over 5-char shingles);
-    * 16 bands × 8 rows explode to (band, bucket) keys; the self-join on
-    * bucket generates candidates; exact shingle-set Jaccard verifies.
-    * The only shuffles are the bucket groupBy and the two id-keyed text
-    * joins for verification — never an all-pairs comparison.
+    * + banding), SQL-portable declared form: distinct 5-char shingles,
+    * 32 md5-derived permutations (h_j(g) = h48(j ':' g)), 8 bands × 4
+    * rows, candidates from the (band, bucket) self-join, verified by
+    * exact shingle-set Jaccard. Everything is codegen'd built-ins — the
+    * per-seed explode inflates rows 32× but partial aggregation collapses
+    * map-side to 32 rows/doc before the shuffle; candidate generation
+    * never compares all pairs. The splitmix-kernel variant
+    * ([[minHashPairs]]) is the fast path (one pass per doc, no row
+    * inflation) and is recall-checked in TextSpec.
     */
   val t06MinHashLsh: Q = (s, d) =>
-    minHashPairs(Tables.documents(s, d).select("doc_id", "text"), 0.5)
+    minHashPairsPortable(
+      Tables.documents(s, d).select("doc_id", "text"), 0.5)
+
+  /** SQL-portable MinHash-LSH pair generator (see t06 doc).
+    *
+    * The nPerm signature slots are aggregate COLUMNS over the gram
+    * frame, not an exploded (gram × seed) product — one 32-way min
+    * aggregation touches each gram row once (one md5 + 32 affine maps),
+    * so the shuffle stays at |grams| rows instead of 32×. (The
+    * md5-per-(gram, seed) exploded form measured 24 s at sf0.1 vs ~3 s
+    * for this shape; the DuckDB twin keeps a seeds-VALUES cross join —
+    * same math, and the oracle isn't the scale path.)
+    */
+  def minHashPairsPortable(docs0: DataFrame, minJaccard: Double)
+      : DataFrame = {
+    val k = 5; val rowsPerBand = 4
+    val nBands = minHashSeeds.length / rowsPerBand
+    val docs = docs0.repartition(
+      docs0.sparkSession.sparkContext.defaultParallelism)
+    val grams = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"), expr(s"substr(text, p, $k)").as("gram"))
+      .distinct()
+    val mhCols = minHashSeeds.map { case (j, a, b) =>
+      min(expr(s"($a * h + $b) & $Mask48")).as(s"mh$j")
+    }
+    val sigs = grams.withColumn("h", h48(col("gram")))
+      .groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bucketCols = (0 until nBands).map(b =>
+      concat_ws(",", (0 until rowsPerBand).map(j =>
+        col(s"mh${b * rowsPerBand + j}")): _*))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // Exact verify per CANDIDATE pair over the (small) id-keyed text
+    // joins — candidates are rare after banding, so recomputing the two
+    // gram sets per pair beats re-joining the full |grams| frame twice
+    // (measured: the gram-join verify added ~6 s at sf0.1). The DuckDB
+    // twin keeps the relational gram-join form: same integers i/na/nb,
+    // same double, same rounding.
+    val jacUdf = udf { (ta: String, tb: String) =>
+      TextHash.stringGramJaccard(ta, tb, k)
+    }
+    cand
+      .join(docs.toDF("d1", "t1"), "d1")
+      .join(docs.toDF("d2", "t2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(jacUdf(col("t1"), col("t2")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("d1", "d2")
+  }
 
   /** Core MinHash-LSH pair generator over any (doc_id, text) frame. */
   def minHashPairs(docs0: DataFrame, minJaccard: Double): DataFrame = {
@@ -266,14 +415,54 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
-  /** t07 — SimHash near-dup (Charikar/Manku): 64-bit signature map-side,
-    * then the 4×16-bit block trick — any pair within Hamming distance 3
-    * shares at least one exact block, so candidates come from equi-joins
-    * on (block_idx, block_value), never an O(n²) scan. Exact Hamming via
-    * codegen'd bit_count.
+  /** t07 — SimHash near-dup (Charikar/Manku), SQL-portable declared
+    * form: 48-bit signature from md5-hashed whitespace tokens (bit b set
+    * iff the +1/−1 majority over token-hash bit b is positive), then the
+    * 4×12-bit block trick — any pair within Hamming distance 3 shares at
+    * least one exact block (pigeonhole), so candidates come from
+    * equi-joins on (block_idx, block_value), never an O(n²) scan. Exact
+    * Hamming via codegen'd bit_count. The bit explode inflates tokens
+    * 48× but partial agg collapses to 48 rows/doc map-side. The 64-bit
+    * splitmix kernel ([[simHashPairs]]) remains the fast path, TextSpec-
+    * checked.
     */
   val t07SimHashBands: Q = (s, d) =>
-    simHashPairs(Tables.documents(s, d).select("doc_id", "text"), 3)
+    simHashPairsPortable(Tables.documents(s, d).select("doc_id", "text"), 3)
+
+  /** SQL-portable SimHash block-join pair generator (see t07 doc). */
+  def simHashPairsPortable(docs0: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-block LSH only exhaustive for hamming <= 3")
+    val docs = docs0.repartition(
+      docs0.sparkSession.sparkContext.defaultParallelism)
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), h48(col("tok")).as("th"))
+    val bits = toks
+      .select(col("doc_id"), col("th"),
+        explode(sequence(lit(0), lit(47))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(expr(
+        "CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END")).as("s"))
+    val sig = bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << b"))
+        .otherwise(lit(0L))).as("sh"))
+    val blocks = sig
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("blkval", expr("(sh >> (blk * 12)) & 4095"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.blkval") === col("b.blkval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
 
   /** Core SimHash block-join pair generator over any (doc_id, text)
     * frame. maxHamming must be ≤ 3 for the 4-block guarantee to be
@@ -302,17 +491,36 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
-  /** t08 — winnowing document fingerprints (Schleimer et al. SIGMOD'03):
-    * per-doc selected k-gram hash set, map-side UDF. Output is the
-    * fingerprint cardinality + min fingerprint per doc (stable scalars).
+  /** t08 — winnowing document fingerprints (Schleimer et al. SIGMOD'03),
+    * SQL-portable declared form: k-gram md5 hashes in position order,
+    * each window of w consecutive grams contributes its minimum hash,
+    * output = the distinct selected hashes per doc (the fingerprint
+    * set — tie position doesn't affect the selected VALUE, so no
+    * tie-break is needed). Pure window-function plan: the min-over-frame
+    * runs inside one per-doc sort, no UDF. The O(n) monotonic-deque
+    * kernel ([[graft.functions.TextHash.winnow]]) remains the fast
+    * single-pass path, TextSpec-checked.
     */
   val t08WinnowFingerprint: Q = (s, d) => {
-    val fpUdf = udf((t: String) => TextHash.winnow(t, 5, 8))
+    val k = 5; val w = 8
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        w - 1)
+    val nWin = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     Tables.documents(s, d)
-      .select(col("doc_id"), fpUdf(col("text")).as("fp"))
-      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
-        element_at(col("fp"), 1).as("min_fingerprint"))
-      .orderBy("doc_id")
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"),
+        h48(expr(s"substr(text, p, $k)")).as("h"))
+      .withColumn("wmin", min("h").over(win))
+      .withColumn("np", count(lit(1)).over(nWin))
+      .filter(col("p") <= col("np") - (w - 1))
+      .select(col("doc_id"), col("wmin").as("fingerprint"))
+      .distinct()
+      .orderBy("doc_id", "fingerprint")
   }
 
   /** t09 — character trigram frequencies via generator explode
@@ -345,14 +553,39 @@ object TextOps {
       .orderBy("lang")
 
   /** t11 — full dedup cascade: exact (md5 keep-lowest) then near-dup
-    * (MinHash-LSH pairs, greedy drop-higher-id — the standard practical
-    * policy; transitive closure via iterated passes if needed). Returns
-    * the keep-list. This is the operator a training-data pipeline
-    * actually runs; stage order matters at scale (cheap exact pass
-    * shrinks the corpus before signatures are computed).
+    * (greedy drop-higher-id of each similar pair — the standard
+    * practical policy; transitive closure via `Components` if needed).
+    * Returns the keep-list. Stage order matters at scale: the cheap
+    * exact pass shrinks the corpus before any signature work. Declared
+    * form (round 2): the near stage is the SQL-portable shingle
+    * MinHash-LSH ([[minHashPairsPortable]]) with exact-Jaccard verify,
+    * so the whole cascade is oracle-verifiable (the DuckDB twin runs the
+    * identical banding). The splitmix-kernel variant ([[dedupCorpus]])
+    * is the fast path, TextSpec-checked. Word-Jaccard PPJoin was tried
+    * here and rejected: on this corpus word-set similarity ≥ 0.8 is so
+    * dense the TRUE pair set is quadratic (324 s at sf0.1) — shingle
+    * similarity discriminates, keeping the pair set linear-ish.
     */
   val t11DedupCascade: Q = (s, d) =>
-    dedupCorpus(Tables.documents(s, d).select("doc_id", "text"), 0.8)
+    dedupCorpusPortable(Tables.documents(s, d).select("doc_id", "text"),
+      0.5)
+
+  /** Oracle-verifiable dedup cascade: md5 exact pass, then portable
+    * shingle MinHash-LSH pairs, greedy drop-higher-id. See t11 doc.
+    */
+  def dedupCorpusPortable(docs: DataFrame, jaccardThreshold: Double)
+      : DataFrame = {
+    val exactKeep = docs
+      .groupBy(md5(col("text").cast("binary")).as("k"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val survivors = docs.join(exactKeep, "doc_id")
+    val dropIds = minHashPairsPortable(survivors, jaccardThreshold)
+      .select(col("d2").as("doc_id")).distinct()
+    survivors.select("doc_id")
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
 
   def dedupCorpus(docs: DataFrame, jaccardThreshold: Double): DataFrame = {
     // exact pass: one survivor (lowest id) per md5(text)
@@ -577,6 +810,8 @@ object TextOps {
           |  min(doc_id) AS keep_doc
           |FROM documents GROUP BY 1 HAVING count(*) > 1
           |ORDER BY key""".stripMargin,
+      // brute-force all-pairs twin of the PPJoin plan (PPJoin is exact,
+      // so the outputs coincide); both sides filter on the ROUNDED score
       "t05_word_jaccard" ->
         """WITH w AS (
           |  SELECT DISTINCT doc_id,
@@ -585,20 +820,79 @@ object TextOps {
           |cnt AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
           |inter AS (
           |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-          |  FROM w a JOIN w b ON a.word = b.word AND b.doc_id = a.doc_id + 1
+          |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
           |  GROUP BY 1, 2)
           |SELECT d1, d2,
           |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
           |FROM inter
           |JOIN cnt ca ON ca.doc_id = d1
           |JOIN cnt cb ON cb.doc_id = d2
-          |ORDER BY d1""".stripMargin,
+          |WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.6
+          |ORDER BY d1, d2""".stripMargin,
+      // NOTE: CAST(x AS INT) ROUNDS in DuckDB but truncates in Spark —
+      // any shared integer division must be `//` here and `CAST(a / b AS
+      // INT)` (nonnegative) on the Spark side.
+      "t06_minhash_lsh" ->
+        s"""WITH ${minHashCtes("SELECT doc_id, text FROM documents", 0.5)}
+           |SELECT d1, d2, jaccard FROM pairs
+           |ORDER BY d1, d2""".stripMargin,
+      "t07_simhash_bands" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${h48Sql("tok")} AS th
+           |  FROM (SELECT doc_id,
+           |          unnest(string_split_regex(trim(text), '\\s+')) AS tok
+           |        FROM documents)),
+           |bits AS (
+           |  SELECT doc_id, b,
+           |    sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           |  FROM toks CROSS JOIN (SELECT unnest(range(0, 48)) AS b) bb
+           |  GROUP BY 1, 2),
+           |sig AS (
+           |  SELECT doc_id,
+           |    CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b
+           |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+           |  FROM bits GROUP BY 1),
+           |blocks AS (
+           |  SELECT doc_id, sh, blk, (sh >> (blk * 12)) & 4095 AS blkval
+           |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) b)
+           |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+           |FROM blocks a JOIN blocks b
+           |  ON a.blk = b.blk AND a.blkval = b.blkval
+           |  AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+           |ORDER BY d1, d2""".stripMargin,
+      "t08_winnow_fingerprint" ->
+        s"""WITH h AS (
+           |  SELECT doc_id, p,
+           |    ${h48Sql("substr(text, CAST(p AS INT), 5)")} AS h
+           |  FROM (SELECT doc_id, text,
+           |          unnest(range(1, length(text) - 3)) AS p
+           |        FROM documents WHERE length(text) >= 5)),
+           |w AS (
+           |  SELECT doc_id, p,
+           |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+           |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+           |    count(*) OVER (PARTITION BY doc_id) AS np
+           |  FROM h)
+           |SELECT DISTINCT doc_id, wmin AS fingerprint FROM w
+           |WHERE p <= np - 7
+           |ORDER BY doc_id, fingerprint""".stripMargin,
+      "t11_dedup_cascade" ->
+        s"""WITH keep AS (
+           |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |surv AS (
+           |  SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+           |${minHashCtes("SELECT doc_id, text FROM surv", 0.5)},
+           |drops AS (SELECT DISTINCT d2 AS doc_id FROM pairs)
+           |SELECT doc_id FROM surv
+           |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+           |ORDER BY doc_id""".stripMargin,
       "t09_char_trigrams" ->
         """SELECT g, count(*) AS n FROM (
           |  SELECT substr(text, CAST(i AS INT), 3) AS g
-          |  FROM documents JOIN range(1, 10001) t(i)
-          |    ON t.i <= length(text) - 2
-          |  WHERE length(text) >= 3)
+          |  FROM (SELECT text, unnest(range(1, length(text) - 1)) AS i
+          |        FROM documents WHERE length(text) >= 3))
           |GROUP BY g ORDER BY n DESC, g ASC LIMIT 20""".stripMargin,
       "t10_corpus_stats" ->
         """SELECT lang, count(*) AS n_docs,
