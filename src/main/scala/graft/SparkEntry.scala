@@ -26,7 +26,8 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ VectorOps.queries ++
       GeoOps.queries ++ Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
-        "s01_stream_tumbling" -> ((s, d) => EventStreams.replayHourly(s, d)))
+        "s01_stream_tumbling" -> ((s, d) =>
+          EventStreams.replayHourlyAppend(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

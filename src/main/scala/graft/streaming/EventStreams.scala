@@ -38,35 +38,73 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Tumbling 1-hour window aggregation with a watermark. Late-data
-    * tolerance is 35 days so a full historical replay drops nothing —
-    * making the streaming result provably equal to the batch query and
-    * the DuckDB oracle.
+  /** Tumbling 1-hour window aggregation with a watermark (default: 35
+    * days of late-data tolerance so a full historical replay in
+    * Complete mode drops nothing).
     */
-  def hourlyAgg(events: DataFrame): DataFrame =
+  def hourlyAgg(events: DataFrame, watermark: String = "35 days")
+      : DataFrame =
     events
-      .withWatermark("ts", "35 days")
+      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2)
         .as("sum_value"))
 
-  /** Run the streaming query to completion over the static input (memory
-    * sink, complete mode) and return the final table — a batch-shaped
-    * DataFrame suitable for the driver's verify dump.
-    */
-  def replayHourly(spark: SparkSession, dir: String): DataFrame = {
-    val qn = s"stream_hourly_${math.abs(dir.hashCode)}"
-    val q = hourlyAgg(readEvents(spark, dir))
-      .writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(qn).start()
-    try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(qn)
-      .select(
+  private def finalSlice(df: DataFrame): DataFrame =
+    df.select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .filter(col("hour_start") < "2024-01-03 00:00:00")
       .orderBy("hour_start", "event_type")
+
+  /** Run the streaming query to completion over the static input (memory
+    * sink, complete mode) and return the final table — a batch-shaped
+    * DataFrame suitable for cross-checks. NOT the scale path: Complete
+    * mode retains every window's state forever and the memory sink holds
+    * the whole result on the driver — fine as an oracle harness, wrong
+    * at 100× the window × key cardinality (use [[replayHourlyAppend]]).
+    */
+  def replayHourlyComplete(spark: SparkSession, dir: String): DataFrame = {
+    val qn = s"stream_hourly_${math.abs(dir.hashCode)}"
+    val q = hourlyAgg(readEvents(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(qn).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    finalSlice(spark.table(qn))
+  }
+
+  /** Scale-safe declared replay (s01): APPEND mode with a 1-hour
+    * watermark — each window is emitted exactly once when the watermark
+    * passes its end, and its state row is then EVICTED, so state size is
+    * O(open windows × key cardinality), not O(history); the sink would
+    * be files/foreachBatch in deployment (memory sink here only to
+    * collect the verify dump). On this replay every window ending before
+    * max(ts) − 1 h is finalized; the s01 slice (< 2024-01-03, data
+    * through Jan 30) is therefore complete and equals the Complete-mode
+    * and batch/oracle results. StreamingSpec asserts the equality AND
+    * that eviction actually happened (final state rows ≪ emitted
+    * windows).
+    */
+  def replayHourlyAppend(spark: SparkSession, dir: String): DataFrame =
+    replayHourlyAppendWithStats(spark, dir)._1
+
+  /** Append replay plus the state-store row count after the final
+    * micro-batch (for the eviction assertion).
+    */
+  def replayHourlyAppendWithStats(spark: SparkSession, dir: String)
+      : (DataFrame, Long) = {
+    val qn = s"stream_hourly_append_${math.abs(dir.hashCode)}"
+    val q = hourlyAgg(readEvents(spark, dir), watermark = "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn).start()
+    val stateRows =
+      try {
+        q.processAllAvailable()
+        Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      } finally { q.stop() }
+    (finalSlice(spark.table(qn)), stateRows)
   }
 
   /** Incremental layer refresh via foreachBatch (SURVEY §2.9: the

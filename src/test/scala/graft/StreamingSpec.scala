@@ -13,7 +13,7 @@ import graft.streaming.EventStreams.{Event, SessionUpdate}
 class StreamingSpec extends SparkSpec {
 
   test("streaming hourly replay equals the batch q21 result") {
-    val streamed = EventStreams.replayHourly(spark, sf).collect()
+    val streamed = EventStreams.replayHourlyComplete(spark, sf).collect()
     val batch = Relational.q21EventsHourly(spark, sf).collect()
     assert(streamed.length === batch.length)
     streamed.zip(batch).foreach { case (s, b) =>
@@ -22,6 +22,28 @@ class StreamingSpec extends SparkSpec {
       assert(s.getAs[Long]("n_events") === b.getAs[Long]("n_events"))
       assert(s.getAs[Double]("sum_value") === b.getAs[Double]("sum_value"))
     }
+  }
+
+  test("append-mode watermarked replay (declared s01) matches Complete " +
+      "mode and evicts window state") {
+    val (appendDf, stateRows) =
+      EventStreams.replayHourlyAppendWithStats(spark, sf)
+    val append = appendDf.collect()
+    val complete = EventStreams.replayHourlyComplete(spark, sf).collect()
+    assert(append.length === complete.length)
+    append.zip(complete).foreach { case (a, c) =>
+      assert(a.toSeq === c.toSeq)
+    }
+    // Eviction: the stream aggregates ~30 days × event types of hourly
+    // windows; with a 1-hour watermark the final state must hold only
+    // the open tail, far below the total window count.
+    assert(append.length > 50, "slice should cover 2 days of windows")
+    assert(stateRows > 0, "progress should report state rows")
+    // ~30 days × types of hourly windows flowed through; with a 1-hour
+    // watermark only the open tail (≤ ~2 windows × types) may remain.
+    assert(stateRows < 50,
+      s"append state ($stateRows rows) must be evicted down to the open " +
+        "tail, not retain all history")
   }
 
   test("flatMapGroupsWithState session state carries across micro-batches") {
