@@ -103,8 +103,19 @@ object HtmlTable {
     val headerCells = rows.select("header").limit(1).collect()
       .headOption.map(_.getSeq[String](0)).getOrElse(Seq.empty)
     val cols = headerCells.map(normalizeHeader)
+    // Guard the uniform-schema assumption: a file whose header row
+    // deviates would silently mis-map cells to columns — fail loudly
+    // instead. Lives in the row filter (not an unused projection) so
+    // column pruning can't eliminate the check; the OR short-circuits
+    // for matching headers.
+    val expectedHeader = array(headerCells.map(lit): _*)
+    val checked = rows.filter(col("header") === expectedHeader ||
+      isnull(raise_error(concat(
+        lit("HtmlTable: header mismatch across files; expected "),
+        lit(headerCells.mkString("|")), lit(" but "), col("path"),
+        lit(" has "), concat_ws("|", col("header"))))))
     cols.zipWithIndex.foldLeft(
-      rows.select(col("path") +: cols.indices.map(i =>
+      checked.select(col("path") +: cols.indices.map(i =>
         element_at(col("cells"), i + 1).as(s"c$i")): _*)) {
       case (df, (name, i)) => df.withColumnRenamed(s"c$i", name)
     }
