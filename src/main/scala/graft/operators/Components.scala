@@ -46,6 +46,13 @@ object Components {
       iter += 1
     }
     bidir.unpersist()
+    // A silent early exit would leave multiple representatives per
+    // component (keep-lists would under-dedup) — surface it.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge after $maxIter iterations" +
+          " — labels may still be split; raise maxIter for graphs with" +
+          " diameter > maxIter")
     labels
   }
 

@@ -99,6 +99,87 @@ object ServiceAreas {
       .drop("certificate")
   }
 
+  /** The HTML-wrapped-description pre-clean (read_kml_description,
+    * R/functions.R:230-247): a few certificates' KML descriptions come
+    * wrapped in an HTML table — slice the "Granted to:" … end-marker
+    * window and unescape the double-escaped tags. Plain descriptions
+    * pass through.
+    */
+  private val HtmlEndMarker = "</td> </tr> </table> </td> </tr> </table>"
+  def cleanKmlDescription(desc: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val start = locate("Granted to:", desc)
+    val len = locate(HtmlEndMarker, desc) - start
+    val unescaped = regexp_replace(
+      regexp_replace(desc.substr(start, len), "&lt;", "<"), "&gt;", ">")
+    when(desc.startsWith("<html"), unescaped).otherwise(desc)
+  }
+
+  /** The strict 3-field description split (separate_wider_regex,
+    * R/functions.R:337-349): anchored pattern, groups =
+    * kml_utility_name / kml_utility_type /
+    * kml_most_recent_update_included. Same character classes as the
+    * reference (name excludes digits and '<', so it stops at the first
+    * tag).
+    */
+  val KmlDescPattern: String =
+    "^Granted to: ([-A-Za-z/().,&\\\\ ]+)" +
+      "(?:<br><br>Utility Type: )?((?:[A-Za-z]+)?)" +
+      "(?:<br>)?<br>CHRONOLOGY: ([-.,?A-Za-z0-9/():& ]*)" +
+      "(?:<br> ?(?:<br> ?)?)?$"
+
+  /** First feature's description per certificate from the ORIGINAL
+    * service-area KMLs (read_kml_description reads
+    * `data/{cert}-servicearea.kml`, never the patch files; `[1,]` picks
+    * the first feature — here min-by within-file explode order).
+    */
+  def kmlDescriptions(spark: SparkSession, kmlGlob: String): DataFrame =
+    Kml.read(spark, kmlGlob)
+      .filter(col("path").rlike("""-servicearea\.kml$"""))
+      .withColumn("certificate_number",
+        regexp_extract(col("path"), """([\d]+(\.[\d]+)?)-servicearea""", 1)
+          .cast("double"))
+      .filter(col("certificate_number").isNotNull)
+      .withColumn("fid", monotonically_increasing_id())
+      .groupBy("certificate_number")
+      .agg(min_by(col("description"), col("fid")).as("kml_desc_field"))
+
+  /** Apply the pre-clean + strict split + alt-name rule
+    * (R/functions.R:337-352,364-366) to a frame carrying
+    * `kml_desc_field` and `certificate_name`. Strict like the
+    * reference's separate_wider_regex: a NON-NULL description that
+    * doesn't match the pattern raises; a missing description (no KML)
+    * yields null fields. alt_name is the KML-granted name only where it
+    * DIFFERS (case-insensitively) from the certificate name.
+    */
+  def splitKmlDescription(df: DataFrame): DataFrame = {
+    val cleaned = cleanKmlDescription(col("kml_desc_field"))
+    val checked = when(col("kml_desc_field").isNull,
+        lit(null).cast("string"))
+      .when(cleaned.rlike(KmlDescPattern), cleaned)
+      .otherwise(raise_error(concat(
+        lit("KML description does not match the Granted-to pattern: "),
+        cleaned)))
+    val datePat = """[\d]{1,2}/[\d]{1,2}/(?:[\d]{4}|[\d]{2})"""
+    df.withColumn("kml_desc_clean", checked)
+      .withColumn("kml_utility_name",
+        regexp_extract(col("kml_desc_clean"), KmlDescPattern, 1))
+      .withColumn("kml_utility_type",
+        regexp_extract(col("kml_desc_clean"), KmlDescPattern, 2))
+      .withColumn("kml_most_recent_update_included",
+        regexp_extract(col("kml_desc_clean"), KmlDescPattern, 3))
+      .withColumn("alt_name",
+        when(lower(col("certificate_name")) ===
+          lower(col("kml_utility_name")), lit(null).cast("string"))
+          .otherwise(col("kml_utility_name")))
+      .withColumn("kml_most_recent_update_date",
+        when(regexp_extract(col("kml_most_recent_update_included"),
+          datePat, 0) =!= "",
+          convert_two_digit_years(regexp_extract(
+            col("kml_most_recent_update_included"), datePat, 0))))
+      .drop("kml_desc_clean")
+  }
+
   /** KML dir → one validated geometry per certificate
     * (R/functions.R:446-476): cert number from the file name, make-valid
     * per feature, collect (NOT dissolve) per cert.
@@ -219,8 +300,16 @@ object ServiceAreas {
       .option("header", "true").option("inferSchema", "true").csv(p)
 
     // config participates in the cache key: a changed exclusion list or
-    // patch table must invalidate config-dependent stages
-    val cfgVer = "v1-" + Integer.toHexString(cfg.toString.hashCode)
+    // patch table must invalidate config-dependent stages. Canonical
+    // serialization (sorted, field-tagged) + SHA-256 — toString.hashCode
+    // was 32-bit and sensitive to Seq/Map formatting (ADVICE r01).
+    val cfgVer = "v1-" + cache.versionHash(Seq(
+      "operators=" + cfg.operatorIds.sorted.mkString(","),
+      "inactive=" + cfg.inactiveExtraIds.sorted.mkString(","),
+      "merges=" + cfg.mergePatches
+        .map(p => s"${p.certFrom}->${p.certTo}").sorted.mkString(","),
+      "expectedKml=" + cfg.expectedKmlDates.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k:$v" }.mkString(",")))
 
     val cleaned = cache.stage("clean_certificates", cfgVer, Seq(certsCsv)) {
       cleanCertificates(csv(certsCsv), cfg)
@@ -228,10 +317,16 @@ object ServiceAreas {
     val chron = cache.stage("chronology", "v1", Seq(chronCsv)) {
       processChronology(csv(chronCsv))
     }
-    val enriched = cache.stage("enriched", cfgVer,
+    val enriched0 = cache.stage("enriched", cfgVer,
       Seq(certsCsv, chronCsv)) {
       enrichCertificates(cleaned, chron)
     }
+    // description-derived kml_* columns ride the certificates frame as
+    // in the reference (build_certificates_df); the published select
+    // drops them, matching R/functions.R:505-518
+    val enriched = splitKmlDescription(
+      enriched0.join(broadcast(kmlDescriptions(spark, kmlGlob)),
+        Seq("certificate_number"), "left"))
     val geoRaw = buildGeometry(spark, kmlGlob)
 
     // raw layer: original CSV columns + geometry (R/functions.R:173-192)

@@ -18,6 +18,17 @@ class StageCache(spark: SparkSession, dir: String) {
 
   @volatile var computeCount: Int = 0 // observable for tests
 
+  /** Canonical SHA-256 of a config's key parts — callers pass an
+    * explicit, ordered serialization (NOT case-class toString, whose
+    * formatting and Map iteration order are unstable across versions
+    * and could alias distinct configs via 32-bit hashCode collisions).
+    */
+  def versionHash(parts: Seq[String]): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach { p => h.update(p.getBytes("UTF-8")); h.update(0.toByte) }
+    h.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   private def fingerprint(inputs: Seq[String]): String = {
     val h = java.security.MessageDigest.getInstance("SHA-256")
     inputs.sorted.foreach { p =>

@@ -41,20 +41,31 @@ object KmlDataSource {
     StructField("description", StringType, nullable = true),
     StructField("geometry", BinaryType, nullable = true)))
 
+  /** Resolve a path spec to KML files. Globs are supported in the FINAL
+    * segment only (a trailing "star.kml" pattern); a glob in a directory
+    * component is rejected loudly rather than silently matching nothing.
+    * Directory streams are closed (repeated driver-side scans must not
+    * leak fds).
+    */
   def listFiles(pathSpec: String): Seq[String] = {
+    def listDir(dir: java.nio.file.Path,
+        keep: java.nio.file.Path => Boolean): Seq[String] = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.filter(keep).map(_.toString).toSeq.sorted
+      finally s.close()
+    }
     val p = java.nio.file.Paths.get(pathSpec)
     if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).iterator().asScala
-        .filter(_.toString.toLowerCase.endsWith(".kml"))
-        .map(_.toString).toSeq.sorted
+      listDir(p, _.toString.toLowerCase.endsWith(".kml"))
     else if (pathSpec.contains("*")) {
-      val dir = p.getParent
-      val glob = p.getFileName.toString
+      val fileName = p.getFileName.toString
+      val dir = Option(p.getParent)
+        .getOrElse(java.nio.file.Paths.get("."))
+      require(!dir.toString.contains("*"),
+        s"glob only supported in the final path segment: $pathSpec")
       val matcher = java.nio.file.FileSystems.getDefault
-        .getPathMatcher(s"glob:$glob")
-      java.nio.file.Files.list(dir).iterator().asScala
-        .filter(f => matcher.matches(f.getFileName))
-        .map(_.toString).toSeq.sorted
+        .getPathMatcher(s"glob:$fileName")
+      listDir(dir, f => matcher.matches(f.getFileName))
     } else Seq(pathSpec)
   }
 }

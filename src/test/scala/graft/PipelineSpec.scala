@@ -97,6 +97,47 @@ class PipelineSpec extends SparkSpec {
     assert(r10last.toString === "1999-06-30") // 6/30/99 → 1999
   }
 
+  test("KML description strict 3-field split + alt-name rule " +
+      "(incl. HTML-wrapped variant)") {
+    val certsDf = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$res/certificates.csv")
+    val cleaned = ServiceAreas.cleanCertificates(certsDf, cfg)
+    val withKml = ServiceAreas.splitKmlDescription(
+      cleaned.join(
+        ServiceAreas.kmlDescriptions(spark, s"$res/kml/*.kml"),
+        Seq("certificate_number"), "left"))
+    val rows = withKml.select("certificate_number", "alt_name",
+      "kml_utility_type", "kml_most_recent_update_included",
+      "kml_most_recent_update_date").collect()
+      .map(r => r.getDouble(0) -> r).toMap
+
+    // name matches certificate_name → alt_name suppressed
+    assert(rows(10.0).isNullAt(1))
+    assert(rows(10.0).getString(2) === "Electric")
+    assert(rows(10.0).isNullAt(4), "no date in chronology text")
+    // differing KML-granted name surfaces as alt_name
+    assert(rows(100.0).getString(1) === "TEST UTILITY HUNDRED, INC.")
+    assert(rows(100.0).getAs[java.sql.Date](4).toString === "2012-06-01")
+    // HTML-wrapped description: windowed + unescaped, then split;
+    // 2-digit year pivots
+    assert(rows(99.0).isNullAt(1))
+    assert(rows(99.0).getString(3).contains("Service Area Change"))
+    assert(rows(99.0).getAs[java.sql.Date](4).toString === "2015-05-20")
+    // no KML at all → all fields null, no error
+    assert(rows(50.0).isNullAt(1) && rows(50.0).isNullAt(4))
+  }
+
+  test("strict split raises on a non-matching description") {
+    import spark.implicits._
+    val bad = Seq((1.0, "SOME NAME", "Totally unexpected text"))
+      .toDF("certificate_number", "certificate_name", "kml_desc_field")
+    val e = intercept[Exception] {
+      ServiceAreas.splitKmlDescription(bad).collect()
+    }
+    assert((e.getMessage + e.toString).contains("Granted-to pattern") ||
+      Option(e.getCause).exists(_.getMessage.contains("Granted-to")))
+  }
+
   test("published geojson files exist and parse back") {
     published.count() // force run
     val cleaned = GeoJson.read(spark, s"$outDir/service-areas.geojson")
