@@ -106,6 +106,12 @@ object Geo {
   def unionAll(gs: Seq[Geometry]): Geometry = {
     val flat = gs.filter(g => g != null && !g.isEmpty)
     if (flat.isEmpty) factory.createGeometryCollection()
+    // singleton: union is the identity — skipping UnaryUnionOp avoids a
+    // useless re-noding pass AND preserves the input coordinate
+    // sequence exactly (pass-through features stay byte-stable through
+    // the sink; also what the reference does — it only unions the
+    // merge-patch pairs)
+    else if (flat.lengthCompare(1) == 0) flat.head
     else UnaryUnionOp.union(flat.asJavaCollection)
   }
 
@@ -220,6 +226,100 @@ object Geo {
         geoms.mkString("[", ",", "]")}}"""
     case other => throw new IllegalArgumentException(
       s"unsupported: ${other.getGeometryType}")
+  }
+
+  /** GDAL/OGR-compatible coordinate formatting (the reference's st_write
+    * GeoJSON output): `%.15f`, then OGRFormatDouble's representation-
+    * noise cleanup — a run of ≥5 equal '0'/'9' digits ending one digit
+    * before the end (or ≥7 ending two before) is truncated (zeros) or
+    * rounded away (nines) — then trailing zeros trimmed, keeping one
+    * decimal for whole numbers. Validated against every coordinate
+    * string in the reference's two published layers (61k distinct
+    * values round-trip byte-identically).
+    */
+  def formatGdal(v: Double): String = {
+    // exact decimal expansion of the binary double, rounded half-even at
+    // 15 decimals — C printf("%.15f") semantics. (Java's String.format
+    // "%f" pads the SHORTEST repr with zeros instead and drops real
+    // digits, e.g. …499999983 → …499999980.)
+    var s = new java.math.BigDecimal(v)
+      .setScale(15, java.math.RoundingMode.HALF_EVEN).toPlainString
+    val dot = s.indexOf('.')
+
+    def cleanup(endIdx: Int, minRun: Int): Option[String] = {
+      val c = s.charAt(endIdx)
+      if (c != '0' && c != '9') return None
+      var j = endIdx
+      while (j > dot && s.charAt(j) == c) j -= 1
+      val run = endIdx - j
+      if (run < minRun || j <= dot) return None
+      val head = s.substring(0, j + 1)
+      if (c == '0') Some(head)
+      else { // round up the digit before the nine-run (with carry)
+        val ls = head.toCharArray.toBuffer
+        var k = ls.length - 1
+        var done = false
+        while (k >= 0 && !done) {
+          ls(k) match {
+            case '.' => k -= 1
+            case '-' => ls.insert(k + 1, '1'); done = true
+            case '9' => ls(k) = '0'; k -= 1
+            case d => ls(k) = (d + 1).toChar; done = true
+          }
+        }
+        if (!done) ls.insert(0, '1')
+        Some(ls.mkString)
+      }
+    }
+
+    cleanup(s.length - 2, 5).orElse(cleanup(s.length - 3, 7))
+      .foreach(r => s = r)
+    if (s.contains('.')) {
+      s = s.reverse.dropWhile(_ == '0').reverse
+      if (s.endsWith(".")) s = s + "0" // GDAL keeps x.0 for integers
+    }
+    s
+  }
+
+  private def coordGdal(c: Coordinate): String =
+    s"[ ${formatGdal(c.x)}, ${formatGdal(c.y)} ]"
+
+  private def ringGdal(l: LineString): String =
+    l.getCoordinates.map(coordGdal).mkString("[ ", ", ", " ]")
+
+  private def polygonRingsGdal(p: Polygon): String = {
+    val rings = Seq(p.getExteriorRing) ++
+      (0 until p.getNumInteriorRing).map(p.getInteriorRingN)
+    rings.map(ringGdal).mkString("[ ", ", ", " ]")
+  }
+
+  /** GDAL-style spaced GeoJSON geometry serialization — byte-compatible
+    * with the reference's published layers (space after every bracket
+    * and comma, `{ "type": "...", "coordinates": ... }` member layout).
+    */
+  def toGeoJsonGdal(g: Geometry): String = g match {
+    case p: Point =>
+      s"""{ "type": "Point", "coordinates": ${coordGdal(p.getCoordinate)} }"""
+    case l: LineString =>
+      s"""{ "type": "LineString", "coordinates": ${ringGdal(l)} }"""
+    case p: Polygon =>
+      s"""{ "type": "Polygon", "coordinates": ${polygonRingsGdal(p)} }"""
+    case mp: MultiPolygon =>
+      val polys = (0 until mp.getNumGeometries)
+        .map(i => polygonRingsGdal(mp.getGeometryN(i).asInstanceOf[Polygon]))
+      s"""{ "type": "MultiPolygon", "coordinates": ${
+        polys.mkString("[ ", ", ", " ]")} }"""
+    case ml: MultiLineString =>
+      val lines = (0 until ml.getNumGeometries)
+        .map(i => ringGdal(ml.getGeometryN(i).asInstanceOf[LineString]))
+      s"""{ "type": "MultiLineString", "coordinates": ${
+        lines.mkString("[ ", ", ", " ]")} }"""
+    case mp: MultiPoint =>
+      val pts = mp.getCoordinates.map(coordGdal)
+      s"""{ "type": "MultiPoint", "coordinates": ${
+        pts.mkString("[ ", ", ", " ]")} }"""
+    case other => throw new IllegalArgumentException(
+      s"unsupported for GDAL-style output: ${other.getGeometryType}")
   }
 
   /** Minimal recursive-descent GeoJSON geometry parser (numbers, arrays,

@@ -78,12 +78,8 @@ object GeoJson {
       lit("}")).as("feature"))
   }
 
-  /** Overwrite-write a single FeatureCollection file with the CRS84
-    * header the reference emits (service-areas.geojson:1-4).
-    */
-  def write(df: DataFrame, geometryCol: String, path: String,
+  private def writeCollection(lines: Seq[String], path: String,
       name: String): Unit = {
-    val lines = featureLines(df, geometryCol).collect().map(_.getString(0))
     val sb = new StringBuilder
     sb.append("{\n\"type\": \"FeatureCollection\",\n")
     sb.append(s""""name": "$name",\n""")
@@ -96,6 +92,69 @@ object GeoJson {
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Overwrite-write a single FeatureCollection file with the CRS84
+    * header the reference emits (service-areas.geojson:1-4).
+    */
+  def write(df: DataFrame, geometryCol: String, path: String,
+      name: String): Unit =
+    writeCollection(
+      featureLines(df, geometryCol).collect().map(_.getString(0)),
+      path, name)
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** GDAL/OGR `st_write`-compatible sink: the reference's exact member
+    * spacing, properties in column order, coordinates via
+    * [[Geo.formatGdal]] — byte-compatible with the published layers
+    * (asserted file-level in FullReplaySpec). Feature lines serialize
+    * on executors; the driver only assembles the envelope.
+    */
+  def writeGdal(df: DataFrame, geometryCol: String, path: String,
+      name: String): Unit = {
+    val props = df.schema.fields.filterNot(_.name == geometryCol)
+    val propNames = props.map(_.name)
+    val lineUdf = udf { (r: Row, wkb: Array[Byte]) =>
+      val sb = new StringBuilder("""{ "type": "Feature", "properties": { """)
+      propNames.zipWithIndex.foreach { case (n, i) =>
+        if (i > 0) sb.append(", ")
+        sb.append('"').append(n).append("\": ")
+        val v = if (r.isNullAt(i)) null else r.get(i)
+        v match {
+          case null => sb.append("null")
+          case b: Boolean => sb.append(b.toString)
+          case n2 @ (_: Int | _: Long | _: Short | _: Byte) =>
+            sb.append(n2.toString)
+          case d: Double => sb.append(Geo.formatGdal(d))
+          case f: Float => sb.append(Geo.formatGdal(f.toDouble))
+          case other =>
+            sb.append('"').append(jsonEscape(other.toString)).append('"')
+        }
+      }
+      sb.append(""" }, "geometry": """)
+      sb.append(
+        if (wkb == null) "null" else Geo.toGeoJsonGdal(Geo.fromWkb(wkb)))
+      sb.append(" }")
+      sb.toString
+    }
+    val lines = df.select(lineUdf(
+        struct(propNames.toIndexedSeq.map(col): _*), col(geometryCol))
+        .as("feature"))
+      .collect().map(_.getString(0))
+    writeCollection(lines, path, name)
   }
 
   /** Cluster-scale sink: newline-delimited features via the text sink. */
