@@ -322,13 +322,17 @@ object TextOps {
     val nBands = minHashSeeds.length / rowsPerBand
     val docs = docs0.repartition(
       docs0.sparkSession.sparkContext.defaultParallelism)
+    // NO distinct here: min() is duplicate-insensitive, so signatures
+    // over the gram MULTISET equal signatures over the set — and the
+    // distinct would be a full |grams|-row shuffle. With it gone, the
+    // only wide exchange in the signature stage is the 32-column
+    // map-side-combined groupBy: one row per (partition × doc).
     val grams = docs
       .filter(length(col("text")) >= k)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"),
         col("text"))
       .select(col("doc_id"), expr(s"substr(text, p, $k)").as("gram"))
-      .distinct()
     val mhCols = minHashSeeds.map { case (j, a, b) =>
       min(expr(s"($a * h + $b) & $Mask48")).as(s"mh$j")
     }
@@ -337,8 +341,13 @@ object TextOps {
     val bucketCols = (0 until nBands).map(b =>
       concat_ws(",", (0 until rowsPerBand).map(j =>
         col(s"mh${b * rowsPerBand + j}")): _*))
+    // persist: the self-join references bands on BOTH sides — without
+    // materialization the whole gram/md5/signature pipeline (the
+    // expensive part) runs twice. The frame is narrow: nBands rows/doc
+    // of (id, band, bucket-string).
     val bands = sigs.select(col("doc_id"),
       posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -507,16 +516,17 @@ object TextOps {
       .partitionBy("doc_id").orderBy("p")
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
         w - 1)
-    val nWin = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // gram count = length - k + 1 is plain arithmetic on the text —
+    // carrying it as a column avoids a second (unordered) window pass
     Tables.documents(s, d)
       .filter(length(col("text")) >= k)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"),
         col("text"))
       .select(col("doc_id"), col("p"),
-        h48(expr(s"substr(text, p, $k)")).as("h"))
+        h48(expr(s"substr(text, p, $k)")).as("h"),
+        (length(col("text")) - (k - 1)).as("np"))
       .withColumn("wmin", min("h").over(win))
-      .withColumn("np", count(lit(1)).over(nWin))
       .filter(col("p") <= col("np") - (w - 1))
       .select(col("doc_id"), col("wmin").as("fingerprint"))
       .distinct()
@@ -865,15 +875,15 @@ object TextOps {
       "t08_winnow_fingerprint" ->
         s"""WITH h AS (
            |  SELECT doc_id, p,
-           |    ${h48Sql("substr(text, CAST(p AS INT), 5)")} AS h
+           |    ${h48Sql("substr(text, CAST(p AS INT), 5)")} AS h,
+           |    length(text) - 4 AS np
            |  FROM (SELECT doc_id, text,
            |          unnest(range(1, length(text) - 3)) AS p
            |        FROM documents WHERE length(text) >= 5)),
            |w AS (
-           |  SELECT doc_id, p,
+           |  SELECT doc_id, p, np,
            |    min(h) OVER (PARTITION BY doc_id ORDER BY p
-           |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
-           |    count(*) OVER (PARTITION BY doc_id) AS np
+           |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
            |  FROM h)
            |SELECT DISTINCT doc_id, wmin AS fingerprint FROM w
            |WHERE p <= np - 7
