@@ -44,6 +44,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"semi join lost:\n$p")
   }
 
+  test("t06: signature aggregation is map-side partial and the verify " +
+      "joins broadcast the small sides") {
+    val df = SparkEntry.queries("t06_minhash_lsh")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min") || p.contains("partial"),
+      s"signature mins must partial-aggregate map-side:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"bands frame must be persisted (self-join reuse):\n$p")
+  }
+
+  test("t08: winnowing is one window pass over one per-doc sort") {
+    val df = SparkEntry.queries("t08_winnow_fingerprint")(spark, sf)
+    df.collect()
+    // AQE renders the initial plan after the final one — count only the
+    // final plan section
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows === 1, s"expected exactly one Window operator:\n$p")
+  }
+
+  test("t05: PPJoin joins on the rare-token prefix, not all tokens") {
+    val df = SparkEntry.queries("t05_word_jaccard")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the prefix filter (rk <= sz - ceil(t*sz) + 1) must sit below the
+    // candidate self-join
+    assert(p.contains("CEIL") || p.contains("ceil"),
+      s"prefix-length filter missing from the plan:\n$p")
+  }
+
   test("whole-stage codegen covers the q02 agg pipeline") {
     // AQE hides codegen markers until the final plan materializes —
     // execute first, then inspect; codegen'd stages render as "*(n)"
