@@ -710,7 +710,43 @@ object TextOps {
       .limit(10)
   }
 
+  /** t14 — the end-to-end corpus-curation run every training-data build
+    * executes, composed as ONE declarative plan: quality gate (t02
+    * rule) → exact dedup (md5 keep-lowest) → near-dedup (portable
+    * MinHash-LSH ≥ 0.5, greedy drop-higher-id) → per-language corpus
+    * stats. (The t03 lang-ID predictor is deliberately NOT a gate here:
+    * the synthetic corpus is English-like under every label, so it
+    * would collapse the output to one group.) Every stage is
+    * SQL-expressible, so the WHOLE cascade
+    * hash-verifies against the DuckDB twin. Stage order is the
+    * cost-ladder: cheap map-side gates shrink the corpus before any
+    * signature work.
+    */
+  val t14CorpusCuration: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .selectExpr("doc_id", "text", "lang",
+        "size(split(trim(text), '\\\\s+')) AS n_words",
+        "size(array_distinct(split(trim(text), '\\\\s+'))) AS n_distinct")
+    val kept = scored
+      .filter(expr(
+        "n_words >= 20 AND n_distinct / CAST(n_words AS DOUBLE) >= 0.2"))
+      .select("doc_id", "text", "lang", "n_words")
+    val exactKeep = kept
+      .groupBy(md5(col("text").cast("binary")).as("k"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val surv = kept.join(exactKeep, "doc_id")
+    val drops = minHashPairsPortable(surv.select("doc_id", "text"), 0.5)
+      .select(col("d2").as("doc_id")).distinct()
+    surv.join(drops, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t14_corpus_curation" -> t14CorpusCuration,
     "t13_bm25" -> t13Bm25,
     "t12_tfidf" -> t12TfIdf,
     "t11_dedup_cascade" -> t11DedupCascade,
@@ -898,6 +934,29 @@ object TextOps {
            |SELECT doc_id FROM surv
            |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
            |ORDER BY doc_id""".stripMargin,
+      "t14_corpus_curation" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, text, lang,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+           |      AS n_words,
+           |    CAST(len(list_distinct(string_split_regex(trim(text),
+           |      '\\s+'))) AS INT) AS n_distinct
+           |  FROM documents),
+           |kept AS (
+           |  SELECT doc_id, text, lang, n_words FROM scored
+           |  WHERE n_words >= 20
+           |    AND n_distinct / CAST(n_words AS DOUBLE) >= 0.2),
+           |keep1 AS (
+           |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+           |surv AS (
+           |  SELECT k.doc_id, k.text, k.lang, k.n_words
+           |  FROM kept k JOIN keep1 USING (doc_id)),
+           |${minHashCtes("SELECT doc_id, text FROM surv", 0.5)},
+           |drops AS (SELECT DISTINCT d2 AS doc_id FROM pairs)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS total_tokens
+           |FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+           |GROUP BY lang ORDER BY lang""".stripMargin,
       "t09_char_trigrams" ->
         """SELECT g, count(*) AS n FROM (
           |  SELECT substr(text, CAST(i AS INT), 3) AS g
