@@ -31,6 +31,23 @@ class GdalFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
         bad.take(5).mkString(", "))
   }
 
+  test("formatGdal is a fixpoint under re-parsing (property)") {
+    // GDAL writers are fixpoints: format(parse(format(x))) == format(x).
+    // Without this, re-ingesting our own output would drift bytes.
+    val rnd = new scala.util.Random(42)
+    (0 until 20000).foreach { _ =>
+      val v = (rnd.nextDouble() - 0.5) * 360.0
+      val once = Geo.formatGdal(v)
+      val twice = Geo.formatGdal(once.toDouble)
+      assert(twice === once, s"not a fixpoint for $v: $once -> $twice")
+      // the formatted value parses back within the formatter's precision
+      // contract: 15 decimals, plus the 0/9-run noise cleanup which may
+      // round at decimal ~10 (the same trade GDAL makes)
+      assert(math.abs(once.toDouble - v) <= 2e-9,
+        s"format drifted value: $v -> $once")
+    }
+  }
+
   test("formatGdal handles the documented edge shapes") {
     // whole number keeps one decimal (GDAL style)
     assert(Geo.formatGdal(-152.0) === "-152.0")
