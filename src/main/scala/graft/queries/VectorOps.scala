@@ -227,6 +227,135 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** v07 — ANN via product quantization (Jégou et al., TPAMI 2011 — the
+    * FAISS PQ shape): the vector splits into M=8 subspaces, each with a
+    * K=16-centroid codebook trained on the same bounded driver sample
+    * IVF uses; the corpus encodes to M BYTE codes (64×8-byte doubles →
+    * 8 bytes: 64× compression — at 100 TB the difference between a
+    * RAM-resident index and a disk-bound one). Queries score encoded
+    * vectors with asymmetric distance: a per-query M×K lookup table of
+    * partial dot products (built once, broadcast), so scoring never
+    * decodes a vector; the ADC top-`rerank` then re-rank with exact
+    * cosine over the full-precision vectors. Composable with IVF
+    * (probe cells, then ADC within them) — kept exhaustive here so the
+    * PQ error is measured in isolation. Rows-only; recall graded vs
+    * brute force in VectorSpec.
+    */
+  val v07AnnPq: Q = (s, d) =>
+    annPq(emb(s, d), maxQid = 50, m = 8, k = 16, rerank = 32)
+
+  def annPq(e0: DataFrame, maxQid: Int, m: Int, k: Int,
+      rerank: Int): DataFrame = {
+    require(Dim % m == 0, s"dim $Dim not divisible by $m subspaces")
+    val sub = Dim / m
+    val spark = e0.sparkSession
+    val e = e0.repartition(spark.sparkContext.defaultParallelism)
+
+    // --- train per-subspace codebooks on the bounded sample (driver;
+    // sample size independent of corpus size, like IVF's quantizer) ---
+    val sample = e0.orderBy("vec_id").limit(k * 40)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      val subVecs = sample.map(_.slice(mi * sub, (mi + 1) * sub))
+      var cents = Array.tabulate(k)(i =>
+        subVecs((i * subVecs.length) / k).clone())
+      for (_ <- 0 until 10) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Int](k)
+        subVecs.foreach { v =>
+          val c = nearestCell(cents, v)
+          var j = 0
+          while (j < sub) { sums(c)(j) += v(j); j += 1 }
+          counts(c) += 1
+        }
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) == 0) cents(c)
+          else { val s2 = sums(c); s2.indices.foreach(j =>
+            s2(j) /= counts(c)); s2 })
+      }
+      cents
+    }
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+
+    // map-side byte encoding — the compressed index representation
+    val encodeUdf = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      Array.tabulate(m)(mi => nearestCell(bcCb.value(mi),
+        va.slice(mi * sub, (mi + 1) * sub)).toByte)
+    }
+    val coded = e.select(col("vec_id"), encodeUdf(col("v")).as("codes"))
+
+    // --- per-query ADC tables: table(q)(mi)(code) = dot(q_sub, centroid),
+    // plus the squared norm each code contributes (for the approximate
+    // cosine denominator). Queries are a bounded set (like v01/v05). ---
+    val queries = e0.filter(col("vec_id") < maxQid)
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val codeNorm2: Array[Array[Double]] = Array.tabulate(m) { mi =>
+      Array.tabulate(k) { c =>
+        var s2 = 0.0
+        bcCb.value(mi)(c).foreach(x => s2 += x * x)
+        s2
+      }
+    }
+    val qTables: Map[Long, Array[Array[Double]]] = queries.map {
+      case (qid, qv) =>
+        qid -> Array.tabulate(m) { mi =>
+          Array.tabulate(k) { c =>
+            var dot = 0.0
+            var j = 0
+            while (j < sub) {
+              dot += qv(mi * sub + j) * bcCb.value(mi)(c)(j); j += 1
+            }
+            dot
+          }
+        }
+    }.toMap
+    val bcQ = spark.sparkContext.broadcast((qTables, codeNorm2))
+
+    // ADC scores for every query per encoded row → explode; the shuffle
+    // downstream carries only (qid, vec_id, score)
+    val adcUdf = udf { (vecId: Long, codes: Array[Byte]) =>
+      val (tables, norms) = bcQ.value
+      tables.iterator.collect {
+        case (qid, t) if qid != vecId =>
+          var dot = 0.0; var n2 = 0.0
+          var mi = 0
+          while (mi < m) {
+            val c = codes(mi) & 0xff
+            dot += t(mi)(c); n2 += norms(mi)(c); mi += 1
+          }
+          (qid, dot / math.max(math.sqrt(n2), 1e-12))
+      }.toSeq
+    }
+    val adc = coded
+      .select(col("vec_id"),
+        explode(adcUdf(col("vec_id"), col("codes"))).as("s"))
+      .select(col("s._1").as("qid"), col("vec_id"),
+        col("s._2").as("adc_score"))
+    val wAdc = Window.partitionBy("qid")
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+    val candIds = adc.withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= rerank)
+      .select("qid", "vec_id")
+
+    // exact-cosine rerank of the ADC shortlist (full-precision vectors
+    // touched only for rerank+query rows)
+    val qDf = e0.filter(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val reranked = candIds
+      .join(e0.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(qDf), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(cosUdf(col("qv"), col("v")), 4).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    reranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("vec_id").as("ann_nid"), col("cos_sim"))
+      .orderBy("qid")
+  }
+
   private def dist2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     val n = math.min(a.length, b.length)
@@ -286,6 +415,7 @@ object VectorOps {
     "v03_ann_lsh" -> v03AnnLsh,
     "v04_norm_stats" -> v04NormStats,
     "v05_ann_ivf" -> v05AnnIvf,
+    "v07_ann_pq" -> v07AnnPq,
   )
 
   val oracles: Map[String, String] = Map(

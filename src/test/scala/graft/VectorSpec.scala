@@ -55,6 +55,38 @@ class VectorSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("v07 PQ ANN: 64x-compressed codes still find near neighbors") {
+    val pq = VectorOps.v07AnnPq(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("ann_nid"), r.getAs[Double]("cos_sim"))).toMap
+    assert(pq.size === 50, "one answer per query")
+    pq.foreach { case (qid, (nid, _)) => assert(nid !== qid) }
+    // grade against exact top-1: PQ+rerank should match for a majority
+    // of queries, and never return a poor neighbor (cos within 0.1 of
+    // the exact best)
+    val e = Tables.embeddings(spark, sf).selectExpr(
+      "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val q = e.filter(col("vec_id") < 50)
+      .withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qv")
+    val brute = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .selectExpr("qid", "vec_id",
+        """aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (s, x) -> s + x)
+          | / (sqrt(aggregate(qv, 0D, (s, x) -> s + x * x))
+          |    * sqrt(aggregate(v, 0D, (s, x) -> s + x * x))) AS cs"""
+          .stripMargin)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (qid, rs) =>
+        val best = rs.maxBy(_.getAs[Double]("cs"))
+        qid -> (best.getAs[Long]("vec_id"), best.getAs[Double]("cs"))
+      }
+    val hits = brute.count { case (qid, (bid, _)) => pq(qid)._1 == bid }
+    assert(hits >= 25, s"PQ recall too low: $hits/50")
+    brute.foreach { case (qid, (_, bestCs)) =>
+      assert(pq(qid)._2 >= bestCs - 0.1,
+        s"query $qid: PQ answer cos ${pq(qid)._2} far below exact $bestCs")
+    }
+  }
+
   test("v05 IVF ANN: deterministic, nonempty, reasonable recall") {
     val ivf1 = VectorOps.v05AnnIvf(spark, sf).collect()
       .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("ann_nid")).toMap
