@@ -320,8 +320,12 @@ object TextOps {
       : DataFrame = {
     val k = 5; val rowsPerBand = 4
     val nBands = minHashSeeds.length / rowsPerBand
+    // persist: this frame feeds the gram/signature stage AND both sides
+    // of the verify text join — without it the upstream (which for the
+    // dedup cascade is itself a join pipeline) recomputes three times
     val docs = docs0.repartition(
       docs0.sparkSession.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // NO distinct here: min() is duplicate-insensitive, so signatures
     // over the gram MULTISET equal signatures over the set — and the
     // distinct would be a full |grams|-row shuffle. With it gone, the

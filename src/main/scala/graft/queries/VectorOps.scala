@@ -183,22 +183,7 @@ object VectorOps {
     // lowest vec_ids; k-means init = stride over the sample) ---
     val sample = e0.orderBy("vec_id").limit(nlist * 40)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
-    var centroids = Array.tabulate(nlist)(i =>
-      sample((i * sample.length) / nlist).clone())
-    for (_ <- 0 until 10) {
-      val sums = Array.fill(nlist)(new Array[Double](Dim))
-      val counts = new Array[Int](nlist)
-      sample.foreach { v =>
-        val c = nearestCell(centroids, v)
-        var j = 0
-        while (j < Dim) { sums(c)(j) += v(j); j += 1 }
-        counts(c) += 1
-      }
-      centroids = Array.tabulate(nlist)(c =>
-        if (counts(c) == 0) centroids(c)
-        else { val s2 = sums(c); s2.indices.foreach(j =>
-          s2(j) /= counts(c)); s2 })
-    }
+    val centroids = kmeansFit(sample, nlist)
     val bc = e0.sparkSession.sparkContext.broadcast(centroids)
 
     val cellUdf = udf { (v: Seq[Double]) =>
@@ -256,24 +241,7 @@ object VectorOps {
     val sample = e0.orderBy("vec_id").limit(k * 40)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
-      val subVecs = sample.map(_.slice(mi * sub, (mi + 1) * sub))
-      var cents = Array.tabulate(k)(i =>
-        subVecs((i * subVecs.length) / k).clone())
-      for (_ <- 0 until 10) {
-        val sums = Array.fill(k)(new Array[Double](sub))
-        val counts = new Array[Int](k)
-        subVecs.foreach { v =>
-          val c = nearestCell(cents, v)
-          var j = 0
-          while (j < sub) { sums(c)(j) += v(j); j += 1 }
-          counts(c) += 1
-        }
-        cents = Array.tabulate(k)(c =>
-          if (counts(c) == 0) cents(c)
-          else { val s2 = sums(c); s2.indices.foreach(j =>
-            s2(j) /= counts(c)); s2 })
-      }
-      cents
+      kmeansFit(sample.map(_.slice(mi * sub, (mi + 1) * sub)), k)
     }
     val bcCb = spark.sparkContext.broadcast(codebooks)
 
@@ -356,6 +324,169 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** v08 — IVF + residual PQ composed (the FAISS IVFPQ deployment
+    * shape): the coarse quantizer routes every vector to a cell; PQ
+    * codebooks train on RESIDUALS (v − cell centroid), so the byte
+    * codes spend their 8 bits on the within-cell detail; queries probe
+    * the `nprobe` nearest cells and ADC-score only those cells' codes
+    * through per-cell broadcast lookup tables (dot(q, c_cell) and the
+    * norm cross-terms fold in analytically); the shortlist reranks with
+    * exact cosine. Touched fraction ≈ nprobe/nlist AND what is touched
+    * is 32×-compressed — the two multipliers a 100 TB index needs.
+    * Rows-only; recall + determinism graded in VectorSpec.
+    */
+  val v08AnnIvfPq: Q = (s, d) =>
+    annIvfPq(emb(s, d), maxQid = 50, nlist = 16, nprobe = 4,
+      m = 8, k = 16, rerank = 32)
+
+  def annIvfPq(e0: DataFrame, maxQid: Int, nlist: Int, nprobe: Int,
+      m: Int, k: Int, rerank: Int): DataFrame = {
+    require(Dim % m == 0)
+    val sub = Dim / m
+    val spark = e0.sparkSession
+    val e = e0.repartition(spark.sparkContext.defaultParallelism)
+
+    // --- driver-side training, bounded sample (as v05/v07) ---
+    val sample = e0.orderBy("vec_id").limit(nlist * 40)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val coarse = kmeansFit(sample, nlist)
+    val residuals = sample.map { v =>
+      val c = coarse(nearestCell(coarse, v))
+      Array.tabulate(Dim)(j => v(j) - c(j))
+    }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      kmeansFit(residuals.map(_.slice(mi * sub, (mi + 1) * sub)), k)
+    }
+    // per-(cell, mi, code) norm cross-term: 2·dot(c_sub, cb) + ||cb||²
+    // → approx ||v||² = ||c_cell||² + Σ_mi crossN(cell)(mi)(code)
+    val cellN2 = coarse.map(c => c.map(x => x * x).sum)
+    val crossN: Array[Array[Array[Double]]] = Array.tabulate(nlist) { ci =>
+      Array.tabulate(m) { mi =>
+        Array.tabulate(k) { co =>
+          var s2 = 0.0; var dc = 0.0
+          var j = 0
+          while (j < sub) {
+            val cb = codebooks(mi)(co)(j)
+            s2 += cb * cb; dc += coarse(ci)(mi * sub + j) * cb
+            j += 1
+          }
+          2.0 * dc + s2
+        }
+      }
+    }
+    val bc = spark.sparkContext.broadcast(
+      (coarse, codebooks, cellN2, crossN))
+
+    // map-side index build: cell routing + residual byte codes
+    val encodeUdf = udf { (v: Seq[Double]) =>
+      val (cents, cbs, _, _) = bc.value
+      val va = v.toArray
+      val cell = nearestCell(cents, va)
+      val c = cents(cell)
+      val codes = Array.tabulate(m) { mi =>
+        val r = Array.tabulate(sub)(j =>
+          va(mi * sub + j) - c(mi * sub + j))
+        nearestCell(cbs(mi), r).toByte
+      }
+      (cell, codes)
+    }
+    val indexed = e.select(col("vec_id"),
+        encodeUdf(col("v")).as("enc"))
+      .select(col("vec_id"), col("enc._1").as("cell"),
+        col("enc._2").as("codes"))
+
+    // per-query ADC tables over the probed cells only
+    val queries = e0.filter(col("vec_id") < maxQid)
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // qid → (probed cells, dot(q, c_cell) per cell, t(mi)(code) residual dots)
+    val qMeta: Map[Long, (Array[Int], Array[Double],
+        Array[Array[Double]])] = queries.map { case (qid, qv) =>
+      val probed = coarse.indices
+        .map(ci => (ci, dist2(coarse(ci), qv)))
+        .sortBy(_._2).take(nprobe).map(_._1).toArray
+      val qDotC = coarse.map(c => c.indices.map(j => c(j) * qv(j)).sum)
+      val t = Array.tabulate(m) { mi =>
+        Array.tabulate(k) { co =>
+          var dot = 0.0
+          var j = 0
+          while (j < sub) {
+            dot += qv(mi * sub + j) * codebooks(mi)(co)(j); j += 1
+          }
+          dot
+        }
+      }
+      qid -> ((probed, qDotC, t))
+    }.toMap
+    val bcQ = spark.sparkContext.broadcast(qMeta)
+
+    val adcUdf = udf { (vecId: Long, cell: Int, codes: Array[Byte]) =>
+      val (_, _, cellN2v, crossNv) = bc.value
+      bcQ.value.iterator.collect {
+        case (qid, (probed, qDotC, t))
+            if qid != vecId && probed.contains(cell) =>
+          var dot = qDotC(cell)
+          var n2 = cellN2v(cell)
+          var mi = 0
+          while (mi < codes.length) {
+            val co = codes(mi) & 0xff
+            dot += t(mi)(co); n2 += crossNv(cell)(mi)(co); mi += 1
+          }
+          (qid, dot / math.max(math.sqrt(math.max(n2, 0.0)), 1e-12))
+      }.toSeq
+    }
+    val adc = indexed
+      .select(col("vec_id"),
+        explode(adcUdf(col("vec_id"), col("cell"), col("codes")))
+          .as("s"))
+      .select(col("s._1").as("qid"), col("vec_id"),
+        col("s._2").as("adc_score"))
+    val wAdc = Window.partitionBy("qid")
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+    val candIds = adc.withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= rerank)
+      .select("qid", "vec_id")
+    val qDf = e0.filter(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val reranked = candIds
+      .join(e0.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(qDf), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(cosUdf(col("qv"), col("v")), 4).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    reranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("vec_id").as("ann_nid"), col("cos_sim"))
+      .orderBy("qid")
+  }
+
+  /** Deterministic bounded Lloyd's k-means (driver-side; sample size is
+    * corpus-independent — shared by the IVF coarse quantizer and the PQ
+    * codebooks).
+    */
+  private def kmeansFit(points: Array[Array[Double]], k: Int)
+      : Array[Array[Double]] = {
+    val dim = points.head.length
+    var cents = Array.tabulate(k)(i =>
+      points((i * points.length) / k).clone())
+    for (_ <- 0 until 10) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      points.foreach { v =>
+        val c = nearestCell(cents, v)
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else { val s2 = sums(c); s2.indices.foreach(j =>
+          s2(j) /= counts(c)); s2 })
+    }
+    cents
+  }
+
   private def dist2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     val n = math.min(a.length, b.length)
@@ -416,6 +547,7 @@ object VectorOps {
     "v04_norm_stats" -> v04NormStats,
     "v05_ann_ivf" -> v05AnnIvf,
     "v07_ann_pq" -> v07AnnPq,
+    "v08_ann_ivfpq" -> v08AnnIvfPq,
   )
 
   val oracles: Map[String, String] = Map(

@@ -87,6 +87,36 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("v08 IVF+PQ ANN: probes + compressed codes, deterministic, " +
+      "reasonable recall") {
+    val a = VectorOps.v08AnnIvfPq(spark, sf).collect()
+    val b = VectorOps.v08AnnIvfPq(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "IVF+PQ must be deterministic")
+    assert(a.length === 50)
+    val pq = a.map(r => r.getAs[Long]("qid") ->
+      r.getAs[Long]("ann_nid")).toMap
+    pq.foreach { case (qid, nid) => assert(nid !== qid) }
+    // double approximation (cell probe miss + residual codes): expect
+    // lower recall than flat PQ but well above random (1/1000)
+    val e = Tables.embeddings(spark, sf).selectExpr(
+      "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val q = e.filter(col("vec_id") < 50)
+      .withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qv")
+    val brute = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .selectExpr("qid", "vec_id",
+        """aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (s, x) -> s + x)
+          | / (sqrt(aggregate(qv, 0D, (s, x) -> s + x * x))
+          |    * sqrt(aggregate(v, 0D, (s, x) -> s + x * x))) AS cs"""
+          .stripMargin)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (qid, rs) =>
+        qid -> rs.maxBy(_.getAs[Double]("cs")).getAs[Long]("vec_id")
+      }
+    val hits = brute.count { case (qid, bid) => pq(qid) == bid }
+    assert(hits >= 10, s"IVF+PQ recall too low: $hits/50")
+  }
+
   test("v05 IVF ANN: deterministic, nonempty, reasonable recall") {
     val ivf1 = VectorOps.v05AnnIvf(spark, sf).collect()
       .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("ann_nid")).toMap
