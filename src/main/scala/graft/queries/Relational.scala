@@ -503,6 +503,26 @@ object Relational {
         col("n_orders"), col("total_value"))
       .orderBy("status", "priority")
 
+  /** q34 — explicit GROUPING SETS (SURVEY §2.4 mandate; the general
+    * form of q16's rollup and q30's cube): an asymmetric set list —
+    * (flag, status), (flag), (status) — that neither shorthand
+    * expresses (rollup lacks (status); cube adds the grand total).
+    * Catalyst expands the sets via a single Expand node and
+    * partial-aggregates before the one exchange.
+    */
+  val q34GroupingSets: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q34")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_lines,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem_q34
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
   /** q31 — AS-OF join (each event matched to the same key's most recent
     * order at-or-before the event time). Spark has no asof operator;
     * the scalable form is the union-merge: tag both streams, union,
@@ -610,6 +630,7 @@ object Relational {
     "q23_pivot_conditional" -> q23PivotConditional,
     "q24_approx_distinct" -> q24ApproxDistinct,
     "q25_range_join" -> q25RangeJoin,
+    "q34_grouping_sets" -> q34GroupingSets,
   )
 
   /** DuckDB oracles. Column names and ORDER BY match the Spark plans
@@ -797,6 +818,15 @@ object Relational {
         |  CAST((SELECT count(*) FROM (SELECT * FROM a UNION
         |    SELECT * FROM b)) AS BIGINT)
         |ORDER BY tag""".stripMargin,
+    "q34_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_lines,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "q16_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
