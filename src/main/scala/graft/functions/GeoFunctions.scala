@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, collect_list}
@@ -289,7 +290,34 @@ object GeoFunctions {
     override def prettyName: String = "st_union_array"
   }
 
+  /** st_dump — native Catalyst Generator (SURVEY §2.10 UDTF row): one
+    * output row per part of a multi-part or collection geometry
+    * (single geometries yield one row), with the part index. The
+    * generator contract streams rows — no intermediate array is
+    * materialized per input row, unlike a collect-to-array + explode.
+    */
+  case class STDump(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Generator
+      with CodegenFallback {
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("part_idx", IntegerType, nullable = false),
+      StructField("part", BinaryType, nullable = true)))
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) Nil
+      else {
+        val g = geom(v)
+        (0 until g.getNumGeometries).map(i =>
+          InternalRow(i, Geo.toWkb(g.getGeometryN(i))))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def prettyName: String = "st_dump"
+  }
+
   private val builders: Map[String, Seq[Expression] => Expression] = Map(
+    "st_dump" -> (es => STDump(es.head)),
     "st_point" -> (es => STPoint(es(0), es(1))),
     "st_geomfromtext" -> (es => STGeomFromText(es.head)),
     "st_geomfromgeojson" -> (es => STGeomFromGeoJson(es.head)),

@@ -284,4 +284,27 @@ class GeoSpec extends SparkSpec {
     GeoJson.write(df, "geometry", path, "test-layer")
     assert(GeoJson.read(spark, path).count() === 2)
   }
+
+  test("st_dump generator explodes multi-part geometries row-per-part") {
+    GeoFunctions.registerAll(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1, "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+        "((5 5, 6 5, 6 6, 5 6, 5 5)))"),
+      (2, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))
+      .toDF("id", "wkt")
+      .select(col("id"), st_geomFromText(col("wkt")).as("geometry"))
+    df.createOrReplaceTempView("dump_in")
+    val parts = spark.sql(
+      "SELECT id, st_dump(geometry) AS (part_idx, part) FROM dump_in")
+      .collect()
+    assert(parts.length === 3, "2 multi parts + 1 single part")
+    val byId = parts.groupBy(_.getInt(0))
+    assert(byId(1).map(_.getInt(1)).sorted.sameElements(Array(0, 1)))
+    assert(byId(2).map(_.getInt(1)).sameElements(Array(0)))
+    // each dumped part is a valid polygon of the expected area
+    val areas = parts.map(r => graft.geo.Geo
+      .fromWkb(r.getAs[Array[Byte]](2)).getArea).sorted
+    assert(areas.sameElements(Array(1.0, 1.0, 4.0)))
+  }
 }
