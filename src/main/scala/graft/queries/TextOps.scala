@@ -616,6 +616,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t15 — incremental dedup as a declared, oracle-verified query:
+    * treat doc_id < 400 as the existing corpus and ≥ 400 as the
+    * incoming batch; a new doc is dropped if it near-duplicates the
+    * corpus or an earlier (lower-id) new doc. This is what a streaming
+    * ingestion pipeline runs per batch; the portable MinHash machinery
+    * makes the whole decision SQL-expressible.
+    */
+  val t15IncrementalDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    dedupIncrementalPortable(
+      docs.filter(col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 400), 0.5)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Portable-hash incremental dedup (see t15 doc; oracle twin shares
+    * [[minHashCtes]]). Doc ids must be globally unique across frames.
+    */
+  def dedupIncrementalPortable(corpus: DataFrame, newDocs: DataFrame,
+      jaccardThreshold: Double): DataFrame = {
+    val all = corpus.select(col("doc_id"), col("text"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newDocs.select(col("doc_id"), col("text"))
+        .withColumn("is_new", lit(true)))
+    val flags = all.select(col("doc_id"), col("is_new"))
+    val pairs = minHashPairsPortable(all.select("doc_id", "text"),
+      jaccardThreshold)
+    val f1 = flags.toDF("d1", "new1")
+    val f2 = flags.toDF("d2", "new2")
+    val withFlags = pairs.join(f1, "d1").join(f2, "d2")
+    val dropNew = withFlags.select(
+      when(col("new1") && !col("new2"), col("d1"))
+        .when(col("new2") && !col("new1"), col("d2"))
+        .when(col("new1") && col("new2"),
+          greatest(col("d1"), col("d2")))
+        .as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+    newDocs.join(dropNew, Seq("doc_id"), "left_anti")
+  }
+
   /** Incremental dedup: drop new-batch documents that near-duplicate
     * the EXISTING corpus or an earlier new-batch doc — what a streaming
     * ingestion pipeline runs per batch. Same banded-LSH machinery; the
@@ -750,6 +790,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t15_incremental_dedup" -> t15IncrementalDedup,
     "t14_corpus_curation" -> t14CorpusCuration,
     "t13_bm25" -> t13Bm25,
     "t12_tfidf" -> t12TfIdf,
@@ -961,6 +1002,20 @@ object TextOps {
            |  CAST(sum(n_words) AS BIGINT) AS total_tokens
            |FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM drops)
            |GROUP BY lang ORDER BY lang""".stripMargin,
+      "t15_incremental_dedup" ->
+        s"""WITH ${minHashCtes("SELECT doc_id, text FROM documents", 0.5)},
+           |drops AS (
+           |  SELECT DISTINCT CASE
+           |    WHEN d1 >= 400 AND d2 < 400 THEN d1
+           |    WHEN d2 >= 400 AND d1 < 400 THEN d2
+           |    WHEN d1 >= 400 AND d2 >= 400 THEN greatest(d1, d2)
+           |  END AS doc_id
+           |  FROM pairs WHERE d1 >= 400 OR d2 >= 400)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id >= 400
+           |  AND doc_id NOT IN (SELECT doc_id FROM drops
+           |                     WHERE doc_id IS NOT NULL)
+           |ORDER BY doc_id""".stripMargin,
       "t09_char_trigrams" ->
         """SELECT g, count(*) AS n FROM (
           |  SELECT substr(text, CAST(i AS INT), 3) AS g
