@@ -376,6 +376,8 @@ object GeoFunctions {
   /** Great-circle proximity predicate (ST_DWithin analogue, km). */
   def st_dwithin_km(a: Column, b: Column, km: Double): Column =
     st_distance_sphere(a, b) <= km
+  /** Generator: one row per geometry part — use like `explode`. */
+  def st_dump(g: Column): Column = call_function("st_dump", g)
   def st_envelope(g: Column): Column = call_function("st_envelope", g)
   def st_convexHull(g: Column): Column = call_function("st_convexhull", g)
   def st_centroid(g: Column): Column = call_function("st_centroid", g)
