@@ -157,7 +157,12 @@ object TextOps {
     * rows, exact-Jaccard verify). Shared by the t06 and t11 oracles so
     * both stay in lockstep with the Spark plan's parameters.
     */
-  private def minHashCtes(srcSql: String, thr: Double): String = {
+  /** DuckDB CTE chain (`g`, `gh`, `mh`, `bands`) computing the portable
+    * MinHash band table over any (doc_id, text) relation — the twin of
+    * [[portableBandTable]]. Split out of [[minHashCtes]] so the stored
+    * dedup index (t16) can be oracled on its own.
+    */
+  private def minHashBandCtes(srcSql: String): String = {
     val seedRows = minHashSeeds
       .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
     s"""g AS (
@@ -177,7 +182,11 @@ object TextOps {
        |      max(CASE WHEN seed % 4 = 1 THEN mh END),
        |      max(CASE WHEN seed % 4 = 2 THEN mh END),
        |      max(CASE WHEN seed % 4 = 3 THEN mh END)) AS bucket
-       |  FROM mh GROUP BY 1, 2),
+       |  FROM mh GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def minHashCtes(srcSql: String, thr: Double): String = {
+    s"""${minHashBandCtes(srcSql)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
@@ -318,14 +327,39 @@ object TextOps {
     */
   def minHashPairsPortable(docs0: DataFrame, minJaccard: Double)
       : DataFrame = {
-    val k = 5; val rowsPerBand = 4
-    val nBands = minHashSeeds.length / rowsPerBand
     // persist: this frame feeds the gram/signature stage AND both sides
     // of the verify text join — without it the upstream (which for the
     // dedup cascade is itself a join pipeline) recomputes three times
     val docs = docs0.repartition(
       docs0.sparkSession.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist: the self-join references bands on BOTH sides — without
+    // materialization the whole gram/md5/signature pipeline (the
+    // expensive part) runs twice. The frame is narrow: nBands rows/doc
+    // of (id, band, bucket-string).
+    val bands = portableBandTable(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifiedJaccardPairs(cand, docs, minJaccard)
+      .orderBy("d1", "d2")
+  }
+
+  /** The portable MinHash band table of a (doc_id, text) frame:
+    * one row per (doc, band) with the band's bucket key — the frame the
+    * LSH candidate joins key on, and the frame a stored dedup INDEX
+    * persists (see [[ensureBandIndex]]). k=5 shingles, 32 affine
+    * permutations of one md5-derived gram hash, 8 bands × 4 rows;
+    * matches the `bands` CTE of [[minHashBandCtes]] exactly.
+    */
+  def portableBandTable(docs: DataFrame): DataFrame = {
+    val k = 5; val rowsPerBand = 4
+    val nBands = minHashSeeds.length / rowsPerBand
     // NO distinct here: min() is duplicate-insensitive, so signatures
     // over the gram MULTISET equal signatures over the set — and the
     // distinct would be a full |grams|-row shuffle. With it gone, the
@@ -345,36 +379,29 @@ object TextOps {
     val bucketCols = (0 until nBands).map(b =>
       concat_ws(",", (0 until rowsPerBand).map(j =>
         col(s"mh${b * rowsPerBand + j}")): _*))
-    // persist: the self-join references bands on BOTH sides — without
-    // materialization the whole gram/md5/signature pipeline (the
-    // expensive part) runs twice. The frame is narrow: nBands rows/doc
-    // of (id, band, bucket-string).
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    // Exact verify per CANDIDATE pair over the (small) id-keyed text
-    // joins — candidates are rare after banding, so recomputing the two
-    // gram sets per pair beats re-joining the full |grams| frame twice
-    // (measured: the gram-join verify added ~6 s at sf0.1). The DuckDB
-    // twin keeps the relational gram-join form: same integers i/na/nb,
-    // same double, same rounding.
+  }
+
+  /** Exact-Jaccard verify per CANDIDATE pair over (small) id-keyed text
+    * joins — candidates are rare after banding, so recomputing the two
+    * gram sets per pair beats re-joining the full |grams| frame twice
+    * (measured: the gram-join verify added ~6 s at sf0.1). The DuckDB
+    * twin keeps the relational gram-join form: same integers i/na/nb,
+    * same double, same rounding. `texts` must be a 2-column
+    * (doc_id, text) frame covering every id in `cand`.
+    */
+  private def verifiedJaccardPairs(cand: DataFrame, texts: DataFrame,
+      minJaccard: Double): DataFrame = {
     val jacUdf = udf { (ta: String, tb: String) =>
-      TextHash.stringGramJaccard(ta, tb, k)
+      TextHash.stringGramJaccard(ta, tb, 5)
     }
     cand
-      .join(docs.toDF("d1", "t1"), "d1")
-      .join(docs.toDF("d2", "t2"), "d2")
+      .join(texts.toDF("d1", "t1"), "d1")
+      .join(texts.toDF("d2", "t2"), "d2")
       .select(col("d1"), col("d2"),
         round(jacUdf(col("t1"), col("t2")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .orderBy("d1", "d2")
   }
 
   /** Core MinHash-LSH pair generator over any (doc_id, text) frame. */
@@ -620,40 +647,104 @@ object TextOps {
     * treat doc_id < 400 as the existing corpus and ≥ 400 as the
     * incoming batch; a new doc is dropped if it near-duplicates the
     * corpus or an earlier (lower-id) new doc. This is what a streaming
-    * ingestion pipeline runs per batch; the portable MinHash machinery
-    * makes the whole decision SQL-expressible.
+    * ingestion pipeline runs per batch.
+    *
+    * Declared shape (round 3): the corpus side is a STORED INDEX — the
+    * persisted (doc_id, band, bucket) parquet built once by
+    * [[ensureBandIndex]] (targets-style memoization, SURVEY §4; cf. the
+    * reference's `_targets/meta` skip semantics). The batch query signs
+    * ONLY the new docs and joins their bands against the index + each
+    * other, so per-ingest cost scales with the BATCH, never the corpus:
+    * the corpus is touched only as (a) an index parquet scan of narrow
+    * band rows and (b) id-equi-joined text lookups for the rare
+    * verified candidates. PlanSpec proves the shape: the t15 plan
+    * contains the index file scan and NO `doc_id < 400` scan — the
+    * full-corpus gram/md5/signature pipeline cannot be hiding anywhere.
+    * The index content itself is oracle-verified as [[t16BandIndex]].
     */
   val t15IncrementalDedup: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    dedupIncrementalPortable(
-      docs.filter(col("doc_id") < 400),
-      docs.filter(col("doc_id") >= 400), 0.5)
+    val index = ensureBandIndex(s, d,
+      docs.filter(col("doc_id") < 400), "t15_corpus")
+    dedupIncrementalIndexed(index, docs.filter(col("doc_id") >= 400),
+      docs, 0.5)
       .select("doc_id").orderBy("doc_id")
   }
 
-  /** Portable-hash incremental dedup (see t15 doc; oracle twin shares
-    * [[minHashCtes]]). Doc ids must be globally unique across frames.
+  /** t16 — the stored dedup-index build as its own oracled query: the
+    * exact (doc_id, band, bucket) rows t15's batch side joins against,
+    * read back from the SAME parquet files t15 scans (so what is
+    * hash-verified is the stored artifact, not a recomputation).
     */
-  def dedupIncrementalPortable(corpus: DataFrame, newDocs: DataFrame,
-      jaccardThreshold: Double): DataFrame = {
-    val all = corpus.select(col("doc_id"), col("text"))
-      .withColumn("is_new", lit(false))
-      .unionByName(newDocs.select(col("doc_id"), col("text"))
-        .withColumn("is_new", lit(true)))
-    val flags = all.select(col("doc_id"), col("is_new"))
-    val pairs = minHashPairsPortable(all.select("doc_id", "text"),
-      jaccardThreshold)
-    val f1 = flags.toDF("d1", "new1")
-    val f2 = flags.toDF("d2", "new2")
-    val withFlags = pairs.join(f1, "d1").join(f2, "d2")
-    val dropNew = withFlags.select(
-      when(col("new1") && !col("new2"), col("d1"))
-        .when(col("new2") && !col("new1"), col("d2"))
-        .when(col("new1") && col("new2"),
-          greatest(col("d1"), col("d2")))
-        .as("doc_id"))
-      .filter(col("doc_id").isNotNull).distinct()
-    newDocs.join(dropNew, Seq("doc_id"), "left_anti")
+  val t16BandIndex: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    ensureBandIndex(s, d, docs.filter(col("doc_id") < 400), "t15_corpus")
+      .orderBy("doc_id", "band")
+  }
+
+  /** Root directory for persisted dedup indexes (band tables). Override
+    * with SPARK_GRAFT_INDEX_DIR; defaults under the JVM temp dir so the
+    * repo tree stays clean. On a cluster this would be a shared
+    * filesystem path (the index is plain parquet).
+    */
+  private def indexRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-band-index")
+
+  /** Build-or-reuse the persisted MinHash band index for `corpus` docs
+    * from sf-dir `d` (targets-style memoization via [[StageCache]]:
+    * keyed by code version + the documents parquet fingerprint, so a
+    * changed corpus rebuilds and an unchanged one is a pure read). The
+    * returned frame is ALWAYS the parquet read-back — downstream plans
+    * see a file scan, never the signature pipeline.
+    */
+  def ensureBandIndex(s: SparkSession, d: String, corpus: DataFrame,
+      name: String): DataFrame = {
+    val cache = new graft.pipeline.StageCache(s, indexRoot)
+    cache.stage(name,
+      cache.versionHash(Seq("minhash-band-index", "v1", "k=5",
+        s"nPerm=${minHashSeeds.length}", "rowsPerBand=4")),
+      Seq(s"$d/documents.parquet")) {
+      portableBandTable(corpus)
+    }
+  }
+
+  /** Incremental dedup against a stored band index (see t15 doc): signs
+    * only `newDocs`, generates candidates from (new × index) and
+    * (new × new) band joins, verifies with the exact-Jaccard kernel
+    * over id-keyed text lookups, and anti-joins the drops. `allTexts`
+    * must be a (doc_id, text) frame covering corpus + batch ids (an
+    * UNFILTERED scan — a `doc_id < 400` filter here would be the
+    * full-corpus re-sign smell PlanSpec forbids; text lookups are
+    * candidate-driven and cheap). Doc ids must be globally unique.
+    * A new doc is dropped if it verifies against ANY corpus doc or a
+    * LOWER-id new doc — d2 is the new side in both candidate frames,
+    * so the drop set is just `distinct d2`.
+    */
+  def dedupIncrementalIndexed(corpusIndex: DataFrame, newDocs: DataFrame,
+      allTexts: DataFrame, jaccardThreshold: Double): DataFrame = {
+    // persist: the batch band table feeds BOTH candidate joins; it is
+    // narrow (nBands rows per batch doc) and batch-sized, not
+    // corpus-sized.
+    val newBands = portableBandTable(
+      newDocs.repartition(
+        newDocs.sparkSession.sparkContext.defaultParallelism))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candCorpus = corpusIndex.as("c")
+      .join(newBands.as("n"),
+        col("c.band") === col("n.band") &&
+          col("c.bucket") === col("n.bucket"))
+      .select(col("c.doc_id").as("d1"), col("n.doc_id").as("d2"))
+    val candNew = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val cand = candCorpus.unionByName(candNew).distinct()
+    val dropNew = verifiedJaccardPairs(cand, allTexts, jaccardThreshold)
+      .select(col("d2").as("doc_id")).distinct()
+    newDocs.select("doc_id").join(dropNew, Seq("doc_id"), "left_anti")
   }
 
   /** Incremental dedup: drop new-batch documents that near-duplicate
@@ -790,6 +881,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t16_band_index" -> t16BandIndex,
     "t15_incremental_dedup" -> t15IncrementalDedup,
     "t14_corpus_curation" -> t14CorpusCuration,
     "t13_bm25" -> t13Bm25,
@@ -1016,6 +1108,13 @@ object TextOps {
            |  AND doc_id NOT IN (SELECT doc_id FROM drops
            |                     WHERE doc_id IS NOT NULL)
            |ORDER BY doc_id""".stripMargin,
+      // twin of the STORED index t15 joins against — hash-verifying the
+      // persisted artifact's exact rows (t16 reads the parquet back)
+      "t16_band_index" ->
+        s"""WITH ${minHashBandCtes(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 400")}
+           |SELECT doc_id, band, bucket FROM bands
+           |ORDER BY doc_id, band""".stripMargin,
       "t09_char_trigrams" ->
         """SELECT g, count(*) AS n FROM (
           |  SELECT substr(text, CAST(i AS INT), 3) AS g

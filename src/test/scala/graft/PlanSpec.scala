@@ -55,6 +55,22 @@ class PlanSpec extends SparkSpec {
       s"bands frame must be persisted (self-join reuse):\n$p")
   }
 
+  test("t15: corpus side is the stored band index, never re-signed") {
+    val df = SparkEntry.queries("t15_incremental_dedup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus bands must come from the persisted index parquet...
+    assert(p.contains("graft-band-index"),
+      s"no stored-index file scan in the t15 plan:\n$p")
+    // ...the signature pipeline must be fed by the BATCH-only scan...
+    assert(p.contains("GreaterThanOrEqual(doc_id,400)"),
+      s"batch-side doc_id >= 400 pushdown missing:\n$p")
+    // ...and NO corpus-filtered scan may exist anywhere (pushed or
+    // residual): corpus rows may only enter via the index scan or the
+    // unfiltered id-keyed text lookups of the verify stage
+    assert(!p.contains("LessThan(doc_id,400)") && !p.contains("< 400"),
+      s"a doc_id < 400 scan exists — the corpus is being re-signed:\n$p")
+  }
+
   test("t08: winnowing is one window pass over one per-doc sort") {
     val df = SparkEntry.queries("t08_winnow_fingerprint")(spark, sf)
     df.collect()

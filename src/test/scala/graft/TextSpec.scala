@@ -163,6 +163,50 @@ class TextSpec extends SparkSpec {
     assert(kept === Set(11L, 12L), s"got $kept")
   }
 
+  test("dedupIncrementalIndexed: same decisions from a stored band table") {
+    import spark.implicits._
+    val a = "existing corpus document about spark catalyst optimizer " +
+      "rules and physical planning strategies for large clusters"
+    val c = "fresh near duplicate pair about minhash banding and " +
+      "locality sensitive hashing for near duplicate detection"
+    val corpus = Seq((0L, a)).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, a), // dup of corpus → dropped
+      (11L, "genuinely novel content about alaska service areas"),
+      (12L, c), // intra-batch pair, lower id → kept
+      (13L, c.replace("detection", "detect"))) // near dup of 12 → dropped
+      .toDF("doc_id", "text")
+    // the index frame is what ensureBandIndex persists — here built
+    // in-memory so the test exercises the join/verify/drop logic alone
+    val index = TextOps.portableBandTable(corpus)
+    val kept = TextOps.dedupIncrementalIndexed(
+        index, newDocs, corpus.unionByName(newDocs), 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 12L), s"got $kept")
+  }
+
+  test("t15 indexed plan reproduces the full-sign drop decisions exactly") {
+    // equivalence oracle for the round-3 redesign: the stored-index t15
+    // must keep precisely the ids the ad-hoc full-corpus signing keeps
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val pairs = TextOps.minHashPairsPortable(docs, 0.5)
+    val expected = {
+      import org.apache.spark.sql.functions._
+      val drops = pairs
+        .filter(col("d1") >= 400 || col("d2") >= 400)
+        .select(when(col("d1") >= 400 && col("d2") < 400, col("d1"))
+          .when(col("d2") >= 400 && col("d1") < 400, col("d2"))
+          .otherwise(greatest(col("d1"), col("d2"))).as("doc_id"))
+        .distinct()
+      docs.filter(col("doc_id") >= 400).select("doc_id")
+        .join(drops, Seq("doc_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val got = SparkEntry.queries("t15_incremental_dedup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected, s"indexed=${got.size} fullsign=${expected.size}")
+  }
+
   test("prefix-filtered jaccard join is EXACT: finds every pair brute force finds") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
