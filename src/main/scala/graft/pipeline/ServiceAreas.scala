@@ -248,14 +248,38 @@ object ServiceAreas {
   /** Final published schema + sync status (R/functions.R:490-529,
     * about.qmd:30-42). geometry_is_current: KML-embedded date >= last
     * service-area-changing chronology event; 3-valued (null = unknown).
+    *
+    * The reference's freshness cross-check
+    * (kml_has_newest_service_area_updates, R/functions.R:287-304) has a
+    * warn branch its flag value alone can't convey: a KML date NEWER
+    * than the newest chronology entry of ANY type means RCA's
+    * chronology is incomplete ("should have an entry dated X but
+    * doesn't") — the reference `warning()`s and returns NA. Those
+    * impossible states surface here as a `sync_warning` column
+    * (null = consistent):
+    *   - `chronology_missing_entry` — the R:293 warn branch;
+    *   - `no_chronology_entries` — a KML date but no chronology rows at
+    *     all (the reference's length-0 `tail()` comparison would error;
+    *     guarded here as a named state).
+    * Both force geometry_is_current to null (the reference's NA), and a
+    * chronology with NO area-changing entries is `true` (the
+    * reference's `nrow(newer) == 0` → TRUE path), not unknown. The
+    * reference emits warnings to the console, not the GeoJSON, so
+    * [[run]] drops the column before the file write (byte parity).
     */
-  def publishLayer(enriched: DataFrame, geo: DataFrame): DataFrame =
+  def publishLayer(enriched: DataFrame, geo: DataFrame): DataFrame = {
+    val hasKml = col("geometry_last_update").isNotNull
     geo.join(broadcast(enriched), Seq("certificate_number"), "inner")
+      .withColumn("sync_warning",
+        when(hasKml && col("certificate_last_update_date").isNull,
+          lit("no_chronology_entries"))
+          .when(hasKml && (col("certificate_last_update_date") <
+            col("geometry_last_update")), lit("chronology_missing_entry")))
       .withColumn("geometry_is_current",
-        when(col("geometry_last_update").isNull ||
-          col("last_area_change_date").isNull, lit(null).cast("boolean"))
-          .otherwise(col("geometry_last_update") >=
-            col("last_area_change_date")))
+        when(!hasKml || col("sync_warning").isNotNull,
+          lit(null).cast("boolean"))
+          .otherwise(col("last_area_change_date").isNull ||
+            col("geometry_last_update") >= col("last_area_change_date")))
       .withColumn("geometry_cert_sync_status",
         when(col("geometry_is_current") === true, "up_to_date")
           .when(col("geometry_is_current") === false, "outdated")
@@ -272,7 +296,9 @@ object ServiceAreas {
         col("geometry_last_update"),
         col("geometry_is_current"),
         col("geometry_cert_sync_status"),
+        col("sync_warning"),
         col("geometry"))
+  }
 
   /** Conditional whole-column int downcast (reference A5,
     * R/functions.R:220-224,524-528): cast to int iff every value is
@@ -340,7 +366,10 @@ object ServiceAreas {
     val published =
       maybeDowncastToInt(publishLayer(enriched, patched),
         "certificate_number")
-    GeoJson.write(published, "geometry",
+    // sync_warning mirrors the reference's CONSOLE warnings — it is not
+    // a property of its GeoJSON output, so drop it for byte parity; the
+    // returned frame keeps it as the structured surface of those states
+    GeoJson.write(published.drop("sync_warning"), "geometry",
       s"$outDir/service-areas.geojson", "service-areas")
     published
   }

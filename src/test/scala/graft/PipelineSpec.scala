@@ -81,6 +81,49 @@ class PipelineSpec extends SparkSpec {
     assert(status(10) === "unknown")     // no date in KML description
   }
 
+  test("sync_warning surfaces the reference's impossible-state warn " +
+      "branches (R/functions.R:287-304)") {
+    import spark.implicits._
+    def d(s: String): java.sql.Date = java.sql.Date.valueOf(s)
+    // (cert, last ANY event, last AREA event, kml date) per state
+    val enriched = Seq(
+      // consistent, current: chronology newer than KML, no area change after
+      (1.0, Option(d("2020-01-01")), Option(d("2019-01-01")), "E1"),
+      // consistent, outdated: area change after the KML date
+      (2.0, Option(d("2021-06-01")), Option(d("2021-06-01")), "E2"),
+      // WARN chronology_missing_entry: KML newer than the whole chronology
+      (3.0, Option(d("2015-01-01")), Option(d("2015-01-01")), "E3"),
+      // WARN no_chronology_entries: KML date but zero chronology rows
+      (4.0, None, None, "E4"),
+      // consistent: chronology has NO area-changing entries → TRUE (the
+      // reference's nrow(newer)==0 path), not unknown
+      (5.0, Option(d("2020-01-01")), None, "E5"))
+      .toDF("certificate_number", "certificate_last_update_date",
+        "last_area_change_date", "entity")
+      .withColumn("certificate_name", col("entity"))
+      .withColumn("cpcn_url", lit("u"))
+      .withColumn("certificate_granted_year", lit(2000))
+      .withColumn("certificate_last_update_order", lit("o"))
+      .withColumn("certificate_last_update_type", lit("t"))
+    val geo = Seq(
+      (1.0, Option(d("2019-06-01"))), (2.0, Option(d("2020-01-01"))),
+      (3.0, Option(d("2016-01-01"))), (4.0, Option(d("2016-01-01"))),
+      (5.0, Option(d("2019-01-01"))))
+      .toDF("certificate_number", "geometry_last_update")
+      .withColumn("geometry", lit("g"))
+    val out = ServiceAreas.publishLayer(enriched, geo)
+      .select("certificate_number", "geometry_cert_sync_status",
+        "sync_warning")
+      .collect()
+      .map(r => r.getDouble(0) -> (r.getString(1), Option(r.getString(2))))
+      .toMap
+    assert(out(1.0) === ("up_to_date", None))
+    assert(out(2.0) === ("outdated", None))
+    assert(out(3.0) === ("unknown", Some("chronology_missing_entry")))
+    assert(out(4.0) === ("unknown", Some("no_chronology_entries")))
+    assert(out(5.0) === ("up_to_date", None))
+  }
+
   test("deregulated events excluded from area-change currency check") {
     // cert 100's latest event is Deregulated 8/1/2021 but last *area
     // change* is 7/4/2020; last_update_type surfaces the raw latest.
