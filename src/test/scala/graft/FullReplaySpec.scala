@@ -16,8 +16,8 @@ import graft.sources.GeoJson
   * fixtures, standing in for the isolated network source.
   *
   * Geometry equality vs the golden output uses symmetric-difference
-  * area (JTS vs GEOS unions may node intersection points differently;
-  * topology must still agree).
+  * area (the reference's unions ran through sf's s2 spherical engine,
+  * which snap-rounds vertices to S2 cells; topology must still agree).
   */
 class FullReplaySpec extends SparkSpec {
 
@@ -103,8 +103,14 @@ class FullReplaySpec extends SparkSpec {
     val mine = java.nio.file.Files
       .readAllLines(java.nio.file.Paths.get(outPath)).asScala.toSeq
     assert(mine.length === goldenLines.length, "line counts must match")
-    // certs 8 and 169 are true multi-geometry unions: JTS and GEOS node
-    // them differently (topological equality asserted separately above)
+    // certs 8 and 169 are the only true multi-geometry unions. The
+    // reference unioned them via sf's s2 path (spherical boolean ops
+    // with S2-cell snap rounding — golden vertices sit ~3-5e-8° off the
+    // raw inputs and the vertex sets differ from any planar noding), so
+    // byte parity is unreachable without reimplementing S2; topological
+    // equality is asserted separately above. Known difference — see
+    // README "byte-for-byte" note; this skip list is the complete
+    // enumeration.
     val unionCerts = Set(8L, 169L)
     var byteSame = 0; var skipped = 0
     mine.zip(goldenLines).zipWithIndex.foreach { case ((m, g), i) =>
