@@ -385,11 +385,19 @@ object TextOps {
 
   /** Exact-Jaccard verify per CANDIDATE pair over (small) id-keyed text
     * joins — candidates are rare after banding, so recomputing the two
-    * gram sets per pair beats re-joining the full |grams| frame twice
-    * (measured: the gram-join verify added ~6 s at sf0.1). The DuckDB
-    * twin keeps the relational gram-join form: same integers i/na/nb,
-    * same double, same rounding. `texts` must be a 2-column
-    * (doc_id, text) frame covering every id in `cand`.
+    * gram sets per pair beats a cached per-doc gram-ARRAY frame: that
+    * variant was tried in round 3 (array_distinct(transform(...)) per
+    * doc, persisted, verified with array_intersect) and REJECTED on
+    * measurement — it materializes gram arrays for every doc in
+    * `texts`, i.e. O(corpus) work and cache where the UDF does
+    * O(candidates × len) with zero extra exchanges (t15 went 6.8 s →
+    * 11.3 s at sf0.1 because its `texts` is the unfiltered corpus;
+    * t11/t14 regressed similarly). At 100 TB the same argument is
+    * sharper: a per-batch full-corpus array materialization is exactly
+    * the shape the stored band index exists to avoid. The DuckDB twin
+    * keeps the relational gram-join form: same integers i/na/nb, same
+    * double, same rounding. `texts` must be a 2-column (doc_id, text)
+    * frame covering every id in `cand`.
     */
   private def verifiedJaccardPairs(cand: DataFrame, texts: DataFrame,
       minJaccard: Double): DataFrame = {
