@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked run's stdout through RAW (no "[info] " log prefix) so
+// the Bench contract line — one bare {"metric":...} JSON line — reaches
+// the caller's stdout machine-parseable; Bench also mirrors it to
+// SPARK_GRAFT_BENCH_OUT (default bench_out.json) as the file fallback
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

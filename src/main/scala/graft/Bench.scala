@@ -37,7 +37,8 @@ object Bench {
         .count()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = (SparkEntry.queries ++ SparkEntry.benchOnly)
+      .toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try {

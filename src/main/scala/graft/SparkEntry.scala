@@ -29,6 +29,13 @@ object SparkEntry {
         "s01_stream_tumbling" -> ((s, d) =>
           EventStreams.replayHourlyAppend(s, d)))
 
+  /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
+    * next to exact q29); Bench times these alongside `queries`, the
+    * verify contract ignores them.
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.benchOnly
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

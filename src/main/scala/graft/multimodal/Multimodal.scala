@@ -147,15 +147,29 @@ object Multimodal {
       .agg(round(avg("weight"), 5).as("mean_weight"))
       .orderBy("lang", "bin")
 
+  /** Per-doc frame cardinality rollup. Frame counts are LEFT-joined
+    * back onto the media doc set: a zero-payload blob explodes to no
+    * frame rows and would otherwise vanish from the groupBy, while
+    * ceil-division semantics (and the m03 oracle) give it n_frames=0
+    * (ADVICE r02 — latent until the corpus has an empty text).
+    */
+  def frameCounts(media: DataFrame, frameBytes: Int): DataFrame =
+    media.select("doc_id")
+      .join(
+        frameSample(media, frameBytes)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nf"),
+            sum(length(col("frame"))).as("pb")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nf"), lit(0L)).as("n_frames"),
+        coalesce(col("pb"), lit(0L)).as("payload_bytes"))
+
   /** m03 — frame sampling cardinality (oracle: ceil division on
     * n_chars). Explode + reaggregate proves the generator path.
     */
   val m03FrameSample: Q = (s, d) =>
-    frameSample(mediaTable(s, d), 256)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_frames"),
-        sum(length(col("frame"))).as("payload_bytes"))
-      .orderBy("doc_id")
+    frameCounts(mediaTable(s, d), 256).orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
     "m01_media_meta" -> m01MediaMeta,
@@ -196,7 +210,8 @@ object Multimodal {
         |  SELECT doc_id, lang, n, unnest(range(0, 4)) AS bin FROM hx),
         |feat AS (
         |  SELECT g.lang, CAST(g.bin AS INT) AS bin,
-        |    CAST(coalesce(c.c, 0) / CAST(g.n AS DOUBLE) AS FLOAT) AS w
+        |    CAST(coalesce(c.c, 0) / CAST(greatest(g.n, 1) AS DOUBLE)
+        |      AS FLOAT) AS w
         |  FROM grid g
         |  LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.bin = c.bin)
         |SELECT lang, bin, round(avg(w), 5) AS mean_weight

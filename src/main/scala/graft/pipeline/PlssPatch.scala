@@ -48,10 +48,14 @@ object PlssPatch {
     s"$base?where=${Fetch.urlEncode(queryString)}" +
       "&returnGeometry=true&f=geojson"
 
-  /** Every feature geometry in a GeoJSON FeatureCollection string
-    * (ArcGIS `f=geojson` response): balanced-brace scan for each
-    * `"geometry"` member — geometry objects contain no braces inside
-    * string values, so a depth counter suffices.
+  /** Every feature geometry in an ArcGIS `f=geojson` query RESPONSE.
+    * CONTRACT: this is a fast scanner for that specific producer only —
+    * it balanced-brace-scans from each `"geometry"` token, which is
+    * sound because ArcGIS responses carry flat attribute properties
+    * (no nested objects, no `"geometry"` as a property name or string
+    * value, no braces inside strings). For arbitrary GeoJSON use
+    * [[graft.sources.GeoJson]]'s recursive-descent parser instead
+    * (ADVICE r02).
     */
   def featureGeometries(json: String): Seq[Geometry] = {
     val marker = "\"geometry\""

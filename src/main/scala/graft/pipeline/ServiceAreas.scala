@@ -160,7 +160,10 @@ object ServiceAreas {
       .otherwise(raise_error(concat(
         lit("KML description does not match the Granted-to pattern: "),
         cleaned)))
-    val datePat = """[\d]{1,2}/[\d]{1,2}/(?:[\d]{4}|[\d]{2})"""
+    // exactly-2-digit DAY, like the reference (R/functions.R:363-364):
+    // a 1-digit day ("Amended 6/1/2012") intentionally yields NO date
+    // (reference NA), which can gate the merge/PLSS patch version check
+    val datePat = """[\d]{1,2}/[\d]{2}/(?:[\d]{4}|[\d]{2})"""
     df.withColumn("kml_desc_clean", checked)
       .withColumn("kml_utility_name",
         regexp_extract(col("kml_desc_clean"), KmlDescPattern, 1))

@@ -491,6 +491,25 @@ object Relational {
         round(expr("percentile(l_quantity, 0.25)"), 2).as("p25_qty"))
       .orderBy("l_returnflag")
 
+  /** q29b — the 100 TB twin of q29: `approx_percentile` (Greenwald-
+    * Khanna sketch, accuracy 10000 → rank error ≤ n/10000) instead of
+    * the holds-all-values exact `percentile`. Benched alongside q29
+    * (SparkEntry.benchOnly) and spec-checked against it; NOT part of
+    * the verify contract — sketch outputs can't hash-match a DuckDB
+    * twin (different sketch), the exact q29 stays the oracle.
+    */
+  val q29bPercentilesApprox: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 3)
+          .as("med_price"),
+        round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 3)
+          .as("p90_price"),
+        round(expr("approx_percentile(l_quantity, 0.25, 10000)"), 2)
+          .as("p25_qty"))
+      .orderBy("l_returnflag")
+
   /** q30 — CUBE (full grouping-sets lattice; q16 covers ROLLUP). */
   val q30Cube: Q = (s, d) =>
     Tables.orders(s, d)
@@ -595,6 +614,15 @@ object Relational {
         count(lit(1)).as("n_days"))
       .orderBy("week")
   }
+
+  /** Benched-but-not-oracled variants: scale-path twins of oracled
+    * queries whose outputs are sketch-dependent (run by Bench next to
+    * their exact siblings; spec-checked for closeness in
+    * RelationalSpec, deliberately NOT in the verify contract).
+    */
+  val benchOnly: Map[String, Q] = Map(
+    "q29b_percentiles_approx" -> q29bPercentilesApprox,
+  )
 
   val queries: Map[String, Q] = Map(
     "q33_hll_sketch_union" -> q33HllSketchUnion,

@@ -91,9 +91,21 @@ object Fetch {
     }
   }
 
-  /** URLencode equivalent (R/functions.R:394). */
-  def urlEncode(s: String): String =
-    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  /** R `URLencode(reserved = FALSE)` equivalent (R/functions.R:394):
+    * keeps unreserved AND reserved characters, percent-encodes the rest
+    * byte-wise with uppercase hex (space → %20). java.net.URLEncoder is
+    * NOT byte-compatible (space → '+', parens/quotes/equals encoded),
+    * which would diverge from any reference-recorded query URL
+    * (ADVICE r02).
+    */
+  def urlEncode(s: String): String = {
+    val keep = "ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      "abcdefghijklmnopqrstuvwxyz0123456789._~-" + "][!$&'()*+,;=:/?@#"
+    s.getBytes(StandardCharsets.UTF_8).map { b =>
+      val c = (b & 0xff).toChar
+      if (keep.indexOf(c) >= 0) c.toString else f"%%${b & 0xff}%02X"
+    }.mkString
+  }
 
   // --- HTML micro-helpers over the constrained ASP.NET markup ---
 
@@ -197,11 +209,20 @@ class RcaIngest(fetcher: Fetch.Fetcher,
         s"$count electric certificates listed; paginating more than " +
           "200 is unimplemented")
 
+    // The reference ASSIGNS the page-size field into the form list
+    // (field_values[[name]] <- value, R/functions.R:40-44), which ADDS
+    // it when the parsed form lacks the dropdown — mirror that instead
+    // of only overriding an existing field, else a form variant without
+    // it would silently POST the default page size and truncate
+    // (ADVICE r02).
     val (action, fields) = formFields(search.body)
-    val postFields = fields.map {
-      case (n, _) if n == RcaIngest.PageSizeField => n -> "200"
-      case kv => kv
-    }
+    val postFields =
+      if (fields.exists(_._1 == RcaIngest.PageSizeField))
+        fields.map {
+          case (n, _) if n == RcaIngest.PageSizeField => n -> "200"
+          case kv => kv
+        }
+      else fields :+ (RcaIngest.PageSizeField -> "200")
     val grid = fetcher.postForm(action.getOrElse(searchUrl), postFields,
       session.filter(_._1 == "ASP.NET_SessionId"))
 

@@ -65,6 +65,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("zero-payload blob still appears in frame counts with n_frames=0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = Seq(
+      (1L, Multimodal.encodeBlob(Array.empty[Byte], 4, 4, 3, 1)),
+      (2L, Multimodal.encodeBlob(Array.fill[Byte](600)(7), 4, 4, 3, 1)))
+      .toDF("doc_id", "blob")
+    val rolled = Multimodal.frameCounts(media, 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rolled === Map(1L -> ((0L, 0L)), 2L -> ((3L, 600L))))
+  }
+
   test("resize rewrites dimensions and preserves payload") {
     val media = Multimodal.mediaTable(spark, sf).limit(3)
     val resized = Multimodal.withMeta(

@@ -77,7 +77,7 @@ class PipelineSpec extends SparkSpec {
       .select("certificate_number", "geometry_cert_sync_status")
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(status(99) === "up_to_date")  // KML 5/20/15 == last change
-    assert(status(100) === "outdated")   // KML 6/1/2012 < 7/4/2020 change
+    assert(status(100) === "outdated")   // KML 6/01/2012 < 7/4/2020 change
     assert(status(10) === "unknown")     // no date in KML description
   }
 
@@ -168,6 +168,21 @@ class PipelineSpec extends SparkSpec {
     assert(rows(99.0).getAs[java.sql.Date](4).toString === "2015-05-20")
     // no KML at all → all fields null, no error
     assert(rows(50.0).isNullAt(1) && rows(50.0).isNullAt(4))
+  }
+
+  test("1-digit day in chronology text yields no date (reference NA " +
+      "parity, R/functions.R:364)") {
+    import spark.implicits._
+    val desc = "Granted to: X CO<br><br>Utility Type: Electric" +
+      "<br><br>CHRONOLOGY: U-12-045(3) Amended 6/1/2012<br>"
+    val row = ServiceAreas.splitKmlDescription(
+      Seq((1.0, "X CO", desc))
+        .toDF("certificate_number", "certificate_name", "kml_desc_field"))
+      .select("kml_most_recent_update_included",
+        "kml_most_recent_update_date")
+      .head()
+    assert(row.getString(0).contains("6/1/2012"))
+    assert(row.isNullAt(1), "1-digit day must not parse (reference NA)")
   }
 
   test("strict split raises on a non-matching description") {

@@ -25,7 +25,9 @@ class PlssPatchSpec extends SparkSpec {
     val url = PlssPatch.queryUrl(qs("412"))
     assert(url.startsWith(
       "https://arcgis.dnr.alaska.gov/arcgis/rest/services/OpenData/"))
-    assert(url.contains("where=%28MTRS+%3D+%27S001S002E%27%29"))
+    // R URLencode(reserved = FALSE) byte semantics: space -> %20,
+    // parens/quotes/equals left as-is (NOT java.net.URLEncoder's form)
+    assert(url.contains("where=(MTRS%20=%20'S001S002E')"))
     assert(url.endsWith("&returnGeometry=true&f=geojson"))
   }
 

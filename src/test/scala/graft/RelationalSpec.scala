@@ -121,6 +121,24 @@ class RelationalSpec extends SparkSpec {
     assert(within.map(_.getString(0)).toSeq === Seq("a"))
   }
 
+  test("q29b approx percentiles track the exact q29 values closely") {
+    def byFlag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = byFlag(Relational.q29Percentiles(spark, sf))
+    val approx = byFlag(Relational.q29bPercentilesApprox(spark, sf))
+    assert(exact.keySet === approx.keySet)
+    // GK sketch at accuracy 10000: rank error <= n/10000 (< 1 row at
+    // this sf) — values should agree within a fraction of a percent
+    exact.foreach { case (flag, (m, p90, p25)) =>
+      val (am, ap90, ap25) = approx(flag)
+      assert(math.abs(am - m) / m < 0.005, s"$flag median: $am vs $m")
+      assert(math.abs(ap90 - p90) / p90 < 0.005, s"$flag p90: $ap90 vs $p90")
+      assert(math.abs(ap25 - p25) / math.max(p25, 1.0) < 0.05,
+        s"$flag p25 qty: $ap25 vs $p25")
+    }
+  }
+
   test("broadcast joins actually broadcast (q04 plan)") {
     val plan = Relational.q04BroadcastJoin(spark, sf)
       .queryExecution.executedPlan.toString
