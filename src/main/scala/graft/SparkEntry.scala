@@ -27,7 +27,9 @@ object SparkEntry {
       GeoOps.queries ++ Multimodal.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "s01_stream_tumbling" -> ((s, d) =>
-          EventStreams.replayHourlyAppend(s, d)))
+          EventStreams.replayHourlyAppend(s, d)),
+        "s02_stream_dedup" -> ((s, d) =>
+          EventStreams.replayDedupAppend(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -50,5 +52,15 @@ object SparkEntry {
             |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
             |FROM events GROUP BY 1, 2
             |HAVING hour_start < '2024-01-03 00:00:00'
-            |ORDER BY hour_start, event_type""".stripMargin)
+            |ORDER BY hour_start, event_type""".stripMargin,
+        // streaming dedup ≡ batch DISTINCT: the event-time minute is in
+        // the dedup key, so watermark eviction can never re-admit a key
+        "s02_stream_dedup" ->
+          """SELECT DISTINCT event_type,
+            |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+            |    AS minute_start
+            |FROM events
+            |WHERE strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+            |  < '2024-01-03 00:00:00'
+            |ORDER BY event_type, minute_start""".stripMargin)
 }

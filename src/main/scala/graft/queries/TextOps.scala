@@ -69,6 +69,30 @@ object TextOps {
         length(col("text")).as("n_chars_text"))
       .orderBy("doc_id")
 
+  /** Portable BPE-ish pretokenizer classes (letters | digits |
+    * punctuation runs): the GPT-2 pretokenizer's shape restricted to a
+    * regex subset where Java (Spark) and RE2 (DuckDB) agree — disjoint
+    * character classes with greedy runs, no lookarounds, no \p{L}
+    * (ASCII classes keep both engines in lockstep; multi-byte runs fall
+    * into the punctuation class as single tokens in BOTH engines).
+    */
+  private val BpeishPattern = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"""
+
+  /** t17 — token counting, BPE-ish regex flavor (builder-prompt mandate:
+    * "token counting (whitespace + a BPE-ish regex)"; t01 is the
+    * whitespace half). Pretokenizer-style counts are the unit every
+    * training-data budget is written in; pure map-side projection.
+    */
+  val t17RegexTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens_ws"),
+        size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0)))
+          .as("n_tokens_re"))
+      .withColumn("tokens_per_word",
+        round(col("n_tokens_re") / col("n_tokens_ws").cast("double"), 4))
+      .orderBy("doc_id")
+
   /** t02 — document quality scoring: length, lexical diversity, average
     * word length, English-stopword ratio, and a keep/drop flag. The
     * standard cheap pre-filter before expensive dedup in a training-data
@@ -572,6 +596,30 @@ object TextOps {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** t18 — rolling-hash document fingerprints (mandate: "document
+    * fingerprinting (rolling hash)"): per-doc k-gram hash profile from
+    * the native codegen'd Rabin-Karp expression
+    * ([[graft.functions.RollingHash]]) — one O(n) pass per doc, inside
+    * whole-stage codegen, vs the O(n·k) md5-per-gram the portable
+    * LSH plans pay. B=257 > any byte keeps the polynomial exact BIGINT
+    * and injective on ASCII grams, so the DuckDB twin recomputes the
+    * SAME values with plain (non-rolling) arithmetic and the whole
+    * fingerprint profile hash-verifies.
+    */
+  val t18RollingFingerprint: Q = (s, d) => {
+    graft.functions.RollingHash.registerAll(s)
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(graft.functions.RollingHash
+          .rolling_hashes(col("text"), 5)).as("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        min("h").as("min_hash"),
+        countDistinct(col("h")).as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
   /** t09 — character trigram frequencies via generator explode
     * (SURVEY §2.8 unnest generalized): top-20 trigrams corpus-wide.
     * Explode happens before the shuffle, partial agg combines map-side.
@@ -889,6 +937,8 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t18_rolling_fingerprint" -> t18RollingFingerprint,
+    "t17_regex_tokens" -> t17RegexTokens,
     "t16_band_index" -> t16BandIndex,
     "t15_incremental_dedup" -> t15IncrementalDedup,
     "t14_corpus_curation" -> t14CorpusCuration,
@@ -1123,6 +1173,36 @@ object TextOps {
             "SELECT doc_id, text FROM documents WHERE doc_id < 400")}
            |SELECT doc_id, band, bucket FROM bands
            |ORDER BY doc_id, band""".stripMargin,
+      "t17_regex_tokens" ->
+        s"""SELECT doc_id,
+           |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+           |    AS n_tokens_ws,
+           |  CAST(len(regexp_extract_all(text,
+           |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INT)
+           |    AS n_tokens_re,
+           |  round(len(regexp_extract_all(text,
+           |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) /
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE),
+           |    4) AS tokens_per_word
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      // non-rolling twin of the rolling-hash kernel: same base-257
+      // polynomial per position, exact BIGINT (257^4 = 4362470401,
+      // 257^3 = 16974593, 257^2 = 66049)
+      "t18_rolling_fingerprint" ->
+        """WITH p AS (
+          |  SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+          |  FROM documents WHERE length(text) >= 5),
+          |h AS (
+          |  SELECT doc_id,
+          |      ord(substr(text, CAST(i AS INT), 1)) * 4362470401
+          |    + ord(substr(text, CAST(i + 1 AS INT), 1)) * 16974593
+          |    + ord(substr(text, CAST(i + 2 AS INT), 1)) * 66049
+          |    + ord(substr(text, CAST(i + 3 AS INT), 1)) * 257
+          |    + ord(substr(text, CAST(i + 4 AS INT), 1)) AS h
+          |  FROM p)
+          |SELECT doc_id, count(*) AS n_grams, min(h) AS min_hash,
+          |  count(DISTINCT h) AS n_distinct
+          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "t09_char_trigrams" ->
         """SELECT g, count(*) AS n FROM (
           |  SELECT substr(text, CAST(i AS INT), 3) AS g

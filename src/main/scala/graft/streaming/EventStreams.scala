@@ -107,6 +107,47 @@ object EventStreams {
     (finalSlice(spark.table(qn)), stateRows)
   }
 
+  /** Scale-safe declared streaming dedup (s02): the streaming twin of
+    * the exact-dedup batch operators (t04/q10) and the ingest-side
+    * counterpart of the t15 incremental dedup — first sight of a
+    * (event_type, minute) key is emitted, repeats are dropped by the
+    * state store, and `dropDuplicatesWithinWatermark` EVICTS key state
+    * older than the watermark, so state is O(keys per watermark
+    * horizon), not O(all keys ever). The event-time minute is part of
+    * the dedup key, so an evicted key can never recur (a recurrence
+    * would carry a later minute — a different key), making the replay
+    * provably equal to batch DISTINCT regardless of micro-batch
+    * boundaries. Memory sink only to collect the verify dump.
+    */
+  def replayDedupAppend(spark: SparkSession, dir: String): DataFrame =
+    replayDedupAppendWithStats(spark, dir)._1
+
+  /** Dedup replay plus the state-store row count after the final
+    * micro-batch (for the StreamingSpec state assertion).
+    */
+  def replayDedupAppendWithStats(spark: SparkSession, dir: String)
+      : (DataFrame, Long) = {
+    val qn = s"stream_dedup_${math.abs(dir.hashCode)}"
+    val deduped = readEvents(spark, dir)
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withWatermark("minute", "1 hour")
+      .dropDuplicatesWithinWatermark("event_type", "minute")
+      .select(col("event_type"),
+        date_format(col("minute"), "yyyy-MM-dd HH:mm:ss")
+          .as("minute_start"))
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn).start()
+    val stateRows =
+      try {
+        q.processAllAvailable()
+        Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      } finally { q.stop() }
+    (spark.table(qn)
+      .filter(col("minute_start") < "2024-01-03 00:00:00")
+      .orderBy("event_type", "minute_start"), stateRows)
+  }
+
   /** Incremental layer refresh via foreachBatch (SURVEY §2.9: the
     * generalized "re-run the pipeline on new certificate events"): each
     * micro-batch republishes the layer produced by `buildLayer` over

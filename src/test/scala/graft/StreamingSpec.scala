@@ -46,6 +46,25 @@ class StreamingSpec extends SparkSpec {
         "tail, not retain all history")
   }
 
+  test("streaming dedup (declared s02) equals batch DISTINCT through " +
+      "the state store") {
+    val (dedupDf, stateRows) =
+      EventStreams.replayDedupAppendWithStats(spark, sf)
+    val streamed = dedupDf.collect().map(_.toSeq)
+    val batch = Tables.events(spark, sf)
+      .select(col("event_type"),
+        date_format(date_trunc("minute", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("minute_start"))
+      .distinct()
+      .filter(col("minute_start") < "2024-01-03 00:00:00")
+      .orderBy("event_type", "minute_start")
+      .collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(streamed.nonEmpty)
+    assert(stateRows > 0, "dedup state rows should be reported")
+  }
+
   test("flatMapGroupsWithState session state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

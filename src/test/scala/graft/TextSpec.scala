@@ -207,6 +207,42 @@ class TextSpec extends SparkSpec {
     assert(got === expected, s"indexed=${got.size} fullsign=${expected.size}")
   }
 
+  test("rolling_hashes: native expression matches the brute polynomial, " +
+      "handles nulls/short strings, stays in codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.RollingHash.registerAll(spark)
+    val df = Seq((1L, "abcdefg"), (2L, "abcd"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      graft.functions.RollingHash.rolling_hashes(col("text"), 5).as("hs"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_ => r.getSeq[Long](1))).toMap
+    def brute(s: String): Seq[Long] = (0 to s.length - 5).map { i =>
+      s.substring(i, i + 5).foldLeft(0L)((h, c) => h * 257 + c)
+    }
+    assert(got(1L).get === brute("abcdefg"))
+    assert(got(2L).get === Seq.empty) // under k code points -> no grams
+    assert(got(3L).isEmpty)           // null in -> null out
+    // SQL registration resolves too
+    val viaSql = df.filter($"doc_id" === 1L)
+      .selectExpr("rolling_hashes(text, 5, 257) AS hs")
+      .head().getSeq[Long](0)
+    assert(viaSql === brute("abcdefg"))
+    // native doGenCode (no CodegenFallback): over a real scan (a local
+    // Seq constant-folds to LocalTableScan) the projection must stay
+    // inside a WholeStageCodegen span
+    val plan = Tables.documents(spark, sf)
+      .select(graft.functions.RollingHash.rolling_hashes(col("text"), 5))
+      .queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the simple plan string
+    assert("""\*\(\d+\) Project \[rolling_hashes""".r
+      .findFirstIn(plan).isDefined,
+      s"rolling_hashes projection not inside a codegen stage:\n$plan")
+  }
+
   test("prefix-filtered jaccard join is EXACT: finds every pair brute force finds") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
