@@ -786,8 +786,11 @@ object TextOps {
       newDocs.repartition(
         newDocs.sparkSession.sparkContext.defaultParallelism))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // broadcast the BATCH bands into the index join: the index is
+    // corpus-sized and must stream map-side through its scan, never
+    // shuffle — the batch side is the small one by construction
     val candCorpus = corpusIndex.as("c")
-      .join(newBands.as("n"),
+      .join(broadcast(newBands.as("n")),
         col("c.band") === col("n.band") &&
           col("c.bucket") === col("n.bucket"))
       .select(col("c.doc_id").as("d1"), col("n.doc_id").as("d2"))
@@ -800,7 +803,9 @@ object TextOps {
     val cand = candCorpus.unionByName(candNew).distinct()
     val dropNew = verifiedJaccardPairs(cand, allTexts, jaccardThreshold)
       .select(col("d2").as("doc_id")).distinct()
-    newDocs.select("doc_id").join(dropNew, Seq("doc_id"), "left_anti")
+    // drop list ⊆ batch: broadcast it into the anti-join
+    newDocs.select("doc_id")
+      .join(broadcast(dropNew), Seq("doc_id"), "left_anti")
   }
 
   /** Incremental dedup: drop new-batch documents that near-duplicate

@@ -69,6 +69,10 @@ class PlanSpec extends SparkSpec {
     // unfiltered id-keyed text lookups of the verify stage
     assert(!p.contains("LessThan(doc_id,400)") && !p.contains("< 400"),
       s"a doc_id < 400 scan exists — the corpus is being re-signed:\n$p")
+    // the batch bands must BROADCAST into the index join so the
+    // corpus-sized index streams map-side and never shuffles
+    assert(p.contains("BroadcastHashJoin"),
+      s"index-side candidate join must broadcast the batch bands:\n$p")
   }
 
   test("t08: winnowing is one window pass over one per-doc sort") {

@@ -121,6 +121,19 @@ class RelationalSpec extends SparkSpec {
     assert(within.map(_.getString(0)).toSeq === Seq("a"))
   }
 
+  test("sketch estimates (q24 approx-distinct, q33 HLL union) match " +
+      "their committed golden snapshots") {
+    // sketches are deterministic for fixed data but can't hash-match a
+    // DuckDB twin (different sketch impls) — pin the exact outputs as
+    // golden artifacts, same pattern as the ANN id snapshots
+    assertGoldenRows("sketch", "q24_approx_distinct",
+      Relational.q24ApproxDistinct(spark, sf).collect()
+        .map(_.toSeq.mkString(",")).toSeq)
+    assertGoldenRows("sketch", "q33_hll_sketch_union",
+      Relational.q33HllSketchUnion(spark, sf).collect()
+        .map(_.toSeq.mkString(",")).toSeq)
+  }
+
   test("q29b approx percentiles track the exact q29 values closely") {
     def byFlag(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) ->

@@ -9,6 +9,31 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Snapshot-pin deterministic-but-unoracleable outputs (ANN ids,
+    * sketch estimates) as committed golden files: a missing file is
+    * written on first run (commit it); afterwards rows are asserted
+    * verbatim. Regenerate deliberately with -Dgraft.regenGolden=true
+    * after an intentional algorithm change.
+    */
+  def assertGoldenRows(subdir: String, name: String,
+      got: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(s"src/test/resources/golden/$subdir")
+    val path = dir.resolve(s"$name.csv")
+    if (sys.props.get("graft.regenGolden").contains("true") ||
+        !java.nio.file.Files.exists(path)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(path,
+        got.mkString("", "\n", "\n").getBytes("UTF-8"))
+      info(s"golden $subdir/$name written (${got.size} rows) — commit it")
+    } else {
+      val want = new String(
+        java.nio.file.Files.readAllBytes(path), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+      assert(got === want,
+        s"$name rows diverge from the pinned golden file")
+    }
+  }
 }
 
 object SparkSpec {

@@ -13,30 +13,12 @@ class VectorSpec extends SparkSpec {
     * ANN queries are integer-deterministic (only the cos_sim floats are
     * engine-fragile), so their exact values are committed as golden
     * files and asserted verbatim — a hard artifact behind the driver's
-    * rows-only signal, without chasing a float-sum hash oracle. A
-    * missing file is written on first run (commit it); regenerate
-    * deliberately with -Dgraft.regenGolden=true after an intentional
-    * algorithm change.
+    * rows-only signal, without chasing a float-sum hash oracle.
     */
   private def assertGoldenIds(name: String,
-      rows: Array[org.apache.spark.sql.Row]): Unit = {
-    val got = rows.map(r => s"${r.get(0)},${r.get(1)}").toSeq
-    val dir = java.nio.file.Paths.get("src/test/resources/golden/ann")
-    val path = dir.resolve(s"$name.csv")
-    if (sys.props.get("graft.regenGolden").contains("true") ||
-        !java.nio.file.Files.exists(path)) {
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(path,
-        got.mkString("", "\n", "\n").getBytes("UTF-8"))
-      info(s"golden $name written (${got.size} rows) — commit it")
-    } else {
-      val want = new String(
-        java.nio.file.Files.readAllBytes(path), "UTF-8")
-        .split("\n").filter(_.nonEmpty).toSeq
-      assert(got === want,
-        s"$name (qid, ann_nid) diverge from the pinned golden file")
-    }
-  }
+      rows: Array[org.apache.spark.sql.Row]): Unit =
+    assertGoldenRows("ann", name,
+      rows.map(r => s"${r.get(0)},${r.get(1)}").toSeq)
 
   test("ANN ids match the committed golden snapshots (v03/v05/v07/v08)") {
     assertGoldenIds("v03_ann_lsh",
