@@ -765,6 +765,22 @@ object TextOps {
     }
   }
 
+  /** The ingest-loop completion of the stored-index model: after a
+    * batch is deduped, the KEPT docs' bands join the index so the next
+    * batch dedups against corpus ∪ kept. Dropped docs never enter the
+    * index (they are duplicates — their keepers already cover their
+    * buckets). Returns the updated logical index; persistence is the
+    * caller's (write parquet over/next to the old index — the batch
+    * side is small, so this is an append-sized job, not a rebuild).
+    * Note the semantics are SEQUENTIAL: docs dropped in batch N cannot
+    * cause drops in batch N+1 (their keeper can), which is the policy a
+    * real ingest pipeline wants — TextSpec pins it on a 3-batch chain.
+    */
+  def updateBandIndex(corpusIndex: DataFrame, keptNewDocs: DataFrame)
+      : DataFrame =
+    corpusIndex.select("doc_id", "band", "bucket")
+      .unionByName(portableBandTable(keptNewDocs))
+
   /** Incremental dedup against a stored band index (see t15 doc): signs
     * only `newDocs`, generates candidates from (new × index) and
     * (new × new) band joins, verifies with the exact-Jaccard kernel

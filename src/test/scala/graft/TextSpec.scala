@@ -185,6 +185,29 @@ class TextSpec extends SparkSpec {
     assert(kept === Set(11L, 12L), s"got $kept")
   }
 
+  test("multi-batch ingest loop: index updates carry kept docs forward, " +
+      "dropped docs never re-enter") {
+    import spark.implicits._
+    val a = "alpha document about spark catalyst optimizer rules and " +
+      "physical planning strategies for large analytics clusters"
+    val b = "beta document about minhash banding and locality sensitive " +
+      "hashing for near duplicate detection at corpus scale"
+    val c = "gamma document entirely about alaska utility service areas"
+    val corpus = Seq((0L, a)).toDF("doc_id", "text")
+    val b1 = Seq((10L, a + "!"), (11L, b)).toDF("doc_id", "text")
+    val b2 = Seq((20L, b + "!"), (21L, c), (22L, a.replace("large", "big")))
+      .toDF("doc_id", "text")
+    val texts = corpus.unionByName(b1).unionByName(b2)
+    val index0 = TextOps.portableBandTable(corpus)
+    val kept1 = TextOps.dedupIncrementalIndexed(index0, b1, texts, 0.5)
+    assert(kept1.collect().map(_.getLong(0)).toSet === Set(11L),
+      "near-dup of corpus dropped, novel kept")
+    val index1 = TextOps.updateBandIndex(index0, b1.join(kept1, "doc_id"))
+    val kept2 = TextOps.dedupIncrementalIndexed(index1, b2, texts, 0.5)
+    // 20 dups kept-doc 11; 22 dups corpus doc 0; 21 is novel
+    assert(kept2.collect().map(_.getLong(0)).toSet === Set(21L))
+  }
+
   test("t15 indexed plan reproduces the full-sign drop decisions exactly") {
     // equivalence oracle for the round-3 redesign: the stored-index t15
     // must keep precisely the ids the ad-hoc full-corpus signing keeps
