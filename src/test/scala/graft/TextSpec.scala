@@ -266,6 +266,41 @@ class TextSpec extends SparkSpec {
       s"rolling_hashes projection not inside a codegen stage:\n$plan")
   }
 
+  test("rolling hash property: equals brute polynomial on random " +
+      "unicode strings, injective on ASCII grams") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(20260812L)
+    // alphabets as CODE POINTS (picking UTF-16 chars would split the
+    // emoji's surrogate pair into invalid lone surrogates, which are
+    // not representable strings)
+    val alphabets: Seq[Array[Int]] = Seq(
+      ('a' to 'z').mkString + " .,!",                     // ASCII
+      "абвгд的是了ab ",                                   // BMP unicode
+      "ab😀c ")                                 // surrogate pairs
+      .map(_.codePoints().toArray)
+    def brute(cps: Array[Int], k: Int, base: Long): Seq[Long] =
+      (0 to cps.length - k).map(i =>
+        (0 until k).foldLeft(0L)((h, j) => h * base + cps(i + j)))
+    for (_ <- 1 to 200) {
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      val len = rnd.nextInt(40)
+      val cps = Array.fill(len)(alpha(rnd.nextInt(alpha.length)))
+      val s = new String(cps, 0, cps.length)
+      val k = 1 + rnd.nextInt(7)
+      val got = graft.functions.RollingHash
+        .hashes(UTF8String.fromString(s), k, 257L)
+        .toLongArray().toSeq
+      assert(got === brute(cps, k, 257L), s"k=$k s=$s")
+      assert(got.length === math.max(0, cps.length - k + 1))
+      // injectivity on ASCII: base 257 > any code point in the gram
+      if (s.forall(_ < 128) && cps.length >= k) {
+        val grams = (0 to cps.length - k).map(i =>
+          cps.slice(i, i + k).toSeq)
+        assert(grams.distinct.length === got.distinct.length)
+      }
+    }
+  }
+
   test("prefix-filtered jaccard join is EXACT: finds every pair brute force finds") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
