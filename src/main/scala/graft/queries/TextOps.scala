@@ -608,15 +608,19 @@ object TextOps {
     */
   val t18RollingFingerprint: Q = (s, d) => {
     graft.functions.RollingHash.registerAll(s)
+    // per-doc profile stays INSIDE the row as array ops (size /
+    // array_min / array_distinct) — fully map-side, zero shuffle except
+    // the final presentation sort, vs an explode + groupBy that would
+    // shuffle every gram hash (PlanSpec gates the single exchange)
     Tables.documents(s, d)
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"),
-        explode(graft.functions.RollingHash
-          .rolling_hashes(col("text"), 5)).as("h"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        min("h").as("min_hash"),
-        countDistinct(col("h")).as("n_distinct"))
+        graft.functions.RollingHash.rolling_hashes(col("text"), 5)
+          .as("hs"))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        array_min(col("hs")).as("min_hash"),
+        size(array_distinct(col("hs"))).cast("long").as("n_distinct"))
       .orderBy("doc_id")
   }
 

@@ -75,6 +75,15 @@ class PlanSpec extends SparkSpec {
       s"index-side candidate join must broadcast the batch bands:\n$p")
   }
 
+  test("t18: rolling fingerprint profile is map-side — one exchange " +
+      "(the presentation sort), no gram shuffle") {
+    val p = plan("t18_rolling_fingerprint")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected only the orderBy exchange:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"per-doc profile must be array ops, not an aggregate:\n$p")
+  }
+
   test("t08: winnowing is one window pass over one per-doc sort") {
     val df = SparkEntry.queries("t08_winnow_fingerprint")(spark, sf)
     df.collect()
