@@ -624,6 +624,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t19 — transitive duplicate GROUPS (mandate "transitive groups"):
+    * near-duplication chains through A≈B≈C even when A and C never
+    * pair, so group identity is connected components over the verified
+    * pair graph — [[graft.operators.Components]]' iterative min-label
+    * propagation (O(diameter) keyed-shuffle rounds; near-dup clusters
+    * are shallow). Oracled: DuckDB computes the same components with a
+    * recursive transitive-closure CTE — closure is quadratic per
+    * component and fine for an oracle, while the declared plan stays
+    * the scalable label propagation.
+    */
+  val t19DedupGroups: Q = (s, d) => {
+    val pairs = minHashPairsPortable(
+      Tables.documents(s, d).select("doc_id", "text"), 0.5)
+      .select("d1", "d2")
+    graft.operators.Components.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component").as("group_id"))
+      .orderBy("doc_id")
+  }
+
   /** t09 — character trigram frequencies via generator explode
     * (SURVEY §2.8 unnest generalized): top-20 trigrams corpus-wide.
     * Explode happens before the shuffle, partial agg combines map-side.
@@ -962,6 +981,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t19_dedup_groups" -> t19DedupGroups,
     "t18_rolling_fingerprint" -> t18RollingFingerprint,
     "t17_regex_tokens" -> t17RegexTokens,
     "t16_band_index" -> t16BandIndex,
@@ -1228,6 +1248,19 @@ object TextOps {
           |SELECT doc_id, count(*) AS n_grams, min(h) AS min_hash,
           |  count(DISTINCT h) AS n_distinct
           |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // transitive closure (recursive CTE) twin of the label-propagation
+      // components; group id = min reachable doc id
+      "t19_dedup_groups" ->
+        s"""WITH RECURSIVE ${minHashCtes("SELECT doc_id, text FROM documents", 0.5)},
+           |edges AS (
+           |  SELECT d1 AS a, d2 AS b FROM pairs
+           |  UNION SELECT d2, d1 FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           |SELECT a AS doc_id, least(a, min(b)) AS group_id
+           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
       "t09_char_trigrams" ->
         """SELECT g, count(*) AS n FROM (
           |  SELECT substr(text, CAST(i AS INT), 3) AS g
