@@ -29,7 +29,9 @@ object SparkEntry {
         "s01_stream_tumbling" -> ((s, d) =>
           EventStreams.replayHourlyAppend(s, d)),
         "s02_stream_dedup" -> ((s, d) =>
-          EventStreams.replayDedupAppend(s, d)))
+          EventStreams.replayDedupAppend(s, d)),
+        "s03_stream_neardup" -> ((s, d) =>
+          EventStreams.replayNearDupCandidates(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -62,5 +64,8 @@ object SparkEntry {
             |FROM events
             |WHERE strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
             |  < '2024-01-03 00:00:00'
-            |ORDER BY event_type, minute_start""".stripMargin)
+            |ORDER BY event_type, minute_start""".stripMargin,
+        // streaming band-bucket candidate emission ≡ the batch band
+        // self-join (same md5/affine kernel, set-deterministic)
+        "s03_stream_neardup" -> TextOps.bandCandidatePairsOracleSql)
 }

@@ -209,6 +209,18 @@ object TextOps {
        |  FROM mh GROUP BY 1, 2)""".stripMargin
   }
 
+  /** DuckDB SQL for the raw band-join candidate pairs over the full
+    * documents table — the batch twin of the s03 streaming candidate
+    * detector (used by SparkEntry's s03 oracle).
+    */
+  def bandCandidatePairsOracleSql: String =
+    s"""WITH ${minHashBandCtes("SELECT doc_id, text FROM documents")}
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bucket = b.bucket
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY d1, d2""".stripMargin
+
   private def minHashCtes(srcSql: String, thr: Double): String = {
     s"""${minHashBandCtes(srcSql)},
        |cand AS (
@@ -405,6 +417,39 @@ object TextOps {
         col(s"mh${b * rowsPerBand + j}")): _*))
     sigs.select(col("doc_id"),
       posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** JVM twin of [[portableBandTable]] for row-at-a-time contexts
+    * (streaming state ops, where a groupBy signature stage can't
+    * precede the stateful operator): same md5-derived h48, same 32
+    * affine permutations, same 8×4 banding, same decimal bucket
+    * strings — one doc's (band, bucket) rows. TextSpec pins kernel ≡
+    * plan equality; s03 streams through it.
+    */
+  def portableBandsKernel(text: String): Seq[(Int, String)] = {
+    val k = 5; val rowsPerBand = 4
+    if (text == null || text.length < k) return Seq.empty
+    val nBands = minHashSeeds.length / rowsPerBand
+    val mins = Array.fill(minHashSeeds.length)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i + k <= text.length) {
+      md.reset()
+      val digest = md.digest(
+        text.substring(i, i + k).getBytes("UTF-8"))
+      // first 12 hex chars = first 6 bytes, big-endian → 48-bit value
+      var h = 0L
+      var b = 0
+      while (b < 6) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+      minHashSeeds.foreach { case (j, a, bb) =>
+        val p = (a * h + bb) & Mask48
+        if (p < mins(j)) mins(j) = p
+      }
+      i += 1
+    }
+    (0 until nBands).map(b =>
+      (b, (0 until rowsPerBand).map(r => mins(b * rowsPerBand + r))
+        .mkString(",")))
   }
 
   /** Exact-Jaccard verify per CANDIDATE pair over (small) id-keyed text

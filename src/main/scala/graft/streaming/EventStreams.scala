@@ -148,6 +148,67 @@ object EventStreams {
       .orderBy("event_type", "minute_start"), stateRows)
   }
 
+  /** s03 — streaming NEAR-dup candidate detection: documents stream
+    * through the portable MinHash band kernel map-side (no pre-state
+    * aggregation — Structured Streaming allows one stateful operator
+    * here), then `flatMapGroupsWithState` keyed by (band, bucket) holds
+    * the doc ids seen per bucket and emits a candidate pair the moment
+    * a second doc lands in a bucket — the streaming half of the t15
+    * ingest loop (verify/drop stays a batch decision on the emitted
+    * candidates). State is one id-list per OCCUPIED bucket (bounded by
+    * near-dup cluster sizes, not corpus size — bucket occupancy > 1 is
+    * rare by LSH design). Deterministic as a SET: exactly the pairs of
+    * the batch band self-join, so the replay is oracled against the
+    * same bands CTE the t06/t16 oracles use (the final slice dedups
+    * multi-band repeats and orders).
+    */
+  def replayNearDupCandidates(spark: SparkSession, dir: String)
+      : DataFrame = replayNearDupCandidatesWithStats(spark, dir)._1
+
+  def replayNearDupCandidatesWithStats(spark: SparkSession, dir: String)
+      : (DataFrame, Long) = {
+    import spark.implicits._
+    val qn = s"stream_neardup_${math.abs(dir.hashCode)}"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val bandsUdf = udf { (text: String) =>
+      graft.queries.TextOps.portableBandsKernel(text)
+    }
+    val bands = spark.readStream.schema(docSchema)
+      .parquet(s"$dir/documents*.parquet")
+      .select(col("doc_id"), explode(bandsUdf(col("text"))).as("bb"))
+      .select(col("doc_id"), col("bb._1").as("band"),
+        col("bb._2").as("bucket"))
+      .as[(Long, Int, String)]
+    val pairs = bands
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val incoming = rows.map(_._1).toSeq.distinct.sorted
+          val fresh = incoming.filterNot(seen.contains)
+          val out = (for {
+            n <- fresh
+            o <- seen ++ fresh.filter(_ < n)
+          } yield (math.min(o, n), math.max(o, n))).distinct
+          state.update((seen ++ fresh).sorted)
+          out.iterator
+      }
+    val q = pairs.toDF("d1", "d2")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn).start()
+    val stateRows =
+      try {
+        q.processAllAvailable()
+        Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      } finally { q.stop() }
+    (spark.table(qn).distinct().orderBy("d1", "d2"), stateRows)
+  }
+
   /** Incremental layer refresh via foreachBatch (SURVEY §2.9: the
     * generalized "re-run the pipeline on new certificate events"): each
     * micro-batch republishes the layer produced by `buildLayer` over

@@ -65,6 +65,25 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows > 0, "dedup state rows should be reported")
   }
 
+  test("streaming near-dup candidates (declared s03) equal the batch " +
+      "band self-join") {
+    val (df, stateRows) =
+      EventStreams.replayNearDupCandidatesWithStats(spark, sf)
+    val streamed = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bands = graft.queries.TextOps.portableBandTable(
+      Tables.documents(spark, sf).select("doc_id", "text"))
+    val batch = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct().orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(stateRows > 0, "bucket state rows should be reported")
+  }
+
   test("flatMapGroupsWithState session state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -266,6 +266,19 @@ class TextSpec extends SparkSpec {
       s"rolling_hashes projection not inside a codegen stage:\n$plan")
   }
 
+  test("portableBandsKernel equals the portableBandTable plan per doc") {
+    val docs = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 60)
+      .select("doc_id", "text")
+    val fromPlan = TextOps.portableBandTable(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val fromKernel = docs.collect().flatMap { r =>
+      TextOps.portableBandsKernel(r.getString(1))
+        .map { case (b, s) => (r.getLong(0), b, s) }
+    }.toSet
+    assert(fromKernel === fromPlan)
+  }
+
   test("rolling hash property: equals brute polynomial on random " +
       "unicode strings, injective on ASCII grams") {
     import org.apache.spark.unsafe.types.UTF8String
