@@ -31,7 +31,9 @@ object SparkEntry {
         "s02_stream_dedup" -> ((s, d) =>
           EventStreams.replayDedupAppend(s, d)),
         "s03_stream_neardup" -> ((s, d) =>
-          EventStreams.replayNearDupCandidates(s, d)))
+          EventStreams.replayNearDupCandidates(s, d)),
+        "s04_stream_neardup_verified" -> ((s, d) =>
+          EventStreams.replayNearDupVerified(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -67,5 +69,8 @@ object SparkEntry {
             |ORDER BY event_type, minute_start""".stripMargin,
         // streaming band-bucket candidate emission ≡ the batch band
         // self-join (same md5/affine kernel, set-deterministic)
-        "s03_stream_neardup" -> TextOps.bandCandidatePairsOracleSql)
+        "s03_stream_neardup" -> TextOps.bandCandidatePairsOracleSql,
+        // verified streaming near-dup ≡ the batch t06 — same oracle SQL
+        "s04_stream_neardup_verified" ->
+          TextOps.oracles("t06_minhash_lsh"))
 }

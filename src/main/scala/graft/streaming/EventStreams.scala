@@ -165,14 +165,17 @@ object EventStreams {
   def replayNearDupCandidates(spark: SparkSession, dir: String)
       : DataFrame = replayNearDupCandidatesWithStats(spark, dir)._1
 
-  def replayNearDupCandidatesWithStats(spark: SparkSession, dir: String)
-      : (DataFrame, Long) = {
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The streaming candidate-pair core shared by s03/s04: band kernel
+    * map-side, bucket state, pair emission (see s03 doc).
+    */
+  private def nearDupPairStream(spark: SparkSession, dir: String)
+      : DataFrame = {
     import spark.implicits._
-    val qn = s"stream_neardup_${math.abs(dir.hashCode)}"
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
     val bandsUdf = udf { (text: String) =>
       graft.queries.TextOps.portableBandsKernel(text)
     }
@@ -182,7 +185,7 @@ object EventStreams {
       .select(col("doc_id"), col("bb._1").as("band"),
         col("bb._2").as("bucket"))
       .as[(Long, Int, String)]
-    val pairs = bands
+    bands
       .groupByKey { case (_, band, bucket) => (band, bucket) }
       .flatMapGroupsWithState[Seq[Long], (Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -197,7 +200,13 @@ object EventStreams {
           state.update((seen ++ fresh).sorted)
           out.iterator
       }
-    val q = pairs.toDF("d1", "d2")
+      .toDF("d1", "d2")
+  }
+
+  def replayNearDupCandidatesWithStats(spark: SparkSession, dir: String)
+      : (DataFrame, Long) = {
+    val qn = s"stream_neardup_${math.abs(dir.hashCode)}"
+    val q = nearDupPairStream(spark, dir)
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(qn).start()
     val stateRows =
@@ -207,6 +216,36 @@ object EventStreams {
           .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
       } finally { q.stop() }
     (spark.table(qn).distinct().orderBy("d1", "d2"), stateRows)
+  }
+
+  /** s04 — FULL near-dup detection through the streaming engine: the
+    * s03 candidate stream continues through a stream-static equi-join
+    * against the documents texts (map-side — the static side broadcasts
+    * per micro-batch) and the exact-Jaccard verify kernel, so what the
+    * stream emits is verified near-duplicate pairs, not candidates.
+    * Same decision the batch t06 query makes, hence the SAME oracle SQL
+    * — the streaming engine's answer hash-matches the batch twin's.
+    */
+  def replayNearDupVerified(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val qn = s"stream_neardup_v_${math.abs(dir.hashCode)}"
+    val texts = spark.read.schema(docSchema)
+      .parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val jacUdf = udf { (ta: String, tb: String) =>
+      graft.functions.TextHash.stringGramJaccard(ta, tb, 5)
+    }
+    val verified = nearDupPairStream(spark, dir)
+      .join(texts.toDF("d1", "t1"), "d1")
+      .join(texts.toDF("d2", "t2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(jacUdf(col("t1"), col("t2")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    val q = verified
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(qn).distinct().orderBy("d1", "d2")
   }
 
   /** Incremental layer refresh via foreachBatch (SURVEY §2.9: the

@@ -84,6 +84,15 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows > 0, "bucket state rows should be reported")
   }
 
+  test("verified streaming near-dup (declared s04) equals the batch t06") {
+    val streamed = EventStreams.replayNearDupVerified(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = graft.queries.TextOps.queries("t06_minhash_lsh")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+  }
+
   test("flatMapGroupsWithState session state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
