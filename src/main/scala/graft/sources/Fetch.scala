@@ -70,7 +70,7 @@ object Fetch {
     override def postForm(url: String, fields: Seq[(String, String)],
         cookies: Map[String, String]): Response = {
       val body = fields.map { case (k, v) =>
-        urlEncode(k) + "=" + urlEncode(v)
+        formEncode(k) + "=" + formEncode(v)
       }.mkString("&")
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .header("Content-Type", "application/x-www-form-urlencoded")
@@ -91,12 +91,21 @@ object Fetch {
     }
   }
 
+  /** application/x-www-form-urlencoded encoding for POST BODIES: every
+    * reserved character ('&', '=', '+', base64 VIEWSTATE bytes...) must
+    * be escaped or it corrupts the k=v structure — NOT interchangeable
+    * with [[urlEncode]], whose R semantics deliberately keep reserved
+    * characters for URL query strings.
+    */
+  def formEncode(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+
   /** R `URLencode(reserved = FALSE)` equivalent (R/functions.R:394):
     * keeps unreserved AND reserved characters, percent-encodes the rest
     * byte-wise with uppercase hex (space → %20). java.net.URLEncoder is
     * NOT byte-compatible (space → '+', parens/quotes/equals encoded),
     * which would diverge from any reference-recorded query URL
-    * (ADVICE r02).
+    * (ADVICE r02). For POST bodies use [[formEncode]].
     */
   def urlEncode(s: String): String = {
     val keep = "ABCDEFGHIJKLMNOPQRSTUVWXYZ" +

@@ -43,6 +43,17 @@ class FetchSpec extends SparkSpec {
       |  <td></td><td></td></tr>
       |</table></body></html>""".stripMargin
 
+  test("form bodies escape reserved characters; query URLs keep them " +
+      "(R URLencode parity)") {
+    // base64-ish VIEWSTATE material: '+'/'='/'&' must be escaped in a
+    // POST body or the k=v structure corrupts...
+    assert(graft.sources.Fetch.formEncode("ab+cd==&x") === "ab%2Bcd%3D%3D%26x")
+    // ...while the R-parity URL encoding keeps reserved characters and
+    // writes spaces as %20
+    assert(graft.sources.Fetch.urlEncode("(MTRS = 'A+B')") ===
+      "(MTRS%20=%20'A+B')")
+  }
+
   private class MapFetcher(
       getPages: Map[String, Fetch.Response],
       postPages: Map[String, Fetch.Response],
