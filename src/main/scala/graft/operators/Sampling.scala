@@ -46,4 +46,18 @@ object Sampling {
       .when(h < ((trainFrac + valFrac) * Buckets).toLong, 1)
       .otherwise(2)
   }
+
+  /** SQL-portable stable bucket in [0, 1e6): md5-derived 48-bit hash of
+    * the key's string form — the same rows select in ANY engine with
+    * md5 (DuckDB twin: `CAST('0x' || substr(md5(CAST(k AS VARCHAR)),
+    * 1, 12) AS BIGINT) % 1000000`), where Spark's `hash()` (Murmur3,
+    * engine-private seed) cannot cross engines. Used by the oracled
+    * split query (t20); [[hashSample]]/[[splitColumn]] stay the cheap
+    * codegen'd in-engine path.
+    */
+  def portableBucket(key: Column): Column =
+    pmod(
+      conv(substring(md5(key.cast("string").cast("binary")), 1, 12),
+        16, 10).cast("long"),
+      lit(Buckets))
 }

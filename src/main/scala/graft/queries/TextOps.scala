@@ -688,6 +688,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t20 — deterministic train/val/test split audit (mandate:
+    * "sampling/splits"): every doc lands in a split by the PORTABLE
+    * stable bucket of its id ([[graft.operators.Sampling
+    * .portableBucket]] — layout-independent, engine-independent), with
+    * explicit integer thresholds 800k/900k of 1e6 so both engines
+    * compare exact integers. Output is the per-(lang, split) census a
+    * dataset card reports; the whole assignment hash-verifies against
+    * DuckDB recomputing the same md5 arithmetic.
+    */
+  val t20SplitAudit: Q = (s, d) => {
+    val bucket = graft.operators.Sampling.portableBucket(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        when(bucket < 800000, 0).when(bucket < 900000, 1).otherwise(2)
+          .as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+  }
+
   /** t09 — character trigram frequencies via generator explode
     * (SURVEY §2.8 unnest generalized): top-20 trigrams corpus-wide.
     * Explode happens before the shuffle, partial agg combines map-side.
@@ -1026,6 +1046,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t20_split_audit" -> t20SplitAudit,
     "t19_dedup_groups" -> t19DedupGroups,
     "t18_rolling_fingerprint" -> t18RollingFingerprint,
     "t17_regex_tokens" -> t17RegexTokens,
@@ -1306,6 +1327,18 @@ object TextOps {
            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
            |SELECT a AS doc_id, least(a, min(b)) AS group_id
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      // same md5-derived bucket arithmetic as Sampling.portableBucket
+      "t20_split_audit" ->
+        """WITH b AS (
+          |  SELECT lang,
+          |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+          |      AS BIGINT) % 1000000 AS bucket
+          |  FROM documents)
+          |SELECT lang,
+          |  CASE WHEN bucket < 800000 THEN 0
+          |       WHEN bucket < 900000 THEN 1 ELSE 2 END AS split,
+          |  count(*) AS n_docs
+          |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
       "t09_char_trigrams" ->
         """SELECT g, count(*) AS n FROM (
           |  SELECT substr(text, CAST(i AS INT), 3) AS g

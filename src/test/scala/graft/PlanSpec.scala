@@ -84,6 +84,13 @@ class PlanSpec extends SparkSpec {
       s"per-doc profile must be array ops, not an aggregate:\n$p")
   }
 
+  test("v09: ANN serve path scans the stored code index") {
+    val df = SparkEntry.queries("v09_ann_ivfpq_indexed")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ivfpq_codes"),
+      s"no stored-index (codes) file scan in the v09 plan:\n$p")
+  }
+
   test("t08: winnowing is one window pass over one per-doc sort") {
     val df = SparkEntry.queries("t08_winnow_fingerprint")(spark, sf)
     df.collect()

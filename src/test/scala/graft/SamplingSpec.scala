@@ -19,6 +19,18 @@ class SamplingSpec extends SparkSpec {
     assert(frac > 0.2 && frac < 0.4, s"fraction off: $frac")
   }
 
+  test("portableBucket is layout-independent and roughly uniform") {
+    val docs = Tables.documents(spark, sf)
+    def buckets(parts: Int) = docs.repartition(parts)
+      .select(col("doc_id"),
+        Sampling.portableBucket(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = buckets(2); val b = buckets(13)
+    assert(a === b, "bucket must not depend on layout")
+    val below = a.values.count(_ < 800000).toDouble / a.size
+    assert(below > 0.7 && below < 0.9, s"800k threshold share: $below")
+  }
+
   test("stratified fractions hold per stratum") {
     val docs = Tables.documents(spark, sf)
     val sampled = Sampling.stratifiedHashSample(docs, col("lang"),
