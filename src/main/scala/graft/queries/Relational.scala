@@ -510,6 +510,25 @@ object Relational {
           .as("p25_qty"))
       .orderBy("l_returnflag")
 
+  /** q35 — salted two-phase aggregation as a declared, oracled query
+    * (mandate "salting for skew"): the hot-key-safe plan —
+    * groupBy(keys + row-hash salt) partials, then merge — must produce
+    * EXACTLY the plain GROUP BY answer, so its oracle IS the plain
+    * GROUP BY. Aggregates chosen order-exact (integer-valued quantity
+    * sum ≤ 2^53, count, max) so the salted partial order can't shift a
+    * ulp. PlanSpec asserts the salt actually enters the phase-1
+    * grouping.
+    */
+  val q35SaltedAgg: Q = (s, d) =>
+    graft.operators.Skew.saltedAggregate(
+      Tables.lineitem(s, d), Seq("l_returnflag"), buckets = 32,
+      Seq(
+        graft.operators.Skew.AggSpec("sum", "l_quantity", "sum_qty"),
+        graft.operators.Skew.AggSpec("count", "l_orderkey", "n_rows"),
+        graft.operators.Skew.AggSpec("max", "l_extendedprice",
+          "max_price")))
+      .orderBy("l_returnflag")
+
   /** q30 — CUBE (full grouping-sets lattice; q16 covers ROLLUP). */
   val q30Cube: Q = (s, d) =>
     Tables.orders(s, d)
@@ -625,6 +644,7 @@ object Relational {
   )
 
   val queries: Map[String, Q] = Map(
+    "q35_salted_agg" -> q35SaltedAgg,
     "q33_hll_sketch_union" -> q33HllSketchUnion,
     "q32_ranking_windows" -> q32RankingWindows,
     "q31_asof_join" -> q31AsofJoin,
@@ -694,6 +714,14 @@ object Relational {
         |  round(sum(o_totalprice), 2) AS total_value
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    // the salted two-phase plan must equal the PLAIN group-by — that
+    // equality is the point, so the plain form is the oracle
+    "q35_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  count(l_orderkey) AS n_rows,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q29_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 3) AS med_price,

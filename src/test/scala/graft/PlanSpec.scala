@@ -84,6 +84,15 @@ class PlanSpec extends SparkSpec {
       s"per-doc profile must be array ops, not an aggregate:\n$p")
   }
 
+  test("q35: the salt actually enters the phase-1 grouping") {
+    val p = plan("q35_salted_agg")
+    assert(p.contains("__salt"),
+      s"salted grouping column missing from the plan:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 4,
+      s"expected two partial+final aggregate pairs (salted then merge):\n$p")
+  }
+
   test("v09: ANN serve path scans the stored code index") {
     val df = SparkEntry.queries("v09_ann_ivfpq_indexed")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
