@@ -529,6 +529,39 @@ object Relational {
           "max_price")))
       .orderBy("l_returnflag")
 
+  /** q36 — co-located bucketed join as a declared, oracled query
+    * (mandate "bucketing for co-located joins"): both sides are written
+    * bucketed+sorted on the join key (paid once at write time — the
+    * recurring-join amortization a 100 TB fact-fact join needs), then
+    * the SortMergeJoin runs with ZERO exchange on either side —
+    * PlanSpec asserts the shuffle-free plan with broadcast disabled.
+    * Result must equal the plain file join, so the plain join is the
+    * oracle; aggregates are order-exact.
+    */
+  val q36BucketedJoin: Q = (s, d) => {
+    val tag = math.abs(d.hashCode).toString
+    val lt = s"graft_lineitem_b_$tag"
+    val ot = s"graft_orders_b_$tag"
+    // the in-memory catalog forgets tables across JVMs — rewrite when
+    // absent (overwrite keeps reruns idempotent within a session)
+    if (!s.catalog.tableExists(lt))
+      graft.operators.Bucketing.writeBucketed(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        lt, "l_orderkey", 16)
+    if (!s.catalog.tableExists(ot))
+      graft.operators.Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderstatus")),
+        ot, "l_orderkey", 16)
+    graft.operators.Bucketing.bucketedJoin(s, lt, ot, "l_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum("l_quantity").as("sum_qty"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q30 — CUBE (full grouping-sets lattice; q16 covers ROLLUP). */
   val q30Cube: Q = (s, d) =>
     Tables.orders(s, d)
@@ -644,6 +677,7 @@ object Relational {
   )
 
   val queries: Map[String, Q] = Map(
+    "q36_bucketed_join" -> q36BucketedJoin,
     "q35_salted_agg" -> q35SaltedAgg,
     "q33_hll_sketch_union" -> q33HllSketchUnion,
     "q32_ranking_windows" -> q32RankingWindows,
@@ -714,6 +748,14 @@ object Relational {
         |  round(sum(o_totalprice), 2) AS total_value
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    // the bucketed co-located join must equal the plain file join
+    "q36_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  sum(l_quantity) AS sum_qty,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // the salted two-phase plan must equal the PLAIN group-by — that
     // equality is the point, so the plain form is the oracle
     "q35_salted_agg" ->

@@ -84,6 +84,23 @@ class PlanSpec extends SparkSpec {
       s"per-doc profile must be array ops, not an aggregate:\n$p")
   }
 
+  test("q36: bucketed join reads both sides shuffle-free") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q36_bucketed_join")(spark, sf)
+      df.collect()
+      // AQE plan strings append the initial plan — assert on the FINAL
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges <= 1,
+        s"bucketed join inputs must not shuffle (only the post-join agg " +
+          s"may):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q35: the salt actually enters the phase-1 grouping") {
     val p = plan("q35_salted_agg")
     assert(p.contains("__salt"),
