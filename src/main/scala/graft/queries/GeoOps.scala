@@ -139,7 +139,32 @@ object GeoOps {
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq.empty))
 
+  /** g07 — bbox scan over a Z-ORDERED copy of the point table (mandate
+    * "Z-order"; the lakehouse OPTIMIZE ZORDER shape): the table is
+    * rewritten once clustered on the Morton curve (memoized by sf dir),
+    * so each parquet file carries a tight lon/lat min/max envelope and
+    * the pushed range predicates skip most files at scale
+    * (ZOrderSpec measures >4× tighter file bboxes than round-robin).
+    * The oracle is the same bbox over the UNCLUSTERED source — proving
+    * the clustering rewrite preserves content exactly; PlanSpec asserts
+    * the predicates reach the z-ordered scan.
+    */
+  val g07ZOrderScan: Q = (s, d) => {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-" +
+      math.abs(d.hashCode).toString
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS")))
+      graft.operators.ZOrder.writeZOrdered(
+        points(s, d), "lon", "lat", path, 8)
+    s.read.parquet(path)
+      .filter(col("lon") >= -60 && col("lon") <= 40 &&
+        col("lat") >= -30 && col("lat") <= 45)
+      .select("c_custkey", "lon", "lat")
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "g07_zorder_scan" -> g07ZOrderScan,
     "g06_alaska_cleaned_replay" -> g06AlaskaReplay,
     "g01_bbox_contains" -> g01BboxContains,
     "g02_triangle_pip" -> g02TrianglePip,
@@ -149,6 +174,13 @@ object GeoOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the z-ordered rewrite must preserve content exactly: same bbox
+    // over the unclustered source
+    "g07_zorder_scan" ->
+      s"""WITH p AS ($pointsSql)
+         |SELECT c_custkey, lon, lat FROM p
+         |WHERE lon >= -60 AND lon <= 40 AND lat >= -30 AND lat <= 45
+         |ORDER BY c_custkey""".stripMargin,
     // Strict interior test matches JTS contains (boundary excluded);
     // +0.5 offsets guarantee no point ever lies on a boundary.
     "g01_bbox_contains" ->

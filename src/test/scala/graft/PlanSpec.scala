@@ -101,6 +101,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("g07: bbox predicates push into the z-ordered parquet scan") {
+    val p = plan("g07_zorder_scan")
+    assert(p.contains("graft-zorder"),
+      s"no z-ordered file scan in the plan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(lon,-60.0)"),
+      s"lon range not pushed to the scan:\n$p")
+  }
+
   test("q35: the salt actually enters the phase-1 grouping") {
     val p = plan("q35_salted_agg")
     assert(p.contains("__salt"),
