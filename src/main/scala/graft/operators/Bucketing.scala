@@ -25,4 +25,19 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Re-register an EXISTING bucketed table after a JVM restart: the
+    * in-memory catalog forgets metadata but the warehouse files (with
+    * bucket-id file naming) persist, so a CREATE TABLE ... CLUSTERED BY
+    * over the old location restores the zero-shuffle join property
+    * without rewriting the data — the cross-run half of "pay the
+    * bucketing cost once".
+    */
+  def registerBucketed(spark: SparkSession, table: String,
+      schemaDdl: String, key: String, buckets: Int, path: String): Unit =
+    spark.sql(
+      s"""CREATE TABLE $table ($schemaDdl)
+         |USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
 }

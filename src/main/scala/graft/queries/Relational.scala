@@ -542,18 +542,27 @@ object Relational {
     val tag = math.abs(d.hashCode).toString
     val lt = s"graft_lineitem_b_$tag"
     val ot = s"graft_orders_b_$tag"
-    // the in-memory catalog forgets tables across JVMs — rewrite when
-    // absent (overwrite keeps reruns idempotent within a session)
-    if (!s.catalog.tableExists(lt))
-      graft.operators.Bucketing.writeBucketed(
-        Tables.lineitem(s, d)
-          .select("l_orderkey", "l_quantity", "l_extendedprice"),
-        lt, "l_orderkey", 16)
-    if (!s.catalog.tableExists(ot))
-      graft.operators.Bucketing.writeBucketed(
-        Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
-          col("o_orderstatus")),
-        ot, "l_orderkey", 16)
+    // the in-memory catalog forgets tables across JVMs but the
+    // warehouse FILES persist: re-register the metadata over the old
+    // location when possible (paying the bucketing write once per sf
+    // dir, ever), else write fresh
+    def ensure(table: String, df: org.apache.spark.sql.DataFrame): Unit =
+      if (!s.catalog.tableExists(table)) {
+        val wh = java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath
+        val path = s"$wh/$table"
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(path, "_SUCCESS")))
+          graft.operators.Bucketing.registerBucketed(
+            s, table, df.schema.toDDL, "l_orderkey", 16, path)
+        else
+          graft.operators.Bucketing.writeBucketed(
+            df, table, "l_orderkey", 16)
+      }
+    ensure(lt, Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice"))
+    ensure(ot, Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")))
     graft.operators.Bucketing.bucketedJoin(s, lt, ot, "l_orderkey")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_items"),
