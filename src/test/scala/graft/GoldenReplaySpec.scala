@@ -80,6 +80,35 @@ class GoldenReplaySpec extends SparkSpec {
     assert(top.head.getAs[Double]("area_deg2") > 0)
   }
 
+  test("overlap question (README.md:6): ST_Intersects self-join with " +
+      "bbox prefilter finds the overlapping service areas") {
+    assume(available)
+    GeoFunctions.registerAll(spark)
+    val areas = GeoJson.read(spark, golden)
+      .select(col("certificate_number").as("cert"),
+        col("geometry").as("g"))
+      .withColumn("env", st_envelope(col("g")))
+      .select(col("cert"), col("g"),
+        st_x(st_centroid(col("env"))).as("cx"))
+    // bbox prefilter via envelope intersection BEFORE the exact JTS
+    // predicate — the pair count an O(n²) exact pass would pay shrinks
+    // to envelope-overlapping candidates (the SpatialFilterRewrite
+    // shape, applied to a self-join)
+    val a = areas.toDF("cert_a", "ga", "cxa")
+    val b = areas.toDF("cert_b", "gb", "cxb")
+    val pairs = a.join(b, col("cert_a") < col("cert_b") &&
+        st_intersects(st_envelope(col("ga")), st_envelope(col("gb"))) &&
+        st_intersects(col("ga"), col("gb")))
+      .select("cert_a", "cert_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // The reference's motivating question: YES, service areas overlap.
+    assert(pairs.nonEmpty, "expected overlapping service areas")
+    // pin the count and spot-pin the smallest pair for regression
+    info(s"${pairs.length} overlapping pairs; first=${pairs.headOption}")
+    assertGoldenRows("geo", "overlap_pairs",
+      pairs.map { case (x, y) => s"$x,$y" }.toSeq)
+  }
+
   test("point-in-polygon lookup (README.md:8): Fairbanks → GVEA") {
     assume(available)
     GeoFunctions.registerAll(spark)
