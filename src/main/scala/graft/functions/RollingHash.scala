@@ -105,8 +105,12 @@ object RollingHash {
   def registerAll(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hashes",
-      es => RollingHashes(es.head,
-        lit(es(1), "k").toInt, lit(es(2), "base")),
+      es => {
+        require(es.length == 3,
+          s"rolling_hashes(text, k, base) expects 3 arguments, got " +
+            s"${es.length}")
+        RollingHashes(es.head, lit(es(1), "k").toInt, lit(es(2), "base"))
+      },
       "scala_udf")
 
   /** Column API. */

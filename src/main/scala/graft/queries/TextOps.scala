@@ -428,15 +428,29 @@ object TextOps {
     */
   def portableBandsKernel(text: String): Seq[(Int, String)] = {
     val k = 5; val rowsPerBand = 4
-    if (text == null || text.length < k) return Seq.empty
+    if (text == null) return Seq.empty
+    // iterate CODE POINTS, not UTF-16 units: Spark's substr/length and
+    // DuckDB both count code points, and stepping by chars would split
+    // surrogate pairs into invalid grams with different md5 hashes
+    val cpOffsets = {
+      val buf = scala.collection.mutable.ArrayBuffer[Int]()
+      var off = 0
+      while (off < text.length) {
+        buf += off; off += Character.charCount(text.codePointAt(off))
+      }
+      buf += text.length
+      buf.toArray
+    }
+    val n = cpOffsets.length - 1 // code-point count
+    if (n < k) return Seq.empty
     val nBands = minHashSeeds.length / rowsPerBand
     val mins = Array.fill(minHashSeeds.length)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
-    while (i + k <= text.length) {
+    while (i + k <= n) {
       md.reset()
-      val digest = md.digest(
-        text.substring(i, i + k).getBytes("UTF-8"))
+      val digest = md.digest(text
+        .substring(cpOffsets(i), cpOffsets(i + k)).getBytes("UTF-8"))
       // first 12 hex chars = first 6 bytes, big-endian → 48-bit value
       var h = 0L
       var b = 0

@@ -229,8 +229,11 @@ object EventStreams {
   def replayNearDupVerified(spark: SparkSession, dir: String)
       : DataFrame = {
     val qn = s"stream_neardup_v_${math.abs(dir.hashCode)}"
+    // SAME glob as the candidate stream: both sides must see the same
+    // file set or pairs from an extra documents file would silently
+    // drop out of the verify join
     val texts = spark.read.schema(docSchema)
-      .parquet(s"$dir/documents.parquet")
+      .parquet(s"$dir/documents*.parquet")
       .select(col("doc_id"), col("text"))
     val jacUdf = udf { (ta: String, tb: String) =>
       graft.functions.TextHash.stringGramJaccard(ta, tb, 5)

@@ -87,15 +87,12 @@ class GoldenReplaySpec extends SparkSpec {
     val areas = GeoJson.read(spark, golden)
       .select(col("certificate_number").as("cert"),
         col("geometry").as("g"))
-      .withColumn("env", st_envelope(col("g")))
-      .select(col("cert"), col("g"),
-        st_x(st_centroid(col("env"))).as("cx"))
     // bbox prefilter via envelope intersection BEFORE the exact JTS
     // predicate — the pair count an O(n²) exact pass would pay shrinks
     // to envelope-overlapping candidates (the SpatialFilterRewrite
     // shape, applied to a self-join)
-    val a = areas.toDF("cert_a", "ga", "cxa")
-    val b = areas.toDF("cert_b", "gb", "cxb")
+    val a = areas.toDF("cert_a", "ga")
+    val b = areas.toDF("cert_b", "gb")
     val pairs = a.join(b, col("cert_a") < col("cert_b") &&
         st_intersects(st_envelope(col("ga")), st_envelope(col("gb"))) &&
         st_intersects(col("ga"), col("gb")))

@@ -103,7 +103,7 @@ class PlanSpec extends SparkSpec {
 
   test("g07: bbox predicates push into the z-ordered parquet scan") {
     val p = plan("g07_zorder_scan")
-    assert(p.contains("graft-zorder"),
+    assert(p.contains("zorder_points"),
       s"no z-ordered file scan in the plan:\n$p")
     assert(p.contains("GreaterThanOrEqual(lon,-60.0)"),
       s"lon range not pushed to the scan:\n$p")

@@ -279,6 +279,23 @@ class TextSpec extends SparkSpec {
     assert(fromKernel === fromPlan)
   }
 
+  test("portableBandsKernel matches the plan on astral / multi-byte text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab😀cd ef😀gh ij"),     // surrogate pairs inside grams
+      (2L, "😀😀😀😀"),            // 4 code points -> under k, no bands
+      (3L, "héllo wörld déjà vu")) // 2-byte UTF-8 chars
+      .toDF("doc_id", "text")
+    val fromPlan = TextOps.portableBandTable(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val fromKernel = docs.collect().flatMap { r =>
+      TextOps.portableBandsKernel(r.getString(1))
+        .map { case (b, s) => (r.getLong(0), b, s) }
+    }.toSet
+    assert(fromKernel === fromPlan)
+    assert(!fromPlan.exists(_._1 == 2L), "under-k doc must have no bands")
+  }
+
   test("rolling hash property: equals brute polynomial on random " +
       "unicode strings, injective on ASCII grams") {
     import org.apache.spark.unsafe.types.UTF8String
