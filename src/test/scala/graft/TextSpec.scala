@@ -296,6 +296,27 @@ class TextSpec extends SparkSpec {
     assert(!fromPlan.exists(_._1 == 2L), "under-k doc must have no bands")
   }
 
+  test("banding kernel property: equals the plan on random unicode docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337L)
+    val alphabets: Seq[Array[Int]] = Seq(
+      ('a' to 'z').mkString + " .,!",
+      "абвгд的是了ab ",
+      "ab😀c ").map(_.codePoints().toArray)
+    val docs = (1 to 60).map { id =>
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      val cps = Array.fill(rnd.nextInt(30))(alpha(rnd.nextInt(alpha.length)))
+      (id.toLong, new String(cps, 0, cps.length))
+    }.toDF("doc_id", "text")
+    val fromPlan = TextOps.portableBandTable(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val fromKernel = docs.collect().flatMap { r =>
+      TextOps.portableBandsKernel(r.getString(1))
+        .map { case (b, s) => (r.getLong(0), b, s) }
+    }.toSet
+    assert(fromKernel === fromPlan)
+  }
+
   test("rolling hash property: equals brute polynomial on random " +
       "unicode strings, injective on ASCII grams") {
     import org.apache.spark.unsafe.types.UTF8String
