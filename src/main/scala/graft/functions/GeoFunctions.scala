@@ -260,6 +260,97 @@ object GeoFunctions {
     override def prettyName: String = "st_union"
   }
 
+  /** st_intersection(a, b) — the overlap geometry (the "do service
+    * areas overlap, and WHERE" follow-up to the reference's README
+    * question #1).
+    */
+  case class STIntersection(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Geo.toWkb(geom(a).intersection(geom(b)))
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+    override def prettyName: String = "st_intersection"
+  }
+
+  case class STDifference(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Geo.toWkb(geom(a).difference(geom(b)))
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+    override def prettyName: String = "st_difference"
+  }
+
+  case class STSymDifference(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Geo.toWkb(geom(a).symDifference(geom(b)))
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+    override def prettyName: String = "st_symdifference"
+  }
+
+  /** st_buffer(g, dist) — planar buffer in CRS units (degrees here;
+    * same planar-degree contract as st_area, documented in §2.8).
+    */
+  case class STBuffer(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(g: Any, d: Any): Any =
+      Geo.toWkb(geom(g).buffer(d.asInstanceOf[Double]))
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+    override def prettyName: String = "st_buffer"
+  }
+
+  /** st_simplify(g, tol) — Douglas-Peucker with topology preservation
+    * (TopologyPreservingSimplifier: no self-intersections introduced,
+    * the variant a published-layer pipeline wants).
+    */
+  case class STSimplify(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(g: Any, d: Any): Any =
+      Geo.toWkb(org.locationtech.jts.simplify.TopologyPreservingSimplifier
+        .simplify(geom(g), d.asInstanceOf[Double]))
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+    override def prettyName: String = "st_simplify"
+  }
+
+  case class STLength(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any = geom(v).getLength
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def prettyName: String = "st_length"
+  }
+
+  case class STGeometryType(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString(geom(v).getGeometryType)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def prettyName: String = "st_geometrytype"
+  }
+
+  case class STIsEmpty(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(v: Any): Any = geom(v).isEmpty
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+    override def prettyName: String = "st_isempty"
+  }
+
   private def wkbArray(v: Any): Seq[Geometry] =
     v.asInstanceOf[ArrayData].toObjectArray(BinaryType)
       .map(e => if (e == null) null else Geo.fromWkb(bytes(e))).toSeq
@@ -339,6 +430,14 @@ object GeoFunctions {
     "st_within" -> (es => STWithin(es(0), es(1))),
     "st_distance" -> (es => STDistance(es(0), es(1))),
     "st_union" -> (es => STUnion(es(0), es(1))),
+    "st_intersection" -> (es => STIntersection(es(0), es(1))),
+    "st_difference" -> (es => STDifference(es(0), es(1))),
+    "st_symdifference" -> (es => STSymDifference(es(0), es(1))),
+    "st_buffer" -> (es => STBuffer(es(0), es(1))),
+    "st_simplify" -> (es => STSimplify(es(0), es(1))),
+    "st_length" -> (es => STLength(es.head)),
+    "st_geometrytype" -> (es => STGeometryType(es.head)),
+    "st_isempty" -> (es => STIsEmpty(es.head)),
     "st_collect_array" -> (es => STCollectArray(es.head)),
     "st_union_array" -> (es => STUnionArray(es.head)),
     // native partial-merge aggregate (see GeoAggregates)
@@ -395,6 +494,20 @@ object GeoFunctions {
     call_function("st_distance", a, b)
   def st_union(a: Column, b: Column): Column =
     call_function("st_union", a, b)
+  def st_intersection(a: Column, b: Column): Column =
+    call_function("st_intersection", a, b)
+  def st_difference(a: Column, b: Column): Column =
+    call_function("st_difference", a, b)
+  def st_symDifference(a: Column, b: Column): Column =
+    call_function("st_symdifference", a, b)
+  def st_buffer(g: Column, dist: Column): Column =
+    call_function("st_buffer", g, dist)
+  def st_simplify(g: Column, tol: Column): Column =
+    call_function("st_simplify", g, tol)
+  def st_length(g: Column): Column = call_function("st_length", g)
+  def st_geometryType(g: Column): Column =
+    call_function("st_geometrytype", g)
+  def st_isEmpty(g: Column): Column = call_function("st_isempty", g)
 
   /** Aggregate: collect-without-dissolve per group. */
   def st_collect_agg(g: Column): Column =

@@ -285,6 +285,43 @@ class GeoSpec extends SparkSpec {
     assert(GeoJson.read(spark, path).count() === 2)
   }
 
+  test("overlay/measure surface: intersection, difference, symdifference, " +
+      "buffer, simplify, length, type, isempty") {
+    GeoFunctions.registerAll(spark)
+    import spark.implicits._
+    // two unit-offset 2x2 squares: overlap is the middle 1x1 square
+    val df = Seq((
+      Geo.toWkb(Geo.fromWkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")),
+      Geo.toWkb(Geo.fromWkt("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))))
+      .toDF("a", "b")
+    val r = df.select(
+      st_area(st_intersection(col("a"), col("b"))).as("i"),
+      st_area(st_difference(col("a"), col("b"))).as("d"),
+      st_area(st_symDifference(col("a"), col("b"))).as("s"),
+      st_area(st_buffer(col("a"), lit(1.0))).as("buf"),
+      st_length(col("a")).as("len"),
+      st_geometryType(col("a")).as("t"),
+      st_isEmpty(st_intersection(col("a"),
+        st_geomFromText(lit("POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"))))
+        .as("empty")).head()
+    assert(r.getAs[Double]("i") === 1.0)
+    assert(r.getAs[Double]("d") === 3.0)   // 4 - 1
+    assert(r.getAs[Double]("s") === 6.0)   // 3 + 3
+    // buffer(1) of a 2x2 square: area 4 + perimeter 8 x 1 + pi r^2 corners
+    assert(math.abs(r.getAs[Double]("buf") - (4 + 8 + math.Pi)) < 0.05)
+    assert(r.getAs[Double]("len") === 8.0)
+    assert(r.getAs[String]("t") === "Polygon")
+    assert(r.getAs[Boolean]("empty"), "disjoint intersection must be empty")
+    // simplify: a redundant collinear vertex disappears at any tolerance
+    val simp = Seq(Geo.toWkb(Geo.fromWkt(
+      "POLYGON ((0 0, 1 0, 2 0, 2 2, 0 2, 0 0))")))
+      .toDF("g")
+      .select(st_simplify(col("g"), lit(0.01)).as("s")).head()
+    val g = Geo.fromWkb(simp.getAs[Array[Byte]](0))
+    assert(g.getCoordinates.length === 5, "collinear vertex must drop")
+    assert(g.getArea === 4.0)
+  }
+
   test("st_dump generator explodes multi-part geometries row-per-part") {
     GeoFunctions.registerAll(spark)
     import spark.implicits._
