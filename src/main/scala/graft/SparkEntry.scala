@@ -33,7 +33,9 @@ object SparkEntry {
         "s03_stream_neardup" -> ((s, d) =>
           EventStreams.replayNearDupCandidates(s, d)),
         "s04_stream_neardup_verified" -> ((s, d) =>
-          EventStreams.replayNearDupVerified(s, d)))
+          EventStreams.replayNearDupVerified(s, d)),
+        "s05_stream_ingest_dedup" -> ((s, d) =>
+          EventStreams.replayIngestDedup(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -41,6 +43,25 @@ object SparkEntry {
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
     Relational.benchOnly
+
+  /** Build-or-refresh the persisted stored-index artifacts for `dir`
+    * (t15/t16/s05 band index, v09 IVF+PQ model + codes). Bench calls
+    * this OUTSIDE the timed loop: stored-index queries measure the
+    * serve/ingest path over an EXISTING index — that is their entire
+    * point — while the build cost is what their rebuild twins (t06's
+    * full signing, v08's train+encode) already measure. Without this,
+    * v09's single timed run paid the whole train+encode+persist build
+    * and benched 2× slower than v08's rebuild (the round-3 inversion).
+    */
+  def warmIndexes(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    TextOps.ensureBandIndex(spark, dir,
+      docs.filter(col("doc_id") < TextOps.IncrementalCorpusMaxId),
+      "t15_corpus")
+    VectorOps.ensureIvfPqIndex(spark, dir)
+    ()
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -72,5 +93,8 @@ object SparkEntry {
         "s03_stream_neardup" -> TextOps.bandCandidatePairsOracleSql,
         // verified streaming near-dup ≡ the batch t06 — same oracle SQL
         "s04_stream_neardup_verified" ->
-          TextOps.oracles("t06_minhash_lsh"))
+          TextOps.oracles("t06_minhash_lsh"),
+        // foreachBatch ingest loop: sequential multi-batch dedup over
+        // the stored band index ≡ a fixed-depth kept/drop CTE chain
+        "s05_stream_ingest_dedup" -> TextOps.ingestDedupOracleSql)
 }

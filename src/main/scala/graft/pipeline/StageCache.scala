@@ -29,7 +29,40 @@ class StageCache(spark: SparkSession, dir: String) {
     h.digest().take(8).map("%02x".format(_)).mkString
   }
 
-  private def fingerprint(inputs: Seq[String]): String = {
+  def stage(name: String, codeVersion: String, inputs: Seq[String])(
+      compute: => DataFrame): DataFrame = {
+    val key = s"$name-$codeVersion-${StageCache.fingerprint(inputs)}"
+    val path = s"$dir/$key"
+    if (Files.exists(Paths.get(path, "_SUCCESS"))) {
+      spark.read.parquet(path)
+    } else {
+      computeCount += 1
+      val df = compute
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+  }
+}
+
+object StageCache {
+
+  /** Shared root for every persisted index/stage artifact (band index,
+    * IVF+PQ model+codes, z-ordered layout). Override with
+    * SPARK_GRAFT_INDEX_DIR; defaults under the JVM temp dir so the repo
+    * tree stays clean. On a cluster this is a shared-filesystem path —
+    * the artifacts are plain parquet. Single definition: TextOps /
+    * VectorOps / GeoOps all key off this one.
+    */
+  def indexRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-band-index")
+
+  /** Path + size + mtime fingerprint of a set of input files — the same
+    * cheap staleness proxy `targets` uses. PUBLIC so cache keying that
+    * lives outside a StageCache (e.g. q36's bucketed-table names) uses
+    * this exact function instead of a drifting copy.
+    */
+  def fingerprint(inputs: Seq[String]): String = {
     val h = java.security.MessageDigest.getInstance("SHA-256")
     inputs.sorted.foreach { p =>
       h.update(p.getBytes("UTF-8"))
@@ -40,19 +73,5 @@ class StageCache(spark: SparkSession, dir: String) {
       }
     }
     h.digest().take(8).map("%02x".format(_)).mkString
-  }
-
-  def stage(name: String, codeVersion: String, inputs: Seq[String])(
-      compute: => DataFrame): DataFrame = {
-    val key = s"$name-$codeVersion-${fingerprint(inputs)}"
-    val path = s"$dir/$key"
-    if (Files.exists(Paths.get(path, "_SUCCESS"))) {
-      spark.read.parquet(path)
-    } else {
-      computeCount += 1
-      val df = compute
-      df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
   }
 }

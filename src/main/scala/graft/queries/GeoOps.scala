@@ -156,8 +156,7 @@ object GeoOps {
     // The z-layout survives the cache write because it lives in the
     // frame's range partitioning + in-partition sort, not the writer.
     val cache = new graft.pipeline.StageCache(s,
-      sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-        s"${System.getProperty("java.io.tmpdir")}/graft-band-index"))
+      graft.pipeline.StageCache.indexRoot)
     val zordered = cache.stage("zorder_points",
       cache.versionHash(Seq("zorder", "v1", "files=8")),
       Seq(s"$d/customer.parquet")) {

@@ -539,23 +539,13 @@ object Relational {
     * oracle; aggregates are order-exact.
     */
   /** Table-name tag carrying the SOURCE DATA fingerprint (path + size +
-    * mtime, as StageCache keys): regenerated source parquet produces a
-    * new table name and hence a rebuild — a bare existence check would
-    * serve stale bucketed files.
+    * mtime — [[graft.pipeline.StageCache.fingerprint]], the one shared
+    * definition): regenerated source parquet produces a new table name
+    * and hence a rebuild — a bare existence check would serve stale
+    * bucketed files.
     */
-  private def dataTag(paths: Seq[String]): String = {
-    val h = java.security.MessageDigest.getInstance("SHA-256")
-    paths.sorted.foreach { p =>
-      h.update(p.getBytes("UTF-8"))
-      val path = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(path)) {
-        h.update(java.nio.file.Files.size(path).toString.getBytes)
-        h.update(java.nio.file.Files.getLastModifiedTime(path)
-          .toMillis.toString.getBytes)
-      }
-    }
-    h.digest().take(8).map("%02x".format(_)).mkString
-  }
+  private def dataTag(paths: Seq[String]): String =
+    graft.pipeline.StageCache.fingerprint(paths)
 
   val q36BucketedJoin: Q = (s, d) => {
     val tag = dataTag(Seq(s"$d/lineitem.parquet", s"$d/orders.parquet"))

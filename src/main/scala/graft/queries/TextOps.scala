@@ -20,6 +20,27 @@ object TextOps {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Bench-contract scope literals. The driver's DuckDB oracle SQL is
+    * generated from these SAME constants (interpolated below), so the
+    * Spark plan and the oracle cannot drift apart — but changing any of
+    * them changes row counts and hashes on BOTH sides of the verify
+    * gate, which is why they are named here rather than inlined.
+    */
+  /** t05 all-pairs-verify scope (the exact-Jaccard oracle is O(n²)). */
+  val T05PairScopeMaxId = 200L
+  /** t12/t13 TF-IDF / BM25 document scope. */
+  val T12TfIdfScopeMaxId = 100L
+  /** t15/t16/s05 stored-index split: ids below this are the
+    * pre-existing corpus the band index covers; ids at or above it
+    * arrive as ingest batches.
+    */
+  val IncrementalCorpusMaxId = 400L
+  /** s05 ingest micro-batch id boundaries: batch i covers
+    * [bounds(i), bounds(i+1)), the last batch open-ended. bounds(0)
+    * must equal [[IncrementalCorpusMaxId]].
+    */
+  val IngestBatchBounds: Seq[Long] = Seq(400L, 450L, 500L)
+
   /** Per-language stopword markers, space-padded so they match whole
     * tokens. Single source of truth for BOTH the Spark plan and the
     * generated DuckDB oracle (t03).
@@ -221,6 +242,48 @@ object TextOps {
        |  AND a.doc_id < b.doc_id
        |ORDER BY d1, d2""".stripMargin
 
+  /** DuckDB twin of the s05 streaming ingest-dedup loop
+    * ([[graft.streaming.EventStreams.replayIngestDedup]]). SEQUENTIAL
+    * multi-batch semantics are expressible as a fixed-depth CTE chain
+    * (no recursion): within a batch, ANY lower-id verified partner
+    * drops a doc (kept or not), so kept_i depends only on kept_{j<i}.
+    * A batch-i doc is dropped iff a verified band-candidate pair links
+    * it to the corpus (id < [[IncrementalCorpusMaxId]]), to a KEPT doc
+    * of an earlier batch (dropped docs never enter the index), or to a
+    * lower-id doc of its own batch. `pairs` is the same verified-pair
+    * CTE machinery the t06/t11/t15 oracles share.
+    */
+  def ingestDedupOracleSql: String = {
+    val bounds = IngestBatchBounds
+    require(bounds.head == IncrementalCorpusMaxId)
+    def span(lo: Long, hi: Option[Long], c: String): String =
+      s"$c >= $lo" + hi.map(h => s" AND $c < $h").getOrElse("")
+    val ctes = bounds.indices.map { i =>
+      val lo = bounds(i)
+      val hi = if (i + 1 < bounds.length) Some(bounds(i + 1)) else None
+      val keptRefs = (0 until i)
+        .map(j => s"\n    OR d1 IN (SELECT doc_id FROM kept$j)").mkString
+      // d1 < d2 always, so a same-batch partner is exactly d1 >= lo
+      // (d1 < hi follows from d1 < d2 < hi)
+      s"""drop$i AS (
+         |  SELECT DISTINCT d2 AS doc_id FROM pairs
+         |  WHERE ${span(lo, hi, "d2")}
+         |    AND (d1 < $IncrementalCorpusMaxId OR d1 >= $lo$keptRefs)),
+         |kept$i AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE ${span(lo, hi, "doc_id")}
+         |    AND doc_id NOT IN (SELECT doc_id FROM drop$i))""".stripMargin
+    }
+    val dropUnion = bounds.indices
+      .map(i => s"SELECT CAST($i AS INT) AS batch, doc_id FROM drop$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${minHashCtes("SELECT doc_id, text FROM documents", 0.5)},
+       |${ctes.mkString(",\n")}
+       |SELECT batch, doc_id FROM (
+       |  $dropUnion)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def minHashCtes(srcSql: String, thr: Double): String = {
     s"""${minHashBandCtes(srcSql)},
        |cand AS (
@@ -253,7 +316,7 @@ object TextOps {
     */
   val t05WordJaccard: Q = (s, d) =>
     prefixJaccardPairs(
-      Tables.documents(s, d).filter(col("doc_id") < 200)
+      Tables.documents(s, d).filter(col("doc_id") < T05PairScopeMaxId)
         .select("doc_id", "text"),
       0.6)
 
@@ -264,7 +327,7 @@ object TextOps {
     */
   def naiveConsecutiveJaccard(s: SparkSession, d: String): DataFrame = {
     def words: DataFrame = Tables.documents(s, d)
-      .filter(col("doc_id") < 200)
+      .filter(col("doc_id") < T05PairScopeMaxId)
       .select(col("doc_id"),
         explode(array_distinct(split(trim(col("text")), "\\s+"))).as("word"))
     val cnt = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -823,9 +886,9 @@ object TextOps {
   val t15IncrementalDedup: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val index = ensureBandIndex(s, d,
-      docs.filter(col("doc_id") < 400), "t15_corpus")
-    dedupIncrementalIndexed(index, docs.filter(col("doc_id") >= 400),
-      docs, 0.5)
+      docs.filter(col("doc_id") < IncrementalCorpusMaxId), "t15_corpus")
+    dedupIncrementalIndexed(index,
+      docs.filter(col("doc_id") >= IncrementalCorpusMaxId), docs, 0.5)
       .select("doc_id").orderBy("doc_id")
   }
 
@@ -836,18 +899,10 @@ object TextOps {
     */
   val t16BandIndex: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    ensureBandIndex(s, d, docs.filter(col("doc_id") < 400), "t15_corpus")
+    ensureBandIndex(s, d,
+      docs.filter(col("doc_id") < IncrementalCorpusMaxId), "t15_corpus")
       .orderBy("doc_id", "band")
   }
-
-  /** Root directory for persisted dedup indexes (band tables). Override
-    * with SPARK_GRAFT_INDEX_DIR; defaults under the JVM temp dir so the
-    * repo tree stays clean. On a cluster this would be a shared
-    * filesystem path (the index is plain parquet).
-    */
-  private def indexRoot: String =
-    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      s"${System.getProperty("java.io.tmpdir")}/graft-band-index")
 
   /** Build-or-reuse the persisted MinHash band index for `corpus` docs
     * from sf-dir `d` (targets-style memoization via [[StageCache]]:
@@ -858,7 +913,8 @@ object TextOps {
     */
   def ensureBandIndex(s: SparkSession, d: String, corpus: DataFrame,
       name: String): DataFrame = {
-    val cache = new graft.pipeline.StageCache(s, indexRoot)
+    val cache = new graft.pipeline.StageCache(s,
+      graft.pipeline.StageCache.indexRoot)
     cache.stage(name,
       cache.versionHash(Seq("minhash-band-index", "v1", "k=5",
         s"nPerm=${minHashSeeds.length}", "rowsPerBand=4")),
@@ -969,13 +1025,14 @@ object TextOps {
     */
   val t12TfIdf: Q = (s, d) => {
     val w = Tables.documents(s, d)
-      .filter(col("doc_id") < 100)
+      .filter(col("doc_id") < T12TfIdfScopeMaxId)
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("term"))
     val tf = w.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = w.distinct().groupBy("term")
       .agg(count(lit(1)).as("df"))
-    val n = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val n = Tables.documents(s, d)
+      .filter(col("doc_id") < T12TfIdfScopeMaxId)
       .agg(count(lit(1)).as("n"))
     val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
@@ -1153,14 +1210,15 @@ object TextOps {
           |CROSS JOIN stats
           |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
       "t12_tfidf" ->
-        """WITH w AS (
+        s"""WITH w AS (
           |  SELECT doc_id,
-          |    unnest(string_split_regex(trim(text), '\s+')) AS term
-          |  FROM documents WHERE doc_id < 100),
+          |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+          |  FROM documents WHERE doc_id < $T12TfIdfScopeMaxId),
           |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
           |dfreq AS (SELECT term, count(*) AS df
           |          FROM (SELECT DISTINCT doc_id, term FROM w) GROUP BY 1),
-          |n AS (SELECT count(*) AS n FROM documents WHERE doc_id < 100),
+          |n AS (SELECT count(*) AS n
+          |      FROM documents WHERE doc_id < $T12TfIdfScopeMaxId),
           |scored AS (
           |  SELECT doc_id, tf.term,
           |    round(tf * ln(CAST(n.n AS DOUBLE) / df), 4) AS tfidf
@@ -1179,10 +1237,10 @@ object TextOps {
       // brute-force all-pairs twin of the PPJoin plan (PPJoin is exact,
       // so the outputs coincide); both sides filter on the ROUNDED score
       "t05_word_jaccard" ->
-        """WITH w AS (
+        s"""WITH w AS (
           |  SELECT DISTINCT doc_id,
-          |    unnest(string_split_regex(trim(text), '\s+')) AS word
-          |  FROM documents WHERE doc_id < 200),
+          |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+          |  FROM documents WHERE doc_id < $T05PairScopeMaxId),
           |cnt AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
           |inter AS (
           |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
@@ -1281,21 +1339,25 @@ object TextOps {
         s"""WITH ${minHashCtes("SELECT doc_id, text FROM documents", 0.5)},
            |drops AS (
            |  SELECT DISTINCT CASE
-           |    WHEN d1 >= 400 AND d2 < 400 THEN d1
-           |    WHEN d2 >= 400 AND d1 < 400 THEN d2
-           |    WHEN d1 >= 400 AND d2 >= 400 THEN greatest(d1, d2)
+           |    WHEN d1 >= $IncrementalCorpusMaxId
+           |      AND d2 < $IncrementalCorpusMaxId THEN d1
+           |    WHEN d2 >= $IncrementalCorpusMaxId
+           |      AND d1 < $IncrementalCorpusMaxId THEN d2
+           |    WHEN d1 >= $IncrementalCorpusMaxId
+           |      AND d2 >= $IncrementalCorpusMaxId THEN greatest(d1, d2)
            |  END AS doc_id
-           |  FROM pairs WHERE d1 >= 400 OR d2 >= 400)
+           |  FROM pairs WHERE d1 >= $IncrementalCorpusMaxId
+           |    OR d2 >= $IncrementalCorpusMaxId)
            |SELECT doc_id FROM documents
-           |WHERE doc_id >= 400
+           |WHERE doc_id >= $IncrementalCorpusMaxId
            |  AND doc_id NOT IN (SELECT doc_id FROM drops
            |                     WHERE doc_id IS NOT NULL)
            |ORDER BY doc_id""".stripMargin,
       // twin of the STORED index t15 joins against — hash-verifying the
       // persisted artifact's exact rows (t16 reads the parquet back)
       "t16_band_index" ->
-        s"""WITH ${minHashBandCtes(
-            "SELECT doc_id, text FROM documents WHERE doc_id < 400")}
+        s"""WITH ${minHashBandCtes("SELECT doc_id, text FROM documents" +
+            s" WHERE doc_id < $IncrementalCorpusMaxId")}
            |SELECT doc_id, band, bucket FROM bands
            |ORDER BY doc_id, band""".stripMargin,
       "t17_regex_tokens" ->

@@ -464,19 +464,30 @@ object VectorOps {
     * codes) frame. Both are read back from parquet, so query plans see
     * file scans of the stored artifacts.
     */
+  /** Serve processes keep the (tiny) model RESIDENT: nlist×Dim +
+    * m×k×sub doubles, memoized per JVM keyed by the artifact's
+    * content-fingerprinted path — a changed corpus changes the key and
+    * reloads. Without this every query batch pays a driver collect of
+    * the model rows, which is pure overhead on a serve path.
+    */
+  private val modelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPqModel]()
+
   def ensureIvfPqIndex(s: SparkSession, d: String)
       : (IvfPqModel, DataFrame) = {
-    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      s"${System.getProperty("java.io.tmpdir")}/graft-band-index")
-    val cache = new graft.pipeline.StageCache(s, root)
+    import graft.pipeline.StageCache
+    val cache = new StageCache(s, StageCache.indexRoot)
     val ver = cache.versionHash(Seq("ivfpq", "v1", "nlist=16", "m=8",
       "k=16", s"dim=$Dim"))
     val inputs = Seq(s"$d/embeddings.parquet")
     lazy val model0 = trainIvfPq(emb(s, d), nlist = 16, m = 8, k = 16)
-    val modelRows = cache.stage("ivfpq_model", ver, inputs) {
-      modelToRows(s, model0)
-    }
-    val model = modelFromRows(modelRows)
+    val modelKey =
+      s"${StageCache.indexRoot}/ivfpq_model-$ver-" +
+        StageCache.fingerprint(inputs)
+    val model = modelMemo.computeIfAbsent(modelKey, _ =>
+      modelFromRows(cache.stage("ivfpq_model", ver, inputs) {
+        modelToRows(s, model0)
+      }))
     val codes = cache.stage("ivfpq_codes", ver, inputs) {
       encodeIvfPq(
         emb(s, d).repartition(s.sparkContext.defaultParallelism), model)

@@ -156,6 +156,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s05 ingest loop: drops equal the sequential batch chain, the " +
+      "state store stays empty, and index deltas are batch-sized") {
+    import graft.queries.TextOps
+    val (drops, stateRows, deltaRows) =
+      EventStreams.replayIngestDedupWithStats(spark, sf)
+    val got = drops.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+
+    // dedup state lives in the stored band index, NOT the state store —
+    // this is the bounded-state answer to s03's O(corpus) caveat
+    assert(stateRows === 0L, "foreachBatch loop must keep no state rows")
+
+    // sequential twin via the batch API (the TextSpec 3-batch chain):
+    // same drop set, same batch attribution
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val bounds = TextOps.IngestBatchBounds
+    var index = TextOps.portableBandTable(
+      docs.filter(col("doc_id") < TextOps.IncrementalCorpusMaxId))
+    val expected = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    val expectedDeltas = scala.collection.mutable.ArrayBuffer[Long]()
+    bounds.indices.foreach { i =>
+      val span0 = docs.filter(col("doc_id") >= bounds(i))
+      val span = if (i + 1 < bounds.length)
+        span0.filter(col("doc_id") < bounds(i + 1)) else span0
+      val spanIds = span.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      if (spanIds.nonEmpty) {
+        val kept = TextOps.dedupIncrementalIndexed(index, span, docs, 0.5)
+        val keptIds = kept.collect().map(_.getLong(0)).toSet
+        (spanIds -- keptIds).toSeq.sorted.foreach(id =>
+          expected += ((i, id)))
+        index = TextOps.updateBandIndex(index, span.join(kept, "doc_id"))
+        expectedDeltas += 8L * keptIds.size
+      }
+    }
+    assert(got === expected.sorted.toSeq)
+    // each persisted delta is exactly the kept docs' bands — O(batch)
+    // growth, never a corpus-index rewrite
+    assert(deltaRows === expectedDeltas.toList)
+  }
+
   test("streaming sessionization agrees with batch q22 for sampled users") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -34,13 +34,12 @@ class VectorSpec extends SparkSpec {
   test("v09 stored-index IVF+PQ reproduces v08's ids exactly") {
     // the persisted (model, codes) artifacts ARE v08's intermediates —
     // the serve path must give identical answers to the build-and-query
-    // path (and hence match v08's committed golden)
-    def ids(df: org.apache.spark.sql.DataFrame) =
-      df.select("qid", "ann_nid").collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val v8 = ids(VectorOps.v08AnnIvfPq(spark, sf))
-    val v9 = ids(VectorOps.v09AnnIvfPqIndexed(spark, sf))
-    assert(v9 === v8)
+    // path. Asserted as the FULL ordered (qid, ann_nid) sequence
+    // against v08's committed golden (r3 ADVICE: a keyed-Map compare
+    // was weaker), so a divergence at any rank fails.
+    assertGoldenIds("v08_ann_ivfpq",
+      VectorOps.v09AnnIvfPqIndexed(spark, sf)
+        .select("qid", "ann_nid").collect())
   }
 
   test("v01 brute-force knn: 5 neighbors per query, ranked, self excluded") {
