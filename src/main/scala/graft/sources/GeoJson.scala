@@ -39,26 +39,157 @@ object GeoJson {
 
   /** Lean FeatureCollection reader for one-feature-per-line files (the
     * shape both the reference and our sink emit): no schema-inference
-    * pass — named properties are pulled with get_json_object. Line-based
-    * text scan → fully distributed and splittable, unlike multiLine
-    * JSON which is one record per file.
+    * pass, and ONE parse per line — [[parseFeatureLine]] walks the
+    * feature object once, capturing the geometry substring and the
+    * requested property scalars together (the round-3 form spent one
+    * full get_json_object parse PER property plus one for the geometry
+    * plus an rlike scan). Line-based text scan → fully distributed and
+    * splittable, unlike multiLine JSON which is one record per file.
     */
   def readFields(spark: SparkSession, path: String,
       properties: Seq[String]): DataFrame = {
-    val decode = udf { (j: String) =>
-      if (j == null || j.isEmpty || j == "null") null
-      else Geo.toWkb(Geo.fromGeoJson(j))
+    val propNames = properties.toIndexedSeq
+    val parse = udf { (line: String) =>
+      parseFeatureLine(line, propNames)
     }
-    val feature = regexp_replace(trim(col("value")), ",$", "")
-    val propCols = properties.map(p =>
-      get_json_object(feature, s"$$.properties.$p").as(p))
-    spark.read.text(path)
-      // match both the reference's spaced style and our sink's compact
-      // one-feature-per-line output
-      .filter(trim(col("value"))
-        .rlike("""^\{\s*"type"\s*:\s*"Feature""""))
-      .select(propCols :+
-        decode(get_json_object(feature, "$.geometry")).as("geometry"): _*)
+    val parsed = spark.read.text(path)
+      .select(parse(col("value")).as("f"))
+      .filter(col("f").isNotNull)
+    parsed.select(propNames.zipWithIndex.map { case (p, i) =>
+      col("f._2").getItem(i).as(p)
+    } :+ col("f._1").as("geometry"): _*)
+  }
+
+  /** One-pass parse of a single GeoJSON Feature line (both the
+    * reference's spaced GDAL style and our sink's compact style):
+    * returns the WKB geometry plus the requested top-level property
+    * scalars rendered as get_json_object does (strings unescaped,
+    * numbers/booleans verbatim, JSON null → SQL null), or None for
+    * non-Feature lines (envelope braces, "features": [ etc.).
+    */
+  private[graft] def parseFeatureLine(line0: String,
+      properties: IndexedSeq[String]): Option[(Array[Byte],
+        Array[String])] = {
+    if (line0 == null) return None
+    val s = line0.trim.stripSuffix(",")
+    if (s.isEmpty || s.head != '{' || s.last != '}') return None
+    var isFeature = false
+    var geomJson: String = null
+    val propVals = new Array[String](properties.length)
+
+    def skipWs(i0: Int): Int = {
+      var i = i0
+      while (i < s.length && s(i).isWhitespace) i += 1
+      i
+    }
+    /** index just past a JSON value starting at i0 (must be on it). */
+    def skipValue(i0: Int): Int = s(i0) match {
+      case '"' => skipString(i0)
+      case '{' | '[' =>
+        val open = s(i0); val close = if (open == '{') '}' else ']'
+        var depth = 0; var i = i0
+        while (i < s.length) {
+          s(i) match {
+            case '"' => i = skipString(i) - 1
+            case `open` => depth += 1
+            case `close` =>
+              depth -= 1
+              if (depth == 0) return i + 1
+            case _ =>
+          }
+          i += 1
+        }
+        i
+      case _ =>
+        var i = i0
+        while (i < s.length && !",}]".contains(s(i)) &&
+          !s(i).isWhitespace) i += 1
+        i
+    }
+    /** index just past a string literal starting at i0 (on the quote). */
+    def skipString(i0: Int): Int = {
+      var i = i0 + 1
+      while (i < s.length) {
+        s(i) match {
+          case '\\' => i += 1
+          case '"' => return i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      i
+    }
+    def unescape(raw: String): String = {
+      if (!raw.contains('\\')) return raw
+      val sb = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        val c = raw(i)
+        if (c == '\\' && i + 1 < raw.length) {
+          raw(i + 1) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '/' => sb.append('/'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'u' if i + 5 < raw.length =>
+              sb.append(Integer.parseInt(
+                raw.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case other => sb.append(other); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    /** scalar value text at i0, as get_json_object renders it. */
+    def scalarText(i0: Int): String = s(i0) match {
+      case '"' => unescape(s.substring(i0 + 1, skipString(i0) - 1))
+      case _ =>
+        val end = skipValue(i0)
+        val t = s.substring(i0, end)
+        if (t == "null") null else t
+    }
+    /** walk the members of the object starting at objStart. */
+    def walkObject(objStart: Int)(member: (String, Int) => Unit): Int = {
+      var i = skipWs(objStart + 1)
+      while (i < s.length && s(i) != '}') {
+        if (s(i) != '"') return s.length // malformed
+        val keyEnd = skipString(i)
+        val key = s.substring(i + 1, keyEnd - 1)
+        i = skipWs(keyEnd)
+        if (i >= s.length || s(i) != ':') return s.length
+        i = skipWs(i + 1)
+        member(key, i)
+        i = skipWs(skipValue(i))
+        if (i < s.length && s(i) == ',') i = skipWs(i + 1)
+      }
+      if (i < s.length) i + 1 else i
+    }
+
+    walkObject(0) { (key, vi) =>
+      key match {
+        case "type" =>
+          isFeature = s(vi) == '"' &&
+            s.substring(vi + 1, skipString(vi) - 1) == "Feature"
+        case "geometry" =>
+          val raw = s.substring(vi, skipValue(vi))
+          geomJson = if (raw == "null") null else raw
+        case "properties" if s(vi) == '{' =>
+          walkObject(vi) { (pkey, pvi) =>
+            val idx = properties.indexOf(pkey)
+            if (idx >= 0) propVals(idx) = scalarText(pvi)
+          }
+        case _ =>
+      }
+    }
+    if (!isFeature) None
+    else Some((
+      if (geomJson == null) null else Geo.toWkb(Geo.fromGeoJson(geomJson)),
+      propVals))
   }
 
   /** Serialize rows to GeoJSON feature strings. `geometryCol` must be

@@ -260,6 +260,33 @@ class GeoSpec extends SparkSpec {
       .map(_.getInt(0)).sorted.sameElements(Array(7, 8)))
   }
 
+  test("parseFeatureLine: one-pass parse matches get_json_object " +
+      "semantics on edge cases") {
+    def parse(line: String, props: String*) =
+      GeoJson.parseFeatureLine(line, props.toIndexedSeq)
+    // GDAL spaced style + trailing comma + escapes + extra members
+    val gdal = """{ "type": "Feature", "properties": { "name": """ +
+      """"A \"quoted\" utility", "certificate_number": 123.0, """ +
+      """"active": true, "note": null }, "bbox": [0, 0, 2, 2], """ +
+      """"geometry": { "type": "Point", "coordinates": [ 1.0, 2.0 ] } },"""
+    val Some((wkb, vals)) =
+      parse(gdal, "certificate_number", "name", "active", "note",
+        "missing")
+    assert(vals.toSeq === Seq("123.0", "A \"quoted\" utility", "true",
+      null, null))
+    assert(graft.geo.Geo.fromWkb(wkb).toText === "POINT (1 2)")
+    // compact style, null geometry
+    val Some((nullGeom, v2)) = parse(
+      """{"type":"Feature","properties":{"id":7},"geometry":null}""",
+      "id")
+    assert(nullGeom === null && v2.toSeq === Seq("7"))
+    // envelope lines are not features
+    assert(parse("""{""").isEmpty)
+    assert(parse(""""features": [""").isEmpty)
+    assert(parse("""{ "type": "FeatureCollection", "features": [] }""")
+      .isEmpty)
+  }
+
   test("geojson write + read round trip with properties") {
     GeoFunctions.registerAll(spark)
     import spark.implicits._
