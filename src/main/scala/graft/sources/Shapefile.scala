@@ -184,18 +184,55 @@ object Shapefile {
       dbfFields(dbfPath(shpPath)).map(f =>
         StructField(f.name, sparkType(f), nullable = true)))
 
-  /** One file's rows: (geometry WKB, attribute values). Record i of
-    * the .shp pairs with record i of the .dbf (the format's implicit
-    * join); a missing/short .dbf yields null attributes.
+  /** Record count from the .shp record HEADERS alone — no geometry is
+    * parsed. Serves count(*)-style fully-pruned scans.
     */
-  def readFile(shpPath: String): Iterator[(Array[Byte], Array[Any])] = {
-    val geoms = shpGeometries(shpPath)
+  def shpRecordCount(path: String): Int = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require(be.getInt(0) == 9994, s"not a shapefile (bad magic): $path")
+    val fileLen = be.getInt(24).toLong * 2
+    var off = 100L
+    var n = 0
+    while (off + 8 <= math.min(fileLen, bytes.length)) {
+      n += 1
+      off += 8 + be.getInt(off.toInt + 4).toLong * 2
+    }
+    n
+  }
+
+  /** Column-pruned file read: rows carry ONLY the `required` columns,
+    * in their order. The pruning is physical, not cosmetic — with no
+    * "geometry" column the .shp records are never parsed (attribute
+    * analytics skip all geometry decode), with no attribute columns
+    * the .dbf is never opened, and a fully-pruned projection (count *)
+    * only walks the .shp record headers. Row count therefore comes
+    * from whichever side is read — equal by the format's implicit
+    * positional join in any valid shapefile.
+    */
+  def readFileProjected(shpPath: String,
+      required: Seq[String]): Iterator[Array[Any]] = {
+    val needGeom = required.contains("geometry")
     val fields = dbfFields(dbfPath(shpPath))
-    val attrs = dbfRecords(dbfPath(shpPath))
-    geoms.iterator.zipWithIndex.map { case (g, i) =>
-      (if (g == null) null else Geo.toWkb(g),
-        if (i < attrs.length) attrs(i)
-        else Array.fill[Any](fields.length)(null))
+    val attrIdx = fields.map(_.name).zipWithIndex.toMap
+    val neededAttrs = required.filter(attrIdx.contains)
+    if (!needGeom && neededAttrs.isEmpty && required.forall(_ == "path"))
+      return Iterator.fill(shpRecordCount(shpPath))(
+        required.map(_ => shpPath: Any).toArray)
+    val geoms = if (needGeom) shpGeometries(shpPath) else Seq.empty
+    val attrs =
+      if (neededAttrs.nonEmpty) dbfRecords(dbfPath(shpPath))
+      else Seq.empty
+    val n = math.max(geoms.length, attrs.length)
+    (0 until n).iterator.map { i =>
+      required.map {
+        case "path" => shpPath
+        case "geometry" =>
+          val g = if (i < geoms.length) geoms(i) else null
+          if (g == null) null else Geo.toWkb(g)
+        case name =>
+          if (i < attrs.length) attrs(i)(attrIdx(name)) else null
+      }.toArray[Any]
     }
   }
 }

@@ -76,7 +76,22 @@ class ShapefileTable(path: String, tschema: StructType)
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new ShapefileScan(path, tschema)
+    new ShapefileScanBuilder(path, tschema)
+}
+
+/** Column pruning reaches the FILE level: a projection without
+  * `geometry` never opens the .shp, one without attributes never opens
+  * the .dbf (see [[Shapefile.readFileProjected]]) — the V2 equivalent
+  * of parquet column pruning for a row-oriented sidecar format.
+  */
+class ShapefileScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve our column order; requiredSchema arrives in ours anyway
+    required = StructType(
+      full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new ShapefileScan(path, required)
 }
 
 class ShapefileScan(path: String, tschema: StructType)
@@ -98,21 +113,14 @@ class ShapefileReaderFactory(tschema: StructType)
       partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ShapefileInputPartition].file
     new PartitionReader[InternalRow] {
-      private val rows = Shapefile.readFile(file)
+      private val rows = Shapefile.readFileProjected(
+        file, tschema.fieldNames.toIndexedSeq)
       override def next(): Boolean = rows.hasNext
-      override def get(): InternalRow = {
-        val (wkb, attrs) = rows.next()
-        val vals = new Array[Any](2 + attrs.length)
-        vals(0) = UTF8String.fromString(file)
-        vals(1) = wkb
-        attrs.indices.foreach { i =>
-          vals(2 + i) = attrs(i) match {
-            case s: String => UTF8String.fromString(s)
-            case other => other
-          }
-        }
-        InternalRow.fromSeq(vals.toIndexedSeq)
-      }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(rows.next().toIndexedSeq.map {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        })
       override def close(): Unit = ()
     }
   }
