@@ -1116,7 +1116,97 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Word n-gram length for the t21 benchmark-decontamination check.
+    * Production corpora use 8–13-gram overlap (the FineWeb /
+    * GPT-3-appendix convention); the synthetic corpus draws from a
+    * ~30-word vocabulary, so 4 is the entropy-equivalent setting that
+    * still separates planted overlaps from chance collisions. Oracle
+    * SQL interpolates this same constant.
+    */
+  val DecontamGramLen = 4
+  /** Every doc_id ≡ 0 (mod this) is "benchmark/eval"; the rest train. */
+  val DecontamEvalMod = 50
+
+  /** t21 — train/eval DECONTAMINATION, the check every serious
+    * training-data build runs before shipping a corpus: flag training
+    * documents sharing any word n-gram with the held-out benchmark
+    * set. Scale shape: the eval side is tiny by construction (a
+    * benchmark suite, not a corpus), so its distinct (gram, eval doc)
+    * table BROADCASTS and the train side streams map-side through the
+    * join — no shuffle of the corpus-sized gram frame, cost is one
+    * pass over the training grams regardless of corpus size.
+    */
+  val t21Decontaminate: Q = (s, d) => {
+    val n = DecontamGramLen
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= n)
+    val grams = toks.select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(t) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(t, i, $n)))")).as("g"))
+    val evalGrams = grams
+      .filter(col("doc_id") % DecontamEvalMod === 0)
+      .groupBy("g").agg(min("doc_id").as("eval_doc"))
+    grams.filter(col("doc_id") % DecontamEvalMod =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct("g").as("n_shared"),
+        min("eval_doc").as("first_eval_doc"))
+      .orderBy("doc_id")
+  }
+
+  /** t22 — repetition / boilerplate scoring (the Gopher quality
+    * rules): per document, the share of bigram occurrences taken by
+    * the single most frequent bigram and the fraction of trigram
+    * occurrences that are repeats, with the standard flag rule.
+    * Map-side explode + two partial-aggregated groupBys keyed by
+    * doc_id — repetition of one document never shuffles against
+    * another, so the operator scales linearly with corpus size.
+    */
+  val t22Repetition: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    def gramStats(k: Int) = toks.filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $k)))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val bi = gramStats(2).groupBy("doc_id")
+      .agg(round(max("c").cast("double") / sum("c"), 4)
+        .as("top_bigram_share"))
+    val tri = gramStats(3).groupBy("doc_id")
+      .agg(round((sum("c") - count(lit(1))).cast("double") / sum("c"), 4)
+        .as("dup_trigram_frac"))
+    bi.join(tri, "doc_id")
+      .withColumn("flagged",
+        col("top_bigram_share") > 0.05 || col("dup_trigram_frac") > 0.02)
+      .orderBy("doc_id")
+  }
+
+  /** t23 — per-source curation stats (the RefinedWeb/C4 domain-filter
+    * shape): each source's doc count, exact-duplicate count (same
+    * md5 key as t04), duplicate rate, mean length, and the keep/drop
+    * decision. One partial-aggregated groupBy over a map-side
+    * projection.
+    */
+  val t23SourceCuration: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"),
+        md5(substring(col("text"), 1, 50).cast("binary")).as("k"),
+        size(split(trim(col("text")), "\\s+")).as("n_words"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct("k")).as("dup_docs"),
+        round((count(lit(1)) - countDistinct("k")).cast("double") /
+          count(lit(1)), 4).as("dup_rate"),
+        round(avg("n_words"), 2).as("mean_words"))
+      .withColumn("keep", col("dup_rate") <= 0.02)
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "t23_source_curation" -> t23SourceCuration,
+    "t22_repetition" -> t22Repetition,
+    "t21_decontaminate" -> t21Decontaminate,
     "t20_split_audit" -> t20SplitAudit,
     "t19_dedup_groups" -> t19DedupGroups,
     "t18_rolling_fingerprint" -> t18RollingFingerprint,
@@ -1415,6 +1505,67 @@ object TextOps {
           |       WHEN bucket < 900000 THEN 1 ELSE 2 END AS split,
           |  count(*) AS n_docs
           |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+      "t21_decontaminate" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id,
+           |    array_to_string(t[i:i+${DecontamGramLen - 1}], ' ') AS g
+           |  FROM (SELECT doc_id, t,
+           |          unnest(range(1, len(t) - ${DecontamGramLen - 2}))
+           |            AS i
+           |        FROM toks WHERE len(t) >= $DecontamGramLen)),
+           |ev AS (
+           |  SELECT g, min(doc_id) AS eval_doc FROM grams
+           |  WHERE doc_id % $DecontamEvalMod = 0 GROUP BY g)
+           |SELECT doc_id,
+           |  CAST(count(DISTINCT a.g) AS BIGINT) AS n_shared,
+           |  min(ev.eval_doc) AS first_eval_doc
+           |FROM grams a JOIN ev ON a.g = ev.g
+           |WHERE doc_id % $DecontamEvalMod <> 0
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "t22_repetition" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+           |  FROM documents),
+           |bi AS (
+           |  SELECT doc_id, g, count(*) AS c FROM (
+           |    SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+           |    FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+           |          FROM toks WHERE len(t) >= 2))
+           |  GROUP BY 1, 2),
+           |tri AS (
+           |  SELECT doc_id, g, count(*) AS c FROM (
+           |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+           |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+           |          FROM toks WHERE len(t) >= 3))
+           |  GROUP BY 1, 2),
+           |bs AS (SELECT doc_id,
+           |         round(CAST(max(c) AS DOUBLE) / sum(c), 4)
+           |           AS top_bigram_share
+           |       FROM bi GROUP BY 1),
+           |ts AS (SELECT doc_id,
+           |         round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4)
+           |           AS dup_trigram_frac
+           |       FROM tri GROUP BY 1)
+           |SELECT doc_id, top_bigram_share, dup_trigram_frac,
+           |  (top_bigram_share > 0.05 OR dup_trigram_frac > 0.02)
+           |    AS flagged
+           |FROM bs JOIN ts USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "t23_source_curation" ->
+        """WITH keyed AS (
+          |  SELECT source, md5(substr(text, 1, 50)) AS k,
+          |    len(string_split_regex(trim(text), '\s+')) AS n_words
+          |  FROM documents)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(*) - count(DISTINCT k) AS BIGINT) AS dup_docs,
+          |  round(CAST(count(*) - count(DISTINCT k) AS DOUBLE)
+          |    / count(*), 4) AS dup_rate,
+          |  round(avg(n_words), 2) AS mean_words,
+          |  (round(CAST(count(*) - count(DISTINCT k) AS DOUBLE)
+          |    / count(*), 4) <= 0.02) AS keep
+          |FROM keyed GROUP BY source ORDER BY source""".stripMargin,
       "t09_char_trigrams" ->
         """SELECT g, count(*) AS n FROM (
           |  SELECT substr(text, CAST(i AS INT), 3) AS g

@@ -125,6 +125,23 @@ class PlanSpec extends SparkSpec {
       s"no stored-index (codes) file scan in the v09 plan:\n$p")
   }
 
+  test("t21: the eval gram table broadcasts — train grams never " +
+      "shuffle before the join") {
+    val p = plan("t21_decontaminate")
+    val bhj = p.indexOf("BroadcastHashJoin")
+    assert(bhj >= 0,
+      s"eval side must broadcast into the contamination join:\n$p")
+    // the streamed (train) branch prints between the join node and its
+    // BroadcastExchange build side: corpus grams must flow from the
+    // parquet scan into the join with NO exchange — the remaining
+    // exchanges (eval-side agg, post-join hits agg) are hit-sized
+    val streamed = p.substring(bhj, p.indexOf("BroadcastExchange", bhj))
+    assert(!streamed.contains("Exchange hashpartitioning"),
+      s"train grams must not shuffle before the join:\n$p")
+    assert(streamed.contains("FileScan parquet"),
+      s"train side must stream straight from the scan:\n$p")
+  }
+
   test("t08: winnowing is one window pass over one per-doc sort") {
     val df = SparkEntry.queries("t08_winnow_fingerprint")(spark, sf)
     df.collect()

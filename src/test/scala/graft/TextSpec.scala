@@ -390,4 +390,72 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Long]("keep_doc") >= 0)
     }
   }
+
+  test("t21 decontamination flags exactly the planted n-gram overlap") {
+    val rows = TextOps.t21Decontaminate(spark, sf).collect()
+    // eval docs (id % 50 == 0) are never flagged as contaminated train
+    rows.foreach(r =>
+      assert(r.getAs[Long]("doc_id") % TextOps.DecontamEvalMod != 0))
+    // every hit points at a real eval doc and shares >= 1 gram
+    rows.foreach { r =>
+      assert(r.getAs[Long]("first_eval_doc") %
+        TextOps.DecontamEvalMod === 0)
+      assert(r.getAs[Long]("n_shared") >= 1)
+    }
+    // ground truth: brute-force gram overlap on the collected corpus
+    val n = TextOps.DecontamGramLen
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+    def grams(t: Array[String]) =
+      t.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._1 % TextOps.DecontamEvalMod == 0)
+      .flatMap(d => grams(d._2)).toSet
+    val expected = docs
+      .filter(_._1 % TextOps.DecontamEvalMod != 0)
+      .map { case (id, t) => id -> grams(t).count(evalGrams) }
+      .filter(_._2 > 0).toMap
+    assert(rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_shared").toInt).toMap === expected)
+  }
+
+  test("t22 repetition scores are exact on a constructed document") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "w x y z q r")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("t22fix")
+    docs.select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long")
+          .as("n_chars"))
+      .write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = TextOps.t22Repetition(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: bigrams = (a b),(b a),(a b),(b a) → top share 2/4 = 0.5
+    //        trigrams = (a b a),(b a b),(a b a) → dups 1 of 3 = 0.3333
+    assert(rows(1L).getAs[Double]("top_bigram_share") === 0.5)
+    assert(rows(1L).getAs[Double]("dup_trigram_frac") === 0.3333)
+    assert(rows(1L).getAs[Boolean]("flagged"))
+    // doc 2: all distinct → shares 1/5 = 0.2 (top bigram), dup 0
+    assert(rows(2L).getAs[Double]("top_bigram_share") === 0.2)
+    assert(rows(2L).getAs[Double]("dup_trigram_frac") === 0.0)
+    assert(rows(2L).getAs[Boolean]("flagged"), // 0.2 > 0.05
+      "short docs trip the top-share rule by construction")
+  }
+
+  test("t23 source curation: dup rate and keep flag per source") {
+    val rows = TextOps.t23SourceCuration(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val dup = r.getAs[Long]("dup_docs")
+      assert(n > 0 && dup >= 0 && dup < n)
+      assert(r.getAs[Boolean]("keep") ===
+        (r.getAs[Double]("dup_rate") <= 0.02))
+    }
+    assert(rows.exists(_.getAs[Long]("dup_docs") > 0),
+      "the planted duplicates must surface in at least one source")
+  }
 }
