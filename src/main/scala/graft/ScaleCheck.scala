@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.TextOps
+
+/** Empirical scale probe for the two 100 TB claims the dedup family
+  * makes (run it: `sbt "runMain graft.ScaleCheck"`; env
+  * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_SCALE_KS to vary):
+  *
+  *  1. Near-dup detection (the t06 MinHash-LSH core) scales ~linearly
+  *     in corpus size: candidate generation is a bucket-keyed
+  *     equi-join, so doubling the corpus doubles grams, signatures,
+  *     and (for a fixed duplication profile) pairs — never O(n²).
+  *  2. Stored-index incremental ingest (the t15/s05 core) costs
+  *     ~constant per FIXED batch as the corpus index grows: the batch
+  *     signs only itself and broadcasts into a narrow index scan.
+  *
+  * The k× corpus is k id-shifted replicas with a per-replica word
+  * suffix, so every replica keeps the original's internal near-dup
+  * structure (pairs scale exactly ×k) but replicas never cross-match
+  * (all char-grams differ). Prints one JSON line per measurement.
+  */
+object ScaleCheck {
+
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Replica r of the (doc_id, text) frame: ids shifted by r·10⁷ and
+    * the alphabet rotated by r (`translate` — a bijection on
+    * characters, so every within-replica gram-equality relation, and
+    * hence every pairwise Jaccard, is EXACTLY preserved, while grams
+    * never collide across replicas). r=0 is the untouched original.
+    * An additive per-word tag was tried first and rejected: a suffix
+    * shared by every token ADDS common grams between all docs of a
+    * replica and inflates similarity quadratically.
+    */
+  private def replica(docs: DataFrame, r: Int): DataFrame = {
+    val rot = Alphabet.drop(r % 26) + Alphabet.take(r % 26)
+    val text =
+      if (r % 26 == 0) col("text")
+      else translate(col("text"), Alphabet, rot)
+    docs.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+      text.as("text"))
+  }
+
+  private def scaled(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map(replica(docs, _)).reduce(_ unionByName _)
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val ks = sys.env.getOrElse("SPARK_GRAFT_SCALE_KS", "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // warmup: JIT + codegen for the signature AND incremental plans
+    TextOps.minHashPairsPortable(base.limit(200), 0.5).count()
+    TextOps.dedupIncrementalIndexed(
+      TextOps.portableBandTable(base.limit(200)),
+      base.limit(50), base.limit(250), 0.5).count()
+
+    ks.foreach { k =>
+      val docs = scaled(base, k)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+      val nDocs = docs.count() // materialize outside the timed region
+
+      // claim 1: near-dup over the whole k× corpus
+      val (pairs, tPairs) = timed {
+        TextOps.minHashPairsPortable(docs, 0.5).count()
+      }
+
+      // claim 2: FIXED 500-doc batch against a k×-corpus band index
+      // (index build outside the timed region — it is the stored
+      // artifact; the serve path is what must stay flat). Rotation 21
+      // is outside the replica range, so the batch is genuinely novel.
+      val index = TextOps.portableBandTable(docs).persist()
+      index.count()
+      val batch = replica(base.limit(500), 21)
+        .select((col("doc_id") + lit(990000000L)).as("doc_id"),
+          col("text"))
+      val texts = docs.unionByName(batch)
+      val (kept, tIngest) = timed {
+        TextOps.dedupIncrementalIndexed(index, batch, texts, 0.5)
+          .count()
+      }
+
+      println(
+        f"""{"probe":"scale","k":$k,"n_docs":$nDocs,"neardup_pairs":$pairs,"neardup_sec":$tPairs%.2f,"ingest_batch":500,"ingest_kept":$kept,"ingest_sec":$tIngest%.2f}""")
+      docs.unpersist()
+      index.unpersist()
+    }
+    spark.stop()
+  }
+}
