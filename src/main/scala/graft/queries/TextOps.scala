@@ -1203,7 +1203,76 @@ object TextOps {
       .withColumn("keep", col("dup_rate") <= 0.02)
       .orderBy("source")
 
+  /** Word n-gram length for t24 span dedup. Production runs strike
+    * 50-token spans (Lee et al.); against the ~30-word synthetic
+    * vocabulary 5 is the entropy-equivalent setting — long enough that
+    * chance collisions are rare, short enough that the planted
+    * near-duplicate docs actually share spans. Oracle SQL interpolates
+    * this same constant.
+    */
+  val SpanDedupK = 5
+
+  /** t24 — span-level exact dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22): instead of dropping
+    * whole documents, strike every duplicated word K-gram SPAN —
+    * an occurrence is a duplicate iff an identical gram occurs earlier
+    * in global (doc_id, position) order, and a duplicate occurrence
+    * removes all K word positions it covers; the first occurrence
+    * survives in place. Document-level dedup (t04/t06) misses the
+    * boilerplate case where distinct pages share paragraphs — this is
+    * the operator that catches it.
+    *
+    * Scale shape: gram construction is map-side array ops inside the
+    * row (no per-gram shuffle until the canonicalization), duplicate
+    * detection is ONE uniform hash shuffle keyed by the gram text,
+    * covered-position expansion is bounded by K x duplicate count (not
+    * corpus size), and text rebuild is a per-doc sorted aggregation.
+    * No all-pairs anything; the suffix-array machinery Lee et al. use
+    * single-node becomes a plain first-occurrence window here.
+    */
+  def spanDedup(docs0: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("gram").orderBy("doc_id", "pos")
+    val docs = docs0
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    val words = docs.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"))
+    val grams = docs.filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), " +
+            s"i -> concat_ws(' ', slice(w, i, $k)))"))
+          .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+    val covered = grams
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val rebuilt = words
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, word))), " +
+            "x -> x.word)")).as("cleaned_text"))
+    docs.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  val t24SpanDedup: Q = (s, d) =>
+    spanDedup(Tables.documents(s, d).select("doc_id", "text"), SpanDedupK)
+
   val queries: Map[String, Q] = Map(
+    "t24_span_dedup" -> t24SpanDedup,
     "t23_source_curation" -> t23SourceCuration,
     "t22_repetition" -> t22Repetition,
     "t21_decontaminate" -> t21Decontaminate,
@@ -1235,6 +1304,43 @@ object TextOps {
     }.mkString(",\n  ")
     val langCols = langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
     Map(
+      "t24_span_dedup" -> {
+        val k = SpanDedupK
+        s"""WITH toks AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           |  FROM documents),
+           |words AS (
+           |  SELECT doc_id, unnest(w) AS word,
+           |    unnest(range(1, len(w) + 1)) AS pos
+           |  FROM toks),
+           |grams AS (
+           |  SELECT doc_id,
+           |    unnest(range(1, len(w) - ${k - 1} + 1)) AS pos,
+           |    unnest(list_transform(range(1, len(w) - ${k - 1} + 1),
+           |      i -> array_to_string(w[i : i + ${k - 1}], ' '))) AS gram
+           |  FROM toks WHERE len(w) >= $k),
+           |covered AS (
+           |  SELECT DISTINCT doc_id, pos FROM (
+           |    SELECT doc_id, unnest(range(pos, pos + $k)) AS pos
+           |    FROM (SELECT doc_id, pos,
+           |            row_number() OVER (PARTITION BY gram
+           |              ORDER BY doc_id, pos) AS rn
+           |          FROM grams)
+           |    WHERE rn > 1)),
+           |rebuilt AS (
+           |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           |    string_agg(w.word, ' ' ORDER BY w.pos) AS cleaned_text
+           |  FROM words w
+           |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+           |                    WHERE c.doc_id = w.doc_id AND c.pos = w.pos)
+           |  GROUP BY w.doc_id)
+           |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+           |  COALESCE(r.n_kept, 0) AS n_kept,
+           |  CAST(len(t.w) AS BIGINT) - COALESCE(r.n_kept, 0) AS n_removed,
+           |  COALESCE(r.cleaned_text, '') AS cleaned_text
+           |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
       "t01_token_counts" ->
         """SELECT doc_id, lang,
           |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT)

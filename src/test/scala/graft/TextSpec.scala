@@ -145,6 +145,30 @@ class TextSpec extends SparkSpec {
     assert(kept === Set(0L, 3L, 4L), s"got $kept")
   }
 
+  test("spanDedup strikes later span occurrences, keeps first in place") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      // shares the 5-gram "a b c d e" with doc 1 at pos 3 → words
+      // 3..7 struck, leaving "x y z"
+      (2L, "x y a b c d e z"),
+      // shares overlapping dup grams "c d e f g" (pos 1) and
+      // "d e f g h" (pos 2) with doc 1 → union covers pos 1..6,
+      // only the trailing novel words survive
+      (3L, "c d e f g h p q"),
+      // shorter than k → no grams, kept whole
+      (4L, "p q"))
+      .toDF("doc_id", "text")
+    val out = TextOps.spanDedup(docs, 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("cleaned_text")))
+      .toMap
+    assert(out(1L) === ((0L, "a b c d e f g h")))
+    assert(out(2L) === ((5L, "x y z")))
+    assert(out(3L) === ((6L, "p q")))
+    assert(out(4L) === ((0L, "p q")))
+  }
+
   test("dedupIncremental: drops corpus dups and intra-batch dups, keeps novel") {
     import spark.implicits._
     val a = "existing corpus document about spark catalyst optimizer " +
