@@ -659,7 +659,76 @@ object VectorOps {
       .orderBy("d1", "d2")
   }
 
+  /** v10 — SQ8 scalar quantization (the Faiss `SQ8` / Milvus `SQ8`
+    * compression mode): each vector is rewritten as 8-bit codes over
+    * its own [min, max] range — code_i = round((x_i − lo) / scale),
+    * scale = (hi − lo)/255 — a 4× memory cut over float32 that most
+    * ANN deployments take before anything fancier (PQ, v07, is the
+    * 64× sibling). Everything stays INSIDE the row as codegen'd array
+    * ops (array_min/array_max/transform/aggregate): zero shuffle, one
+    * corpus pass, trivially 100 TB-parallel. Outputs are exact
+    * integers (plus the md5 of the code string), so the DuckDB twin
+    * hash-verifies the entire quantization — no float-tolerance
+    * hand-waving.
+    */
+  val v10Sq8Quantization: Q = (s, d) =>
+    emb(s, d)
+      .select(col("vec_id"), col("label"), col("v"),
+        array_min(col("v")).as("lo"), array_max(col("v")).as("hi"))
+      .withColumn("codes", expr(
+        "transform(v, x -> IF(hi = lo, 0, " +
+          "CAST(round((x - lo) / ((hi - lo) / 255.0D)) AS INT)))"))
+      .select(col("vec_id"), col("label"),
+        size(col("v")).as("n_dims"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)")
+          .as("code_sum"),
+        md5(concat_ws(" ",
+          expr("transform(codes, c -> CAST(c AS STRING))")).cast("binary"))
+          .as("codes_md5"),
+        round(col("lo"), 5).as("q_lo"),
+        round(col("hi"), 5).as("q_hi"))
+      .orderBy("vec_id")
+
+  /** v11 — brute-force kNN over the SQ8-COMPRESSED corpus with
+    * asymmetric distance (the Faiss ADC convention: queries stay
+    * full-precision, the corpus is scored in its quantized form
+    * lo + code·scale). This is the serve shape v10's compression
+    * exists for — the corpus pass reads 8-bit codes (4× less IO than
+    * v01's float scan) and never rehydrates the original vectors.
+    * Because dequantization is exact double arithmetic on both
+    * engines, this is the one ANN-family query with a FULL DuckDB
+    * hash oracle (v03/v05/v07/v08 are golden-pinned; the float
+    * ordering contract here is v01's: rank over ROUNDED similarity +
+    * id tiebreak). VectorSpec grades its agreement against v01's
+    * uncompressed ranking.
+    */
+  val v11Sq8AdcKnn: Q = (s, d) => {
+    val e = emb(s, d)
+    val dq = e
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("lo"), array_max(col("v")).as("hi"))
+      .select(col("vec_id"), expr(
+        "transform(v, x -> IF(hi = lo, lo, " +
+          "lo + CAST(round((x - lo) / ((hi - lo) / 255.0D)) AS INT) " +
+          "* ((hi - lo) / 255.0D)))").as("rv"))
+    val q = e.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = dq.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosUdf(col("qv"), col("rv")), 4).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("qid", "rk", "vec_id", "cos_sim")
+      .orderBy("qid", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v11_sq8_adc_knn" -> v11Sq8AdcKnn,
+    "v10_sq8_quantization" -> v10Sq8Quantization,
     "v06_embedding_neardup" -> v06EmbeddingNearDup,
     "v01_knn_brute" -> v01KnnBrute,
     "v02_label_centroids" -> v02LabelCentroids,
@@ -672,6 +741,69 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "v11_sq8_adc_knn" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi
+        |  FROM base),
+        |rq AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> CASE WHEN hi = lo THEN lo
+        |      ELSE lo + CAST(round((x - lo) / ((hi - lo) / 255.0)) AS INT)
+        |           * ((hi - lo) / 255.0) END) AS rv
+        |  FROM st),
+        |re AS (SELECT vec_id, unnest(rv) AS x,
+        |         generate_subscripts(rv, 1) AS i FROM rq),
+        |qe AS (SELECT vec_id AS qid, unnest(v) AS x,
+        |         generate_subscripts(v, 1) AS i
+        |       FROM base WHERE vec_id IN (0, 1, 2)),
+        |rnorm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM re
+        |          GROUP BY vec_id),
+        |qnorm AS (SELECT qid, sqrt(sum(x*x)) AS nrm FROM qe
+        |          GROUP BY qid),
+        |dots AS (
+        |  SELECT qe.qid, re.vec_id, sum(qe.x * re.x) AS dot
+        |  FROM qe JOIN re ON qe.i = re.i WHERE re.vec_id <> qe.qid
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT dots.qid, dots.vec_id,
+        |    round(dot / (nq.nrm * ne.nrm), 4) AS cos_sim
+        |  FROM dots
+        |  JOIN qnorm nq ON nq.qid = dots.qid
+        |  JOIN rnorm ne ON ne.vec_id = dots.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos_sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        |  FROM scored)
+        |SELECT qid, CAST(rk AS INT) AS rk, vec_id, cos_sim FROM ranked
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "v10_sq8_quantization" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT vec_id, label, v,
+        |    list_min(v) AS lo, list_max(v) AS hi
+        |  FROM base),
+        |c AS (
+        |  SELECT vec_id, label, v, lo, hi,
+        |    list_transform(v, x -> CASE WHEN hi = lo THEN 0
+        |      ELSE CAST(round((x - lo) / ((hi - lo) / 255.0)) AS INT)
+        |      END) AS codes
+        |  FROM st)
+        |SELECT vec_id, label,
+        |  CAST(len(v) AS INT) AS n_dims,
+        |  list_min(codes) AS code_min,
+        |  list_max(codes) AS code_max,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  md5(array_to_string(codes, ' ')) AS codes_md5,
+        |  round(lo, 5) AS q_lo,
+        |  round(hi, 5) AS q_hi
+        |FROM c ORDER BY vec_id""".stripMargin,
     "v06_embedding_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -56,6 +56,37 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("v10 SQ8 codes are 8-bit, full-range, and span every dim") {
+    val rows = VectorOps.v10Sq8Quantization(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_dims") === 64)
+      // per-vector [lo, hi] scaling must hit both endpoints exactly
+      assert(r.getAs[Int]("code_min") === 0)
+      assert(r.getAs[Int]("code_max") === 255)
+      assert(r.getAs[Double]("q_lo") < r.getAs[Double]("q_hi"))
+    }
+  }
+
+  test("v11 ADC knn over SQ8 codes tracks the uncompressed v01 ranking") {
+    val exact = VectorOps.v01KnnBrute(spark, sf).collect()
+    val adc = VectorOps.v11Sq8AdcKnn(spark, sf).collect()
+    def byQ(rs: Array[org.apache.spark.sql.Row]) = rs
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, g) =>
+        q -> g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("vec_id")) }
+    val e = byQ(exact); val a = byQ(adc)
+    assert(a.keySet === e.keySet)
+    e.keySet.foreach { q =>
+      // rank-1 must survive 8-bit compression; tail ranks may swap
+      // where true similarities differ by less than the quantization
+      // noise, so grade the top-5 as set overlap >= 4/5
+      assert(a(q).head === e(q).head, s"rank-1 diverged for qid=$q")
+      assert(a(q).toSet.intersect(e(q).toSet).size >= 4,
+        s"top-5 overlap < 4/5 for qid=$q")
+    }
+  }
+
   test("v02 centroids cover every (label, dim<=4) cell") {
     val rows = VectorOps.v02LabelCentroids(spark, sf).collect()
     val labels = Tables.embeddings(spark, sf)
