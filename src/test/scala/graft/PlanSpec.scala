@@ -163,6 +163,30 @@ class PlanSpec extends SparkSpec {
       s"prefix-length filter missing from the plan:\n$p")
   }
 
+  test("v10: SQ8 quantization is map-side — one exchange " +
+      "(the presentation sort), no per-element shuffle") {
+    val p = plan("v10_sq8_quantization")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected only the orderBy exchange:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"per-vector codes must be array ops, not an aggregate:\n$p")
+  }
+
+  test("t24: span dedup shuffles grams once (canonicalization window), " +
+      "never joins text against text") {
+    val p = plan("t24_span_dedup")
+    // duplicate detection must be the row_number window over gram —
+    // a sort-merge/nested-loop join of text columns would be the
+    // all-pairs shape this operator exists to avoid
+    assert(p.contains("row_number"), s"no canonicalization window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in span dedup:\n$p")
+    // rebuild joins are keyed by (doc_id, pos) / doc_id only
+    assert(!p.contains("SortMergeJoin [gram"),
+      s"payload join keyed on gram text:\n$p")
+  }
+
   test("whole-stage codegen covers the q02 agg pipeline") {
     // AQE hides codegen markers until the final plan materializes —
     // execute first, then inspect; codegen'd stages render as "*(n)"
