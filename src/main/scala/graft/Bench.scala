@@ -45,17 +45,29 @@ object Bench {
     SparkEntry.warmIndexes(spark, sfDir)
     val warmSec = (System.nanoTime() - tw0) / 1e9
 
+    // Min-of-N per query, cache cleared before every iteration: a
+    // single shared-JVM pass conflates one query's GC/persist residue
+    // with its neighbors' timings (rounds 3 and 4 both chased phantom
+    // regressions that a re-measure dissolved). min over iterations is
+    // the standard noise floor; clearCache() forces each iteration to
+    // re-read stored artifacts from disk parquet instead of a cache
+    // entry a PREVIOUS query happened to leave behind.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = (SparkEntry.queries ++ SparkEntry.benchOnly)
       .toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val times = (1 to iters).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -59,6 +59,7 @@ object SparkEntry {
     TextOps.ensureBandIndex(spark, dir,
       docs.filter(col("doc_id") < TextOps.IncrementalCorpusMaxId),
       "t15_corpus")
+    TextOps.ensureBandIndex(spark, dir, docs, "t19_corpus")
     VectorOps.ensureIvfPqIndex(spark, dir)
     ()
   }

@@ -686,35 +686,37 @@ object TextOps {
   }
 
   /** t08 — winnowing document fingerprints (Schleimer et al. SIGMOD'03),
-    * SQL-portable declared form: k-gram md5 hashes in position order,
-    * each window of w consecutive grams contributes its minimum hash,
-    * output = the distinct selected hashes per doc (the fingerprint
-    * set — tie position doesn't affect the selected VALUE, so no
-    * tie-break is needed). Pure window-function plan: the min-over-frame
-    * runs inside one per-doc sort, no UDF. The O(n) monotonic-deque
-    * kernel ([[graft.functions.TextHash.winnow]]) remains the fast
-    * single-pass path, TextSpec-checked.
+    * declared as the linear kernel path (round 5): gram hashes from the
+    * codegen'd Rabin-Karp expression ([[graft.functions.RollingHash]] —
+    * one O(n) rolling pass per doc vs O(n·k) bytes md5'd per gram) and
+    * window minima from the O(n) monotonic-deque selection
+    * ([[graft.functions.Winnow]] — each position enters/leaves the
+    * deque once vs a per-doc gram SORT whose cost grows with document
+    * length: a book-length doc was one partition's giant sort at
+    * 100 TB). Both stay inside the row and inside whole-stage codegen —
+    * zero shuffle except the presentation sort, and no per-position
+    * explode (the r4 plan inflated each doc to one row per character).
+    * The kernel returns the per-doc fingerprint set distinct + sorted,
+    * so no dedup shuffle is needed after the explode.
+    *
+    * The positional-explode + min-over-window form remains the DuckDB
+    * oracle twin (B=257 keeps the polynomial exact BIGINT, recomputable
+    * gram-by-gram in plain SQL) — the same declared-kernel /
+    * portable-twin split t18 made; TextSpec additionally pins the
+    * kernel plan row-equal to an in-engine window-function twin over
+    * the same rolling hashes.
     */
   val t08WinnowFingerprint: Q = (s, d) => {
     val k = 5; val w = 8
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("p")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-        w - 1)
-    // gram count = length - k + 1 is plain arithmetic on the text —
-    // carrying it as a column avoids a second (unordered) window pass
+    graft.functions.RollingHash.registerAll(s)
+    graft.functions.Winnow.registerAll(s)
+    // fingerprints need one full window: n grams = len-k+1 >= w
     Tables.documents(s, d)
-      .filter(length(col("text")) >= k)
+      .filter(length(col("text")) >= k + w - 1)
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"),
-        col("text"))
-      .select(col("doc_id"), col("p"),
-        h48(expr(s"substr(text, p, $k)")).as("h"),
-        (length(col("text")) - (k - 1)).as("np"))
-      .withColumn("wmin", min("h").over(win))
-      .filter(col("p") <= col("np") - (w - 1))
-      .select(col("doc_id"), col("wmin").as("fingerprint"))
-      .distinct()
+        explode(graft.functions.Winnow.winnow_mins(
+          graft.functions.RollingHash.rolling_hashes(col("text"), k), w))
+          .as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
   }
 
@@ -746,20 +748,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The verified near-dup pair graph built from the STORED full-corpus
+    * band index (round 5): candidates come from a (band, bucket)
+    * self-join over the persisted (doc_id, band, bucket) parquet —
+    * [[ensureBandIndex]], the same artifact family t15/t16 serve from —
+    * so the corpus is never re-signed (no gram explode, no md5, no
+    * signature aggregation anywhere in the plan; PlanSpec gates it).
+    * Text is touched only by the id-keyed lookups of the exact-Jaccard
+    * verify, which are candidate-driven. The pair SET is identical to
+    * [[minHashPairsPortable]]'s (same bands, same verify), so t19's
+    * oracle hash is unchanged — what changed is that the 100 TB cost is
+    * now an index scan + bucket join instead of a full re-sign.
+    */
+  def indexedVerifiedPairs(s: SparkSession, d: String,
+      docs: DataFrame, minJaccard: Double): DataFrame = {
+    val index = ensureBandIndex(s, d, docs, "t19_corpus")
+    val cand = index.as("a")
+      .join(index.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifiedJaccardPairs(cand, docs, minJaccard)
+  }
+
   /** t19 — transitive duplicate GROUPS (mandate "transitive groups"):
     * near-duplication chains through A≈B≈C even when A and C never
     * pair, so group identity is connected components over the verified
     * pair graph — [[graft.operators.Components]]' iterative min-label
     * propagation (O(diameter) keyed-shuffle rounds; near-dup clusters
-    * are shallow). Oracled: DuckDB computes the same components with a
+    * are shallow). The pair graph reads the stored band index
+    * ([[indexedVerifiedPairs]]) rather than re-signing the corpus t06
+    * already signs — t19's marginal cost over t06 is the components
+    * loop. Oracled: DuckDB computes the same components with a
     * recursive transitive-closure CTE — closure is quadratic per
     * component and fine for an oracle, while the declared plan stays
     * the scalable label propagation.
     */
   val t19DedupGroups: Q = (s, d) => {
-    val pairs = minHashPairsPortable(
-      Tables.documents(s, d).select("doc_id", "text"), 0.5)
-      .select("d1", "d2")
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val pairs = indexedVerifiedPairs(s, d, docs, 0.5).select("d1", "d2")
     graft.operators.Components.connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("component").as("group_id"))
       .orderBy("doc_id")
@@ -1224,27 +1253,39 @@ object TextOps {
     *
     * Scale shape: gram construction is map-side array ops inside the
     * row (no per-gram shuffle until the canonicalization), duplicate
-    * detection is ONE uniform hash shuffle keyed by the gram text,
-    * covered-position expansion is bounded by K x duplicate count (not
-    * corpus size), and text rebuild is a per-doc sorted aggregation.
-    * No all-pairs anything; the suffix-array machinery Lee et al. use
+    * detection is ONE uniform hash shuffle keyed by the 8-byte
+    * xxhash64 of the gram — NOT the raw K-word string: the shuffle
+    * row shrinks from ~K words of text to one long, and the window
+    * partitions by a uniformly-mixed key so a hot stop-word gram
+    * ("of the and of the" at corpus scale) still lands on one
+    * partition but without dragging its text bytes through the wire.
+    * (Gram identity by 64-bit hash admits ~n²/2⁶⁵ false strikes — one
+    * span, not a cascade; the DuckDB oracle compares against raw-gram
+    * semantics and is collision-free, so any collision on test data
+    * would surface as a hash mismatch. Production at 10¹²-gram scale
+    * would widen to 128 bits, e.g. two independent seeds.) Covered-
+    * position expansion is bounded by K x duplicate count (not corpus
+    * size), and text rebuild is a per-doc sorted aggregation. No
+    * all-pairs anything; the suffix-array machinery Lee et al. use
     * single-node becomes a plain first-occurrence window here.
     */
   def spanDedup(docs0: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("gram").orderBy("doc_id", "pos")
+      .partitionBy("gh").orderBy("doc_id", "pos")
     val docs = docs0
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
     val words = docs.select(col("doc_id"),
       posexplode(col("w")).as(Seq("pos0", "word")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"))
+    // the gram string exists only transiently inside the row projection;
+    // what crosses the exchange is (doc_id, pos, gh)
     val grams = docs.filter(size(col("w")) >= k)
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(1, size(w) - ${k - 1}), " +
-            s"i -> concat_ws(' ', slice(w, i, $k)))"))
-          .as(Seq("pos0", "gram")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+            s"i -> xxhash64(concat_ws(' ', slice(w, i, $k))))"))
+          .as(Seq("pos0", "gh")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gh"))
     val covered = grams
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
@@ -1482,22 +1523,31 @@ object TextOps {
            |  AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.sh, b.sh)) <= 3
            |ORDER BY d1, d2""".stripMargin,
+      // positional twin of the deque kernel: the SAME B=257 polynomial
+      // gram hash as t18 (exact BIGINT, recomputed non-rolling per
+      // position), window minimum over each full 8-gram frame, distinct
+      // selected values. length >= 12 = k+w-1: docs with fewer than 8
+      // grams have no full window (identical doc coverage to the old
+      // p <= np-7 predicate).
       "t08_winnow_fingerprint" ->
-        s"""WITH h AS (
-           |  SELECT doc_id, p,
-           |    ${h48Sql("substr(text, CAST(p AS INT), 5)")} AS h,
-           |    length(text) - 4 AS np
-           |  FROM (SELECT doc_id, text,
-           |          unnest(range(1, length(text) - 3)) AS p
-           |        FROM documents WHERE length(text) >= 5)),
-           |w AS (
-           |  SELECT doc_id, p, np,
-           |    min(h) OVER (PARTITION BY doc_id ORDER BY p
-           |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
-           |  FROM h)
-           |SELECT DISTINCT doc_id, wmin AS fingerprint FROM w
-           |WHERE p <= np - 7
-           |ORDER BY doc_id, fingerprint""".stripMargin,
+        """WITH h AS (
+          |  SELECT doc_id, p, length(text) - 4 AS np,
+          |      ord(substr(text, CAST(p AS INT), 1)) * 4362470401
+          |    + ord(substr(text, CAST(p + 1 AS INT), 1)) * 16974593
+          |    + ord(substr(text, CAST(p + 2 AS INT), 1)) * 66049
+          |    + ord(substr(text, CAST(p + 3 AS INT), 1)) * 257
+          |    + ord(substr(text, CAST(p + 4 AS INT), 1)) AS h
+          |  FROM (SELECT doc_id, text,
+          |          unnest(range(1, length(text) - 3)) AS p
+          |        FROM documents WHERE length(text) >= 12)),
+          |w AS (
+          |  SELECT doc_id, p, np,
+          |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+          |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+          |  FROM h)
+          |SELECT DISTINCT doc_id, wmin AS fingerprint FROM w
+          |WHERE p <= np - 7
+          |ORDER BY doc_id, fingerprint""".stripMargin,
       "t11_dedup_cascade" ->
         s"""WITH keep AS (
            |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -142,15 +142,37 @@ class PlanSpec extends SparkSpec {
       s"train side must stream straight from the scan:\n$p")
   }
 
-  test("t08: winnowing is one window pass over one per-doc sort") {
+  test("t08: winnowing is the linear kernel — no per-position explode, " +
+      "no window sort, one presentation exchange") {
     val df = SparkEntry.queries("t08_winnow_fingerprint")(spark, sf)
     df.collect()
     // AQE renders the initial plan after the final one — count only the
     // final plan section
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    val windows = "\\bWindow\\b".r.findAllIn(p).length
-    assert(windows === 1, s"expected exactly one Window operator:\n$p")
+    assert(p.contains("winnow_mins") && p.contains("rolling_hashes"),
+      s"kernel expressions missing from the plan:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty,
+      s"window-sort plan leaked back into the declared path:\n$p")
+    // the r4 plan exploded one row per character position before
+    // hashing; the kernel path explodes only the final fingerprints
+    assert(!p.contains("sequence(1"),
+      s"per-position explode in the declared plan:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected only the orderBy exchange:\n$p")
+  }
+
+  test("t19: pair graph reads the stored band index, never re-signs " +
+      "the corpus") {
+    val df = graft.queries.TextOps.indexedVerifiedPairs(spark, sf,
+      Tables.documents(spark, sf).select("doc_id", "text"), 0.5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft-band-index"),
+      s"no stored-index file scan in the t19 pair plan:\n$p")
+    // the signature pipeline (gram explode + 32-way min aggregation)
+    // must not appear — bands come from the index parquet only
+    assert(!p.contains("partial_min") && !p.contains("sequence(1"),
+      s"corpus re-sign inside the t19 pair plan:\n$p")
   }
 
   test("t05: PPJoin joins on the rare-token prefix, not all tokens") {
@@ -172,13 +194,19 @@ class PlanSpec extends SparkSpec {
       s"per-vector codes must be array ops, not an aggregate:\n$p")
   }
 
-  test("t24: span dedup shuffles grams once (canonicalization window), " +
-      "never joins text against text") {
+  test("t24: span dedup shuffles grams once (canonicalization window) " +
+      "keyed by the 8-byte gram hash, never joins text against text") {
     val p = plan("t24_span_dedup")
-    // duplicate detection must be the row_number window over gram —
-    // a sort-merge/nested-loop join of text columns would be the
+    // duplicate detection must be the row_number window over the gram
+    // hash — a sort-merge/nested-loop join of text columns would be the
     // all-pairs shape this operator exists to avoid
     assert(p.contains("row_number"), s"no canonicalization window:\n$p")
+    // the exchange must carry the 8-byte xxhash64 key, not the raw
+    // K-word gram string (~5 words/row of shuffle bytes)
+    assert(p.contains("hashpartitioning(gh"),
+      s"canonicalization exchange not keyed by the gram hash:\n$p")
+    assert(!p.contains("hashpartitioning(gram"),
+      s"exchange still keyed by raw gram text:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join in span dedup:\n$p")
