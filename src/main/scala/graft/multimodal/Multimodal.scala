@@ -10,9 +10,11 @@ import graft.Tables
   * mandate): media as opaque `binary` columns + typed metadata, with
   * decode / feature-extract / resize / frame-sample operators.
   *
-  * No codec libraries ship in this environment, so the pixel/sample
-  * work is STUBBED with a deterministic fake format ("GR" container:
-  * 8-byte header + payload). Everything Spark-side is real and tested —
+  * No codec libraries ship in this environment, so the PIXEL work is
+  * STUBBED with a deterministic fake format ("GR" container: 8-byte
+  * header + payload); the AUDIO path (m04, [[Wav]]) is a real published
+  * container format — RIFF/WAVE PCM16 — decoded with a generic chunk
+  * walk and no libraries. Everything Spark-side is real and tested —
   * schema, binary columns, header parsing, mapPartitions batch shape,
   * generator explode for frames — and swapping `decodePayload` /
   * `FeatureExtractor.features` for a real codec (JavaCV, TwelveMonkeys,
@@ -125,6 +127,61 @@ object Multimodal {
         posexplode(frames(col("blob"))).as(Seq("frame_idx", "frame")))
   }
 
+  // --- real-format audio column (RIFF/WAVE PCM16, see Wav.scala) ---
+
+  /** Deterministic PCM16 synthesis so the DuckDB oracle can recompute
+    * every sample with exact integer arithmetic: sample i of doc d is
+    * `(d*31 + i*7919) mod 65536 - 32768`. Rate/channels/frame-count
+    * derive from doc_id / n_chars the same way the GR dims do.
+    */
+  def synthSamples(docId: Long, nSamples: Int): Array[Short] = {
+    val out = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      out(i) = ((docId * 31L + i.toLong * 7919L) % 65536L - 32768L).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Audio table derived from `documents`: a real RIFF/WAVE binary
+    * column (unlike the GR stub, this is a published container format —
+    * any audio tool can read these blobs). Encode is map-side.
+    */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    val mk = udf { (docId: Long, nChars: Long) =>
+      val channels = 1 + (docId % 2).toInt
+      val rate = 8000 + (docId % 3).toInt * 8000
+      val nSamples = ((nChars % 96).toInt + 32) * channels
+      Wav.encodePcm16(synthSamples(docId, nSamples), rate, channels)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), mk(col("doc_id"), col("n_chars")).as("blob"))
+  }
+
+  /** Decoded per-blob audio facts: container metadata from the RIFF
+    * chunk walk + exact integer sample statistics (peak |s|, Σ|s|, Σs²
+    * — chosen over float RMS so the oracle hash cannot drift on
+    * summation order).
+    */
+  case class AudioStats(sample_rate: Int, channels: Int, n_samples: Int,
+      peak_abs: Int, sum_abs: Long, sum_sq: Long)
+
+  /** m04 — WAV decode + sample stats. The plan round-trips REAL bytes:
+    * synth → encodePcm16 → binary column → generic RIFF walk → PCM16
+    * decode → stats, all map-side (no shuffle until the final sort).
+    */
+  val m04AudioStats: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Wav.decodeMeta(blob)
+      val st = Wav.stats(Wav.samples(blob))
+      AudioStats(m.sampleRate, m.channels, m.nSamples,
+        st.peakAbs, st.sumAbs, st.sumSq)
+    }
+    audioTable(s, d).withColumn("a", dec(col("blob")))
+      .select(col("doc_id"), col("a.*")).orderBy("doc_id")
+  }
+
   // --- driver-contract queries ---
 
   private type Q = (SparkSession, String) => DataFrame
@@ -175,6 +232,7 @@ object Multimodal {
     "m01_media_meta" -> m01MediaMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
+    "m04_audio_stats" -> m04AudioStats,
   )
 
   // Oracle payload sizes count BYTES via octet_length(encode(text)) —
@@ -222,5 +280,28 @@ object Multimodal {
         |    AS n_frames,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // m04 twin regenerates every PCM16 sample from the synthesis formula
+    // (all-integer, so sum(v*v) is exact; DuckDB sums to HUGEINT, hence
+    // the BIGINT casts). The Spark side never sees this formula at query
+    // time — it reads rate/channels/counts back out of the WAV bytes.
+    "m04_audio_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 8000 AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST((n_chars % 96 + 32) * (1 + doc_id % 2) AS INT)
+        |      AS n_samples
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, (doc_id * 31 + i * 7919) % 65536 - 32768 AS v
+        |  FROM (SELECT doc_id, unnest(range(0, n_samples)) AS i FROM p)),
+        |a AS (
+        |  SELECT doc_id, CAST(max(abs(v)) AS INT) AS peak_abs,
+        |    CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |    CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |  FROM s GROUP BY doc_id)
+        |SELECT p.doc_id, sample_rate, channels, n_samples,
+        |  peak_abs, sum_abs, sum_sq
+        |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
   )
 }

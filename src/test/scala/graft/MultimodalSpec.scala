@@ -1,7 +1,9 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.functions._
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, Wav}
 
 /** Multimodal binary-column plumbing: container round trip, metadata
   * decode, mapPartitions feature batch shape, frame explode/reassembly.
@@ -76,6 +78,83 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     assert(rolled === Map(1L -> ((0L, 0L)), 2L -> ((3L, 600L))))
+  }
+
+  // --- RIFF/WAVE (m04): fixtures produced by Python's stdlib `wave`
+  // writer, a known external tool — pinned values were measured with
+  // that same module (`wave.open` + struct unpack).
+
+  private def fixture(name: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(s"src/test/resources/fixtures/$name"))
+
+  test("wav decode pins the mono sine fixture") {
+    val blob = fixture("sine_mono_8k.wav")
+    val m = Wav.decodeMeta(blob)
+    assert(m === Wav.WavMeta(8000, 1, 16, 400, 44, 800))
+    val s = Wav.samples(blob)
+    assert(s.take(4).toSeq === Seq[Short](0, 4065, 7649, 10329))
+    assert(Wav.stats(s) === Wav.SampleStats(12000, 3055512L, 28799906040L))
+  }
+
+  test("wav decode pins the stereo ramp fixture") {
+    val blob = fixture("ramp_stereo_44k.wav")
+    val m = Wav.decodeMeta(blob)
+    assert(m === Wav.WavMeta(44100, 2, 16, 400, 44, 800))
+    val s = Wav.samples(blob)
+    assert(s.take(4).toSeq === Seq[Short](-10000, -3000, -9900, -3000))
+    assert(Wav.stats(s) === Wav.SampleStats(10000, 1600000L, 8467000000L))
+  }
+
+  test("encodePcm16 is byte-identical to the known tool's output") {
+    Seq("sine_mono_8k.wav" -> 8000, "ramp_stereo_44k.wav" -> 44100)
+      .foreach { case (name, rate) =>
+        val blob = fixture(name)
+        val channels = Wav.decodeMeta(blob).channels
+        val reenc = Wav.encodePcm16(Wav.samples(blob), rate, channels)
+        assert(reenc.sameElements(blob), s"$name re-encode differs")
+      }
+  }
+
+  test("chunk walk tolerates extra chunks in any position") {
+    val blob = fixture("sine_mono_8k.wav")
+    // Splice an odd-sized LIST chunk between `fmt ` and `data` (offset
+    // 36 in the canonical layout) — real writers do this, and the odd
+    // size exercises the word-alignment pad byte.
+    val info = "INFOISFT".getBytes("US-ASCII") :+ 'x'.toByte
+    val chunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte]((info.length & 0xff).toByte, 0, 0, 0) ++ info :+ 0.toByte
+    val spliced = blob.take(36) ++ chunk ++ blob.drop(36)
+    assert(Wav.decodeMeta(spliced).copy(dataOffset = 44) ===
+      Wav.decodeMeta(blob))
+    assert(Wav.samples(spliced).sameElements(Wav.samples(blob)))
+  }
+
+  test("wav decode rejects malformed containers") {
+    val blob = fixture("sine_mono_8k.wav")
+    intercept[IllegalArgumentException] { // not RIFF
+      Wav.decodeMeta("JUNKJUNKJUNKJUNK".getBytes)
+    }
+    intercept[IllegalArgumentException] { // float PCM format tag
+      val bad = blob.clone(); bad(20) = 3; Wav.decodeMeta(bad)
+    }
+    intercept[IllegalArgumentException] { // data chunk overruns buffer
+      Wav.decodeMeta(blob.take(100))
+    }
+  }
+
+  test("m04 stats match a direct recompute of the synthesis formula") {
+    val rows = Multimodal.m04AudioStats(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.take(50).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = r.getAs[Int]("n_samples")
+      assert(r.getAs[Int]("channels") === 1 + (id % 2).toInt)
+      assert(r.getAs[Int]("sample_rate") === 8000 + (id % 3).toInt * 8000)
+      val st = Wav.stats(Multimodal.synthSamples(id, n))
+      assert(r.getAs[Int]("peak_abs") === st.peakAbs)
+      assert(r.getAs[Long]("sum_abs") === st.sumAbs)
+      assert(r.getAs[Long]("sum_sq") === st.sumSq)
+    }
   }
 
   test("resize rewrites dimensions and preserves payload") {
