@@ -61,29 +61,57 @@ object Bench {
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              // A crashed iteration returns fast; letting it into min()
+              // would report the failure's elapsed time as the query's
+              // benchmark number. Infinity keeps min() over successes
+              // only, and an all-failed query surfaces as null below.
+              Double.PositiveInfinity
           }
-          (System.nanoTime() - t0) / 1e9
         }
         name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    def fmt(v: Double, digits: Int): String =
+      if (v.isInfinite) "null" else s"%.${digits}f".format(v)
+    val ok = results.filter(!_._2.isInfinite)
+    val failed = results.collect { case (k, v) if v.isInfinite => k }
+    val total = ok.map(_._2).sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"")
+        .mkString(""","failed":[""", ",", "]")
+    // Full-resolution line (long query names, 3 decimals) → file only:
+    // the launcher keeps just the LAST 2000 chars of stdout for parsing,
+    // and this line is ~2.6k chars — it can never fit (rounds 1–5 all
+    // recorded parsed:null). The file is the full record for humans.
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"index_warm":$warmSec%.3f,"sf":"$sfDir"}"""
-    println(line)
-    // stdout is wrapped in sbt log decoration ("[info] ...") which broke
-    // the driver's JSON parse in round 1 — also write the bare line to a
-    // file so it's machine-readable regardless of the launcher.
+    val lineFull =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"index_warm":$warmSec%.3f$failedJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), lineFull)
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // Compact line → stdout, printed LAST so it lands inside the
+    // launcher's 2000-char tail window (sbt appends one ~80-char
+    // "[success]" line after us). Keys are the unique id prefix of each
+    // query name ("t08_winnow_fingerprint" → "t08"); ~1.2k chars total.
+    val prefixCounts = results.groupBy(_._1.takeWhile(_ != '_')).map {
+      case (p, g) => p -> g.size
+    }
+    val qsShort = results.map { case (k, v) =>
+      val p = k.takeWhile(_ != '_')
+      val key = if (prefixCounts(p) == 1) p else k // collision → full name
+      "\"" + key + "\":" + fmt(v, 2)
+    }.mkString("{", ",", "}")
+    val lineShort =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,"index_warm":$warmSec%.2f$failedJson,"sf":"$sfDir"}"""
+    println(lineShort)
     spark.stop()
   }
 }
