@@ -67,13 +67,17 @@ object Winnow {
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
-        case ArrayType(LongType, _) =>
+        // containsNull must be false: mins() calls toLongArray(), which
+        // on UnsafeArrayData with null elements reads garbage silently.
+        // The only producer (rolling_hashes) already guarantees it.
+        case ArrayType(LongType, false) =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult
             .TypeCheckSuccess
         case other =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult
             .TypeCheckFailure(
-              s"winnow_mins expects array<bigint>, got $other")
+              s"winnow_mins expects array<bigint> with non-null " +
+                s"elements, got $other")
       }
     override def dataType: DataType =
       ArrayType(LongType, containsNull = false)

@@ -62,6 +62,53 @@ class TextSpec extends SparkSpec {
     assert(fa.intersect(fb).nonEmpty)
   }
 
+  test("winnow_mins kernel plan is row-equal to the min-over-frame " +
+      "window twin on the same rolling hashes") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    graft.functions.RollingHash.registerAll(spark)
+    graft.functions.Winnow.registerAll(spark)
+    val k = 5; val w = 8
+    val hs = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        graft.functions.RollingHash.rolling_hashes(col("text"), k)
+          .as("hs"))
+    val kernel = SparkEntry.queries("t08_winnow_fingerprint")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // relational twin: positional explode, min over the w-row frame,
+    // full windows only (p is 0-based: starts p <= n_grams - w),
+    // distinct selected values per doc
+    val byDoc = Window.partitionBy("doc_id")
+    val twin = hs
+      .withColumn("n", size(col("hs")))
+      .select(col("doc_id"), col("n"),
+        posexplode(col("hs")).as(Seq("p", "h")))
+      .withColumn("m",
+        min("h").over(byDoc.orderBy("p").rowsBetween(0, w - 1)))
+      .filter(col("p") <= col("n") - w)
+      .select(col("doc_id"), col("m"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twin.nonEmpty)
+    assert(kernel === twin,
+      s"kernel=${kernel.size} twin=${twin.size} " +
+        s"onlyKernel=${(kernel -- twin).take(3)} " +
+        s"onlyTwin=${(twin -- kernel).take(3)}")
+  }
+
+  test("winnow_mins rejects array<bigint> with nullable elements") {
+    import org.apache.spark.sql.functions._
+    graft.functions.Winnow.registerAll(spark)
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq[Option[Long]](Some(1L), None)))
+      .toDF("hs") // element type: bigint with containsNull = true
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.Winnow.winnow_mins(col("hs"), 4)).collect()
+    }
+    assert(err.getMessage.contains("non-null"), err.getMessage)
+  }
+
   test("property: minhash estimate within 0.3 of true jaccard (100 seeds)") {
     val words = Array("alpha", "beta", "gamma", "delta", "epsilon",
       "zeta", "eta", "theta", "iota", "kappa")
