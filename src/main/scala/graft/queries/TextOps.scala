@@ -1259,11 +1259,14 @@ object TextOps {
     * partitions by a uniformly-mixed key so a hot stop-word gram
     * ("of the and of the" at corpus scale) still lands on one
     * partition but without dragging its text bytes through the wire.
-    * (Gram identity by 64-bit hash admits ~n²/2⁶⁵ false strikes — one
-    * span, not a cascade; the DuckDB oracle compares against raw-gram
-    * semantics and is collision-free, so any collision on test data
-    * would surface as a hash mismatch. Production at 10¹²-gram scale
-    * would widen to 128 bits, e.g. two independent seeds.) Covered-
+    * (Gram identity is a 128-bit key — TWO independently-chained
+    * xxhash64 columns, the second salted with an extra literal in the
+    * hash chain — so a false strike needs a simultaneous collision in
+    * both: ~n²/2¹²⁹ even at 10¹²-gram corpus scale, vs ~n²/2⁶⁵ for
+    * one word which would bite around √2⁶⁴ ≈ 4·10⁹ grams. The DuckDB
+    * oracle compares against raw-gram semantics, so any residual
+    * collision on test data would surface as a hash mismatch.)
+    * Covered-
     * position expansion is bounded by K x duplicate count (not corpus
     * size), and text rebuild is a per-doc sorted aggregation. No
     * all-pairs anything; the suffix-array machinery Lee et al. use
@@ -1271,21 +1274,27 @@ object TextOps {
     */
   def spanDedup(docs0: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("gh").orderBy("doc_id", "pos")
+      .partitionBy("gh1", "gh2").orderBy("doc_id", "pos")
     val docs = docs0
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
     val words = docs.select(col("doc_id"),
       posexplode(col("w")).as(Seq("pos0", "word")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"))
     // the gram string exists only transiently inside the row projection;
-    // what crosses the exchange is (doc_id, pos, gh)
+    // what crosses the exchange is (doc_id, pos, gh1, gh2) — 16 key
+    // bytes. The inner transform materializes each gram string once,
+    // the outer hashes it twice (the lit(1) extends the second hash's
+    // input chain, giving an independently-mixed value).
     val grams = docs.filter(size(col("w")) >= k)
       .select(col("doc_id"),
         posexplode(expr(
-          s"transform(sequence(1, size(w) - ${k - 1}), " +
-            s"i -> xxhash64(concat_ws(' ', slice(w, i, $k))))"))
+          s"transform(transform(sequence(1, size(w) - ${k - 1}), " +
+            s"i -> concat_ws(' ', slice(w, i, $k))), " +
+            "g -> named_struct('g1', xxhash64(g), " +
+            "'g2', xxhash64(g, 1)))"))
           .as(Seq("pos0", "gh")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gh"))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        col("gh.g1").as("gh1"), col("gh.g2").as("gh2"))
     val covered = grams
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)

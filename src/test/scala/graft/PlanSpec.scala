@@ -195,16 +195,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("t24: span dedup shuffles grams once (canonicalization window) " +
-      "keyed by the 8-byte gram hash, never joins text against text") {
+      "keyed by the 16-byte double gram hash, never joins text " +
+      "against text") {
     val p = plan("t24_span_dedup")
     // duplicate detection must be the row_number window over the gram
     // hash — a sort-merge/nested-loop join of text columns would be the
     // all-pairs shape this operator exists to avoid
     assert(p.contains("row_number"), s"no canonicalization window:\n$p")
-    // the exchange must carry the 8-byte xxhash64 key, not the raw
-    // K-word gram string (~5 words/row of shuffle bytes)
-    assert(p.contains("hashpartitioning(gh"),
+    // the exchange must carry the 16-byte (gh1, gh2) double-xxhash64
+    // key, not the raw K-word gram string (~5 words/row of shuffle
+    // bytes); two independent 64-bit hashes keep false strikes at
+    // ~n²/2¹²⁹ even at production gram counts
+    assert(p.contains("hashpartitioning(gh1"),
       s"canonicalization exchange not keyed by the gram hash:\n$p")
+    assert(p.contains("gh2"),
+      s"second hash column missing from the plan:\n$p")
     assert(!p.contains("hashpartitioning(gram"),
       s"exchange still keyed by raw gram text:\n$p")
     assert(!p.contains("CartesianProduct") &&
