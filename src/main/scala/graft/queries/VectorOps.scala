@@ -179,10 +179,9 @@ object VectorOps {
       nprobe: Int): DataFrame = {
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
 
-    // --- train coarse quantizer on a bounded sample (deterministic:
-    // lowest vec_ids; k-means init = stride over the sample) ---
-    val sample = e0.orderBy("vec_id").limit(nlist * 40)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    // --- train coarse quantizer on a bounded hash-stratified sample
+    // (deterministic; k-means init = stride over the sample) ---
+    val sample = trainingSample(e0, nlist * 40)
     val centroids = kmeansFit(sample, nlist)
     val bc = e0.sparkSession.sparkContext.broadcast(centroids)
 
@@ -236,10 +235,9 @@ object VectorOps {
     val spark = e0.sparkSession
     val e = e0.repartition(spark.sparkContext.defaultParallelism)
 
-    // --- train per-subspace codebooks on the bounded sample (driver;
-    // sample size independent of corpus size, like IVF's quantizer) ---
-    val sample = e0.orderBy("vec_id").limit(k * 40)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    // --- train per-subspace codebooks on the bounded hash-stratified
+    // sample (driver; size independent of corpus, like IVF's) ---
+    val sample = trainingSample(e0, k * 40)
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
       kmeansFit(sample.map(_.slice(mi * sub, (mi + 1) * sub)), k)
     }
@@ -391,8 +389,7 @@ object VectorOps {
   def trainIvfPq(e0: DataFrame, nlist: Int, m: Int, k: Int): IvfPqModel = {
     require(Dim % m == 0)
     val sub = Dim / m
-    val sample = e0.orderBy("vec_id").limit(nlist * 40)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val sample = trainingSample(e0, nlist * 40)
     val coarse = kmeansFit(sample, nlist)
     val residuals = sample.map { v =>
       val c = coarse(nearestCell(coarse, v))
@@ -477,7 +474,9 @@ object VectorOps {
       : (IvfPqModel, DataFrame) = {
     import graft.pipeline.StageCache
     val cache = new StageCache(s, StageCache.indexRoot)
-    val ver = cache.versionHash(Seq("ivfpq", "v1", "nlist=16", "m=8",
+    // v2: hash-stratified training sample (r5 advice) — bump invalidates
+    // indexes built from the old first-N-ids codebooks
+    val ver = cache.versionHash(Seq("ivfpq", "v2", "nlist=16", "m=8",
       "k=16", s"dim=$Dim"))
     val inputs = Seq(s"$d/embeddings.parquet")
     lazy val model0 = trainIvfPq(emb(s, d), nlist = 16, m = 8, k = 16)
@@ -580,6 +579,24 @@ object VectorOps {
       .select(col("qid"), col("vec_id").as("ann_nid"), col("cos_sim"))
       .orderBy("qid")
   }
+
+  /** Bounded deterministic codebook-training sample, representative
+    * under any input order: rows rank by the layout-independent
+    * [[graft.operators.Sampling.portableBucket]] of vec_id (md5-derived
+    * uniform bucket; vec_id tiebreak) instead of "lowest n vec_ids" —
+    * which on an id-sorted or time-clustered corpus trains the
+    * quantizer on one corner of the embedding space and mis-assigns
+    * everything else. Cost is unchanged: a TakeOrderedAndProject top-n
+    * (per-partition heap + merge, no shuffle of the full corpus) and a
+    * driver collect of exactly n rows regardless of corpus size; the
+    * same rows select on any partition layout, any cluster size.
+    */
+  private def trainingSample(e0: DataFrame, n: Int)
+      : Array[Array[Double]] =
+    e0.orderBy(graft.operators.Sampling.portableBucket(col("vec_id")),
+        col("vec_id"))
+      .limit(n)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
 
   /** Deterministic bounded Lloyd's k-means (driver-side; sample size is
     * corpus-independent — shared by the IVF coarse quantizer and the PQ
