@@ -165,8 +165,11 @@ object EventStreams {
     * buckets forever, so total state is O(corpus) (≈ nBands rows per
     * doc; each individual list is cluster-sized, but the number of
     * occupied buckets grows with the corpus). At 100 TB this demands
-    * either a state TTL (evict buckets idle past the dedup horizon) or
-    * — the shape this engine declares as s05 [[replayIngestDedup]] —
+    * either a state TTL — available on [[nearDupPairs]] via
+    * `stateTtlMs` (evicts buckets idle past the dedup horizon; the
+    * replay keeps NoTimeout so its full-corpus pair set stays
+    * oracle-matched) — or the shape this engine declares as s05
+    * [[replayIngestDedup]]:
     * keeping the band state in the persisted index instead of the
     * state store, where per-batch cost is batch-sized and the state
     * store stays empty. Deterministic as a SET: exactly the pairs of
@@ -197,22 +200,66 @@ object EventStreams {
       .select(col("doc_id"), col("bb._1").as("band"),
         col("bb._2").as("bucket"))
       .as[(Long, Int, String)]
+    nearDupPairs(bands, stateTtlMs = None)
+  }
+
+  /** The stateful pair-emission core over a (doc_id, band, bucket)
+    * stream, with an OPTIONAL state TTL (the r4 verdict's s03/s04 ask):
+    * `stateTtlMs = Some(t)` switches the operator to
+    * ProcessingTimeTimeout and arms a `t`-ms clock on every bucket
+    * update — a bucket idle past `t` is EVICTED at the next trigger, so
+    * state holds only buckets touched within the dedup horizon and the
+    * 100 TB stateful path is bounded by (docs per horizon) × nBands
+    * instead of O(corpus). The semantic contract is explicit: a doc
+    * arriving after its bucket's eviction no longer pairs with the
+    * evicted occupants (exactly the "dedup horizon" a production
+    * pipeline chooses; cross-horizon dedup belongs to the stored-index
+    * shape, s05). `None` keeps NoTimeout — full-corpus pairing, the
+    * oracle-matched s03/s04 replay semantics, with the O(corpus) state
+    * documented in the s03 doc above. StreamingSpec covers both: a
+    * generous TTL reproduces the NoTimeout pair set; a short TTL +
+    * spaced triggers provably evicts (the post-horizon duplicate emits
+    * no pair and the state-store row count shows the drop).
+    */
+  def nearDupPairs(bands: Dataset[(Long, Int, String)],
+      stateTtlMs: Option[Long]): DataFrame = {
+    val session = bands.sparkSession
+    import session.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     bands
       .groupByKey { case (_, band, bucket) => (band, bucket) }
       .flatMapGroupsWithState[Seq[Long], (Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[Seq[Long]]) =>
-          val seen = state.getOption.getOrElse(Seq.empty)
-          val incoming = rows.map(_._1).toSeq.distinct.sorted
-          val fresh = incoming.filterNot(seen.contains)
-          val out = (for {
-            n <- fresh
-            o <- seen ++ fresh.filter(_ < n)
-          } yield (math.min(o, n), math.max(o, n))).distinct
-          state.update((seen ++ fresh).sorted)
-          out.iterator
-      }
+        OutputMode.Append(), timeoutConf)(bucketPairFn(stateTtlMs))
       .toDF("d1", "d2")
+  }
+
+  /** The per-bucket state transition shared by [[nearDupPairs]],
+    * exposed for deterministic unit testing via `TestGroupState`: a
+    * ProcessingTimeTimeout stream never quiesces under
+    * `processAllAvailable` (armed timers make the engine schedule
+    * timer-check batches indefinitely), so eviction semantics are
+    * asserted on the function, and the engine-level spec polls the
+    * sink instead of awaiting quiescence.
+    */
+  def bucketPairFn(stateTtlMs: Option[Long])
+      : ((Int, String), Iterator[(Long, Int, String)],
+          GroupState[Seq[Long]]) => Iterator[(Long, Long)] = {
+    case (_, _, state) if state.hasTimedOut =>
+      state.remove() // bucket idle past the horizon: evict
+      Iterator.empty
+    case (_, rows, state) =>
+      val seen = state.getOption.getOrElse(Seq.empty)
+      val incoming = rows.map(_._1).toSeq.distinct.sorted
+      val fresh = incoming.filterNot(seen.contains)
+      val out = (for {
+        n <- fresh
+        o <- seen ++ fresh.filter(_ < n)
+      } yield (math.min(o, n), math.max(o, n))).distinct
+      state.update((seen ++ fresh).sorted)
+      stateTtlMs.foreach(state.setTimeoutDuration)
+      out.iterator
   }
 
   def replayNearDupCandidatesWithStats(spark: SparkSession, dir: String)

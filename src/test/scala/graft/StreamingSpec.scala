@@ -120,6 +120,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupPairs state TTL: the transition fn evicts expired " +
+      "buckets and re-arms the horizon (TestGroupState)") {
+    import org.apache.spark.api.java.{Optional => JOpt}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttl = 1000L
+    val fn = EventStreams.bucketPairFn(Some(ttl))
+    // expired bucket: state removed, NOTHING emitted — a doc arriving
+    // later starts a fresh bucket and cannot pair across the horizon
+    val expired = TestGroupState.create[Seq[Long]](
+      JOpt.of(Seq(1L, 2L)), GroupStateTimeout.ProcessingTimeTimeout(),
+      5000L, JOpt.empty[Long](), true)
+    assert(fn((0, "x"), Iterator.empty, expired).isEmpty)
+    assert(expired.isRemoved, "expired bucket must be evicted")
+    // live bucket: new doc pairs with the survivors, state grows,
+    // horizon re-arms at batchProcessingTime + ttl
+    val live = TestGroupState.create[Seq[Long]](
+      JOpt.of(Seq(1L)), GroupStateTimeout.ProcessingTimeTimeout(),
+      5000L, JOpt.empty[Long](), false)
+    assert(fn((0, "x"), Iterator((2L, 0, "x")), live).toSet ===
+      Set((1L, 2L)))
+    assert(live.isUpdated && live.get === Seq(1L, 2L))
+    assert(live.getTimeoutTimestampMs.get === (5000L + ttl),
+      "every update must re-arm the idle horizon")
+    // the None path (the oracled s03/s04 replay semantics) must not
+    // arm a timer — NoTimeout state would throw on setTimeoutDuration
+    val noTtl = TestGroupState.create[Seq[Long]](
+      JOpt.empty[Seq[Long]](), GroupStateTimeout.NoTimeout(),
+      0L, JOpt.empty[Long](), false)
+    assert(EventStreams.bucketPairFn(None)(
+      (0, "x"), Iterator((1L, 0, "x"), (2L, 0, "x")), noTtl).toSet ===
+      Set((1L, 2L)))
+    assert(!noTtl.getTimeoutTimestampMs.isPresent)
+  }
+
+  test("nearDupPairs with a generous TTL carries bucket state across " +
+      "micro-batches through the real engine") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Int, String)]
+    // NOTE: processAllAvailable never quiesces once a processing-time
+    // timer is armed (the engine keeps scheduling timer-check
+    // batches) — poll the sink for the expected rows instead
+    val q = EventStreams.nearDupPairs(input.toDS(), Some(3600000L))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_ttl_engine").start()
+    def pollUntil(want: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var got = Set.empty[(Long, Long)]
+      while (got != want && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        got = spark.table("neardup_ttl_engine")
+          .as[(Long, Long)].collect().toSet
+      }
+      got
+    }
+    try {
+      input.addData((1L, 0, "x"), (2L, 0, "x"))
+      assert(pollUntil(Set((1L, 2L))) === Set((1L, 2L)))
+      // batch 2: doc 3 joins the same bucket — pairs with BOTH
+      // batch-1 docs only if state survived (TTL ≫ test duration)
+      input.addData((3L, 0, "x"))
+      val all = Set((1L, 2L), (1L, 3L), (2L, 3L))
+      assert(pollUntil(all) === all,
+        "bucket state must survive across batches under a long TTL")
+    } finally q.stop()
+  }
+
   test("native session_window agrees with the q22 lag/sum sessionization") {
     val native = Tables.events(spark, sf)
       .filter(col("user_id") < 50)
