@@ -174,7 +174,46 @@ object GeoOps {
       .orderBy("c_custkey")
   }
 
+  /** g08 — the reference README's research question 2 ("Which utility
+    * serves the largest area? The smallest?" — reference README.md:7)
+    * answered in km² over the rebuilt cleaned layer, SURVEY §7's
+    * geodesic-area promotion. Area is [[graft.functions.GeoFunctions
+    * .STAreaSpherical]] (spherical excess on the authalic sphere — a
+    * published, engine-independent geodesic formula) because the layer
+    * is EPSG:4326 degrees: PLANAR st_area on lon/lat returns deg²,
+    * which overweights low-latitude polygons (one degree of longitude
+    * is cos(lat)× shorter on the ground — a 0.33× to 0.56× squeeze
+    * across Alaska's 51°–71°N span), so a deg² ranking is not a
+    * ground-truth ranking. Both numbers are emitted per row — the
+    * planar/spherical delta is the documented point. Rows-only for the
+    * driver (geometry provenance makes a SQL oracle impossible);
+    * GoldenReplaySpec pins the rows verbatim, g06-style.
+    */
+  val g08AreaExtremes: Q = (s, _) =>
+    if (graft.pipeline.AlaskaReplay.available) {
+      val areas = graft.pipeline.AlaskaReplay.cleanedLayer(s)
+        .select(
+          col("certificate_number").cast("int").as("certificate_number"),
+          col("entity"),
+          round(st_area_spherical(col("geometry")), 2).as("area_km2"),
+          round(st_area(col("geometry")), 6).as("area_deg2"))
+      // top-1 each way = TakeOrderedAndProject (no global sort shuffle;
+      // certificate_number tiebreak keeps the pick deterministic)
+      val largest = areas
+        .orderBy(col("area_km2").desc, col("certificate_number"))
+        .limit(1).withColumn("which", lit("largest"))
+      val smallest = areas
+        .orderBy(col("area_km2").asc, col("certificate_number"))
+        .limit(1).withColumn("which", lit("smallest"))
+      largest.unionByName(smallest)
+        .select("which", "certificate_number", "entity", "area_km2",
+          "area_deg2")
+    } else
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq.empty))
+
   val queries: Map[String, Q] = Map(
+    "g08_area_extremes" -> g08AreaExtremes,
     "g07_zorder_scan" -> g07ZOrderScan,
     "g06_alaska_cleaned_replay" -> g06AlaskaReplay,
     "g01_bbox_contains" -> g01BboxContains,

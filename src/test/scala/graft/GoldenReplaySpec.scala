@@ -106,6 +106,27 @@ class GoldenReplaySpec extends SparkSpec {
       pairs.map { case (x, y) => s"$x,$y" }.toSeq)
   }
 
+  test("g08 area extremes (README.md:7): largest/smallest utility by " +
+      "geodesic km², golden-pinned, planar ranking shown for the delta") {
+    assume(available)
+    val rows = graft.queries.GeoOps.queries("g08_area_extremes")(spark, sf)
+      .collect()
+    assert(rows.length === 2)
+    val largest = rows.find(_.getString(0) == "largest").get
+    val smallest = rows.find(_.getString(0) == "smallest").get
+    assert(largest.getDouble(3) > smallest.getDouble(3),
+      "largest must exceed smallest in km²")
+    // the deg²→km² scale is latitude-dependent (cos(lat)): the two
+    // picks' km²-per-deg² ratios must differ — the concrete evidence
+    // that a planar deg² ranking is not a ground-truth area ranking
+    val ratioL = largest.getDouble(3) / largest.getDouble(4)
+    val ratioS = smallest.getDouble(3) / smallest.getDouble(4)
+    assert(math.abs(ratioL - ratioS) / ratioL > 0.001,
+      s"expected latitude-dependent scale: $ratioL vs $ratioS")
+    assertGoldenRows("geo", "g08_area_extremes",
+      rows.map(_.mkString(",")).toSeq)
+  }
+
   test("point-in-polygon lookup (README.md:8): Fairbanks → GVEA") {
     assume(available)
     GeoFunctions.registerAll(spark)
