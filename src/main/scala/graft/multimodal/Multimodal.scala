@@ -167,6 +167,65 @@ object Multimodal {
   case class AudioStats(sample_rate: Int, channels: Int, n_samples: Int,
       peak_abs: Int, sum_abs: Long, sum_sq: Long)
 
+  // --- real-format image column (24-bit BMP, see Bmp.scala) ---
+
+  /** Deterministic RGB synthesis so the DuckDB oracle can recompute
+    * every channel with exact integer arithmetic: pixel p (row-major
+    * top-down) of doc d has R = (d·13 + p·19) mod 256,
+    * G = (d·11 + p·17) mod 256, B = (d·7 + p·13) mod 256.
+    */
+  def synthPixels(docId: Long, nPixels: Int): Array[Int] = {
+    val out = new Array[Int](nPixels)
+    var p = 0
+    while (p < nPixels) {
+      val r = ((docId * 13L + p.toLong * 19L) % 256L).toInt
+      val g = ((docId * 11L + p.toLong * 17L) % 256L).toInt
+      val b = ((docId * 7L + p.toLong * 13L) % 256L).toInt
+      out(p) = (r << 16) | (g << 8) | b
+      p += 1
+    }
+    out
+  }
+
+  /** Image table derived from `documents`: a real 24-bit BMP binary
+    * column (any image tool opens these blobs). Widths off the 4-byte
+    * grid are the common case here, so the row-padding path is always
+    * exercised. Encode is map-side.
+    */
+  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+    val mk = udf { (docId: Long, nChars: Long) =>
+      val w = 4 + (nChars % 29).toInt
+      val h = 3 + (docId % 13).toInt
+      Bmp.encode24(w, h, synthPixels(docId, w * h))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), mk(col("doc_id"), col("n_chars")).as("blob"))
+  }
+
+  /** Decoded per-blob image facts: header metadata + exact integer
+    * channel statistics (same no-float-drift rationale as
+    * [[AudioStats]]).
+    */
+  case class ImageStats(width: Int, height: Int, sum_r: Long,
+      sum_g: Long, sum_b: Long, peak_lum: Int)
+
+  /** m05 — BMP decode + pixel stats, the image twin of m04: synth →
+    * encode24 → binary column → header walk (offset/orientation/
+    * padding honored) → pixel decode → stats, all map-side. The query
+    * side reads width/height back OUT of the BMP bytes — the synthesis
+    * formula only reappears in the oracle.
+    */
+  val m05ImageStats: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Bmp.decodeMeta(blob)
+      val st = Bmp.stats(Bmp.pixels(blob))
+      ImageStats(m.width, m.height, st.sumR, st.sumG, st.sumB,
+        st.peakLum)
+    }
+    imageTable(s, d).withColumn("a", dec(col("blob")))
+      .select(col("doc_id"), col("a.*")).orderBy("doc_id")
+  }
+
   /** m04 — WAV decode + sample stats. The plan round-trips REAL bytes:
     * synth → encodePcm16 → binary column → generic RIFF walk → PCM16
     * decode → stats, all map-side (no shuffle until the final sort).
@@ -233,6 +292,7 @@ object Multimodal {
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
     "m04_audio_stats" -> m04AudioStats,
+    "m05_image_stats" -> m05ImageStats,
   )
 
   // Oracle payload sizes count BYTES via octet_length(encode(text)) —
@@ -302,6 +362,30 @@ object Multimodal {
         |  FROM s GROUP BY doc_id)
         |SELECT p.doc_id, sample_rate, channels, n_samples,
         |  peak_abs, sum_abs, sum_sq
+        |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
+    // m05 twin regenerates every RGB channel from the synthesis formula
+    // (all-integer; DuckDB sums widen to HUGEINT, hence the casts). The
+    // Spark side reads width/height back out of the BMP header instead.
+    "m05_image_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(4 + n_chars % 29 AS INT) AS width,
+        |    CAST(3 + doc_id % 13 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    (doc_id * 13 + i * 19) % 256 AS r,
+        |    (doc_id * 11 + i * 17) % 256 AS g,
+        |    (doc_id * 7 + i * 13) % 256 AS b
+        |  FROM (SELECT doc_id, unnest(range(0, width * height)) AS i
+        |        FROM p)),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(r) AS BIGINT) AS sum_r,
+        |    CAST(sum(g) AS BIGINT) AS sum_g,
+        |    CAST(sum(b) AS BIGINT) AS sum_b,
+        |    CAST(max(299 * r + 587 * g + 114 * b) AS INT) AS peak_lum
+        |  FROM px GROUP BY doc_id)
+        |SELECT p.doc_id, width, height, sum_r, sum_g, sum_b, peak_lum
         |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
   )
 }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.{Multimodal, Wav}
+import graft.multimodal.{Bmp, Multimodal, Wav}
 
 /** Multimodal binary-column plumbing: container round trip, metadata
   * decode, mapPartitions feature batch shape, frame explode/reassembly.
@@ -139,6 +139,98 @@ class MultimodalSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { // data chunk overruns buffer
       Wav.decodeMeta(blob.take(100))
+    }
+  }
+
+  // --- BMP (m05): the 2x2 24-bit example documented publicly with
+  // every byte enumerated — an external fixture independent of our
+  // encoder. Stored bottom-up: file row 0 = image BOTTOM row
+  // (red, white), file row 1 = TOP row (blue, green), each padded
+  // 6 -> 8 bytes.
+
+  private val bmp2x2: Array[Byte] = Array(
+    0x42, 0x4d,             // "BM"
+    0x46, 0, 0, 0,          // file size 70
+    0, 0, 0, 0,             // reserved
+    0x36, 0, 0, 0,          // pixel-array offset 54
+    0x28, 0, 0, 0,          // BITMAPINFOHEADER size 40
+    0x02, 0, 0, 0,          // width 2
+    0x02, 0, 0, 0,          // height 2 (positive: bottom-up)
+    0x01, 0,                // planes
+    0x18, 0,                // 24 bpp
+    0, 0, 0, 0,             // BI_RGB
+    0x10, 0, 0, 0,          // image size 16
+    0x13, 0x0b, 0, 0,       // 2835 px/m horizontal (72 DPI)
+    0x13, 0x0b, 0, 0,       // 2835 px/m vertical
+    0, 0, 0, 0,             // palette colors
+    0, 0, 0, 0,             // important colors
+    0, 0, 0xff.toByte,      // (0,1) red   (B,G,R)
+    0xff.toByte, 0xff.toByte, 0xff.toByte, // (1,1) white
+    0, 0,                   // row padding
+    0xff.toByte, 0, 0,      // (0,0) blue
+    0, 0xff.toByte, 0,      // (1,0) green
+    0, 0).map(_.toByte)
+
+  test("bmp decode pins the documented 2x2 example byte-for-byte") {
+    val m = Bmp.decodeMeta(bmp2x2)
+    assert(m === Bmp.BmpMeta(2, 2, 24, 54, 16, topDown = false))
+    // top-down row-major: blue, green / red, white
+    assert(Bmp.pixels(bmp2x2).toSeq ===
+      Seq(0x0000ff, 0x00ff00, 0xff0000, 0xffffff))
+    assert(Bmp.stats(Bmp.pixels(bmp2x2)) ===
+      Bmp.PixelStats(510L, 510L, 510L, 299 * 255 + 587 * 255 + 114 * 255))
+  }
+
+  test("encode24 is byte-identical to the documented example") {
+    val enc = Bmp.encode24(2, 2,
+      Array(0x0000ff, 0x00ff00, 0xff0000, 0xffffff))
+    assert(enc.sameElements(bmp2x2), "encoder must reproduce the " +
+      "documented layout byte-for-byte")
+  }
+
+  test("bmp round-trips off-grid widths (padding) and top-down rows") {
+    // width 3: rowBytes 9, stride 12 — the padding path
+    val px = Multimodal.synthPixels(7L, 3 * 5)
+    val enc = Bmp.encode24(3, 5, px)
+    assert(Bmp.decodeMeta(enc).imageBytes === 12 * 5)
+    assert(Bmp.pixels(enc).toSeq === px.toSeq)
+    // flip to top-down (negative height): same decoded pixels only if
+    // the stored rows are reversed too
+    val st = Bmp.stride(3)
+    val flipped = enc.clone()
+    flipped(22) = (-5 & 0xff).toByte; flipped(23) = 0xff.toByte
+    flipped(24) = 0xff.toByte; flipped(25) = 0xff.toByte
+    for (y <- 0 until 5; i <- 0 until st)
+      flipped(54 + y * st + i) = enc(54 + (4 - y) * st + i)
+    assert(Bmp.decodeMeta(flipped).topDown)
+    assert(Bmp.pixels(flipped).toSeq === px.toSeq)
+  }
+
+  test("bmp decode rejects malformed containers") {
+    intercept[IllegalArgumentException] { // bad magic
+      Bmp.decodeMeta("JUNK".getBytes ++ new Array[Byte](60))
+    }
+    intercept[IllegalArgumentException] { // 8-bpp
+      val bad = bmp2x2.clone(); bad(28) = 8; Bmp.decodeMeta(bad)
+    }
+    intercept[IllegalArgumentException] { // truncated pixel array
+      Bmp.decodeMeta(bmp2x2.take(60))
+    }
+  }
+
+  test("m05 stats match a direct recompute of the synthesis formula") {
+    val rows = Multimodal.m05ImageStats(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.take(50).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = r.getAs[Int]("width")
+      val h = r.getAs[Int]("height")
+      assert(h === 3 + (id % 13).toInt)
+      val st = Bmp.stats(Multimodal.synthPixels(id, w * h))
+      assert(r.getAs[Long]("sum_r") === st.sumR)
+      assert(r.getAs[Long]("sum_g") === st.sumG)
+      assert(r.getAs[Long]("sum_b") === st.sumB)
+      assert(r.getAs[Int]("peak_lum") === st.peakLum)
     }
   }
 
