@@ -42,7 +42,7 @@ object SparkEntry {
     * verify contract ignores them.
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.benchOnly
+    Relational.benchOnly ++ TextOps.benchOnly
 
   /** Build-or-refresh the persisted stored-index artifacts for `dir`
     * (t15/t16/s05 band index, v09 IVF+PQ model + codes). Bench calls
@@ -60,6 +60,13 @@ object SparkEntry {
       docs.filter(col("doc_id") < TextOps.IncrementalCorpusMaxId),
       "t15_corpus")
     TextOps.ensureBandIndex(spark, dir, docs, "t19_corpus")
+    locally { // t15b: index over all but the top tenth of ids
+      val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+        .head().getLong(0)
+      TextOps.ensureBandIndex(spark, dir,
+        docs.filter(col("doc_id") < maxId - maxId /
+          TextOps.SmallBatchFraction), "t15b_corpus")
+    }
     VectorOps.ensureIvfPqIndex(spark, dir)
     ()
   }

@@ -921,6 +921,38 @@ object TextOps {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Fraction of the id space t15b serves as "the batch" (top tenth);
+    * a named bench-contract constant like [[IncrementalCorpusMaxId]].
+    */
+  val SmallBatchFraction = 10L
+
+  /** t15b (bench-only) — the stored-index serve path at a REALISTIC
+    * batch size. t15's oracle fixes the corpus/batch split at doc_id
+    * 400, which at sf0.1 makes the "batch" 92% of the corpus — so its
+    * bench number mostly times batch signing, not index serving. Here
+    * the index covers all but the top tenth of ids and the batch is
+    * that top slice: the measured cost is what a production ingest
+    * tick pays, and the bench JSON carries the evidence that serve
+    * cost is batch-proportional (t15b ≪ t15 at the same sf). Same
+    * code path as t15 ([[dedupIncrementalIndexed]]); not oracled — the
+    * split depends on max(doc_id), which the fixed-literal DuckDB twin
+    * cannot express portably across sf dirs, and the semantics are
+    * already hash-verified as t15.
+    */
+  val t15bSmallBatchDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val cut = maxId - maxId / SmallBatchFraction
+    val index = ensureBandIndex(s, d,
+      docs.filter(col("doc_id") < cut), "t15b_corpus")
+    dedupIncrementalIndexed(index,
+      docs.filter(col("doc_id") >= cut), docs, 0.5)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  val benchOnly: Map[String, Q] = Map(
+    "t15b_small_batch_dedup" -> t15bSmallBatchDedup)
+
   /** t16 — the stored dedup-index build as its own oracled query: the
     * exact (doc_id, band, bucket) rows t15's batch side joins against,
     * read back from the SAME parquet files t15 scans (so what is

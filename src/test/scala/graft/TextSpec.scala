@@ -301,6 +301,30 @@ class TextSpec extends SparkSpec {
     assert(got === expected, s"indexed=${got.size} fullsign=${expected.size}")
   }
 
+  test("t15b small-batch serve path keeps exactly the full-sign keeps " +
+      "on its own split") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val cut = maxId - maxId / TextOps.SmallBatchFraction
+    val pairs = TextOps.minHashPairsPortable(docs, 0.5)
+    val expected = {
+      val drops = pairs
+        .filter(col("d1") >= cut || col("d2") >= cut)
+        .select(when(col("d1") >= cut && col("d2") < cut, col("d1"))
+          .when(col("d2") >= cut && col("d1") < cut, col("d2"))
+          .otherwise(greatest(col("d1"), col("d2"))).as("doc_id"))
+        .distinct()
+      docs.filter(col("doc_id") >= cut).select("doc_id")
+        .join(drops, Seq("doc_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val got = SparkEntry.benchOnly("t15b_small_batch_dedup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected,
+      s"t15b=${got.size} fullsign=${expected.size}")
+  }
+
   test("rolling_hashes: native expression matches the brute polynomial, " +
       "handles nulls/short strings, stays in codegen") {
     import spark.implicits._
