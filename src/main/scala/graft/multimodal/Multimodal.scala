@@ -226,6 +226,77 @@ object Multimodal {
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
+  // --- real-format video column (RIFF/AVI + DIB frames, Avi.scala) ---
+
+  /** Deterministic per-frame RGB synthesis (oracle-recomputable):
+    * pixel p of frame f of doc d has R = (d·13 + f·23 + p·19) mod 256,
+    * G = (d·11 + f·29 + p·17) mod 256, B = (d·7 + f·31 + p·13) mod 256.
+    */
+  def synthFrame(docId: Long, f: Int, nPixels: Int): Array[Int] = {
+    val out = new Array[Int](nPixels)
+    var p = 0
+    while (p < nPixels) {
+      val r = ((docId * 13L + f * 23L + p.toLong * 19L) % 256L).toInt
+      val g = ((docId * 11L + f * 29L + p.toLong * 17L) % 256L).toInt
+      val b = ((docId * 7L + f * 31L + p.toLong * 13L) % 256L).toInt
+      out(p) = (r << 16) | (g << 8) | b
+      p += 1
+    }
+    out
+  }
+
+  /** Video table derived from `documents`: a real RIFF/AVI binary
+    * column of uncompressed DIB frames. Encode is map-side.
+    */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    val mk = udf { (docId: Long, nChars: Long) =>
+      val w = 3 + (nChars % 13).toInt
+      val h = 2 + (docId % 5).toInt
+      val nf = 2 + (nChars % 7).toInt
+      Avi.encode(w, h,
+        Array.tabulate(nf)(f => synthFrame(docId, f, w * h)))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), mk(col("doc_id"), col("n_chars")).as("blob"))
+  }
+
+  /** Decoded per-blob video facts over EVERY SECOND frame (the
+    * frame-sampling mandate over a real container): header metadata +
+    * exact integer channel sums and peak BT.601 luminance of the
+    * sampled frames.
+    */
+  case class VideoStats(width: Int, height: Int, n_frames: Int,
+      n_sampled: Int, sum_r: Long, sum_g: Long, sum_b: Long,
+      peak_lum: Int)
+
+  /** m06 — AVI decode + every-2nd-frame sample stats, the video member
+    * of the real-format triple (m04 audio, m05 image): synth →
+    * Avi.encode → binary column → recursive RIFF LIST walk → DIB frame
+    * decode → stride-2 sample → stats, all map-side. The query side
+    * reads geometry and frame count back OUT of the container bytes;
+    * the synthesis formula reappears only in the oracle.
+    */
+  val m06VideoFrameStats: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Avi.decodeMeta(blob)
+      val fs = Avi.frames(blob)
+      var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0; var ns = 0
+      var f = 0
+      while (f < fs.length) {
+        if (f % 2 == 0) { // frame-sample: every second frame
+          val st = Bmp.stats(fs(f))
+          sr += st.sumR; sg += st.sumG; sb += st.sumB
+          if (st.peakLum > peak) peak = st.peakLum
+          ns += 1
+        }
+        f += 1
+      }
+      VideoStats(m.width, m.height, m.nFrames, ns, sr, sg, sb, peak)
+    }
+    videoTable(s, d).withColumn("a", dec(col("blob")))
+      .select(col("doc_id"), col("a.*")).orderBy("doc_id")
+  }
+
   /** m04 — WAV decode + sample stats. The plan round-trips REAL bytes:
     * synth → encodePcm16 → binary column → generic RIFF walk → PCM16
     * decode → stats, all map-side (no shuffle until the final sort).
@@ -293,6 +364,7 @@ object Multimodal {
     "m03_frame_sample" -> m03FrameSample,
     "m04_audio_stats" -> m04AudioStats,
     "m05_image_stats" -> m05ImageStats,
+    "m06_video_frame_stats" -> m06VideoFrameStats,
   )
 
   // Oracle payload sizes count BYTES via octet_length(encode(text)) —
@@ -386,6 +458,37 @@ object Multimodal {
         |    CAST(max(299 * r + 587 * g + 114 * b) AS INT) AS peak_lum
         |  FROM px GROUP BY doc_id)
         |SELECT p.doc_id, width, height, sum_r, sum_g, sum_b, peak_lum
+        |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
+    // m06 twin regenerates every sampled frame's channels from the
+    // synthesis formula (doc × even-frame × pixel grid, all-integer).
+    "m06_video_frame_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(3 + n_chars % 13 AS INT) AS width,
+        |    CAST(2 + doc_id % 5 AS INT) AS height,
+        |    CAST(2 + n_chars % 7 AS INT) AS n_frames
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, width, height,
+        |    unnest(range(0, n_frames)) AS f
+        |  FROM p),
+        |px AS (
+        |  SELECT doc_id,
+        |    (doc_id * 13 + f * 23 + i * 19) % 256 AS r,
+        |    (doc_id * 11 + f * 29 + i * 17) % 256 AS g,
+        |    (doc_id * 7 + f * 31 + i * 13) % 256 AS b
+        |  FROM (SELECT doc_id, f,
+        |          unnest(range(0, width * height)) AS i
+        |        FROM fr WHERE f % 2 = 0)),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(r) AS BIGINT) AS sum_r,
+        |    CAST(sum(g) AS BIGINT) AS sum_g,
+        |    CAST(sum(b) AS BIGINT) AS sum_b,
+        |    CAST(max(299 * r + 587 * g + 114 * b) AS INT) AS peak_lum
+        |  FROM px GROUP BY doc_id)
+        |SELECT p.doc_id, width, height, n_frames,
+        |  CAST((n_frames + 1) // 2 AS INT) AS n_sampled,
+        |  sum_r, sum_g, sum_b, peak_lum
         |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
   )
 }

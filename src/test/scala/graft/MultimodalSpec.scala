@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.{Bmp, Multimodal, Wav}
+import graft.multimodal.{Avi, Bmp, Multimodal, Wav}
 
 /** Multimodal binary-column plumbing: container round trip, metadata
   * decode, mapPartitions feature batch shape, frame explode/reassembly.
@@ -215,6 +215,99 @@ class MultimodalSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { // truncated pixel array
       Bmp.decodeMeta(bmp2x2.take(60))
+    }
+  }
+
+  // --- AVI (m06): no AVI writer ships in this sandbox's toolchain, so
+  // the encoded bytes are pinned against the PUBLISHED structure
+  // directly — fourCC magics and header fields at documented offsets —
+  // plus full decode/encode round-trips.
+
+  test("avi layout: documented magics and header fields at their " +
+      "published offsets") {
+    val frames = Array.tabulate(3)(f => Multimodal.synthFrame(5L, f, 4 * 2))
+    val blob = Avi.encode(4, 2, frames, usPerFrame = 40000)
+    def cc(o: Int) = new String(blob.slice(o, o + 4), "US-ASCII")
+    def le32(o: Int) = (blob(o) & 0xff) | ((blob(o + 1) & 0xff) << 8) |
+      ((blob(o + 2) & 0xff) << 16) | ((blob(o + 3) & 0xff) << 24)
+    assert(cc(0) === "RIFF" && cc(8) === "AVI ")
+    assert(le32(4) === blob.length - 8, "RIFF size covers the file")
+    assert(cc(12) === "LIST" && cc(20) === "hdrl")
+    assert(cc(24) === "avih")
+    val avih = 32 // avih payload start
+    assert(le32(avih) === 40000)       // dwMicroSecPerFrame
+    assert(le32(avih + 16) === 3)      // dwTotalFrames
+    assert(le32(avih + 24) === 1)      // dwStreams
+    assert(le32(avih + 32) === 4)      // dwWidth
+    assert(le32(avih + 36) === 2)      // dwHeight
+    // stream pair: strh declares a DIB video stream, strf is the same
+    // BITMAPINFOHEADER layout BMP carries
+    val strh = avih + 56 + 12 + 8 // skip LIST('strl') header + 'strh'+size
+    assert(cc(strh - 8) === "strh")
+    assert(cc(strh) === "vids" && cc(strh + 4) === "DIB ")
+    val strf = strh + 56 + 8
+    assert(cc(strf - 8) === "strf")
+    assert(le32(strf) === 40 && le32(strf + 4) === 4)
+    // movi list with one 00db chunk per frame, stride-padded
+    val movi = strf + 40
+    assert(cc(movi) === "LIST" && cc(movi + 8) === "movi")
+    assert(cc(movi + 12) === "00db")
+    assert(le32(movi + 16) === Bmp.stride(4) * 2)
+  }
+
+  test("avi round-trips frames and tolerates extra chunks") {
+    val frames = Array.tabulate(5)(f => Multimodal.synthFrame(9L, f, 5 * 3))
+    val blob = Avi.encode(5, 3, frames)
+    assert(Avi.decodeMeta(blob) === Avi.AviMeta(5, 3, 5, 40000))
+    assert(Avi.frames(blob).map(_.toSeq).toSeq === frames.map(_.toSeq).toSeq)
+    // splice a JUNK chunk (odd size → pad byte) before the movi LIST;
+    // the walk must skip it and the RIFF size must still cover it
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "abcde".getBytes ++ Array[Byte](0)
+    val moviOff = blob.indexOfSlice("movi".getBytes("US-ASCII")) - 8
+    val spliced = blob.take(moviOff) ++ junk ++ blob.drop(moviOff)
+    def le32(b: Array[Byte], o: Int) = (b(o) & 0xff) |
+      ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
+      ((b(o + 3) & 0xff) << 24)
+    val fixed = spliced.clone()
+    val ns = le32(spliced, 4) + junk.length
+    fixed(4) = (ns & 0xff).toByte; fixed(5) = ((ns >> 8) & 0xff).toByte
+    fixed(6) = ((ns >> 16) & 0xff).toByte
+    fixed(7) = ((ns >> 24) & 0xff).toByte
+    assert(Avi.decodeMeta(fixed) === Avi.decodeMeta(blob))
+    assert(Avi.frames(fixed).map(_.toSeq).toSeq ===
+      frames.map(_.toSeq).toSeq)
+  }
+
+  test("avi decode rejects malformed containers") {
+    val ok = Avi.encode(3, 2, Array(Multimodal.synthFrame(1L, 0, 6)))
+    intercept[IllegalArgumentException] { // not RIFF/AVI
+      Avi.decodeMeta("RIFFxxxxWAVE".getBytes ++ new Array[Byte](60))
+    }
+    intercept[IllegalArgumentException] { // truncated mid-frame
+      Avi.frames(ok.take(ok.length - 3))
+    }
+    intercept[IllegalArgumentException] { // frame count lies
+      val bad = ok.clone(); bad(32 + 16) = 9; Avi.frames(bad)
+    }
+  }
+
+  test("m06 stats match a direct recompute of the synthesis formula") {
+    val rows = Multimodal.m06VideoFrameStats(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.take(50).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = r.getAs[Int]("width")
+      val h = r.getAs[Int]("height")
+      val nf = r.getAs[Int]("n_frames")
+      assert(h === 2 + (id % 5).toInt)
+      assert(r.getAs[Int]("n_sampled") === (nf + 1) / 2)
+      val sampled = (0 until nf by 2)
+        .map(f => Bmp.stats(Multimodal.synthFrame(id, f, w * h)))
+      assert(r.getAs[Long]("sum_r") === sampled.map(_.sumR).sum)
+      assert(r.getAs[Long]("sum_g") === sampled.map(_.sumG).sum)
+      assert(r.getAs[Long]("sum_b") === sampled.map(_.sumB).sum)
+      assert(r.getAs[Int]("peak_lum") === sampled.map(_.peakLum).max)
     }
   }
 
