@@ -132,6 +132,32 @@ object Bmp {
     out
   }
 
+  /** REAL resize over the real format (the synthetic container's
+    * header-rewrite [[Multimodal.resize]] stub made concrete):
+    * nearest-neighbor resample to `ow`×`oh` — source pixel of output
+    * (x, y) is (⌊x·w/ow⌋, ⌊y·h/oh⌋), the standard integer-exact
+    * mapping, so a spec (or an oracle) can recompute any output pixel
+    * from the input without float tolerance. Returns a fully valid
+    * re-encoded BMP; pure byte kernel, map-side like decode.
+    */
+  def resizeNearest(blob: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
+    require(ow > 0 && oh > 0, s"bad target ${ow}x$oh")
+    val m = decodeMeta(blob)
+    val in = pixels(blob)
+    val out = new Array[Int](ow * oh)
+    var y = 0
+    while (y < oh) {
+      val sy = y * m.height / oh
+      var x = 0
+      while (x < ow) {
+        out(y * ow + x) = in(sy * m.width + x * m.width / ow)
+        x += 1
+      }
+      y += 1
+    }
+    encode24(ow, oh, out)
+  }
+
   /** Exact integer channel statistics (like [[Wav]]'s sample stats:
     * integer sums cannot drift with summation order, so the oracle
     * hash is stable). `peakLum` is the integer BT.601 luminance

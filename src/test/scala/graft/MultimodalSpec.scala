@@ -311,6 +311,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bmp resizeNearest maps every output pixel by the exact " +
+      "integer rule and yields a valid BMP") {
+    val w = 7; val h = 5 // off-grid both ways
+    val src = Bmp.encode24(w, h, Multimodal.synthPixels(3L, w * h))
+    val dst = Bmp.resizeNearest(src, 3, 2)
+    val m = Bmp.decodeMeta(dst)
+    assert(m.width === 3 && m.height === 2)
+    val in = Bmp.pixels(src)
+    val out = Bmp.pixels(dst)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(out(y * 3 + x) === in((y * h / 2) * w + x * w / 3),
+        s"output ($x,$y) not the nearest-neighbor source pixel")
+    // upscale round-trip: 1x1 source → every output pixel is the one
+    // source pixel
+    val one = Bmp.encode24(1, 1, Array(0x123456))
+    assert(Bmp.pixels(Bmp.resizeNearest(one, 4, 3)).forall(_ == 0x123456))
+  }
+
   test("m05 stats match a direct recompute of the synthesis formula") {
     val rows = Multimodal.m05ImageStats(spark, sf).collect()
     assert(rows.length > 0)
