@@ -13,6 +13,25 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf)
       .queryExecution.executedPlan.toString
 
+  test("m04/m05/m06: real-format decode plans are map-side — one " +
+      "presentation-sort exchange, no join or aggregation shuffle") {
+    Seq("m04_audio_stats", "m05_image_stats", "m06_video_frame_stats")
+      .foreach { q =>
+        val p = plan(q)
+        // encode → decode → stats all stay inside the row: the ONLY
+        // exchange allowed is the rangepartitioning of the final
+        // orderBy. A hash exchange would mean a decode stage leaked
+        // into a shuffle (the 100 TB anti-shape for per-blob work).
+        val exchanges = "Exchange ".r.findAllIn(p).length
+        assert(exchanges == 1, s"$q: expected 1 exchange, got " +
+          s"$exchanges:\n$p")
+        assert(p.contains("Exchange rangepartitioning"),
+          s"$q: sole exchange must be the presentation sort:\n$p")
+        assert(!p.contains("hashpartitioning"),
+          s"$q: per-blob decode must not shuffle:\n$p")
+      }
+  }
+
   test("q01: filter and projection push into the parquet scan") {
     val p = plan("q01_pruned_scan")
     assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
