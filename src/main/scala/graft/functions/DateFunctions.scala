@@ -50,10 +50,14 @@ object DateFunctions {
     override def prettyName: String = "convert_two_digit_years"
   }
 
-  def registerAll(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "convert_two_digit_years",
-      es => TwoDigitYearDate(es.head), "scala_udf")
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst
+        .FunctionIdentifier("convert_two_digit_years")))
+      reg.createOrReplaceTempFunction(
+        "convert_two_digit_years",
+        es => TwoDigitYearDate(es.head), "scala_udf")
+  }
 
   def convert_two_digit_years(c: Column): Column =
     call_function("convert_two_digit_years", c)

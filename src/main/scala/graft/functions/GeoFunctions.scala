@@ -448,9 +448,13 @@ object GeoFunctions {
     * (idempotent) so both SQL text and the Column API below resolve.
     */
   def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "scala_udf")
+      // skip when present: re-registration WARNs per call and repeated
+      // query invocation would flood the bench stdout tail window
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
     graft.plans.SpatialFilterRewrite.install(spark)
   }

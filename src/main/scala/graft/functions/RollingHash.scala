@@ -101,17 +101,25 @@ object RollingHash {
     case _ => throw new IllegalArgumentException(s"$what must be a literal")
   }
 
-  /** Register `rolling_hashes` in the session registry (idempotent). */
-  def registerAll(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hashes",
-      es => {
-        require(es.length == 3,
-          s"rolling_hashes(text, k, base) expects 3 arguments, got " +
-            s"${es.length}")
-        RollingHashes(es.head, lit(es(1), "k").toInt, lit(es(2), "base"))
-      },
-      "scala_udf")
+  /** Register `rolling_hashes` in the session registry. Truly
+    * idempotent: skipped when already present — re-registration is a
+    * SimpleFunctionRegistry WARN per call, and repeated query
+    * invocation would flood the bench harness's stdout tail window.
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hashes")))
+      reg.createOrReplaceTempFunction(
+        "rolling_hashes",
+        es => {
+          require(es.length == 3,
+            s"rolling_hashes(text, k, base) expects 3 arguments, got " +
+              s"${es.length}")
+          RollingHashes(es.head, lit(es(1), "k").toInt, lit(es(2), "base"))
+        },
+        "scala_udf")
+  }
 
   /** Column API. */
   def rolling_hashes(text: Column, k: Int, base: Long = 257L): Column =

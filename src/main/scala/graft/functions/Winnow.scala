@@ -103,16 +103,22 @@ object Winnow {
     case _ => throw new IllegalArgumentException(s"$what must be a literal")
   }
 
-  /** Register `winnow_mins` in the session registry (idempotent). */
-  def registerAll(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_mins",
-      es => {
-        require(es.length == 2,
-          s"winnow_mins(hashes, w) expects 2 arguments, got ${es.length}")
-        WinnowMins(es.head, litInt(es(1), "w"))
-      },
-      "scala_udf")
+  /** Register `winnow_mins` in the session registry. Truly idempotent:
+    * skipped when already present (re-registration WARNs per call).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_mins")))
+      reg.createOrReplaceTempFunction(
+        "winnow_mins",
+        es => {
+          require(es.length == 2,
+            s"winnow_mins(hashes, w) expects 2 arguments, got ${es.length}")
+          WinnowMins(es.head, litInt(es(1), "w"))
+        },
+        "scala_udf")
+  }
 
   /** Column API. */
   def winnow_mins(hashes: Column, w: Int): Column =

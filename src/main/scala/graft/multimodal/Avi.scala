@@ -122,7 +122,9 @@ object Avi {
     while (o + 8 <= to) {
       val cc = fourCC(b, o)
       val len = i32(b, o + 4)
-      require(len >= 0 && o + 8 + len <= to,
+      // compare in Long: a hostile len near Int.MaxValue wraps the Int
+      // sum negative and would slip past the guard (ADVICE r6)
+      require(len >= 0 && o + 8L + len <= to,
         s"chunk $cc at $o overruns: len $len, limit $to")
       if (cc == "LIST") {
         require(len >= 4, s"LIST at $o too short")
@@ -138,7 +140,7 @@ object Avi {
     require(blob.length >= 12 && fourCC(blob, 0) == "RIFF" &&
       fourCC(blob, 8) == "AVI ", "not a RIFF/AVI container")
     var meta: Option[AviMeta] = None
-    walk(blob, 12, math.min(blob.length, 8 + i32(blob, 4))) {
+    walk(blob, 12, math.min(blob.length.toLong, 8L + i32(blob, 4)).toInt) {
       (cc, from, len) =>
         if (cc == "avih" && meta.isEmpty) {
           require(len >= 56, s"avih too short: $len")
@@ -158,7 +160,7 @@ object Avi {
     val st = Bmp.stride(m.width)
     val expect = st * m.height
     val out = Array.newBuilder[Array[Int]]
-    walk(blob, 12, math.min(blob.length, 8 + i32(blob, 4))) {
+    walk(blob, 12, math.min(blob.length.toLong, 8L + i32(blob, 4)).toInt) {
       (cc, from, len) =>
         if (cc == "00db") {
           require(len == expect,

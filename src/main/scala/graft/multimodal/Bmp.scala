@@ -101,11 +101,13 @@ object Bmp {
     require(compression == 0, s"unsupported compression $compression")
     val h = math.abs(hRaw)
     require(w > 0 && h > 0, s"bad dimensions ${w}x$hRaw")
-    val bytes = stride(w) * h
+    // size the pixel array in Long: hostile width/height wrap the Int
+    // products and would slip past the bounds guard (ADVICE r6)
+    val bytes = ((3L * w + 3) / 4) * 4 * h
     require(offset >= 54 && offset + bytes <= blob.length,
       s"pixel array [$offset, ${offset + bytes}) outside " +
         s"${blob.length}-byte blob")
-    BmpMeta(w, h, bpp, offset, bytes, topDown = hRaw < 0)
+    BmpMeta(w, h, bpp, offset, bytes.toInt, topDown = hRaw < 0)
   }
 
   /** Row-major TOP-DOWN 0xRRGGBB pixels, whatever the stored

@@ -10,129 +10,33 @@ import graft.Tables
   * mandate): media as opaque `binary` columns + typed metadata, with
   * decode / feature-extract / resize / frame-sample operators.
   *
-  * No codec libraries ship in this environment, so the PIXEL work is
-  * STUBBED with a deterministic fake format ("GR" container: 8-byte
-  * header + payload); the AUDIO path (m04, [[Wav]]) is a real published
-  * container format — RIFF/WAVE PCM16 — decoded with a generic chunk
-  * walk and no libraries. Everything Spark-side is real and tested —
-  * schema, binary columns, header parsing, mapPartitions batch shape,
-  * generator explode for frames — and swapping `decodePayload` /
-  * `FeatureExtractor.features` for a real codec (JavaCV, TwelveMonkeys,
-  * pdfbox...) changes no plan shape.
+  * Every declared operator runs over a REAL published container format
+  * decoded with zero codec libraries — RIFF/WAVE PCM16 audio ([[Wav]]),
+  * 24-bit Windows BMP images ([[Bmp]]), RIFF/AVI DIB video ([[Avi]]).
+  * The query side reads dimensions, rates, and frame counts back OUT of
+  * the container bytes; the deterministic synthesis formulas below
+  * exist only so the DuckDB oracle can recompute every sample/pixel
+  * with exact integer arithmetic. (Rounds 1–5 used a synthetic "GR"
+  * container to pin the plan shapes first; it retired in round 7 once
+  * all three real decoders landed — `git log` has the history.)
   *
-  * Scale design: every operator is map-side over the binary column;
-  * frame explode multiplies rows before the shuffle (partial agg
-  * applies); feature extraction is mapPartitions with per-partition
-  * buffer reuse — the Scala analogue of Python's mapInPandas batch UDF.
+  * Scale design: encode and decode are pure byte kernels invoked
+  * map-side over the binary column — no shuffle, no driver involvement,
+  * blobs never outlive their row. Frame explode multiplies rows before
+  * any shuffle (partial agg applies); feature extraction is
+  * mapPartitions with per-partition buffer reuse — the Scala analogue
+  * of Python's mapInPandas batch UDF.
   */
 object Multimodal {
 
-  // --- fake "GR" media container ---
-  // header: magic 'G','R' | width:2 LE | height:2 LE | channels:1 | codec:1
-
-  val HeaderLen = 8
-
-  def encodeBlob(payload: Array[Byte], width: Int, height: Int,
-      channels: Int, codec: Int): Array[Byte] = {
-    val out = new Array[Byte](HeaderLen + payload.length)
-    out(0) = 'G'; out(1) = 'R'
-    out(2) = (width & 0xff).toByte; out(3) = ((width >> 8) & 0xff).toByte
-    out(4) = (height & 0xff).toByte; out(5) = ((height >> 8) & 0xff).toByte
-    out(6) = (channels & 0xff).toByte
-    out(7) = (codec & 0xff).toByte
-    System.arraycopy(payload, 0, out, HeaderLen, payload.length)
-    out
-  }
-
-  case class Meta(width: Int, height: Int, channels: Int, codec: Int,
-      payload_bytes: Int)
-
-  /** STUB decode: parses the fake header. A real implementation would
-    * hand `blob` to an image codec here; the schema contract is what
-    * downstream operators program against.
-    */
-  def decodeMeta(blob: Array[Byte]): Meta = {
-    require(blob.length >= HeaderLen && blob(0) == 'G' && blob(1) == 'R',
-      "not a GR container")
-    Meta(
-      (blob(2) & 0xff) | ((blob(3) & 0xff) << 8),
-      (blob(4) & 0xff) | ((blob(5) & 0xff) << 8),
-      blob(6) & 0xff, blob(7) & 0xff,
-      blob.length - HeaderLen)
-  }
-
-  /** Deterministic media table derived from `documents`: the text bytes
-    * play the role of pixel data. Dimensions derive from n_chars so the
-    * DuckDB oracle can recompute them from the source table.
-    */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
-    val mk = udf { (text: String, nChars: Int) =>
-      encodeBlob(text.getBytes("UTF-8"),
-        (nChars % 64) + 1, (nChars % 48) + 1, 3, 1)
-    }
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        mk(col("text"), col("n_chars").cast("int")).as("blob"))
-  }
-
-  /** Decode operator: blob → typed metadata struct columns. */
-  def withMeta(media: DataFrame): DataFrame = {
-    val dec = udf { (blob: Array[Byte]) => decodeMeta(blob) }
-    media.withColumn("meta", dec(col("blob")))
-      .select(col("*"), col("meta.*")).drop("meta")
-  }
-
-  /** STUB resize: rewrites header dimensions (where a real scaler would
-    * transform pixels). Plan shape: pure map-side binary→binary.
-    */
-  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val rs = udf { (blob: Array[Byte]) =>
-      val m = decodeMeta(blob)
-      encodeBlob(blob.drop(HeaderLen), w, h, m.channels, m.codec)
-    }
-    media.withColumn("blob", rs(col("blob")))
-  }
-
-  /** Feature extraction via mapPartitions (the mapInPandas analogue):
-    * 16-bin byte histogram per blob, L1-normalized — buffer reused
-    * across the partition, output schema fixed.
-    */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val outSchema = StructType(media.schema.fields :+
-      StructField("features", ArrayType(FloatType), nullable = false))
-    val enc = RowEncoder.encoderFor(outSchema)
-    media.mapPartitions { rows =>
-      val hist = new Array[Long](16) // reused per partition
-      rows.map { r =>
-        java.util.Arrays.fill(hist, 0L)
-        val blob = r.getAs[Array[Byte]]("blob")
-        var i = HeaderLen
-        while (i < blob.length) { hist((blob(i) & 0xff) >> 4) += 1; i += 1 }
-        val n = math.max(1L, blob.length - HeaderLen).toDouble
-        val feats = hist.map(c => (c / n).toFloat)
-        Row.fromSeq(r.toSeq :+ feats.toSeq)
-      }
-    }(enc)
-  }
-
-  /** Frame sampling: treat the payload as fixed-size frames (video
-    * analogue) and explode one row per frame — generator before shuffle.
-    */
-  def frameSample(media: DataFrame, frameBytes: Int): DataFrame = {
-    val frames = udf { (blob: Array[Byte]) =>
-      blob.drop(HeaderLen).grouped(frameBytes).toSeq
-    }
-    media
-      .select(col("doc_id"),
-        posexplode(frames(col("blob"))).as(Seq("frame_idx", "frame")))
-  }
+  private type Q = (SparkSession, String) => DataFrame
 
   // --- real-format audio column (RIFF/WAVE PCM16, see Wav.scala) ---
 
   /** Deterministic PCM16 synthesis so the DuckDB oracle can recompute
     * every sample with exact integer arithmetic: sample i of doc d is
     * `(d*31 + i*7919) mod 65536 - 32768`. Rate/channels/frame-count
-    * derive from doc_id / n_chars the same way the GR dims do.
+    * derive from doc_id / n_chars.
     */
   def synthSamples(docId: Long, nSamples: Int): Array[Short] = {
     val out = new Array[Short](nSamples)
@@ -145,8 +49,7 @@ object Multimodal {
   }
 
   /** Audio table derived from `documents`: a real RIFF/WAVE binary
-    * column (unlike the GR stub, this is a published container format —
-    * any audio tool can read these blobs). Encode is map-side.
+    * column (any audio tool can read these blobs). Encode is map-side.
     */
   def audioTable(spark: SparkSession, dir: String): DataFrame = {
     val mk = udf { (docId: Long, nChars: Long) =>
@@ -166,6 +69,21 @@ object Multimodal {
     */
   case class AudioStats(sample_rate: Int, channels: Int, n_samples: Int,
       peak_abs: Int, sum_abs: Long, sum_sq: Long)
+
+  /** m04 — WAV decode + sample stats. The plan round-trips REAL bytes:
+    * synth → encodePcm16 → binary column → generic RIFF walk → PCM16
+    * decode → stats, all map-side (no shuffle until the final sort).
+    */
+  val m04AudioStats: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Wav.decodeMeta(blob)
+      val st = Wav.stats(Wav.samples(blob))
+      AudioStats(m.sampleRate, m.channels, m.nSamples,
+        st.peakAbs, st.sumAbs, st.sumSq)
+    }
+    audioTable(s, d).withColumn("a", dec(col("blob")))
+      .select(col("doc_id"), col("a.*")).orderBy("doc_id")
+  }
 
   // --- real-format image column (24-bit BMP, see Bmp.scala) ---
 
@@ -190,7 +108,8 @@ object Multimodal {
   /** Image table derived from `documents`: a real 24-bit BMP binary
     * column (any image tool opens these blobs). Widths off the 4-byte
     * grid are the common case here, so the row-padding path is always
-    * exercised. Encode is map-side.
+    * exercised. Encode is map-side; `lang` rides along for the m02
+    * per-language feature rollup.
     */
   def imageTable(spark: SparkSession, dir: String): DataFrame = {
     val mk = udf { (docId: Long, nChars: Long) =>
@@ -199,7 +118,8 @@ object Multimodal {
       Bmp.encode24(w, h, synthPixels(docId, w * h))
     }
     Tables.documents(spark, dir)
-      .select(col("doc_id"), mk(col("doc_id"), col("n_chars")).as("blob"))
+      .select(col("doc_id"), col("lang"),
+        mk(col("doc_id"), col("n_chars")).as("blob"))
   }
 
   /** Decoded per-blob image facts: header metadata + exact integer
@@ -269,8 +189,7 @@ object Multimodal {
       n_sampled: Int, sum_r: Long, sum_g: Long, sum_b: Long,
       peak_lum: Int)
 
-  /** m06 — AVI decode + every-2nd-frame sample stats, the video member
-    * of the real-format triple (m04 audio, m05 image): synth →
+  /** m06 — AVI decode + every-2nd-frame sample stats: synth →
     * Avi.encode → binary column → recursive RIFF LIST walk → DIB frame
     * decode → stride-2 sample → stats, all map-side. The query side
     * reads geometry and frame count back OUT of the container bytes;
@@ -297,66 +216,171 @@ object Multimodal {
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
-  /** m04 — WAV decode + sample stats. The plan round-trips REAL bytes:
-    * synth → encodePcm16 → binary column → generic RIFF walk → PCM16
-    * decode → stats, all map-side (no shuffle until the final sort).
+  // --- cross-modal metadata decode (m01) ---
+
+  /** One row per doc with all three real-format binary columns, built
+    * in a single `documents` scan (one projection, three encoders —
+    * no self-join to assemble the modalities).
     */
-  val m04AudioStats: Q = (s, d) => {
-    val dec = udf { (blob: Array[Byte]) =>
-      val m = Wav.decodeMeta(blob)
-      val st = Wav.stats(Wav.samples(blob))
-      AudioStats(m.sampleRate, m.channels, m.nSamples,
-        st.peakAbs, st.sumAbs, st.sumSq)
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val mkImg = udf { (docId: Long, nChars: Long) =>
+      val w = 4 + (nChars % 29).toInt
+      val h = 3 + (docId % 13).toInt
+      Bmp.encode24(w, h, synthPixels(docId, w * h))
     }
-    audioTable(s, d).withColumn("a", dec(col("blob")))
+    val mkWav = udf { (docId: Long, nChars: Long) =>
+      val channels = 1 + (docId % 2).toInt
+      val rate = 8000 + (docId % 3).toInt * 8000
+      val nSamples = ((nChars % 96).toInt + 32) * channels
+      Wav.encodePcm16(synthSamples(docId, nSamples), rate, channels)
+    }
+    val mkAvi = udf { (docId: Long, nChars: Long) =>
+      val w = 3 + (nChars % 13).toInt
+      val h = 2 + (docId % 5).toInt
+      val nf = 2 + (nChars % 7).toInt
+      Avi.encode(w, h,
+        Array.tabulate(nf)(f => synthFrame(docId, f, w * h)))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        mkImg(col("doc_id"), col("n_chars")).as("img_blob"),
+        mkWav(col("doc_id"), col("n_chars")).as("audio_blob"),
+        mkAvi(col("doc_id"), col("n_chars")).as("video_blob"))
+  }
+
+  /** Cross-modal metadata record: every field read back OUT of its
+    * container's header bytes (BMP file+info header, WAV fmt chunk,
+    * AVI avih), never from the synthesis parameters.
+    */
+  case class MediaMeta(img_width: Int, img_height: Int, img_bytes: Int,
+      sample_rate: Int, channels: Int, n_samples: Int,
+      vid_width: Int, vid_height: Int, n_frames: Int)
+
+  /** m01 — metadata decode across all three modalities in one map-side
+    * projection: one `documents` scan, three header walks per row, a
+    * single presentation-sort exchange.
+    */
+  val m01MediaMeta: Q = (s, d) => {
+    val dec = udf {
+      (img: Array[Byte], wav: Array[Byte], avi: Array[Byte]) =>
+        val im = Bmp.decodeMeta(img)
+        val wm = Wav.decodeMeta(wav)
+        val am = Avi.decodeMeta(avi)
+        MediaMeta(im.width, im.height, im.imageBytes,
+          wm.sampleRate, wm.channels, wm.nSamples,
+          am.width, am.height, am.nFrames)
+    }
+    mediaTable(s, d)
+      .withColumn("m",
+        dec(col("img_blob"), col("audio_blob"), col("video_blob")))
+      .select(col("doc_id"), col("m.*")).orderBy("doc_id")
+  }
+
+  // --- feature extraction (m02) ---
+
+  /** Feature extraction via mapPartitions (the mapInPandas analogue):
+    * 16-bin histogram of the decoded red channel's high nibble per
+    * image, plus the pixel count — integer counts, not normalized
+    * floats, so downstream aggregation stays exact. The histogram
+    * buffer is reused across the partition; output schema fixed.
+    */
+  def extractFeatures(images: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      images.schema.fields.filterNot(_.name == "blob") ++ Seq(
+        StructField("bin_counts", ArrayType(LongType), nullable = false),
+        StructField("n_pixels", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val blobIdx = images.schema.fieldIndex("blob")
+    images.mapPartitions { rows =>
+      val hist = new Array[Long](16) // reused per partition
+      rows.map { r =>
+        java.util.Arrays.fill(hist, 0L)
+        val px = Bmp.pixels(r.getAs[Array[Byte]](blobIdx))
+        var i = 0
+        while (i < px.length) { hist(((px(i) >> 16) & 0xff) >> 4) += 1; i += 1 }
+        val keep = r.toSeq.patch(blobIdx, Nil, 1)
+        Row.fromSeq(keep ++ Seq(hist.toSeq, px.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** m02 — per-language red-channel histogram mass: mapPartitions
+    * decode+histogram → posexplode of the dense 16-bin vector →
+    * partial-aggregated groupBy. The fraction is ONE double division
+    * of two exact integer sums (Σ count / Σ pixels per language), so
+    * the oracle hash cannot drift on summation order; zero-count bins
+    * still emit rows because the exploded vector is dense.
+    */
+  val m02MediaFeatures: Q = (s, d) =>
+    extractFeatures(imageTable(s, d))
+      .select(col("lang"), col("n_pixels"),
+        posexplode(col("bin_counts")).as(Seq("bin", "c")))
+      .groupBy("lang", "bin")
+      .agg(sum("c").as("sum_c"), sum("n_pixels").as("sum_px"))
+      .select(col("lang"), col("bin"),
+        round(col("sum_c").cast("double") / col("sum_px"), 5)
+          .as("r_bin_frac"))
+      .orderBy("lang", "bin")
+
+  // --- frame sampling (m03) ---
+
+  /** Per-frame integer stats record for the m03 explode. */
+  case class FrameStats(sum_r: Long, sum_g: Long, sum_b: Long,
+      peak_lum: Int)
+
+  /** m03 — frame sampling as a GENERATOR: decode the AVI, emit one row
+    * per frame via posexplode (stats computed inside the row so pixel
+    * arrays never cross the generator), no shuffle until the
+    * presentation sort. This is the row-multiplying half of the
+    * frame-sample mandate; m06 is the aggregating half.
+    */
+  val m03FrameSample: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      Avi.frames(blob).toSeq.map { px =>
+        val st = Bmp.stats(px)
+        FrameStats(st.sumR, st.sumG, st.sumB, st.peakLum)
+      }
+    }
+    videoTable(s, d)
+      .select(col("doc_id"),
+        posexplode(dec(col("blob"))).as(Seq("frame_idx", "fs")))
+      .select(col("doc_id"), col("frame_idx"), col("fs.*"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // --- resize (m07) ---
+
+  /** REAL resize operator over the image column: nearest-neighbor
+    * resample of every BMP blob to `w`×`h` via [[Bmp.resizeNearest]] —
+    * binary→binary, pure map-side, output blobs are fully valid BMPs.
+    */
+  def resize(images: DataFrame, w: Int, h: Int): DataFrame = {
+    val rs = udf { (blob: Array[Byte]) => Bmp.resizeNearest(blob, w, h) }
+    images.withColumn("blob", rs(col("blob")))
+  }
+
+  /** m07 — resize + decode stats of the RESIZED bytes: the query reads
+    * width/height back out of the re-encoded BMP header and aggregates
+    * the resampled pixels, so the oracle (which recomputes the
+    * nearest-neighbor index map ⌊x·w/ow⌋, ⌊y·h/oh⌋ from the synthesis
+    * formula) verifies every output pixel end-to-end.
+    */
+  val ResizeW = 8
+  val ResizeH = 6
+
+  val m07Resize: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Bmp.decodeMeta(blob)
+      val st = Bmp.stats(Bmp.pixels(blob))
+      ImageStats(m.width, m.height, st.sumR, st.sumG, st.sumB,
+        st.peakLum)
+    }
+    resize(imageTable(s, d), ResizeW, ResizeH)
+      .withColumn("a", dec(col("blob")))
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
   // --- driver-contract queries ---
-
-  private type Q = (SparkSession, String) => DataFrame
-
-  /** m01 — decode metadata (oracle recomputes dims from n_chars). */
-  val m01MediaMeta: Q = (s, d) =>
-    withMeta(mediaTable(s, d))
-      .select("doc_id", "width", "height", "channels", "payload_bytes")
-      .orderBy("doc_id")
-
-  /** m02 — per-language mean feature vector (first 4 histogram bins):
-    * mapPartitions features → posexplode → agg, all distributed.
-    */
-  val m02MediaFeatures: Q = (s, d) =>
-    extractFeatures(mediaTable(s, d))
-      .select(col("lang"), posexplode(col("features"))
-        .as(Seq("bin", "weight")))
-      .filter(col("bin") < 4)
-      .groupBy("lang", "bin")
-      .agg(round(avg("weight"), 5).as("mean_weight"))
-      .orderBy("lang", "bin")
-
-  /** Per-doc frame cardinality rollup. Frame counts are LEFT-joined
-    * back onto the media doc set: a zero-payload blob explodes to no
-    * frame rows and would otherwise vanish from the groupBy, while
-    * ceil-division semantics (and the m03 oracle) give it n_frames=0
-    * (ADVICE r02 — latent until the corpus has an empty text).
-    */
-  def frameCounts(media: DataFrame, frameBytes: Int): DataFrame =
-    media.select("doc_id")
-      .join(
-        frameSample(media, frameBytes)
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("nf"),
-            sum(length(col("frame"))).as("pb")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("nf"), lit(0L)).as("n_frames"),
-        coalesce(col("pb"), lit(0L)).as("payload_bytes"))
-
-  /** m03 — frame sampling cardinality (oracle: ceil division on
-    * n_chars). Explode + reaggregate proves the generator path.
-    */
-  val m03FrameSample: Q = (s, d) =>
-    frameCounts(mediaTable(s, d), 256).orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
     "m01_media_meta" -> m01MediaMeta,
@@ -365,57 +389,79 @@ object Multimodal {
     "m04_audio_stats" -> m04AudioStats,
     "m05_image_stats" -> m05ImageStats,
     "m06_video_frame_stats" -> m06VideoFrameStats,
+    "m07_resize" -> m07Resize,
   )
 
-  // Oracle payload sizes count BYTES via octet_length(encode(text)) —
-  // the Spark side measures the UTF-8 payload, and length(text) counts
-  // CHARACTERS, which only agrees on all-ASCII corpora (ADVICE r01).
+  // Every oracle recomputes container contents from the synthesis
+  // formulas with exact integer arithmetic (DuckDB sums widen to
+  // HUGEINT, hence the BIGINT casts); the Spark side reads the same
+  // facts back out of the container bytes instead.
   val oracles: Map[String, String] = Map(
+    // m01: header facts per modality. img_bytes is the padded pixel
+    // array (stride = ceil(3w/4)·4 bytes per row).
     "m01_media_meta" ->
       """SELECT doc_id,
-        |  CAST(n_chars % 64 + 1 AS INT) AS width,
-        |  CAST(n_chars % 48 + 1 AS INT) AS height,
-        |  3 AS channels,
-        |  CAST(octet_length(encode(text)) AS INT) AS payload_bytes
+        |  CAST(4 + n_chars % 29 AS INT) AS img_width,
+        |  CAST(3 + doc_id % 13 AS INT) AS img_height,
+        |  CAST(((3 * (4 + n_chars % 29) + 3) // 4) * 4
+        |    * (3 + doc_id % 13) AS INT) AS img_bytes,
+        |  CAST(8000 + (doc_id % 3) * 8000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST((n_chars % 96 + 32) * (1 + doc_id % 2) AS INT)
+        |    AS n_samples,
+        |  CAST(3 + n_chars % 13 AS INT) AS vid_width,
+        |  CAST(2 + doc_id % 5 AS INT) AS vid_height,
+        |  CAST(2 + n_chars % 7 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // m02 twin recomputes the byte histogram from the hex encoding of
-    // the UTF-8 payload: byte i's HIGH NIBBLE is hex char 2i-1, so the
-    // 16-bin histogram is a frequency count over odd hex positions —
-    // exact at byte level, non-ASCII safe. Zero-count bins must still
-    // contribute weight 0 to the mean (the Spark side explodes a dense
-    // 16-bin vector), hence the doc × bin grid + left join.
+    // m02: the red channel of pixel i is (d·13 + i·19) mod 256; its
+    // high nibble is the bin. The lang × 16-bin grid keeps zero-count
+    // bins present (the Spark side explodes a dense vector).
     "m02_media_features" ->
-      """WITH hx AS (
-        |  SELECT doc_id, lang, lower(hex(encode(text))) AS hs,
-        |    octet_length(encode(text)) AS n
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    CAST(4 + n_chars % 29 AS INT) AS w,
+        |    CAST(3 + doc_id % 13 AS INT) AS h
         |  FROM documents),
-        |cnt AS (
-        |  SELECT doc_id,
-        |    strpos('0123456789abcdef',
-        |      substr(hs, 2 * CAST(i AS INT) - 1, 1)) - 1 AS bin,
-        |    count(*) AS c
-        |  FROM (SELECT doc_id, hs, unnest(range(1, n + 1)) AS i FROM hx)
-        |  GROUP BY 1, 2),
+        |px AS (
+        |  SELECT doc_id, lang,
+        |    ((doc_id * 13 + i * 19) % 256) // 16 AS bin
+        |  FROM (SELECT doc_id, lang, unnest(range(0, w * h)) AS i
+        |        FROM p)),
+        |tot AS (SELECT lang, count(*) AS n_px FROM px GROUP BY 1),
+        |cnt AS (SELECT lang, bin, count(*) AS c FROM px GROUP BY 1, 2),
         |grid AS (
-        |  SELECT doc_id, lang, n, unnest(range(0, 4)) AS bin FROM hx),
-        |feat AS (
-        |  SELECT g.lang, CAST(g.bin AS INT) AS bin,
-        |    CAST(coalesce(c.c, 0) / CAST(greatest(g.n, 1) AS DOUBLE)
-        |      AS FLOAT) AS w
-        |  FROM grid g
-        |  LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.bin = c.bin)
-        |SELECT lang, bin, round(avg(w), 5) AS mean_weight
-        |FROM feat GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+        |  SELECT lang, unnest(range(0, 16)) AS bin
+        |  FROM (SELECT DISTINCT lang FROM documents))
+        |SELECT g.lang, CAST(g.bin AS INT) AS bin,
+        |  round(CAST(coalesce(c.c, 0) AS DOUBLE) / t.n_px, 5)
+        |    AS r_bin_frac
+        |FROM grid g
+        |JOIN tot t ON g.lang = t.lang
+        |LEFT JOIN cnt c ON g.lang = c.lang AND g.bin = c.bin
+        |ORDER BY g.lang, g.bin""".stripMargin,
+    // m03: doc × frame × pixel grid from the per-frame synthesis
+    // formula; one output row per (doc, frame).
     "m03_frame_sample" ->
-      """SELECT doc_id,
-        |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT)
-        |    AS n_frames,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // m04 twin regenerates every PCM16 sample from the synthesis formula
-    // (all-integer, so sum(v*v) is exact; DuckDB sums to HUGEINT, hence
-    // the BIGINT casts). The Spark side never sees this formula at query
-    // time — it reads rate/channels/counts back out of the WAV bytes.
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(3 + n_chars % 13 AS INT) AS w,
+        |    CAST(2 + doc_id % 5 AS INT) AS h,
+        |    CAST(2 + n_chars % 7 AS INT) AS nf
+        |  FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM p),
+        |px AS (
+        |  SELECT doc_id, f,
+        |    (doc_id * 13 + f * 23 + i * 19) % 256 AS r,
+        |    (doc_id * 11 + f * 29 + i * 17) % 256 AS g,
+        |    (doc_id * 7 + f * 31 + i * 13) % 256 AS b
+        |  FROM (SELECT doc_id, f, unnest(range(0, w * h)) AS i
+        |        FROM fr))
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(max(299 * r + 587 * g + 114 * b) AS INT) AS peak_lum
+        |FROM px GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
     "m04_audio_stats" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -435,9 +481,6 @@ object Multimodal {
         |SELECT p.doc_id, sample_rate, channels, n_samples,
         |  peak_abs, sum_abs, sum_sq
         |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
-    // m05 twin regenerates every RGB channel from the synthesis formula
-    // (all-integer; DuckDB sums widen to HUGEINT, hence the casts). The
-    // Spark side reads width/height back out of the BMP header instead.
     "m05_image_stats" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -459,8 +502,6 @@ object Multimodal {
         |  FROM px GROUP BY doc_id)
         |SELECT p.doc_id, width, height, sum_r, sum_g, sum_b, peak_lum
         |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
-    // m06 twin regenerates every sampled frame's channels from the
-    // synthesis formula (doc × even-frame × pixel grid, all-integer).
     "m06_video_frame_stats" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -490,5 +531,34 @@ object Multimodal {
         |  CAST((n_frames + 1) // 2 AS INT) AS n_sampled,
         |  sum_r, sum_g, sum_b, peak_lum
         |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
+    // m07: output pixel i of the 8×6 resample maps to source pixel
+    // sp = (⌊i/8⌋·h ÷ 6)·w + (i mod 8)·w ÷ 8 (integer division — the
+    // exact nearest-neighbor rule resizeNearest implements), whose
+    // channels come from the m05 synthesis formula.
+    "m07_resize" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(4 + n_chars % 29 AS INT) AS w,
+        |    CAST(3 + doc_id % 13 AS INT) AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    ((i // $ResizeW) * h // $ResizeH) * w
+        |      + ((i % $ResizeW) * w // $ResizeW) AS sp
+        |  FROM (SELECT doc_id, w, h,
+        |          unnest(range(0, ${ResizeW * ResizeH})) AS i FROM p)),
+        |px AS (
+        |  SELECT doc_id,
+        |    (doc_id * 13 + sp * 19) % 256 AS r,
+        |    (doc_id * 11 + sp * 17) % 256 AS g,
+        |    (doc_id * 7 + sp * 13) % 256 AS b
+        |  FROM m)
+        |SELECT doc_id, CAST($ResizeW AS INT) AS width,
+        |  CAST($ResizeH AS INT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(max(299 * r + 587 * g + 114 * b) AS INT) AS peak_lum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -208,9 +208,18 @@ object GeoOps {
       largest.unionByName(smallest)
         .select("which", "certificate_number", "entity", "area_km2",
           "area_deg2")
-    } else
+    } else {
+      // same 5-column schema as the populated branch (ADVICE r6: a
+      // zero-column empty frame is schema drift if fixtures are absent)
+      import org.apache.spark.sql.types._
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq.empty))
+        StructType(Seq(
+          StructField("which", StringType),
+          StructField("certificate_number", IntegerType),
+          StructField("entity", StringType),
+          StructField("area_km2", DoubleType),
+          StructField("area_deg2", DoubleType))))
+    }
 
   val queries: Map[String, Q] = Map(
     "g08_area_extremes" -> g08AreaExtremes,

@@ -1291,11 +1291,18 @@ object TextOps {
     * partitions by a uniformly-mixed key so a hot stop-word gram
     * ("of the and of the" at corpus scale) still lands on one
     * partition but without dragging its text bytes through the wire.
-    * (Gram identity is a 128-bit key — TWO independently-chained
-    * xxhash64 columns, the second salted with an extra literal in the
-    * hash chain — so a false strike needs a simultaneous collision in
-    * both: ~n²/2¹²⁹ even at 10¹²-gram corpus scale, vs ~n²/2⁶⁵ for
-    * one word which would bite around √2⁶⁴ ≈ 4·10⁹ grams. The DuckDB
+    * (Gram identity is a 128-bit key — TWO xxhash64 columns whose
+    * inputs differ BEFORE the gram bytes enter the mix: gh1 hashes
+    * the gram under the default seed, gh2 hashes a literal salt
+    * FIRST, so the gram's string block is folded under a different
+    * running-hash state — a genuinely independent second hash.
+    * Salting AFTER the gram — xxhash64(g, 1) — would NOT work:
+    * Spark folds children left-to-right with the running hash as
+    * seed, so that form is a pure function of gh1 and any gh1
+    * collision implies a gh2 collision (ADVICE r6). With the salt
+    * first, a false strike needs a simultaneous collision in both:
+    * ~n²/2¹²⁹ even at 10¹²-gram corpus scale, vs ~n²/2⁶⁵ for one
+    * hash which would bite around √2⁶⁴ ≈ 4·10⁹ grams. The DuckDB
     * oracle compares against raw-gram semantics, so any residual
     * collision on test data would surface as a hash mismatch.)
     * Covered-
@@ -1315,15 +1322,18 @@ object TextOps {
     // the gram string exists only transiently inside the row projection;
     // what crosses the exchange is (doc_id, pos, gh1, gh2) — 16 key
     // bytes. The inner transform materializes each gram string once,
-    // the outer hashes it twice (the lit(1) extends the second hash's
-    // input chain, giving an independently-mixed value).
+    // the outer hashes it twice; the second hash folds a literal salt
+    // BEFORE the gram so the string block is mixed under a different
+    // effective seed (salt-after would make gh2 a function of gh1 —
+    // Spark chains children left-to-right with the running hash as
+    // seed; ADVICE r6).
     val grams = docs.filter(size(col("w")) >= k)
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(transform(sequence(1, size(w) - ${k - 1}), " +
             s"i -> concat_ws(' ', slice(w, i, $k))), " +
             "g -> named_struct('g1', xxhash64(g), " +
-            "'g2', xxhash64(g, 1)))"))
+            "'g2', xxhash64(1, g)))"))
           .as(Seq("pos0", "gh")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"),
         col("gh.g1").as("gh1"), col("gh.g2").as("gh2"))

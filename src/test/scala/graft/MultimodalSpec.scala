@@ -10,74 +10,70 @@ import graft.multimodal.{Avi, Bmp, Multimodal, Wav}
   */
 class MultimodalSpec extends SparkSpec {
 
-  test("GR container round trip") {
-    val payload = "some fake pixel data".getBytes("UTF-8")
-    val blob = Multimodal.encodeBlob(payload, 640, 480, 3, 7)
-    val m = Multimodal.decodeMeta(blob)
-    assert(m.width === 640 && m.height === 480)
-    assert(m.channels === 3 && m.codec === 7)
-    assert(m.payload_bytes === payload.length)
-    assert(blob.drop(Multimodal.HeaderLen).sameElements(payload))
-  }
-
-  test("decode rejects non-container bytes") {
-    intercept[IllegalArgumentException] {
-      Multimodal.decodeMeta("notGR".getBytes)
-    }
-  }
-
-  test("media table meta matches source document stats") {
+  test("m01 metadata read back out of all three containers matches " +
+      "the synthesis parameters") {
     val rows = Multimodal.m01MediaMeta(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("n_chars")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.length === docs.size)
     rows.foreach { r =>
-      val n = docs(r.getAs[Long]("doc_id"))
-      assert(r.getAs[Int]("width") === (n % 64 + 1).toInt)
-      assert(r.getAs[Int]("height") === (n % 48 + 1).toInt)
+      val id = r.getAs[Long]("doc_id")
+      val n = docs(id)
+      val w = (4 + n % 29).toInt; val h = (3 + id % 13).toInt
+      assert(r.getAs[Int]("img_width") === w)
+      assert(r.getAs[Int]("img_height") === h)
+      assert(r.getAs[Int]("img_bytes") === Bmp.stride(w) * h)
+      assert(r.getAs[Int]("sample_rate") === (8000 + (id % 3) * 8000).toInt)
+      assert(r.getAs[Int]("channels") === (1 + id % 2).toInt)
+      assert(r.getAs[Int]("n_samples") ===
+        ((n % 96 + 32) * (1 + id % 2)).toInt)
+      assert(r.getAs[Int]("vid_width") === (3 + n % 13).toInt)
+      assert(r.getAs[Int]("vid_height") === (2 + id % 5).toInt)
+      assert(r.getAs[Int]("n_frames") === (2 + n % 7).toInt)
     }
   }
 
-  test("features are an L1-normalized 16-bin histogram") {
+  test("extractFeatures emits a dense 16-bin count histogram summing " +
+      "to the pixel count") {
     val feats = Multimodal.extractFeatures(
-      Multimodal.mediaTable(spark, sf).limit(20))
-      .select("features").collect()
+      Multimodal.imageTable(spark, sf).limit(20)).collect()
+    assert(feats.nonEmpty)
     feats.foreach { r =>
-      val v = r.getSeq[Float](0)
+      val id = r.getAs[Long]("doc_id")
+      val v = r.getSeq[Long](r.fieldIndex("bin_counts"))
+      val n = r.getAs[Long]("n_pixels")
       assert(v.length === 16)
-      assert(math.abs(v.map(_.toDouble).sum - 1.0) < 1e-3)
-      v.foreach(x => assert(x >= 0f && x <= 1f))
+      assert(v.sum === n)
+      // direct recompute from the synthesis formula
+      val expect = new Array[Long](16)
+      Multimodal.synthPixels(id, n.toInt)
+        .foreach(p => expect(((p >> 16) & 0xff) >> 4) += 1)
+      assert(v === expect.toSeq)
     }
   }
 
-  test("frame explode reassembles to the original payload") {
-    val media = Multimodal.mediaTable(spark, sf).limit(5)
-    val frames = Multimodal.frameSample(media, 64)
-      .orderBy("doc_id", "frame_idx").collect()
+  test("m03 frame explode emits one row per frame with that frame's " +
+      "exact stats") {
+    val rows = Multimodal.m03FrameSample(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))
-    val original = media.collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("blob"))
-      .toMap
-    frames.foreach { case (id, fs) =>
-      val joined = fs.sortBy(_.getAs[Int]("frame_idx"))
-        .flatMap(_.getAs[Array[Byte]]("frame"))
-      assert(joined.sameElements(
-        original(id).drop(Multimodal.HeaderLen)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size === docs.size)
+    rows.take(30).foreach { case (id, fs) =>
+      val n = docs(id)
+      val w = (3 + n % 13).toInt; val h = (2 + id % 5).toInt
+      assert(fs.length === (2 + n % 7).toInt)
+      fs.foreach { r =>
+        val f = r.getAs[Int]("frame_idx")
+        val st = Bmp.stats(Multimodal.synthFrame(id, f, w * h))
+        assert(r.getAs[Long]("sum_r") === st.sumR)
+        assert(r.getAs[Long]("sum_g") === st.sumG)
+        assert(r.getAs[Long]("sum_b") === st.sumB)
+        assert(r.getAs[Int]("peak_lum") === st.peakLum)
+      }
     }
-  }
-
-  test("zero-payload blob still appears in frame counts with n_frames=0") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val media = Seq(
-      (1L, Multimodal.encodeBlob(Array.empty[Byte], 4, 4, 3, 1)),
-      (2L, Multimodal.encodeBlob(Array.fill[Byte](600)(7), 4, 4, 3, 1)))
-      .toDF("doc_id", "blob")
-    val rolled = Multimodal.frameCounts(media, 256)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    assert(rolled === Map(1L -> ((0L, 0L)), 2L -> ((3L, 600L))))
   }
 
   // --- RIFF/WAVE (m04): fixtures produced by Python's stdlib `wave`
@@ -360,16 +356,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize rewrites dimensions and preserves payload") {
-    val media = Multimodal.mediaTable(spark, sf).limit(3)
-    val resized = Multimodal.withMeta(
-      Multimodal.resize(media, 32, 24))
-      .select("width", "height", "payload_bytes").collect()
-    val origBytes = Multimodal.withMeta(media)
-      .select("payload_bytes").collect().map(_.getInt(0)).sorted
-    assert(resized.forall(r => r.getAs[Int]("width") === 32 &&
-      r.getAs[Int]("height") === 24))
-    assert(resized.map(_.getAs[Int]("payload_bytes")).sorted
-      .sameElements(origBytes))
+  test("resize operator re-encodes every blob as a valid BMP at the " +
+      "target dimensions with nearest-neighbor pixels") {
+    val images = Multimodal.imageTable(spark, sf).limit(5)
+    val original = images.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("blob"))
+      .toMap
+    Multimodal.resize(images, 5, 4).collect().foreach { r =>
+      val blob = r.getAs[Array[Byte]]("blob")
+      val m = Bmp.decodeMeta(blob) // throws unless a valid BMP
+      assert(m.width === 5 && m.height === 4)
+      assert(Bmp.pixels(blob).toSeq === Bmp.pixels(
+        Bmp.resizeNearest(original(r.getAs[Long]("doc_id")), 5, 4)).toSeq)
+    }
+  }
+
+  test("m07 resize stats match a direct recompute through " +
+      "resizeNearest") {
+    val rows = Multimodal.m07Resize(spark, sf).collect()
+    assert(rows.length > 0)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.take(50).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = docs(id)
+      val w = (4 + n % 29).toInt; val h = (3 + id % 13).toInt
+      val src = Bmp.encode24(w, h, Multimodal.synthPixels(id, w * h))
+      val st = Bmp.stats(Bmp.pixels(
+        Bmp.resizeNearest(src, Multimodal.ResizeW, Multimodal.ResizeH)))
+      assert(r.getAs[Int]("width") === Multimodal.ResizeW)
+      assert(r.getAs[Int]("height") === Multimodal.ResizeH)
+      assert(r.getAs[Long]("sum_r") === st.sumR)
+      assert(r.getAs[Long]("sum_g") === st.sumG)
+      assert(r.getAs[Long]("sum_b") === st.sumB)
+      assert(r.getAs[Int]("peak_lum") === st.peakLum)
+    }
   }
 }

@@ -13,13 +13,16 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf)
       .queryExecution.executedPlan.toString
 
-  test("m04/m05/m06: real-format decode plans are map-side — one " +
-      "presentation-sort exchange, no join or aggregation shuffle") {
-    Seq("m04_audio_stats", "m05_image_stats", "m06_video_frame_stats")
+  test("m01/m03/m04/m05/m06/m07: real-format decode plans are " +
+      "map-side — one presentation-sort exchange, no join or " +
+      "aggregation shuffle") {
+    Seq("m01_media_meta", "m03_frame_sample", "m04_audio_stats",
+      "m05_image_stats", "m06_video_frame_stats", "m07_resize")
       .foreach { q =>
         val p = plan(q)
-        // encode → decode → stats all stay inside the row: the ONLY
-        // exchange allowed is the rangepartitioning of the final
+        // encode → decode → stats all stay inside the row (m03's frame
+        // explode is a Generate, row-multiplying but shuffle-free): the
+        // ONLY exchange allowed is the rangepartitioning of the final
         // orderBy. A hash exchange would mean a decode stage leaked
         // into a shuffle (the 100 TB anti-shape for per-blob work).
         val exchanges = "Exchange ".r.findAllIn(p).length
@@ -30,6 +33,19 @@ class PlanSpec extends SparkSpec {
         assert(!p.contains("hashpartitioning"),
           s"$q: per-blob decode must not shuffle:\n$p")
       }
+  }
+
+  test("m02: feature rollup partial-aggregates map-side and shuffles " +
+      "only the (lang, bin) counts") {
+    val p = plan("m02_media_features")
+    assert(p.contains("partial"),
+      s"no map-side partial aggregation:\n$p")
+    // one hash exchange for the groupBy + the presentation sort; the
+    // mapPartitions decode itself must not shuffle blobs anywhere
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"feature extraction must be the mapPartitions batch path:\n$p")
   }
 
   test("q01: filter and projection push into the parquet scan") {
@@ -223,8 +239,9 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("row_number"), s"no canonicalization window:\n$p")
     // the exchange must carry the 16-byte (gh1, gh2) double-xxhash64
     // key, not the raw K-word gram string (~5 words/row of shuffle
-    // bytes); two independent 64-bit hashes keep false strikes at
-    // ~n²/2¹²⁹ even at production gram counts
+    // bytes); gh2 mixes a salt BEFORE the gram (xxhash64(1, g)) so the
+    // two 64-bit hashes are genuinely independent and false strikes
+    // stay ~n²/2¹²⁹ even at production gram counts
     assert(p.contains("hashpartitioning(gh1"),
       s"canonicalization exchange not keyed by the gram hash:\n$p")
     assert(p.contains("gh2"),
