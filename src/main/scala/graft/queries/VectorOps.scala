@@ -643,6 +643,133 @@ object VectorOps {
     best
   }
 
+  // --- v12: integer-exact IVF (the fully hash-oracled IVF family
+  // member — v10/v11's fixed-point trick applied to the coarse
+  // quantizer, per the round-6 verdict) ---
+
+  /** Fixed-point grid for v12: x → round(x·10⁴) as BIGINT. One global
+    * grid (unlike v10's per-vector SQ8 range) so integer L2 distances
+    * between DIFFERENT vectors are meaningful; round() agrees
+    * bit-for-bit across Spark and DuckDB (both half-away-from-zero),
+    * so every downstream comparison is exact integer arithmetic.
+    */
+  private val FixScale = 10000
+
+  private def fixedEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      expr(s"transform(embedding, x -> " +
+        s"CAST(round(CAST(x AS DOUBLE) * $FixScale.0D) AS BIGINT))")
+        .as("qv"))
+
+  private def dist2Int(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Lowest-index argmin under integer distance — the tie-break the
+    * oracle's `ORDER BY d2, cell` window replicates.
+    */
+  private def nearestCellInt(cents: Array[Array[Long]],
+      v: Array[Long]): Int = {
+    var best = 0; var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = dist2Int(cents(c), v)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Integer Lloyd's: same stride init and per-point assignment as
+    * [[kmeansFit]], but sums are Long accumulators and the centroid
+    * update is TRUNCATING integer division (Scala `/` ≡ DuckDB `//`,
+    * both toward zero) — every intermediate is a BIGINT both engines
+    * compute identically, so the trained centroids (and therefore cell
+    * assignment and the probe set) are DuckDB-recomputable. A FIXED
+    * iteration count keeps the oracle a finite CTE chain.
+    */
+  private def intKmeansFit(points: Array[Array[Long]], k: Int,
+      iters: Int): Array[Array[Long]] = {
+    val dim = points.head.length
+    var cents = Array.tabulate(k)(i =>
+      points((i * points.length) / k).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val counts = new Array[Int](k)
+      points.foreach { v =>
+        val c = nearestCellInt(cents, v)
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(j => sums(c)(j) / counts(c)))
+    }
+    cents
+  }
+
+  private val IvfIntNlist = 16
+  private val IvfIntNprobe = 4
+  private val IvfIntIters = 2
+  private val IvfIntMaxQid = 50
+
+  /** v12 — IVF with an integer-exact coarse quantizer: fixed-point
+    * vectors, integer k-means (bounded hash-stratified sample, stride
+    * init, [[IvfIntIters]] Lloyd iterations), map-side cell assignment
+    * against broadcast centroids, nprobe-cell probe, and integer
+    * squared-L2 scoring — the SAME plan shape as v05 (shuffle keyed by
+    * cell id, corpus fraction ≈ nprobe/nlist) but with every number a
+    * BIGINT, so the ENTIRE path — training, assignment, probe set,
+    * final ranking — hash-matches a DuckDB oracle. v05 measures the
+    * float IVF's recall; v12 pins the IVF semantics themselves.
+    */
+  val v12AnnIvfInt: Q = (s, d) => {
+    val fe = fixedEmb(s, d)
+    // bounded deterministic training sample (identical ordering to
+    // trainingSample: portable md5 bucket, vec_id tiebreak)
+    val sample = fe
+      .orderBy(graft.operators.Sampling.portableBucket(col("vec_id")),
+        col("vec_id"))
+      .limit(IvfIntNlist * 40)
+      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    val cents = intKmeansFit(sample, IvfIntNlist, IvfIntIters)
+    val bc = s.sparkContext.broadcast(cents)
+
+    val cellUdf = udf { (v: Seq[Long]) =>
+      nearestCellInt(bc.value, v.toArray)
+    }
+    val probeUdf = udf { (v: Seq[Long]) =>
+      val va = v.toArray
+      bc.value.indices
+        .map(c => (dist2Int(bc.value(c), va), c))
+        .sorted.take(IvfIntNprobe).map(_._2)
+    }
+    val d2Udf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      dist2Int(a.toArray, b.toArray)
+    }
+
+    val e = fe.repartition(s.sparkContext.defaultParallelism)
+    val assigned = e.withColumn("cell", cellUdf(col("qv")))
+    val q = assigned.filter(col("vec_id") < IvfIntMaxQid)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+        explode(probeUdf(col("qv"))).as("cell"))
+    val cand = assigned.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        d2Udf(col("qqv"), col("qv")).as("d2"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("vec_id").as("ann_nid"), col("d2"))
+      .orderBy("qid")
+  }
+
   /** v04 — vector norm statistics per label (corpus sanity check every
     * embedding pipeline runs before indexing).
     */
@@ -755,9 +882,103 @@ object VectorOps {
     "v07_ann_pq" -> v07AnnPq,
     "v08_ann_ivfpq" -> v08AnnIvfPq,
     "v09_ann_ivfpq_indexed" -> v09AnnIvfPqIndexed,
+    "v12_ann_ivf_int" -> v12AnnIvfInt,
   )
 
   val oracles: Map[String, String] = Map(
+    // v12: the oracle recomputes the ENTIRE integer IVF — fixed-point
+    // grid, md5-bucket sample order, stride init, both Lloyd
+    // iterations (truncating // division ≡ Scala Long /), full-corpus
+    // assignment, probe set, and integer-L2 ranking. Every
+    // intermediate is BIGINT, so this hash-verifies coarse-quantizer
+    // training itself, not just the final rerank.
+    "v12_ann_ivf_int" -> {
+      val scale = s"$FixScale.0"
+      val n = IvfIntNlist * 40
+      s"""WITH fx AS (
+        |  SELECT vec_id,
+        |    CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT) AS qx, i
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)),
+        |smp AS (
+        |  SELECT vec_id, rn FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY
+        |        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12)
+        |          AS BIGINT) % 1000000, vec_id) AS rn
+        |    FROM embeddings)
+        |  WHERE rn <= $n),
+        |nn AS (SELECT count(*) AS n FROM smp),
+        |sfx AS (
+        |  SELECT f.vec_id, f.i, f.qx
+        |  FROM fx f JOIN smp ON smp.vec_id = f.vec_id),
+        |c0 AS (
+        |  SELECT g.c AS cell, f.i, f.qx AS cx
+        |  FROM (SELECT unnest(range(0, $IvfIntNlist)) AS c) g
+        |  CROSS JOIN nn
+        |  JOIN smp ON smp.rn = (g.c * nn.n) // $IvfIntNlist + 1
+        |  JOIN fx f ON f.vec_id = smp.vec_id),
+        |d1 AS (
+        |  SELECT s.vec_id, c.cell,
+        |    sum((s.qx - c.cx) * (s.qx - c.cx)) AS d2
+        |  FROM sfx s JOIN c0 c ON s.i = c.i GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |u1 AS (
+        |  SELECT a.cell, s.i, CAST(sum(s.qx) // count(*) AS BIGINT) AS cx
+        |  FROM a1 a JOIN sfx s ON s.vec_id = a.vec_id GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c0.cell, c0.i, coalesce(u.cx, c0.cx) AS cx
+        |  FROM c0 LEFT JOIN u1 u ON u.cell = c0.cell AND u.i = c0.i),
+        |d2_ AS (
+        |  SELECT s.vec_id, c.cell,
+        |    sum((s.qx - c.cx) * (s.qx - c.cx)) AS d2
+        |  FROM sfx s JOIN c1 c ON s.i = c.i GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
+        |    FROM d2_) WHERE rk = 1),
+        |u2 AS (
+        |  SELECT a.cell, s.i, CAST(sum(s.qx) // count(*) AS BIGINT) AS cx
+        |  FROM a2 a JOIN sfx s ON s.vec_id = a.vec_id GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT c1.cell, c1.i, coalesce(u.cx, c1.cx) AS cx
+        |  FROM c1 LEFT JOIN u2 u ON u.cell = c1.cell AND u.i = c1.i),
+        |dA AS (
+        |  SELECT f.vec_id, c.cell,
+        |    sum((f.qx - c.cx) * (f.qx - c.cx)) AS d2
+        |  FROM fx f JOIN c2 c ON f.i = c.i GROUP BY 1, 2),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
+        |    FROM dA) WHERE rk = 1),
+        |prb AS (
+        |  SELECT vec_id AS qid, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
+        |    FROM dA WHERE vec_id < $IvfIntMaxQid) WHERE rk <= $IvfIntNprobe),
+        |cnd AS (
+        |  SELECT p.qid, a.vec_id
+        |  FROM prb p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid),
+        |cd AS (
+        |  SELECT c.qid, c.vec_id,
+        |    sum((q.qx - t.qx) * (q.qx - t.qx)) AS d2
+        |  FROM cnd c
+        |  JOIN fx q ON q.vec_id = c.qid
+        |  JOIN fx t ON t.vec_id = c.vec_id AND t.i = q.i
+        |  GROUP BY 1, 2)
+        |SELECT qid, vec_id AS ann_nid, CAST(d2 AS BIGINT) AS d2
+        |FROM (
+        |  SELECT qid, vec_id, d2, row_number() OVER (
+        |    PARTITION BY qid ORDER BY d2, vec_id) AS rk
+        |  FROM cd) WHERE rk = 1
+        |ORDER BY qid""".stripMargin
+    },
     "v11_sq8_adc_knn" ->
       """WITH base AS (
         |  SELECT vec_id,
