@@ -53,8 +53,14 @@ object Bench {
     // re-read stored artifacts from disk parquet instead of a cache
     // entry a PREVIOUS query happened to leave behind.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // local-iteration aid (the driver sets no filter): run only queries
+    // whose name starts with one of the comma-separated prefixes
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
     val results = (SparkEntry.queries ++ SparkEntry.benchOnly)
-      .toSeq.sortBy(_._1).map {
+      .toSeq.sortBy(_._1)
+      .filter(kv => only.isEmpty || only.exists(kv._1.startsWith))
+      .map {
       case (name, fn) =>
         val times = (1 to iters).map { _ =>
           spark.catalog.clearCache()
@@ -72,13 +78,18 @@ object Bench {
               Double.PositiveInfinity
           }
         }
-        name -> times.min
+        name -> times
     }
     def fmt(v: Double, digits: Int): String =
       if (v.isInfinite) "null" else s"%.${digits}f".format(v)
-    val ok = results.filter(!_._2.isInfinite)
-    val failed = results.collect { case (k, v) if v.isInfinite => k }
+    val mins = results.map { case (k, ts) => k -> ts.min }
+    val ok = mins.filter(!_._2.isInfinite)
+    val failed = mins.collect { case (k, v) if v.isInfinite => k }
     val total = ok.map(_._2).sum
+    // n_ok makes unequal query sets detectable across rounds: a round
+    // with failures sums fewer queries, and a naive total-vs-total
+    // compare would read that as a speedup (ADVICE r6).
+    val nOk = ok.size
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"")
@@ -87,10 +98,16 @@ object Bench {
     // the launcher keeps just the LAST 2000 chars of stdout for parsing,
     // and this line is ~2.6k chars — it can never fit (rounds 1–5 all
     // recorded parsed:null). The file is the full record for humans.
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+    val qsFull = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
+    // Per-iteration spreads (file only): bench drift is then
+    // self-diagnosing — a noisy min shows up as a wide spread, a real
+    // regression as a uniformly shifted one (VERDICT r6 item 1).
+    val itersJson = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(fmt(_, 3)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val lineFull =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"index_warm":$warmSec%.3f$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsFull,"iters":$itersJson,"index_warm":$warmSec%.3f$failedJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), lineFull)
@@ -101,16 +118,16 @@ object Bench {
     // launcher's 2000-char tail window (sbt appends one ~80-char
     // "[success]" line after us). Keys are the unique id prefix of each
     // query name ("t08_winnow_fingerprint" → "t08"); ~1.2k chars total.
-    val prefixCounts = results.groupBy(_._1.takeWhile(_ != '_')).map {
+    val prefixCounts = mins.groupBy(_._1.takeWhile(_ != '_')).map {
       case (p, g) => p -> g.size
     }
-    val qsShort = results.map { case (k, v) =>
+    val qsShort = mins.map { case (k, v) =>
       val p = k.takeWhile(_ != '_')
       val key = if (prefixCounts(p) == 1) p else k // collision → full name
       "\"" + key + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
     val lineShort =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,"index_warm":$warmSec%.2f$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsShort,"index_warm":$warmSec%.2f$failedJson,"sf":"$sfDir"}"""
     println(lineShort)
     spark.stop()
   }

@@ -42,7 +42,13 @@ object SparkEntry {
     * verify contract ignores them.
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.benchOnly ++ TextOps.benchOnly
+    Relational.benchOnly ++ TextOps.benchOnly ++
+      Map[String, (SparkSession, String) => DataFrame](
+        // the TTL'd (bounded-state) near-dup configuration next to
+        // s03's NoTimeout number; not declared — the oracle needs
+        // full-corpus pairing (see replayNearDupCandidatesTtl doc)
+        "s03b_stream_neardup_ttl" -> ((s, d) =>
+          EventStreams.replayNearDupCandidatesTtl(s, d)))
 
   /** Build-or-refresh the persisted stored-index artifacts for `dir`
     * (t15/t16/s05 band index, v09 IVF+PQ model + codes). Bench calls

@@ -277,6 +277,86 @@ object EventStreams {
     (spark.table(qn).distinct().orderBy("d1", "d2"), stateRows)
   }
 
+  /** s03b (bench-only) — the BOUNDED-STATE production configuration of
+    * the near-dup candidate stream: same band kernel, same pair
+    * emission, but `stateTtlMs = Some(ttlMs)` (ProcessingTimeTimeout)
+    * and the corpus staged as `nBatches` files consumed one per
+    * spaced trigger, so the run exercises exactly what the declared
+    * s03 replay cannot — armed timers, timer-check batches, re-armed
+    * horizons on every bucket update — and times it. The TTL is
+    * generous (≫ run length) so nothing evicts mid-bench and the
+    * emitted pair set equals s03's NoTimeout set; eviction SEMANTICS
+    * are spec'd separately (StreamingSpec TestGroupState + engine
+    * tests). Not declared: the fixed-horizon oracle needs full-corpus
+    * pairing, which is s03's job.
+    */
+  def replayNearDupCandidatesTtl(spark: SparkSession, dir: String,
+      ttlMs: Long = 3600000L, nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-s03b")
+      .toFile.getAbsolutePath
+    val srcDir = s"$work/incoming"
+    new java.io.File(srcDir).mkdirs()
+    // stage the corpus as nBatches single-file spans, ascending mtimes
+    val docs = spark.read.schema(docSchema)
+      .parquet(s"$dir/documents*.parquet")
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    (0 until nBatches).foreach { i =>
+      val stage = s"$work/stage$i"
+      docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
+        .coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).headOption
+        .foreach { f =>
+          val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(t0 + i * 60000L)
+        }
+    }
+    val bandsUdf = udf { (text: String) =>
+      graft.queries.TextOps.portableBandsKernel(text)
+    }
+    val bands = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*.parquet")
+      .select(col("doc_id"), explode(bandsUdf(col("text"))).as("bb"))
+      .select(col("doc_id"), col("bb._1").as("band"),
+        col("bb._2").as("bucket"))
+      .as[(Long, Int, String)]
+    val qn = s"stream_neardup_ttl_${math.abs(dir.hashCode)}"
+    val q = nearDupPairs(bands, stateTtlMs = Some(ttlMs))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("250 milliseconds"))
+      .format("memory").queryName(qn).start()
+    try drainTimerStream(q, nBatches) finally q.stop()
+    spark.table(qn).distinct().orderBy("d1", "d2")
+  }
+
+  /** Wait until a stream with ARMED processing-time timers has
+    * consumed `expectBatches` data batches: `processAllAvailable`
+    * never quiesces once a timer is armed (the engine schedules
+    * timer-check batches indefinitely — see StreamingSpec), so
+    * completion is read from query progress instead: enough progress
+    * entries with real input rows, then one trailing empty batch so
+    * the last data batch's emissions are committed to the sink.
+    */
+  private def drainTimerStream(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      expectBatches: Int): Unit = {
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var done = false
+    while (!done && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val ps = q.recentProgress
+      val dataBatches = ps.count(_.numInputRows > 0)
+      done = dataBatches >= expectBatches &&
+        ps.lastOption.exists(_.numInputRows == 0)
+    }
+    if (!done) throw new IllegalStateException(
+      s"stream did not drain $expectBatches batches within 120 s")
+  }
+
   /** s04 — FULL near-dup detection through the streaming engine: the
     * s03 candidate stream continues through a stream-static equi-join
     * against the documents texts (map-side — the static side broadcasts
@@ -363,35 +443,52 @@ object EventStreams {
       "t15_corpus")
 
     // Land each ingest batch as ONE parquet file with ascending mtimes
-    // so the file source triggers them in order. Empty spans still land
-    // a (schema-only) file so batchId i always equals span i.
+    // so the file source triggers them in order — staged in a SINGLE
+    // partitioned write (one documents scan for all spans, not one
+    // filtered scan per span). Empty spans still land a (schema-only)
+    // file so batchId i always equals span i.
     val bounds = TextOps.IngestBatchBounds
+    val batchSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
     val t0 = System.currentTimeMillis() - 3600L * 1000
+    val spanCol = (1 until bounds.length).foldLeft(lit(0)) { (acc, i) =>
+      when(col("doc_id") >= bounds(i), lit(i)).otherwise(acc)
+    }
+    val stage = s"$work/stage"
+    staticDocs.filter(col("doc_id") >= bounds.head)
+      .withColumn("b", spanCol)
+      .repartition(col("b")) // one task → one file per span dir
+      .write.partitionBy("b").parquet(stage)
     bounds.indices.foreach { i =>
-      val lo = bounds(i)
-      val span = staticDocs.filter(col("doc_id") >= lo)
-      val part = (if (i + 1 < bounds.length)
-        span.filter(col("doc_id") < bounds(i + 1)) else span)
-      val stage = s"$work/stage$i"
-      part.coalesce(1).write.parquet(stage)
-      new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).headOption
-        .foreach { f =>
-          val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
-          java.nio.file.Files.move(f.toPath, dst.toPath)
-          dst.setLastModified(t0 + i * 60000L)
-        }
+      val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+      Option(new java.io.File(s"$stage/b=$i").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).headOption match {
+        case Some(f) => java.nio.file.Files.move(f.toPath, dst.toPath)
+        case None => // empty span: schema-only file keeps batchId = i
+          val empty = s"$work/empty$i"
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            batchSchema).coalesce(1).write.parquet(empty)
+          new java.io.File(empty).listFiles()
+            .filter(_.getName.endsWith(".parquet")).headOption
+            .foreach(f => java.nio.file.Files.move(f.toPath, dst.toPath))
+      }
+      dst.setLastModified(t0 + i * 60000L)
     }
 
     val deltas = scala.collection.mutable.ListBuffer[String]()
     val deltaRows = scala.collection.mutable.ListBuffer[Long]()
-    val batchSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType)))
     val q = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$srcDir/b*.parquet")
       .writeStream.outputMode(OutputMode.Append())
       .option("checkpointLocation", s"$work/ckpt")
+      // AvailableNow: same batch sequence (maxFilesPerTrigger is
+      // honored — one file per micro-batch, so the fixed-depth oracle
+      // semantics are untouched) but the engine drains the backlog and
+      // terminates instead of idling between ProcessingTime(0) polls
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
         if (!batch.isEmpty) {
@@ -399,20 +496,28 @@ object EventStreams {
           val index = deltas.foldLeft(corpusIndex)((df, p) =>
             df.unionByName(s.read.parquet(p)))
           val newDocs = batch.select("doc_id", "text")
+          // sign the batch ONCE: the persisted band table serves the
+          // dedup decision AND (filtered to kept ids) the index delta —
+          // re-signing kept docs doubled the signature cost of a large
+          // batch for identical rows
+          val newBands = TextOps.portableBandTable(
+            newDocs.repartition(s.sparkContext.defaultParallelism))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // one run of the dedup pipeline: write the drop list, then
           // derive kept from its file scan (no recompute)
-          val kept = TextOps.dedupIncrementalIndexed(
-            index, newDocs, staticDocs, 0.5)
+          val kept = TextOps.dedupIncrementalIndexedBands(
+            index, newBands, newDocs, staticDocs, 0.5)
           val dropPath = s"$dropsDir/b$batchId"
           newDocs.select("doc_id")
             .join(kept, Seq("doc_id"), "left_anti")
             .select(lit(batchId).cast("int").as("batch"), col("doc_id"))
             .write.parquet(dropPath)
-          val keptDocs = newDocs.join(
-            s.read.parquet(dropPath).select("doc_id"),
-            Seq("doc_id"), "left_anti")
           val deltaPath = s"$deltaDir/b$batchId"
-          TextOps.portableBandTable(keptDocs).write.parquet(deltaPath)
+          newBands.join(
+            broadcast(s.read.parquet(dropPath).select("doc_id")),
+            Seq("doc_id"), "left_anti")
+            .write.parquet(deltaPath)
+          newBands.unpersist()
           deltas += deltaPath
           deltaRows += s.read.parquet(deltaPath).count()
         }
@@ -421,7 +526,7 @@ object EventStreams {
       .start()
     val stateRows =
       try {
-        q.processAllAvailable()
+        q.awaitTermination() // AvailableNow self-terminates when drained
         Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
       } finally { q.stop() }
