@@ -35,6 +35,25 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("v12: integer IVF probes via a broadcast cell join, prunes " +
+      "top-1 before the qid shuffle, and pushes the query-set filter " +
+      "into the scan") {
+    val p = plan("v12_ann_ivf_int")
+    // the corpus side must STREAM through the cell join (queries ×
+    // probed cells broadcast) — a shuffle of the corpus on cell, or
+    // any non-equi join, would be the wrong 100 TB shape
+    assert(p.contains("BroadcastHashJoin [cell"),
+      s"cell join must broadcast the probe side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in integer IVF:\n$p")
+    // rank-1 selection must prune map-side before the qid exchange
+    assert(p.contains("WindowGroupLimit"),
+      s"top-1 window not partially evaluated before the shuffle:\n$p")
+    assert(p.contains("LessThan(vec_id,50)"),
+      s"query-set filter not pushed into the parquet scan:\n$p")
+  }
+
   test("m02: feature rollup partial-aggregates map-side and shuffles " +
       "only the (lang, bin) counts") {
     val p = plan("m02_media_features")
