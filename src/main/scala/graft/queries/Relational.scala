@@ -402,6 +402,76 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Register count (b = 10 index bits of the 48-bit portable hash)
+    * for the q37 portable HLL; σ ≈ 1.04/√m ≈ 3.3%.
+    */
+  val Q37Registers = 1024
+
+  /** alpha_m · m² · 2⁵⁰ — the numerator of the scaled-integer HLL
+    * estimate. A Scala double whose decimal form is interpolated into
+    * the oracle SQL; both engines then divide the SAME double by the
+    * same exact integer.
+    */
+  private val q37Num: Double = {
+    val m = Q37Registers.toDouble
+    0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, 50)
+  }
+
+  /** q37 — PORTABLE HyperLogLog (Flajolet et al. 2007): approx distinct
+    * whose ESTIMATE hash-matches across engines — the oracled sibling
+    * of q24/q33, whose engine-private HLL++ sketches can only be
+    * golden-pinned. Every step is engine-neutral and exact:
+    * register index = top 10 bits of the md5-derived 48-bit hash;
+    * rank ρ = position of the remainder's highest set bit, computed
+    * from `length(bin(x))` — a STRING length, no float log; registers
+    * are `max(ρ)` (duplicate-insensitive, mergeable — the same
+    * property q33's sketches union on); the harmonic sum Σ2^(-ρ_j) is
+    * kept as the SCALED INTEGER Σ2^(50-ρ_j) (every term and partial
+    * sum exact in a BIGINT), so the only float op is one final
+    * division of a shared double literal. Linear counting — the
+    * standard small-range estimate — rides along when zero registers
+    * remain. Exact countDistinct joins in for transparent error.
+    *
+    * Scale shape: two partial-aggregated shuffles — (group, register)
+    * then group — each output row count bounded by groups × m, never
+    * data-sized; the register table is a mergeable sketch, so at
+    * 100 TB partitions combine map-side exactly like any HLL.
+    */
+  val q37PortableHll: Q = (s, d) => {
+    graft.functions.Md5Hash48.registerAll(s)
+    val m = Q37Registers
+    val rem = col("h").bitwiseAND(lit((1L << 38) - 1))
+    val regs = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        graft.functions.Md5Hash48
+          .md5_hash48(col("l_partkey").cast("string")).as("h"))
+      .select(col("l_returnflag"), expr("h >> 38").as("idx"),
+        when(rem === 0, lit(39))
+          .otherwise(lit(39) - length(bin(rem))).as("rho"))
+      .groupBy("l_returnflag", "idx")
+      .agg(max("rho").as("r"))
+    val exact = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    regs
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("int").as("regs_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - r)")).as("s_present"))
+      .select(col("l_returnflag"), col("regs_hit"),
+        (lit(m) - col("regs_hit")).cast("int").as("v_zero"),
+        (col("s_present") +
+          (lit(m.toLong) - col("regs_hit")) * lit(1L << 50))
+          .as("s_scaled"))
+      .select(col("l_returnflag"), col("regs_hit"), col("v_zero"),
+        col("s_scaled"),
+        round(lit(q37Num) / col("s_scaled"), 4).as("hll_estimate"),
+        when(col("v_zero") > 0,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")), 4))
+          .as("lc_estimate"))
+      .join(broadcast(exact), "l_returnflag")
+      .orderBy("l_returnflag")
+  }
+
   /** q25 — range (non-equi) join: price-band classification. Band table is
     * tiny → broadcast nested loop, which is the right physical plan for a
     * non-equi join against a constant-size dim at any scale.
@@ -731,6 +801,7 @@ object Relational {
     "q24_approx_distinct" -> q24ApproxDistinct,
     "q25_range_join" -> q25RangeJoin,
     "q34_grouping_sets" -> q34GroupingSets,
+    "q37_portable_hll" -> q37PortableHll,
   )
 
   /** DuckDB oracles. Column names and ORDER BY match the Spark plans
@@ -738,6 +809,46 @@ object Relational {
     * timestamps are cast to DATE or formatted as strings.
     */
   val oracles: Map[String, String] = Map(
+    // q37: the oracle recomputes the WHOLE portable HLL — hash,
+    // register index, bin()-length rank, scaled-integer harmonic sum —
+    // and divides the same interpolated double numerator.
+    "q37_portable_hll" -> {
+      val m = Q37Registers
+      s"""WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12)
+        |      AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, h >> 38 AS idx,
+        |    CASE WHEN (h & ((1::BIGINT << 38) - 1)) = 0 THEN 39
+        |         ELSE 39 - length(bin(h & ((1::BIGINT << 38) - 1)))
+        |    END AS rho
+        |  FROM h),
+        |regs AS (
+        |  SELECT l_returnflag, idx, max(rho) AS r
+        |  FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT l_returnflag, CAST(count(*) AS INT) AS regs_hit,
+        |    CAST(sum(1::BIGINT << (50 - r)) AS BIGINT) AS s_present
+        |  FROM regs GROUP BY 1),
+        |sc AS (
+        |  SELECT l_returnflag, regs_hit,
+        |    CAST($m - regs_hit AS INT) AS v_zero,
+        |    CAST(s_present + CAST($m - regs_hit AS BIGINT)
+        |      * (1::BIGINT << 50) AS BIGINT) AS s_scaled
+        |  FROM agg),
+        |ex AS (
+        |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |  FROM lineitem GROUP BY 1)
+        |SELECT sc.l_returnflag, regs_hit, v_zero, s_scaled,
+        |  round($q37Num / s_scaled, 4) AS hll_estimate,
+        |  CASE WHEN v_zero > 0
+        |    THEN round($m.0 * ln($m.0 / v_zero), 4) END AS lc_estimate,
+        |  exact_parts
+        |FROM sc JOIN ex ON sc.l_returnflag = ex.l_returnflag
+        |ORDER BY sc.l_returnflag""".stripMargin
+    },
     "q32_ranking_windows" ->
       """SELECT o_orderstatus, o_orderkey,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,

@@ -102,6 +102,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q37 portable HLL: the regime-appropriate estimate tracks the " +
+      "exact count, registers within bounds") {
+    val m = Relational.Q37Registers
+    val got = Relational.q37PortableHll(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val hit = r.getAs[Int]("regs_hit")
+      assert(hit > 0 && hit <= m)
+      assert(hit + r.getAs[Int]("v_zero") === m)
+      // standard HLL regime switch: linear counting when the raw
+      // estimate ≤ 2.5m and zero registers remain (the raw estimate is
+      // biased high there — that is WHY linear counting exists),
+      // otherwise the raw harmonic estimate
+      val raw = r.getAs[Double]("hll_estimate")
+      val est =
+        if (raw <= 2.5 * m && r.getAs[Int]("v_zero") > 0)
+          r.getAs[Double]("lc_estimate")
+        else raw
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"regime estimate off: $r")
+    }
+  }
+
   test("st_distance_sphere: Fairbanks to Anchorage ≈ 420 km") {
     graft.functions.GeoFunctions.registerAll(spark)
     val d = spark.sql(
