@@ -288,6 +288,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("hostile header fields cannot wrap the bounds guards " +
+      "(Int-overflow hardening)") {
+    // chunk len near Int.MaxValue: o + 8 + len wraps negative as Int
+    // and would pass a 32-bit guard — must still fail CLEANLY
+    val ok = Avi.encode(3, 2, Array(Multimodal.synthFrame(1L, 0, 6)))
+    val hugeLen = ok.clone()
+    hugeLen(16) = 0xff.toByte; hugeLen(17) = 0xff.toByte // avih size →
+    hugeLen(18) = 0xff.toByte; hugeLen(19) = 0x7f.toByte // 0x7fffffff
+    intercept[IllegalArgumentException] { Avi.decodeMeta(hugeLen) }
+    // BMP with width × height whose pixel-array size wraps: stride(w)*h
+    // overflows Int positive-ish and a 32-bit compare could admit it
+    val bmp = Bmp.encode24(2, 2, Array(0, 0, 0, 0))
+    val hugeDims = bmp.clone()
+    hugeDims(18) = 0xff.toByte; hugeDims(19) = 0xff.toByte // width →
+    hugeDims(20) = 0xff.toByte; hugeDims(21) = 0x3f.toByte // 0x3fffffff
+    val e = intercept[IllegalArgumentException] { Bmp.decodeMeta(hugeDims) }
+    assert(e.getMessage.contains("pixel array"),
+      s"expected the bounds guard, got: ${e.getMessage}")
+  }
+
   test("m06 stats match a direct recompute of the synthesis formula") {
     val rows = Multimodal.m06VideoFrameStats(spark, sf).collect()
     assert(rows.length > 0)

@@ -361,6 +361,20 @@ class TextSpec extends SparkSpec {
       s"rolling_hashes projection not inside a codegen stage:\n$plan")
   }
 
+  test("md5_hash48 expression equals the composed conv(substr(md5)) " +
+      "form it replaced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.Md5Hash48.registerAll(spark)
+    val vals = Seq("", "a", "hello", "héllo wörld", "ab😀cd",
+      "0", "12345", "the quick brown fox").toDF("s")
+    val rows = vals.select(
+      graft.functions.Md5Hash48.md5_hash48(col("s")).as("fast"),
+      conv(substring(md5(col("s").cast("binary")), 1, 12), 16, 10)
+        .cast("long").as("composed")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("portableBandsKernel equals the portableBandTable plan per doc") {
     val docs = Tables.documents(spark, sf)
       .filter(org.apache.spark.sql.functions.col("doc_id") < 60)
