@@ -755,6 +755,58 @@ object Relational {
       .orderBy("week")
   }
 
+  /** q38 — portable-HLL UNION (the q33 shape with q37's engine-neutral
+    * registers, so the MERGED estimate hash-matches the oracle):
+    * per-day register tables — the partial sketches a warehouse stores
+    * alongside each day's partition — merge into weekly sketches by
+    * `max` per register (union of HLL sketches IS the register-wise
+    * max: associative, commutative, partial-aggregable — the property
+    * q33 demonstrates with engine-private sketches and this query
+    * proves end-to-end against DuckDB). Exact weekly distinct joins in
+    * for transparent error; the scaled-integer estimate arithmetic is
+    * q37's.
+    */
+  val q38PortableHllUnion: Q = (s, d) => {
+    graft.functions.Md5Hash48.registerAll(s)
+    val m = Q37Registers
+    val rem = col("h").bitwiseAND(lit((1L << 38) - 1))
+    val daily = Tables.events(s, d)
+      .select(dayofyear(col("ts")).as("doy"),
+        graft.functions.Md5Hash48
+          .md5_hash48(col("user_id").cast("string")).as("h"))
+      .select(col("doy"), expr("h >> 38").as("idx"),
+        when(rem === 0, lit(39))
+          .otherwise(lit(39) - length(bin(rem))).as("rho"))
+      .groupBy("doy", "idx")
+      .agg(max("rho").as("r"))
+    val weekly = daily
+      .withColumn("week", expr("CAST((doy - 1) DIV 7 AS INT)"))
+      .groupBy("week", "idx")
+      .agg(max("r").as("r")) // sketch union = register-wise max
+    val exact = Tables.events(s, d)
+      .withColumn("week",
+        expr("CAST((dayofyear(ts) - 1) DIV 7 AS INT)"))
+      .groupBy("week")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    weekly
+      .groupBy("week")
+      .agg(count(lit(1)).cast("int").as("regs_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - r)")).as("s_present"))
+      .select(col("week"), col("regs_hit"),
+        (lit(m) - col("regs_hit")).cast("int").as("v_zero"),
+        (col("s_present") +
+          (lit(m.toLong) - col("regs_hit")) * lit(1L << 50))
+          .as("s_scaled"))
+      .select(col("week"), col("regs_hit"), col("v_zero"),
+        col("s_scaled"),
+        round(lit(q37Num) / col("s_scaled"), 4).as("hll_estimate"),
+        when(col("v_zero") > 0,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")), 4))
+          .as("lc_estimate"))
+      .join(broadcast(exact), "week")
+      .orderBy("week")
+  }
+
   /** Benched-but-not-oracled variants: scale-path twins of oracled
     * queries whose outputs are sketch-dependent (run by Bench next to
     * their exact siblings; spec-checked for closeness in
@@ -802,6 +854,7 @@ object Relational {
     "q25_range_join" -> q25RangeJoin,
     "q34_grouping_sets" -> q34GroupingSets,
     "q37_portable_hll" -> q37PortableHll,
+    "q38_portable_hll_union" -> q38PortableHllUnion,
   )
 
   /** DuckDB oracles. Column names and ORDER BY match the Spark plans
@@ -848,6 +901,47 @@ object Relational {
         |  exact_parts
         |FROM sc JOIN ex ON sc.l_returnflag = ex.l_returnflag
         |ORDER BY sc.l_returnflag""".stripMargin
+    },
+    // q38: daily registers → weekly register-wise max (sketch union) →
+    // the same scaled-integer estimate as q37, all recomputed.
+    "q38_portable_hll_union" -> {
+      val m = Q37Registers
+      s"""WITH h AS (
+        |  SELECT dayofyear(ts) AS doy,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT doy, h >> 38 AS idx,
+        |    CASE WHEN (h & ((1::BIGINT << 38) - 1)) = 0 THEN 39
+        |         ELSE 39 - length(bin(h & ((1::BIGINT << 38) - 1)))
+        |    END AS rho
+        |  FROM h),
+        |daily AS (SELECT doy, idx, max(rho) AS r FROM r GROUP BY 1, 2),
+        |weekly AS (
+        |  SELECT CAST((doy - 1) // 7 AS INT) AS week, idx, max(r) AS r
+        |  FROM daily GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT week, CAST(count(*) AS INT) AS regs_hit,
+        |    CAST(sum(1::BIGINT << (50 - r)) AS BIGINT) AS s_present
+        |  FROM weekly GROUP BY 1),
+        |sc AS (
+        |  SELECT week, regs_hit,
+        |    CAST($m - regs_hit AS INT) AS v_zero,
+        |    CAST(s_present + CAST($m - regs_hit AS BIGINT)
+        |      * (1::BIGINT << 50) AS BIGINT) AS s_scaled
+        |  FROM agg),
+        |ex AS (
+        |  SELECT CAST((dayofyear(ts) - 1) // 7 AS INT) AS week,
+        |    count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY 1)
+        |SELECT sc.week, regs_hit, v_zero, s_scaled,
+        |  round($q37Num / s_scaled, 4) AS hll_estimate,
+        |  CASE WHEN v_zero > 0
+        |    THEN round($m.0 * ln($m.0 / v_zero), 4) END AS lc_estimate,
+        |  exact_users
+        |FROM sc JOIN ex ON sc.week = ex.week
+        |ORDER BY sc.week""".stripMargin
     },
     "q32_ranking_windows" ->
       """SELECT o_orderstatus, o_orderkey,

@@ -126,6 +126,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q38 portable HLL union: merged weekly estimate tracks exact " +
+      "weekly distinct") {
+    val m = Relational.Q37Registers
+    val got = Relational.q38PortableHllUnion(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val raw = r.getAs[Double]("hll_estimate")
+      val est =
+        if (raw <= 2.5 * m && r.getAs[Int]("v_zero") > 0)
+          r.getAs[Double]("lc_estimate")
+        else raw
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"merged estimate off: $r")
+    }
+  }
+
   test("st_distance_sphere: Fairbanks to Anchorage ≈ 420 km") {
     graft.functions.GeoFunctions.registerAll(spark)
     val d = spark.sql(
