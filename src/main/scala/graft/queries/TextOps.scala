@@ -1384,7 +1384,58 @@ object TextOps {
   val t24SpanDedup: Q = (s, d) =>
     spanDedup(Tables.documents(s, d).select("doc_id", "text"), SpanDedupK)
 
+  /** t25 — language-model quality scoring (the CCNet/Gopher filter
+    * shape: score every document by an n-gram LM and gate on the
+    * score; Wenzek et al., "CCNet", LREC 2020 train a KenLM on a clean
+    * reference corpus and bucket by perplexity). Here the LM is a
+    * bigram model with add-one smoothing trained ON THE CORPUS ITSELF
+    * (self-perplexity — the zero-dependency variant; swapping in a
+    * reference-corpus LM table changes no plan shape): per-doc mean
+    * log-probability avg ln((c(w1,w2)+1)/(c(w1)+V)), where c(w1) is
+    * the context count (Σ_w2 c(w1,w2)) and V the corpus vocabulary.
+    * Repetitive or templated text scores HIGH (its bigrams are
+    * common), incoherent token soup scores LOW — the gate a curation
+    * pipeline applies between the t02 heuristics and dedup.
+    *
+    * Scale shape: bigram construction is an in-row array transform
+    * (one generator, no per-position shuffle); the count tables are
+    * partial-aggregated shuffles keyed by bigram/context; the score
+    * join is keyed the same way (never all-pairs); V is a 1-row
+    * broadcast (the t12/t13 global-stats pattern). Everything is
+    * corpus-linear.
+    */
+  val t25LmQuality: Q = (s, d) =>
+    lmQuality(Tables.documents(s, d).select("doc_id", "text"))
+
+  /** The t25 scoring core over any (doc_id, text) frame (see t25 doc;
+    * exposed so specs can score synthetic corpora).
+    */
+  def lmQuality(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("ws"))
+    val words = toks.select(col("doc_id"), explode(col("ws")).as("w"))
+    // in-row bigram construction: (ws[i-1], ws[i]) for i in 1..n-1
+    val bigrams = toks.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cc = bigrams.groupBy("w1").agg(count(lit(1)).as("cw"))
+    val v = words.select(countDistinct("w").as("v"))
+    bigrams
+      .join(bc, Seq("w1", "w2"))
+      .join(cc, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("cb") + 1).cast("double") /
+          (col("cw") + col("v")))), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t25_lm_quality" -> t25LmQuality,
     "t24_span_dedup" -> t24SpanDedup,
     "t23_source_curation" -> t23SourceCuration,
     "t22_repetition" -> t22Repetition,
@@ -1417,6 +1468,33 @@ object TextOps {
     }.mkString(",\n  ")
     val langCols = langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
     Map(
+      // t25: the oracle retrains the same add-one bigram LM and
+      // rescores every doc; counts and V are exact integers, the
+      // division is one double op, ln/avg round-4 (the t12/t13 float
+      // contract).
+      "t25_lm_quality" ->
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+          |        FROM toks WHERE len(ws) >= 2)),
+          |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+          |cc AS (SELECT w1, count(*) AS cw FROM bg GROUP BY 1),
+          |v AS (
+          |  SELECT count(DISTINCT w) AS v
+          |  FROM (SELECT unnest(ws) AS w FROM toks))
+          |SELECT g.doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  round(avg(ln(CAST(bc.cb + 1 AS DOUBLE) / (cc.cw + v.v))), 4)
+          |    AS avg_logp
+          |FROM bg g
+          |JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+          |JOIN cc ON g.w1 = cc.w1
+          |CROSS JOIN v
+          |GROUP BY g.doc_id
+          |ORDER BY g.doc_id""".stripMargin,
       "t24_span_dedup" -> {
         val k = SpanDedupK
         s"""WITH toks AS (

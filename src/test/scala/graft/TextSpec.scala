@@ -361,6 +361,31 @@ class TextSpec extends SparkSpec {
       s"rolling_hashes projection not inside a codegen stage:\n$plan")
   }
 
+  test("t25 LM quality: common-bigram text outscores token soup, " +
+      "scores are finite log-probs") {
+    import spark.implicits._
+    // real corpus: every scored doc has a strictly negative finite score
+    val rows = TextOps.t25LmQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lp = r.getAs[Double]("avg_logp")
+      assert(lp < 0.0 && !lp.isNaN && !lp.isInfinite, s"bad score: $r")
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+    }
+    // synthetic: a doc built from the corpus' dominant bigram must
+    // outscore a doc of hapax gibberish (the CCNet gate's whole point)
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat again"),
+      (3L, "the cat sat on the mat too"),
+      (4L, "zqx wvu ponm lkj ihg fed")) // every bigram unique
+      .toDF("doc_id", "text")
+    val scored = TextOps.lmQuality(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(scored(1L) > scored(4L),
+      s"common-bigram doc must outscore gibberish: $scored")
+  }
+
   test("md5_hash48 expression equals the composed conv(substr(md5)) " +
       "form it replaced") {
     import spark.implicits._
