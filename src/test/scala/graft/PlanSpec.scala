@@ -54,6 +54,35 @@ class PlanSpec extends SparkSpec {
       s"query-set filter not pushed into the parquet scan:\n$p")
   }
 
+  test("q37/q38: portable HLL register tables partial-aggregate " +
+      "map-side; no all-pairs anywhere") {
+    Seq("q37_portable_hll", "q38_portable_hll_union").foreach { q =>
+      val p = plan(q)
+      // the register table is a mergeable sketch: max(rho) must
+      // combine map-side before the (group, register) exchange
+      assert(p.contains("partial_max") || p.contains("partial"),
+        s"$q: register agg not partial:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: cartesian product:\n$p")
+      // the exact-count join is a small-side broadcast
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: exact-count join should broadcast:\n$p")
+    }
+  }
+
+  test("t25: bigrams are an in-row generator, count joins stay keyed, " +
+      "the only nested-loop is the 1-row V broadcast") {
+    val p = plan("t25_lm_quality")
+    assert(p.contains("Generate"),
+      s"bigram construction must be a generator, not a self-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // the V cross-join is the t12/t13 1-row global-stats broadcast
+    // pattern; any OTHER nested loop would be an all-pairs accident
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1, s"unexpected nested-loop joins ($bnl):\n$p")
+    assert(p.contains("partial"), s"count tables not partial-agged:\n$p")
+  }
+
   test("m02: feature rollup partial-aggregates map-side and shuffles " +
       "only the (lang, bin) counts") {
     val p = plan("m02_media_features")
