@@ -770,6 +770,84 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  // --- v13: integer-exact LSH (the hyperplane twin of v12 — the
+  // second ANN family branch converted from golden-pinned to
+  // hash-oracled) ---
+
+  private val LshIntTables = 8
+  private val LshIntPlanes = 6
+
+  /** md5-derived integer hyperplane coordinate, centered on zero:
+    * h48("pl:t:p:j") mod 1024 − 512 ∈ [−512, 511]. Integer coords ×
+    * fixed-point vectors give EXACT BIGINT dot products (|dot| ≤
+    * 512·|qx|·64 ≪ 2⁶³), so the sign — and therefore every bucket —
+    * is engine-independent; DuckDB regenerates the same planes from
+    * the same md5 strings.
+    */
+  private def lshIntCoord(t: Int, p: Int, j: Int): Long =
+    graft.functions.Md5Hash48.hash48(
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString(s"pl:$t:$p:$j")) % 1024 - 512
+
+  /** v13 — random-hyperplane LSH ANN with integer-exact buckets: the
+    * v03 plan shape (bucket-keyed candidate join, never all-pairs)
+    * with v12's fixed-point arithmetic, so bucket assignment, the
+    * candidate set, and the integer-L2 ranking ALL hash-match the
+    * DuckDB oracle — v03 measures the float LSH's recall, v13 pins
+    * the LSH semantics themselves. 8 tables × 6 planes (the oracle
+    * recomputes 3 072 plane coordinates from md5, then every dot).
+    */
+  val v13AnnLshInt: Q = (s, d) => {
+    val planes: Array[Array[Array[Long]]] =
+      Array.tabulate(LshIntTables, LshIntPlanes, Dim)(lshIntCoord)
+    val bc = s.sparkContext.broadcast(planes)
+    val bucketUdf = udf { (v: Seq[Long]) =>
+      val va = v.toArray
+      (0 until LshIntTables).map { t =>
+        var b = 0
+        var p = 0
+        while (p < LshIntPlanes) {
+          val pc = bc.value(t)(p)
+          var acc = 0L
+          var j = 0
+          while (j < Dim && j < va.length) { acc += pc(j) * va(j); j += 1 }
+          if (acc >= 0L) b |= (1 << p)
+          p += 1
+        }
+        b
+      }
+    }
+    val d2Udf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      dist2Int(a.toArray, b.toArray)
+    }
+    val fe = fixedEmb(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+    // narrow bucket rows persist: both sides of the candidate join
+    val bucketed = fe
+      .select(col("vec_id"),
+        posexplode(bucketUdf(col("qv"))).as(Seq("tbl", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = bucketed.filter(col("vec_id") < IvfIntMaxQid)
+      .select(col("vec_id").as("qid"),
+        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val candIds = bucketed.join(q,
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+    val cand = candIds
+      .join(fe.select(col("vec_id").as("qid"), col("qv").as("qqv")), "qid")
+      .join(fe, "vec_id")
+      .select(col("qid"), col("vec_id"),
+        d2Udf(col("qqv"), col("qv")).as("d2"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("vec_id").as("ann_nid"), col("d2"))
+      .orderBy("qid")
+  }
+
   /** v04 — vector norm statistics per label (corpus sanity check every
     * embedding pipeline runs before indexing).
     */
@@ -883,9 +961,59 @@ object VectorOps {
     "v08_ann_ivfpq" -> v08AnnIvfPq,
     "v09_ann_ivfpq_indexed" -> v09AnnIvfPqIndexed,
     "v12_ann_ivf_int" -> v12AnnIvfInt,
+    "v13_ann_lsh_int" -> v13AnnLshInt,
   )
 
   val oracles: Map[String, String] = Map(
+    // v13: the oracle regenerates every integer plane coordinate from
+    // md5, recomputes every dot sign → bucket, the bucket-collision
+    // candidate set, and the integer-L2 ranking. fx's i is 1-based
+    // (generate_subscripts), plane dim j is 0-based → join on j = i−1.
+    "v13_ann_lsh_int" -> {
+      val scale = s"$FixScale.0"
+      s"""WITH fx AS (
+        |  SELECT vec_id,
+        |    CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT) AS qx, i
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)),
+        |pl AS (
+        |  SELECT t, p, j,
+        |    CAST('0x' || substr(md5('pl:' || CAST(t AS VARCHAR) || ':'
+        |        || CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+        |      1, 12) AS BIGINT) % 1024 - 512 AS c
+        |  FROM (SELECT unnest(range(0, $LshIntTables)) AS t) a
+        |  CROSS JOIN (SELECT unnest(range(0, $LshIntPlanes)) AS p) b
+        |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS j) cd),
+        |dots AS (
+        |  SELECT f.vec_id, pl.t, pl.p, sum(pl.c * f.qx) AS dot
+        |  FROM fx f JOIN pl ON pl.j = f.i - 1
+        |  GROUP BY 1, 2, 3),
+        |bk AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END)
+        |      AS INT) AS bucket
+        |  FROM dots GROUP BY 1, 2),
+        |cnd AS (
+        |  SELECT DISTINCT q.vec_id AS qid, b.vec_id
+        |  FROM bk q JOIN bk b
+        |    ON q.t = b.t AND q.bucket = b.bucket
+        |      AND b.vec_id <> q.vec_id
+        |  WHERE q.vec_id < $IvfIntMaxQid),
+        |cd AS (
+        |  SELECT c.qid, c.vec_id,
+        |    sum((q.qx - x.qx) * (q.qx - x.qx)) AS d2
+        |  FROM cnd c
+        |  JOIN fx q ON q.vec_id = c.qid
+        |  JOIN fx x ON x.vec_id = c.vec_id AND x.i = q.i
+        |  GROUP BY 1, 2)
+        |SELECT qid, vec_id AS ann_nid, CAST(d2 AS BIGINT) AS d2
+        |FROM (
+        |  SELECT qid, vec_id, d2, row_number() OVER (
+        |    PARTITION BY qid ORDER BY d2, vec_id) AS rk
+        |  FROM cd) WHERE rk = 1
+        |ORDER BY qid""".stripMargin
+    },
     // v12: the oracle recomputes the ENTIRE integer IVF — fixed-point
     // grid, md5-bucket sample order, stride init, both Lloyd
     // iterations (truncating // division ≡ Scala Long /), full-corpus

@@ -240,6 +240,35 @@ class VectorSpec extends SparkSpec {
     assert(hits >= 8, s"integer IVF recall too low: $hits/50")
   }
 
+  test("v13 integer LSH: deterministic, positive distances, and the " +
+      "bucket-collision neighbor tracks the exact integer-L2 top-1") {
+    val a = VectorOps.v13AnnLshInt(spark, sf).collect()
+    val b = VectorOps.v13AnnLshInt(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("ann_nid")).toMap
+    val ids = a.map(r => r.getAs[Long]("qid") -> r.getAs[Long]("ann_nid"))
+      .toMap
+    assert(ids === b, "integer LSH must be deterministic across runs")
+    assert(ids.nonEmpty)
+    a.foreach(r => assert(r.getAs[Long]("d2") > 0L))
+    val e = Tables.embeddings(spark, sf).selectExpr("vec_id",
+      "transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 10000.0D) AS BIGINT)) AS v")
+    val q = e.filter(col("vec_id") < 50)
+      .withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qv")
+    val d2c = aggregate(zip_with(col("qv"), col("v"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    val brute = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), d2c.as("d2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d2").asc, col("vec_id").asc)))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id"))
+      .toMap
+    val hits = brute.count { case (k, v) => ids.get(k).contains(v) }
+    assert(hits >= 8, s"integer LSH recall too low: $hits/50")
+  }
+
   test("v04 norms: embeddings are ~unit-norm") {
     VectorOps.v04NormStats(spark, sf).collect().foreach { r =>
       assert(math.abs(r.getAs[Double]("avg_norm") - 1.0) < 0.01)
