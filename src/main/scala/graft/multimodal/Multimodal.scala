@@ -380,6 +380,42 @@ object Multimodal {
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
+  // --- resample (m08) ---
+
+  /** REAL resample operator over the audio column: nearest-neighbor
+    * sample-rate conversion of every WAV blob to `rate` Hz via
+    * [[Wav.resampleNearest]] — binary→binary, pure map-side, output
+    * blobs are fully valid PCM16 WAVs at the new rate.
+    */
+  def resample(audio: DataFrame, rate: Int): DataFrame = {
+    val rs = udf { (blob: Array[Byte]) => Wav.resampleNearest(blob, rate) }
+    audio.withColumn("blob", rs(col("blob")))
+  }
+
+  /** m08 target rate: the corpus carries 8/16/24 kHz blobs, so the
+    * 8 kHz downsample exercises 1:1, 2:1, and 3:1 integer ratios.
+    */
+  val ResampleRate = 8000
+
+  /** m08 — resample + decode stats of the RESAMPLED bytes (the audio
+    * twin of m07): the query reads rate/channels/counts back out of
+    * the re-encoded WAV and aggregates the resampled samples, so the
+    * oracle (which recomputes the nearest-neighbor frame map
+    * ⌊f·inRate/outRate⌋ from the synthesis formula) verifies every
+    * output sample end-to-end.
+    */
+  val m08Resample: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Wav.decodeMeta(blob)
+      val st = Wav.stats(Wav.samples(blob))
+      AudioStats(m.sampleRate, m.channels, m.nSamples,
+        st.peakAbs, st.sumAbs, st.sumSq)
+    }
+    resample(audioTable(s, d), ResampleRate)
+      .withColumn("a", dec(col("blob")))
+      .select(col("doc_id"), col("a.*")).orderBy("doc_id")
+  }
+
   // --- driver-contract queries ---
 
   val queries: Map[String, Q] = Map(
@@ -390,6 +426,7 @@ object Multimodal {
     "m05_image_stats" -> m05ImageStats,
     "m06_video_frame_stats" -> m06VideoFrameStats,
     "m07_resize" -> m07Resize,
+    "m08_audio_resample" -> m08Resample,
   )
 
   // Every oracle recomputes container contents from the synthesis
@@ -531,6 +568,43 @@ object Multimodal {
         |  CAST((n_frames + 1) // 2 AS INT) AS n_sampled,
         |  sum_r, sum_g, sum_b, peak_lum
         |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
+    // m08: output frame f of the `ResampleRate` downsample reads input
+    // frame (f·inRate)//outRate; interleaved sample index = frame·ch+c,
+    // whose value comes from the m04 synthesis formula. The corpus'
+    // 8/16/24 kHz rates exercise 1:1, 2:1, 3:1 integer ratios.
+    "m08_audio_resample" -> {
+      val or = ResampleRate
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 8000 AS INT) AS r,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(n_chars % 96 + 32 AS INT) AS in_frames
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, r, ch,
+        |    CAST(in_frames * $or // r AS INT) AS out_frames
+        |  FROM p),
+        |fr AS (
+        |  SELECT doc_id, r, ch, unnest(range(0, out_frames)) AS f
+        |  FROM g),
+        |sm AS (
+        |  SELECT doc_id, r, ch, f, unnest(range(0, ch)) AS c FROM fr),
+        |s AS (
+        |  SELECT doc_id,
+        |    (doc_id * 31 + ((f * r // $or) * ch + c) * 7919) % 65536
+        |      - 32768 AS v
+        |  FROM sm),
+        |a AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_samples,
+        |    CAST(max(abs(v)) AS INT) AS peak_abs,
+        |    CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |    CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |  FROM s GROUP BY doc_id)
+        |SELECT g.doc_id, CAST($or AS INT) AS sample_rate,
+        |  g.ch AS channels, a.n_samples, peak_abs, sum_abs, sum_sq
+        |FROM g JOIN a ON g.doc_id = a.doc_id
+        |ORDER BY g.doc_id""".stripMargin
+    },
     // m07: output pixel i of the 8×6 resample maps to source pixel
     // sp = (⌊i/8⌋·h ÷ 6)·w + (i mod 8)·w ÷ 8 (integer division — the
     // exact nearest-neighbor rule resizeNearest implements), whose

@@ -127,6 +127,32 @@ object Wav {
     out
   }
 
+  /** REAL resample over the real format (the audio twin of
+    * [[Bmp.resizeNearest]]): nearest-neighbor sample-rate conversion
+    * to `outRate` — output frame f reads input frame ⌊f·inRate/outRate⌋
+    * (integer division, channel-preserving), the exact integer mapping
+    * an oracle can recompute without float tolerance. Output frame
+    * count is ⌊frames·outRate/inRate⌋. Returns a fully valid PCM16 WAV
+    * at the new rate; pure byte kernel, map-side like decode.
+    */
+  def resampleNearest(blob: Array[Byte], outRate: Int): Array[Byte] = {
+    require(outRate > 0, s"bad target rate $outRate")
+    val m = decodeMeta(blob)
+    val in = samples(blob)
+    val ch = m.channels
+    val inFrames = m.nSamples / ch
+    val outFrames = (inFrames.toLong * outRate / m.sampleRate).toInt
+    val out = new Array[Short](outFrames * ch)
+    var f = 0
+    while (f < outFrames) {
+      val sf = (f.toLong * m.sampleRate / outRate).toInt
+      var c = 0
+      while (c < ch) { out(f * ch + c) = in(sf * ch + c); c += 1 }
+      f += 1
+    }
+    encodePcm16(out, outRate, ch)
+  }
+
   /** Exact integer sample statistics — peak |s|, Σ|s|, Σs² — chosen so
     * the DuckDB oracle reproduces them with exact BIGINT arithmetic
     * (float RMS would hash-mismatch on summation order).

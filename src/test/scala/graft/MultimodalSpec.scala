@@ -327,6 +327,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wav resampleNearest: identity at same rate, exact every-2nd-" +
+      "frame at 2:1, channel interleave preserved") {
+    // identity: same-rate resample reproduces the fixture byte-for-byte
+    val mono = fixture("sine_mono_8k.wav")
+    assert(Wav.resampleNearest(mono, 8000).sameElements(mono))
+    // 2:1 on the stereo fixture: output frame f = input frame 2f, both
+    // channels of the frame kept together
+    val stereo = fixture("ramp_stereo_44k.wav") // 44100 Hz, 2ch
+    val out = Wav.resampleNearest(stereo, 22050)
+    val m = Wav.decodeMeta(out)
+    assert(m.sampleRate === 22050 && m.channels === 2)
+    val in = Wav.samples(stereo)
+    val os = Wav.samples(out)
+    assert(os.length === (in.length / 2 / 2) * 2)
+    for (f <- 0 until os.length / 2; c <- 0 until 2)
+      assert(os(f * 2 + c) === in(2 * f * 2 + c),
+        s"output frame $f ch $c must be input frame ${2 * f}")
+  }
+
+  test("m08 resample stats match a direct recompute through " +
+      "resampleNearest") {
+    val rows = Multimodal.m08Resample(spark, sf).collect()
+    assert(rows.length > 0)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.take(50).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ch = 1 + (id % 2).toInt
+      val rate = 8000 + (id % 3).toInt * 8000
+      val n = ((docs(id) % 96).toInt + 32) * ch
+      val src = Wav.encodePcm16(Multimodal.synthSamples(id, n), rate, ch)
+      val st = Wav.stats(Wav.samples(
+        Wav.resampleNearest(src, Multimodal.ResampleRate)))
+      assert(r.getAs[Int]("sample_rate") === Multimodal.ResampleRate)
+      assert(r.getAs[Int]("channels") === ch)
+      assert(r.getAs[Int]("peak_abs") === st.peakAbs)
+      assert(r.getAs[Long]("sum_abs") === st.sumAbs)
+      assert(r.getAs[Long]("sum_sq") === st.sumSq)
+    }
+  }
+
   test("bmp resizeNearest maps every output pixel by the exact " +
       "integer rule and yields a valid BMP") {
     val w = 7; val h = 5 // off-grid both ways
