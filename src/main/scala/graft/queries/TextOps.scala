@@ -1131,8 +1131,11 @@ object TextOps {
 
   /** t13 — BM25 document scoring for a fixed query (Robertson/Spärck
     * Jones; k1=1.2, b=0.75): the standard retrieval ranking over the
-    * same tf/df/length statistics as t12, one aggregation pipeline +
-    * broadcast joins. Top-10 documents for a 3-term query.
+    * same tf/df/length statistics as t12. Top-10 documents for a
+    * 3-term query. Broadcast only what is bounded by the QUERY
+    * (dfreq: |query| rows; stats: 1 row); the per-document length
+    * table `dl` is corpus-sized, so tf ⋈ dl is a keyed shuffle join
+    * on doc_id — forcing a broadcast there would OOM at 100 TB.
     */
   val t13Bm25: Q = (s, d) => {
     val k1 = 1.2; val b = 0.75
@@ -1148,7 +1151,7 @@ object TextOps {
     val dfreq = w.filter(col("term").isin(queryTerms: _*))
       .distinct().groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
-      .join(broadcast(dl), "doc_id")
+      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (log((col("n") - col("df") + lit(0.5)) /

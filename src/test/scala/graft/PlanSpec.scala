@@ -305,6 +305,36 @@ class PlanSpec extends SparkSpec {
       s"payload join keyed on gram text:\n$p")
   }
 
+  test("t12/t13/t25: the retrieval family never statically broadcasts " +
+      "a per-document aggregate (corpus-sized build side)") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    // a table whose OUTPUT still carries doc_id has one row per corpus
+    // document — a HINT-forced broadcast of it is the 100 TB OOM shape
+    // (the r7 t13 defect: broadcast(dl)). Query-bounded tables (per-term
+    // dfreq, 1-row global stats) carry no doc_id and remain legitimately
+    // broadcastable. Size-driven broadcasts (static threshold or AQE)
+    // adapt at scale and are fine — so we plan with the auto threshold
+    // OFF, leaving only hint-forced broadcasts in the static plan.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try Seq("t12_tfidf", "t13_bm25", "t25_lm_quality").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val offenders = p.collect {
+        case j: BroadcastHashJoinExec =>
+          j.buildSide match { case BuildLeft => j.left
+                              case BuildRight => j.right }
+        case j: BroadcastNestedLoopJoinExec =>
+          j.buildSide match { case BuildLeft => j.left
+                              case BuildRight => j.right }
+      }.filter(_.output.exists(_.name == "doc_id"))
+      assert(offenders.isEmpty,
+        s"$q: a per-document table is hint-broadcast:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the q02 agg pipeline") {
     // AQE hides codegen markers until the final plan materializes —
     // execute first, then inspect; codegen'd stages render as "*(n)"
