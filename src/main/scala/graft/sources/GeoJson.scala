@@ -225,13 +225,35 @@ object GeoJson {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** Driver-side single-file sinks refuse frames larger than this.
+    * They exist for the reference's ~100-feature published layers
+    * (byte-compatible envelope assembly is inherently single-writer);
+    * at 100 k features × ~200 B the driver buffer is ~20 MB — beyond
+    * that use [[writePartitioned]], the cluster-scale sink.
+    */
+  val MaxSingleFileFeatures = 100000
+
+  /** take()-bounded collect: fails fast (no full-frame scan, no driver
+    * OOM) when the frame exceeds `maxRows`, pointing at the
+    * partitioned sink.
+    */
+  private def collectGuarded(lines: DataFrame, path: String,
+      maxRows: Int): Array[String] = {
+    val taken = lines.take(maxRows + 1)
+    require(taken.length <= maxRows,
+      s"single-file GeoJSON sink at $path: frame exceeds $maxRows " +
+        "features; this sink assembles the file on the driver — use " +
+        "GeoJson.writePartitioned for cluster-scale output")
+    taken.map(_.getString(0))
+  }
+
   /** Overwrite-write a single FeatureCollection file with the CRS84
     * header the reference emits (service-areas.geojson:1-4).
     */
   def write(df: DataFrame, geometryCol: String, path: String,
-      name: String): Unit =
+      name: String, maxRows: Int = MaxSingleFileFeatures): Unit =
     writeCollection(
-      featureLines(df, geometryCol).collect().map(_.getString(0)),
+      collectGuarded(featureLines(df, geometryCol), path, maxRows),
       path, name)
 
   private def jsonEscape(s: String): String = {
@@ -255,7 +277,7 @@ object GeoJson {
     * on executors; the driver only assembles the envelope.
     */
   def writeGdal(df: DataFrame, geometryCol: String, path: String,
-      name: String): Unit = {
+      name: String, maxRows: Int = MaxSingleFileFeatures): Unit = {
     val props = df.schema.fields.filterNot(_.name == geometryCol)
     val propNames = props.map(_.name)
     val lineUdf = udf { (r: Row, wkb: Array[Byte]) =>
@@ -281,10 +303,11 @@ object GeoJson {
       sb.append(" }")
       sb.toString
     }
-    val lines = df.select(lineUdf(
+    val lines = collectGuarded(
+      df.select(lineUdf(
         struct(propNames.toIndexedSeq.map(col): _*), col(geometryCol))
-        .as("feature"))
-      .collect().map(_.getString(0))
+        .as("feature")),
+      path, maxRows)
     writeCollection(lines, path, name)
   }
 

@@ -312,6 +312,30 @@ class GeoSpec extends SparkSpec {
     assert(GeoJson.read(spark, path).count() === 2)
   }
 
+  test("single-file geojson sinks fail fast past the row guard and " +
+      "point at the partitioned sink") {
+    GeoFunctions.registerAll(spark)
+    import spark.implicits._
+    val df = (1 to 12).map(i =>
+        (i, s"POINT ($i $i)")).toDF("id", "wkt")
+      .select(col("id"), st_geomFromText(col("wkt")).as("geometry"))
+    val path = java.nio.file.Files.createTempDirectory("geojson-guard")
+      .resolve("big.geojson").toString
+    val e1 = intercept[IllegalArgumentException] {
+      GeoJson.write(df, "geometry", path, "big", maxRows = 10)
+    }
+    assert(e1.getMessage.contains("writePartitioned"))
+    val e2 = intercept[IllegalArgumentException] {
+      GeoJson.writeGdal(df, "geometry", path, "big", maxRows = 10)
+    }
+    assert(e2.getMessage.contains("writePartitioned"))
+    // nothing was written on the failing path
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    // at the guard boundary the write still succeeds
+    GeoJson.write(df.limit(10), "geometry", path, "big", maxRows = 10)
+    assert(GeoJson.read(spark, path).count() === 10)
+  }
+
   test("overlay/measure surface: intersection, difference, symdifference, " +
       "buffer, simplify, length, type, isempty") {
     GeoFunctions.registerAll(spark)
