@@ -94,6 +94,12 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"")
         .mkString(""","failed":[""", ",", "]")
+    // a filtered run is self-identifying: its total/n_ok cover only the
+    // listed prefixes, so downstream drift tooling can never mistake a
+    // left-behind filtered bench_out.json for a full-suite record
+    val onlyJson =
+      if (only.isEmpty) ""
+      else only.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]")
     // Full-resolution line (long query names, 3 decimals) → file only:
     // the launcher keeps just the LAST 2000 chars of stdout for parsing,
     // and this line is ~2.6k chars — it can never fit (rounds 1–5 all
@@ -107,7 +113,7 @@ object Bench {
       "\"" + k + "\":" + ts.map(fmt(_, 3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val lineFull =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsFull,"iters":$itersJson,"index_warm":$warmSec%.3f$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsFull,"iters":$itersJson,"index_warm":$warmSec%.3f$failedJson$onlyJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), lineFull)
@@ -127,7 +133,7 @@ object Bench {
       "\"" + key + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
     val lineShort =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsShort,"index_warm":$warmSec%.2f$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsShort,"index_warm":$warmSec%.2f$failedJson$onlyJson,"sf":"$sfDir"}"""
     println(lineShort)
     spark.stop()
   }

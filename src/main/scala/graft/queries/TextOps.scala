@@ -181,9 +181,12 @@ object TextOps {
     * the VALUE and the DuckDB twin are unchanged, and the signature
     * stage of every band-table build got ~2× cheaper.
     */
-  private def h48(c: Column): Column = {
-    graft.functions.Md5Hash48.registerAll(
-      org.apache.spark.sql.SparkSession.active)
+  private def h48(s: SparkSession, c: Column): Column = {
+    // registration must target the session that OWNS the plan being
+    // built — SparkSession.active can be a different (or no) session
+    // on foreign threads, yielding an unresolved-function error at
+    // analysis time in multi-session processes
+    graft.functions.Md5Hash48.registerAll(s)
     graft.functions.Md5Hash48.md5_hash48(c)
   }
 
@@ -482,7 +485,7 @@ object TextOps {
     val mhCols = minHashSeeds.map { case (j, a, b) =>
       min(expr(s"($a * h + $b) & $Mask48")).as(s"mh$j")
     }
-    val sigs = grams.withColumn("h", h48(col("gram")))
+    val sigs = grams.withColumn("h", h48(docs.sparkSession, col("gram")))
       .groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bucketCols = (0 until nBands).map(b =>
       concat_ws(",", (0 until rowsPerBand).map(j =>
@@ -640,7 +643,7 @@ object TextOps {
     val toks = docs
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .select(col("doc_id"), h48(col("tok")).as("th"))
+      .select(col("doc_id"), h48(docs0.sparkSession, col("tok")).as("th"))
     val bits = toks
       .select(col("doc_id"), col("th"),
         explode(sequence(lit(0), lit(47))).as("b"))

@@ -146,11 +146,17 @@ object VectorOps {
     // Dedup candidate (qid, vec_id) pairs on narrow keys BEFORE joining
     // the wide vector payload back — at scale this is the difference
     // between shuffling ids and shuffling the whole embedding matrix.
+    // Eager localCheckpoint materializes the small candidate set off
+    // the warm bucket cache so `bucketed` can be unpersisted HERE
+    // (repeated invocations otherwise accumulate cached copies);
+    // checkpoint blocks are ContextCleaner-managed.
     val candIds = bucketed.join(q,
         col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
           col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
       .distinct()
+      .localCheckpoint()
+    bucketed.unpersist()
     val cand = candIds
       .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
       .join(e.select(col("vec_id"), col("v")), "vec_id")
@@ -830,11 +836,16 @@ object VectorOps {
     val q = bucketed.filter(col("vec_id") < IvfIntMaxQid)
       .select(col("vec_id").as("qid"),
         col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    // eager localCheckpoint + immediate unpersist: same cache-lifetime
+    // pattern as v03 above (VectorSpec runs twice, bench three times —
+    // a leaked persist accumulates until an external clearCache)
     val candIds = bucketed.join(q,
         col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
           col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
       .distinct()
+      .localCheckpoint()
+    bucketed.unpersist()
     val cand = candIds
       .join(fe.select(col("vec_id").as("qid"), col("qv").as("qqv")), "qid")
       .join(fe, "vec_id")
