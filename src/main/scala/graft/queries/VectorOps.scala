@@ -859,6 +859,141 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  // --- v14: integer-exact IVF+PQ (the PQ family's hash-oracled member
+  // — v12's fixed-point training extended to the per-subspace
+  // codebooks, per the round-7 verdict: integer centroid accumulators,
+  // exact BIGINT ADC tables, deterministic rounding, so coarse
+  // training, residual codebook training, code assignment, the ADC
+  // shortlist, and the final rerank are ALL DuckDB-recomputable) ---
+
+  private val PqIntM = 8         // subspaces (sub = Dim/M = 8 dims each)
+  private val PqIntK = 16        // codes per subspace codebook
+  private val PqIntShortlist = 10
+
+  /** v14 — IVF+PQ with every number a BIGINT: the v08 architecture
+    * (coarse quantizer → residual product quantization → ADC → exact
+    * rerank) on v12's fixed-point grid. The coarse quantizer is
+    * BIT-IDENTICAL to v12's (same sample, same integer Lloyd's); the
+    * per-subspace codebooks train on integer residuals with the same
+    * truncating-division centroid update; ADC lookup tables are exact
+    * integer squared-L2 per (query, probed cell, subspace, code).
+    * Plan shape: codebooks broadcast, encode map-side over narrow
+    * (vec_id, cell, codes) rows — the 32×-compressed scan — candidates
+    * from a broadcast (qid, cell) probe join, shortlist pruned
+    * map-side by WindowGroupLimit, exact rerank only on the
+    * shortlist×query join. v07/v08 measure the float PQ's recall; v14
+    * pins the PQ semantics themselves against the oracle.
+    */
+  val v14AnnIvfPqInt: Q = (s, d) => {
+    val sub = Dim / PqIntM
+    val fe = fixedEmb(s, d)
+    // bounded deterministic training sample — IDENTICAL to v12's
+    val sample = fe
+      .orderBy(graft.operators.Sampling.portableBucket(col("vec_id")),
+        col("vec_id"))
+      .limit(IvfIntNlist * 40)
+      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    val cents = intKmeansFit(sample, IvfIntNlist, IvfIntIters)
+    // integer residuals of the training rows under the trained coarse
+    // quantizer (assignment of a sample row ≡ full-corpus assignment
+    // restricted to it — same centroids, same tie-break)
+    val sres = sample.map { v =>
+      val c = cents(nearestCellInt(cents, v))
+      Array.tabulate(Dim)(j => v(j) - c(j))
+    }
+    val codebooks: Array[Array[Array[Long]]] =
+      Array.tabulate(PqIntM) { mi =>
+        intKmeansFit(sres.map(_.slice(mi * sub, (mi + 1) * sub)),
+          PqIntK, IvfIntIters)
+      }
+    val bc = s.sparkContext.broadcast((cents, codebooks))
+
+    // map-side encode: cell routing + per-subspace residual codes
+    val encodeUdf = udf { (v: Seq[Long]) =>
+      val (cents2, cbs) = bc.value
+      val va = v.toArray
+      val cell = nearestCellInt(cents2, va)
+      val c = cents2(cell)
+      val codes = Array.tabulate(PqIntM) { mi =>
+        val r = Array.tabulate(sub)(j =>
+          va(mi * sub + j) - c(mi * sub + j))
+        nearestCellInt(cbs(mi), r)
+      }
+      (cell, codes.toSeq)
+    }
+    val e = fe.repartition(s.sparkContext.defaultParallelism)
+    val assigned = e
+      .select(col("vec_id"), encodeUdf(col("qv")).as("enc"))
+      .select(col("vec_id"), col("enc._1").as("cell"),
+        col("enc._2").as("codes"))
+
+    // bounded driver-side query prep (≤ IvfIntMaxQid rows regardless
+    // of corpus size): probe sets + exact BIGINT ADC tables
+    val queries = fe.filter(col("vec_id") < IvfIntMaxQid)
+      .select("vec_id", "qv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val qMeta: Map[Long, Map[Int, Array[Array[Long]]]] =
+      queries.map { case (qid, qv) =>
+        val probed = cents.indices
+          .map(c => (dist2Int(cents(c), qv), c))
+          .sorted.take(IvfIntNprobe).map(_._2)
+        val luts = probed.map { cell =>
+          val c = cents(cell)
+          cell -> Array.tabulate(PqIntM) { mi =>
+            Array.tabulate(PqIntK) { co =>
+              var acc = 0L
+              var j = 0
+              while (j < sub) {
+                val dd = qv(mi * sub + j) - c(mi * sub + j) -
+                  codebooks(mi)(co)(j)
+                acc += dd * dd; j += 1
+              }
+              acc
+            }
+          }
+        }.toMap
+        qid -> luts
+      }.toMap
+    val bcQ = s.sparkContext.broadcast(qMeta)
+
+    import s.implicits._
+    val qProbe = qMeta.toSeq
+      .flatMap { case (qid, luts) => luts.keys.map(c => (qid, c)) }
+      .sorted.toDF("qid", "cell")
+    val adcUdf = udf { (qid: Long, cell: Int, codes: Seq[Int]) =>
+      val lut = bcQ.value(qid)(cell)
+      var acc = 0L
+      var mi = 0
+      while (mi < PqIntM) { acc += lut(mi)(codes(mi)); mi += 1 }
+      acc
+    }
+    // each corpus vector lives in exactly one cell and (qid, cell) is
+    // unique, so no candidate dedup is needed (v12's invariant)
+    val adc = assigned.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        adcUdf(col("qid"), col("cell"), col("codes")).as("adc_d2"))
+    val wAdc = Window.partitionBy("qid")
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    val shortlist = adc.withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= PqIntShortlist)
+      .select("qid", "vec_id")
+    val d2Udf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      dist2Int(a.toArray, b.toArray)
+    }
+    val qDf = fe.filter(col("vec_id") < IvfIntMaxQid)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    val rer = shortlist.join(fe, "vec_id").join(broadcast(qDf), "qid")
+      .select(col("qid"), col("vec_id"),
+        d2Udf(col("qqv"), col("qv")).as("d2"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    rer.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("vec_id").as("ann_nid"), col("d2"))
+      .orderBy("qid")
+  }
+
   /** v04 — vector norm statistics per label (corpus sanity check every
     * embedding pipeline runs before indexing).
     */
@@ -973,7 +1108,86 @@ object VectorOps {
     "v09_ann_ivfpq_indexed" -> v09AnnIvfPqIndexed,
     "v12_ann_ivf_int" -> v12AnnIvfInt,
     "v13_ann_lsh_int" -> v13AnnLshInt,
+    "v14_ann_ivfpq_int" -> v14AnnIvfPqInt,
   )
+
+  /** Shared oracle prefix for the integer IVF family (v12, v14): the
+    * fixed-point grid, the md5-bucket training sample, stride init,
+    * both truncating-division Lloyd iterations, full-corpus cell
+    * assignment (`asg`), and the per-query probe sets (`prb`).
+    */
+  private lazy val ivfIntCoreCtes: String = {
+    val scale = s"$FixScale.0"
+    val n = IvfIntNlist * 40
+    s"""WITH fx AS (
+      |  SELECT vec_id,
+      |    CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT) AS qx, i
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings)),
+      |smp AS (
+      |  SELECT vec_id, rn FROM (
+      |    SELECT vec_id, row_number() OVER (ORDER BY
+      |        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12)
+      |          AS BIGINT) % 1000000, vec_id) AS rn
+      |    FROM embeddings)
+      |  WHERE rn <= $n),
+      |nn AS (SELECT count(*) AS n FROM smp),
+      |sfx AS (
+      |  SELECT f.vec_id, f.i, f.qx
+      |  FROM fx f JOIN smp ON smp.vec_id = f.vec_id),
+      |c0 AS (
+      |  SELECT g.c AS cell, f.i, f.qx AS cx
+      |  FROM (SELECT unnest(range(0, $IvfIntNlist)) AS c) g
+      |  CROSS JOIN nn
+      |  JOIN smp ON smp.rn = (g.c * nn.n) // $IvfIntNlist + 1
+      |  JOIN fx f ON f.vec_id = smp.vec_id),
+      |d1 AS (
+      |  SELECT s.vec_id, c.cell,
+      |    sum((s.qx - c.cx) * (s.qx - c.cx)) AS d2
+      |  FROM sfx s JOIN c0 c ON s.i = c.i GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |u1 AS (
+      |  SELECT a.cell, s.i, CAST(sum(s.qx) // count(*) AS BIGINT) AS cx
+      |  FROM a1 a JOIN sfx s ON s.vec_id = a.vec_id GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT c0.cell, c0.i, coalesce(u.cx, c0.cx) AS cx
+      |  FROM c0 LEFT JOIN u1 u ON u.cell = c0.cell AND u.i = c0.i),
+      |d2_ AS (
+      |  SELECT s.vec_id, c.cell,
+      |    sum((s.qx - c.cx) * (s.qx - c.cx)) AS d2
+      |  FROM sfx s JOIN c1 c ON s.i = c.i GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      |    FROM d2_) WHERE rk = 1),
+      |u2 AS (
+      |  SELECT a.cell, s.i, CAST(sum(s.qx) // count(*) AS BIGINT) AS cx
+      |  FROM a2 a JOIN sfx s ON s.vec_id = a.vec_id GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT c1.cell, c1.i, coalesce(u.cx, c1.cx) AS cx
+      |  FROM c1 LEFT JOIN u2 u ON u.cell = c1.cell AND u.i = c1.i),
+      |dA AS (
+      |  SELECT f.vec_id, c.cell,
+      |    sum((f.qx - c.cx) * (f.qx - c.cx)) AS d2
+      |  FROM fx f JOIN c2 c ON f.i = c.i GROUP BY 1, 2),
+      |asg AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      |    FROM dA) WHERE rk = 1),
+      |prb AS (
+      |  SELECT vec_id AS qid, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      |    FROM dA WHERE vec_id < $IvfIntMaxQid) WHERE rk <= $IvfIntNprobe)"""
+      .stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // v13: the oracle regenerates every integer plane coordinate from
@@ -1030,77 +1244,10 @@ object VectorOps {
     // iterations (truncating // division ≡ Scala Long /), full-corpus
     // assignment, probe set, and integer-L2 ranking. Every
     // intermediate is BIGINT, so this hash-verifies coarse-quantizer
-    // training itself, not just the final rerank.
-    "v12_ann_ivf_int" -> {
-      val scale = s"$FixScale.0"
-      val n = IvfIntNlist * 40
-      s"""WITH fx AS (
-        |  SELECT vec_id,
-        |    CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT) AS qx, i
-        |  FROM (SELECT vec_id, unnest(embedding) AS x,
-        |          generate_subscripts(embedding, 1) AS i
-        |        FROM embeddings)),
-        |smp AS (
-        |  SELECT vec_id, rn FROM (
-        |    SELECT vec_id, row_number() OVER (ORDER BY
-        |        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12)
-        |          AS BIGINT) % 1000000, vec_id) AS rn
-        |    FROM embeddings)
-        |  WHERE rn <= $n),
-        |nn AS (SELECT count(*) AS n FROM smp),
-        |sfx AS (
-        |  SELECT f.vec_id, f.i, f.qx
-        |  FROM fx f JOIN smp ON smp.vec_id = f.vec_id),
-        |c0 AS (
-        |  SELECT g.c AS cell, f.i, f.qx AS cx
-        |  FROM (SELECT unnest(range(0, $IvfIntNlist)) AS c) g
-        |  CROSS JOIN nn
-        |  JOIN smp ON smp.rn = (g.c * nn.n) // $IvfIntNlist + 1
-        |  JOIN fx f ON f.vec_id = smp.vec_id),
-        |d1 AS (
-        |  SELECT s.vec_id, c.cell,
-        |    sum((s.qx - c.cx) * (s.qx - c.cx)) AS d2
-        |  FROM sfx s JOIN c0 c ON s.i = c.i GROUP BY 1, 2),
-        |a1 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
-        |    FROM d1) WHERE rk = 1),
-        |u1 AS (
-        |  SELECT a.cell, s.i, CAST(sum(s.qx) // count(*) AS BIGINT) AS cx
-        |  FROM a1 a JOIN sfx s ON s.vec_id = a.vec_id GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT c0.cell, c0.i, coalesce(u.cx, c0.cx) AS cx
-        |  FROM c0 LEFT JOIN u1 u ON u.cell = c0.cell AND u.i = c0.i),
-        |d2_ AS (
-        |  SELECT s.vec_id, c.cell,
-        |    sum((s.qx - c.cx) * (s.qx - c.cx)) AS d2
-        |  FROM sfx s JOIN c1 c ON s.i = c.i GROUP BY 1, 2),
-        |a2 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
-        |    FROM d2_) WHERE rk = 1),
-        |u2 AS (
-        |  SELECT a.cell, s.i, CAST(sum(s.qx) // count(*) AS BIGINT) AS cx
-        |  FROM a2 a JOIN sfx s ON s.vec_id = a.vec_id GROUP BY 1, 2),
-        |c2 AS (
-        |  SELECT c1.cell, c1.i, coalesce(u.cx, c1.cx) AS cx
-        |  FROM c1 LEFT JOIN u2 u ON u.cell = c1.cell AND u.i = c1.i),
-        |dA AS (
-        |  SELECT f.vec_id, c.cell,
-        |    sum((f.qx - c.cx) * (f.qx - c.cx)) AS d2
-        |  FROM fx f JOIN c2 c ON f.i = c.i GROUP BY 1, 2),
-        |asg AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
-        |    FROM dA) WHERE rk = 1),
-        |prb AS (
-        |  SELECT vec_id AS qid, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
-        |    FROM dA WHERE vec_id < $IvfIntMaxQid) WHERE rk <= $IvfIntNprobe),
+    // training itself, not just the final rerank. The CTE chain
+    // through `prb` is shared with v14 (ivfIntCoreCtes).
+    "v12_ann_ivf_int" ->
+      s"""$ivfIntCoreCtes,
         |cnd AS (
         |  SELECT p.qid, a.vec_id
         |  FROM prb p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid),
@@ -1110,6 +1257,117 @@ object VectorOps {
         |  FROM cnd c
         |  JOIN fx q ON q.vec_id = c.qid
         |  JOIN fx t ON t.vec_id = c.vec_id AND t.i = q.i
+        |  GROUP BY 1, 2)
+        |SELECT qid, vec_id AS ann_nid, CAST(d2 AS BIGINT) AS d2
+        |FROM (
+        |  SELECT qid, vec_id, d2, row_number() OVER (
+        |    PARTITION BY qid ORDER BY d2, vec_id) AS rk
+        |  FROM cd) WHERE rk = 1
+        |ORDER BY qid""".stripMargin,
+    // v14: v12's oracle extended through the PQ stage — integer
+    // residuals under the trained coarse quantizer, per-subspace
+    // codebook training as the SAME two-iteration truncating-division
+    // Lloyd's with the subspace as a grouping key, full-corpus code
+    // assignment, exact BIGINT ADC tables per (query, probed cell,
+    // subspace, code), the ADC shortlist, and the exact integer
+    // rerank. Every intermediate is BIGINT: the oracle hash-verifies
+    // codebook TRAINING and ADC scoring, not just the final ranking.
+    "v14_ann_ivfpq_int" -> {
+      val sub = Dim / PqIntM
+      s"""$ivfIntCoreCtes,
+        |res AS (
+        |  SELECT f.vec_id, (f.i - 1) // $sub AS mi,
+        |    (f.i - 1) % $sub AS jl, f.qx - c.cx AS r
+        |  FROM fx f
+        |  JOIN asg a ON a.vec_id = f.vec_id
+        |  JOIN c2 c ON c.cell = a.cell AND c.i = f.i),
+        |sres AS (
+        |  SELECT r.vec_id, r.mi, r.jl, r.r
+        |  FROM res r JOIN smp ON smp.vec_id = r.vec_id),
+        |p0 AS (
+        |  SELECT g.co, sr.mi, sr.jl, sr.r AS cb
+        |  FROM (SELECT unnest(range(0, $PqIntK)) AS co) g
+        |  CROSS JOIN nn
+        |  JOIN smp ON smp.rn = (g.co * nn.n) // $PqIntK + 1
+        |  JOIN sres sr ON sr.vec_id = smp.vec_id),
+        |pd1 AS (
+        |  SELECT sr.vec_id, sr.mi, p.co,
+        |    sum((sr.r - p.cb) * (sr.r - p.cb)) AS d2
+        |  FROM sres sr JOIN p0 p ON p.mi = sr.mi AND p.jl = sr.jl
+        |  GROUP BY 1, 2, 3),
+        |pa1 AS (
+        |  SELECT vec_id, mi, co FROM (
+        |    SELECT vec_id, mi, co, row_number() OVER (
+        |      PARTITION BY vec_id, mi ORDER BY d2, co) AS rk
+        |    FROM pd1) WHERE rk = 1),
+        |pu1 AS (
+        |  SELECT a.co, sr.mi, sr.jl,
+        |    CAST(sum(sr.r) // count(*) AS BIGINT) AS cb
+        |  FROM pa1 a JOIN sres sr
+        |    ON sr.vec_id = a.vec_id AND sr.mi = a.mi
+        |  GROUP BY 1, 2, 3),
+        |p1 AS (
+        |  SELECT p0.co, p0.mi, p0.jl, coalesce(u.cb, p0.cb) AS cb
+        |  FROM p0 LEFT JOIN pu1 u
+        |    ON u.co = p0.co AND u.mi = p0.mi AND u.jl = p0.jl),
+        |pd2 AS (
+        |  SELECT sr.vec_id, sr.mi, p.co,
+        |    sum((sr.r - p.cb) * (sr.r - p.cb)) AS d2
+        |  FROM sres sr JOIN p1 p ON p.mi = sr.mi AND p.jl = sr.jl
+        |  GROUP BY 1, 2, 3),
+        |pa2 AS (
+        |  SELECT vec_id, mi, co FROM (
+        |    SELECT vec_id, mi, co, row_number() OVER (
+        |      PARTITION BY vec_id, mi ORDER BY d2, co) AS rk
+        |    FROM pd2) WHERE rk = 1),
+        |pu2 AS (
+        |  SELECT a.co, sr.mi, sr.jl,
+        |    CAST(sum(sr.r) // count(*) AS BIGINT) AS cb
+        |  FROM pa2 a JOIN sres sr
+        |    ON sr.vec_id = a.vec_id AND sr.mi = a.mi
+        |  GROUP BY 1, 2, 3),
+        |p2 AS (
+        |  SELECT p1.co, p1.mi, p1.jl, coalesce(u.cb, p1.cb) AS cb
+        |  FROM p1 LEFT JOIN pu2 u
+        |    ON u.co = p1.co AND u.mi = p1.mi AND u.jl = p1.jl),
+        |ed AS (
+        |  SELECT r.vec_id, r.mi, p.co,
+        |    sum((r.r - p.cb) * (r.r - p.cb)) AS d2
+        |  FROM res r JOIN p2 p ON p.mi = r.mi AND p.jl = r.jl
+        |  GROUP BY 1, 2, 3),
+        |enc AS (
+        |  SELECT vec_id, mi, co FROM (
+        |    SELECT vec_id, mi, co, row_number() OVER (
+        |      PARTITION BY vec_id, mi ORDER BY d2, co) AS rk
+        |    FROM ed) WHERE rk = 1),
+        |lut AS (
+        |  SELECT p.qid, p.cell, cb.mi, cb.co,
+        |    sum((q.qx - c.cx - cb.cb) * (q.qx - c.cx - cb.cb)) AS l
+        |  FROM prb p
+        |  JOIN fx q ON q.vec_id = p.qid
+        |  JOIN c2 c ON c.cell = p.cell AND c.i = q.i
+        |  JOIN p2 cb ON cb.mi = (q.i - 1) // $sub
+        |    AND cb.jl = (q.i - 1) % $sub
+        |  GROUP BY 1, 2, 3, 4),
+        |adc AS (
+        |  SELECT p.qid, a.vec_id, sum(l.l) AS adc_d2
+        |  FROM prb p
+        |  JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid
+        |  JOIN enc e ON e.vec_id = a.vec_id
+        |  JOIN lut l ON l.qid = p.qid AND l.cell = p.cell
+        |    AND l.mi = e.mi AND l.co = e.co
+        |  GROUP BY 1, 2),
+        |shrt AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY adc_d2, vec_id) AS rk
+        |    FROM adc) WHERE rk <= $PqIntShortlist),
+        |cd AS (
+        |  SELECT s.qid, s.vec_id,
+        |    sum((q.qx - t.qx) * (q.qx - t.qx)) AS d2
+        |  FROM shrt s
+        |  JOIN fx q ON q.vec_id = s.qid
+        |  JOIN fx t ON t.vec_id = s.vec_id AND t.i = q.i
         |  GROUP BY 1, 2)
         |SELECT qid, vec_id AS ann_nid, CAST(d2 AS BIGINT) AS d2
         |FROM (

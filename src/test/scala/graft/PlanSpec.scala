@@ -55,6 +55,23 @@ class PlanSpec extends SparkSpec {
       s"query-set filter not pushed into the parquet scan:\n$p")
   }
 
+  test("v14: integer IVF+PQ candidates via a broadcast probe join, " +
+      "shortlist pruned before the qid shuffle, no all-pairs") {
+    val p = plan("v14_ann_ivfpq_int")
+    // the encoded corpus must STREAM through the probe join ((qid,
+    // cell) pairs broadcast) — shuffling the codes on cell, or any
+    // non-equi join, would be the wrong 100 TB shape
+    assert(p.contains("BroadcastHashJoin [cell"),
+      s"probe join must broadcast the (qid, cell) pairs:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in integer IVF+PQ:\n$p")
+    // both rank windows (ADC shortlist, exact rerank) must prune
+    // map-side before their qid exchanges
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"shortlist/rerank windows not partially evaluated:\n$p")
+  }
+
   test("q37/q38: portable HLL register tables partial-aggregate " +
       "map-side; no all-pairs anywhere") {
     Seq("q37_portable_hll", "q38_portable_hll_union").foreach { q =>
