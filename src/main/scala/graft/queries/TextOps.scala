@@ -1390,6 +1390,59 @@ object TextOps {
   val t24SpanDedup: Q = (s, d) =>
     spanDedup(Tables.documents(s, d).select("doc_id", "text"), SpanDedupK)
 
+  /** t26 — SPAN-level decontamination (the Lee et al. ACL'22 span
+    * surgery applied to t21's train/eval overlap): instead of
+    * dropping a contaminated training document wholesale (t21's
+    * decision), strike only the word positions covered by an eval-set
+    * n-gram and keep the rest of the document. Composes t24's
+    * covered-position/rebuild machinery with t21's broadcast eval-gram
+    * table. Scale shape: the eval side is benchmark-sized so its
+    * distinct gram set BROADCASTS and the corpus grams stream map-side
+    * through the join — unlike t24 there is no canonicalization
+    * window, so no corpus-sized gram shuffle exists at all;
+    * covered-position expansion is bounded by hit count × gram
+    * length, and the text rebuild is a per-doc sorted aggregation.
+    * Output is one row per TRAIN document (t24's report shape).
+    */
+  val t26SpanDecontaminate: Q = (s, d) => {
+    val n = DecontamGramLen
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    val train = docs.filter(col("doc_id") % DecontamEvalMod =!= 0)
+    val words = train.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"))
+    val gramExpr = expr(
+      s"transform(sequence(1, size(w) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(w, i, $n)))")
+    val trainGrams = train.filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(gramExpr).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+    val evalGrams = docs.filter(col("doc_id") % DecontamEvalMod === 0)
+      .filter(size(col("w")) >= n)
+      .select(explode(gramExpr).as("g"))
+      .distinct()
+    val covered = trainGrams.join(broadcast(evalGrams), "g")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val rebuilt = words
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, word))), " +
+            "x -> x.word)")).as("cleaned_text"))
+    train.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** t25 — language-model quality scoring (the CCNet/Gopher filter
     * shape: score every document by an n-gram LM and gate on the
     * score; Wenzek et al., "CCNet", LREC 2020 train a KenLM on a clean
@@ -1443,6 +1496,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "t25_lm_quality" -> t25LmQuality,
     "t24_span_dedup" -> t24SpanDedup,
+    "t26_span_decontaminate" -> t26SpanDecontaminate,
     "t23_source_curation" -> t23SourceCuration,
     "t22_repetition" -> t22Repetition,
     "t21_decontaminate" -> t21Decontaminate,
@@ -1817,6 +1871,48 @@ object TextOps {
           |       WHEN bucket < 900000 THEN 1 ELSE 2 END AS split,
           |  count(*) AS n_docs
           |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+      // t26: the DuckDB twin recomputes the kept-span reconstruction —
+      // eval gram set, covered train positions, per-doc rebuild
+      "t26_span_decontaminate" -> {
+        val n = DecontamGramLen
+        s"""WITH toks AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           |  FROM documents),
+           |tr AS (SELECT * FROM toks WHERE doc_id % $DecontamEvalMod <> 0),
+           |words AS (
+           |  SELECT doc_id, unnest(w) AS word,
+           |    unnest(range(1, len(w) + 1)) AS pos
+           |  FROM tr),
+           |tg AS (
+           |  SELECT doc_id, i AS pos,
+           |    array_to_string(w[i:i+${n - 1}], ' ') AS g
+           |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2}))
+           |          AS i
+           |        FROM tr WHERE len(w) >= $n)),
+           |ev AS (
+           |  SELECT DISTINCT array_to_string(w[i:i+${n - 1}], ' ') AS g
+           |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2}))
+           |          AS i
+           |        FROM toks
+           |        WHERE doc_id % $DecontamEvalMod = 0 AND len(w) >= $n)),
+           |covered AS (
+           |  SELECT DISTINCT doc_id, pos FROM (
+           |    SELECT t.doc_id, unnest(range(t.pos, t.pos + $n)) AS pos
+           |    FROM tg t JOIN ev ON ev.g = t.g)),
+           |rebuilt AS (
+           |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           |    string_agg(w.word, ' ' ORDER BY w.pos) AS cleaned_text
+           |  FROM words w
+           |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+           |                    WHERE c.doc_id = w.doc_id AND c.pos = w.pos)
+           |  GROUP BY w.doc_id)
+           |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+           |  COALESCE(r.n_kept, 0) AS n_kept,
+           |  CAST(len(t.w) AS BIGINT) - COALESCE(r.n_kept, 0) AS n_removed,
+           |  COALESCE(r.cleaned_text, '') AS cleaned_text
+           |FROM tr t LEFT JOIN rebuilt r USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
       "t21_decontaminate" ->
         s"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t

@@ -553,6 +553,28 @@ class TextSpec extends SparkSpec {
       r.getAs[Long]("n_shared").toInt).toMap === expected)
   }
 
+  test("t26 span decontamination strikes exactly the t21-flagged docs " +
+      "and its counts reconcile with the rebuilt text") {
+    val rows = TextOps.t26SpanDecontaminate(spark, sf).collect()
+    rows.foreach { r =>
+      // eval docs never appear — only train rows get surgery
+      assert(r.getAs[Long]("doc_id") % TextOps.DecontamEvalMod != 0)
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed")
+        === r.getAs[Long]("n_words"))
+      val kept = r.getAs[String]("cleaned_text")
+        .split("\\s+").count(_.nonEmpty)
+      assert(kept === r.getAs[Long]("n_kept").toInt,
+        s"rebuilt text of doc ${r.getAs[Long]("doc_id")} does not " +
+          "match its kept count")
+    }
+    // a doc loses spans iff t21 flags it (both read the same overlap)
+    val cut = rows.filter(_.getAs[Long]("n_removed") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val flagged = TextOps.t21Decontaminate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(cut === flagged)
+  }
+
   test("t22 repetition scores are exact on a constructed document") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
