@@ -55,6 +55,16 @@ class PlanSpec extends SparkSpec {
       s"query-set filter not pushed into the parquet scan:\n$p")
   }
 
+  test("v13: integer LSH candidates come from the bucket equi-join — " +
+      "no all-pairs, top-1 pruned before the qid shuffle") {
+    val p = plan("v13_ann_lsh_int")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in integer LSH:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-1 window not partially evaluated before the shuffle:\n$p")
+  }
+
   test("v14: integer IVF+PQ candidates via a broadcast probe join, " +
       "shortlist pruned before the qid shuffle, no all-pairs") {
     val p = plan("v14_ann_ivfpq_int")
@@ -239,6 +249,23 @@ class PlanSpec extends SparkSpec {
     val streamed = p.substring(bhj, p.indexOf("BroadcastExchange", bhj))
     assert(!streamed.contains("Exchange hashpartitioning"),
       s"train grams must not shuffle before the join:\n$p")
+    assert(streamed.contains("FileScan parquet"),
+      s"train side must stream straight from the scan:\n$p")
+  }
+
+  test("t26: eval grams broadcast into the span-strike join — corpus " +
+      "grams never shuffle") {
+    val p = plan("t26_span_decontaminate")
+    val bhj = p.indexOf("BroadcastHashJoin")
+    assert(bhj >= 0,
+      s"eval side must broadcast into the strike join:\n$p")
+    // the streamed (train-gram) branch prints between the join node
+    // and its BroadcastExchange build side: corpus grams must flow
+    // from the scan into the join with NO exchange (t21's invariant —
+    // the remaining exchanges are hit-sized or per-doc)
+    val streamed = p.substring(bhj, p.indexOf("BroadcastExchange", bhj))
+    assert(!streamed.contains("Exchange hashpartitioning"),
+      s"train grams must not shuffle before the strike join:\n$p")
     assert(streamed.contains("FileScan parquet"),
       s"train side must stream straight from the scan:\n$p")
   }
