@@ -806,6 +806,107 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t27 — near-dup cluster RESOLUTION keeping the highest-quality
+    * member (the production decision: t04/t19 keep the lowest id,
+    * which is arbitrary — a real curation run keeps the best document
+    * of each duplicate cluster and drops the rest). Composes t19's
+    * transitive groups (stored-index pair graph + distributed
+    * min-label components) with t02's lexical-diversity quality
+    * score: per group, the keeper is argmax(quality, tie → lowest
+    * doc_id). Scale shape: quality is a map-side projection over the
+    * corpus, the group join is keyed by doc_id (graph-node-sized),
+    * and the per-group argmax is a group-keyed window — nothing
+    * corpus-quadratic, nothing driver-side. One row per GROUP.
+    */
+  val t27ClusterKeepBest: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val pairs = indexedVerifiedPairs(s, d, docs, 0.5).select("d1", "d2")
+    val groups = graft.operators.Components.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component").as("group_id"))
+    // t02's lexical diversity, rounded to 4 so both engines compare
+    // the same doubles
+    val quality = Tables.documents(s, d)
+      .selectExpr("doc_id",
+        "size(split(trim(text), '\\\\s+')) AS n_words",
+        "size(array_distinct(split(trim(text), '\\\\s+'))) AS n_distinct")
+      .select(col("doc_id"),
+        round(col("n_distinct").cast("double") / col("n_words"), 4)
+          .as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy(col("q").desc, col("doc_id").asc)
+    groups.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_dropped"),
+        min(when(col("rk") === 1, col("doc_id"))).as("kept_doc"),
+        min(when(col("rk") === 1, col("q"))).as("kept_quality"))
+      .orderBy("group_id")
+  }
+
+  /** Fixed training-sequence length for t28. Production packs 2k–8k
+    * BPE tokens; 512 whitespace tokens is the proportional setting for
+    * the synthetic corpus. Oracle SQL interpolates this constant.
+    */
+  val PackSeqLen = 512
+  /** t28's prefix-sum shard width. Small here so the shard level is
+    * actually exercised on test data; production sizes it so the
+    * shard-total frame is ~√corpus (two window levels bound every
+    * single-partition sort to ~√n rows).
+    */
+  val PackShardSize = 64L
+
+  /** t28 — token-budget SEQUENCE PACKING layout (the concat-and-chunk
+    * step every LM training run performs: documents are concatenated
+    * in order and sliced into fixed-length training sequences; the
+    * pipeline needs each document's sequence placement to audit
+    * boundary-crossing rates and build attention-mask metadata).
+    * Each document's tokens occupy [cum_before, cum_before+n): its
+    * first/last sequence ids and intra-sequence offset are pure
+    * integer arithmetic on the running token total.
+    *
+    * Scale shape: the global running sum is NOT a single-partition
+    * window — that is the textbook anti-scale shape. It is the
+    * standard two-level distributed prefix sum: a doc_id-monotone
+    * shard key partitions the corpus, the within-shard running sum
+    * windows BY SHARD (parallel), and only the per-shard TOTALS (a
+    * √corpus-sized frame of two longs) pass through a global window
+    * before broadcasting back as shard offsets.
+    */
+  val t28SequencePack: Q = (s, d) => {
+    val L = PackSeqLen
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(s"doc_id div $PackShardSize").as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+    val wShardTotals = org.apache.spark.sql.expressions.Window
+      .orderBy("shard")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val shardOffsets = t.groupBy("shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+      .withColumn("shard_before",
+        coalesce(sum("shard_tokens").over(wShardTotals), lit(0L)))
+      .select("shard", "shard_before")
+    val wInShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    t.withColumn("in_shard_before",
+        coalesce(sum("n_tokens").over(wInShard), lit(0L)))
+      .join(broadcast(shardOffsets), "shard")
+      .withColumn("cum_before",
+        col("shard_before") + col("in_shard_before"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $L").as("start_seq"),
+        expr(s"(cum_before + n_tokens - 1) div $L").as("end_seq"),
+        (col("cum_before") % L).as("seq_offset"),
+        (expr(s"cum_before div $L") =!=
+          expr(s"(cum_before + n_tokens - 1) div $L")).as("crosses"))
+      .orderBy("doc_id")
+  }
+
   /** t20 — deterministic train/val/test split audit (mandate:
     * "sampling/splits"): every doc lands in a split by the PORTABLE
     * stable bucket of its id ([[graft.operators.Sampling
@@ -1497,6 +1598,8 @@ object TextOps {
     "t25_lm_quality" -> t25LmQuality,
     "t24_span_dedup" -> t24SpanDedup,
     "t26_span_decontaminate" -> t26SpanDecontaminate,
+    "t27_cluster_keep_best" -> t27ClusterKeepBest,
+    "t28_sequence_pack" -> t28SequencePack,
     "t23_source_curation" -> t23SourceCuration,
     "t22_repetition" -> t22Repetition,
     "t21_decontaminate" -> t21Decontaminate,
@@ -1859,6 +1962,61 @@ object TextOps {
            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
            |SELECT a AS doc_id, least(a, min(b)) AS group_id
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      // t27: t19's recursive closure + t02's quality expression + the
+      // per-group argmax — the oracle recomputes the whole resolution
+      "t27_cluster_keep_best" ->
+        s"""WITH RECURSIVE ${minHashCtes(
+              "SELECT doc_id, text FROM documents", 0.5)},
+           |edges AS (
+           |  SELECT d1 AS a, d2 AS b FROM pairs
+           |  UNION SELECT d2, d1 FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |grp AS (
+           |  SELECT a AS doc_id, least(a, min(b)) AS group_id
+           |  FROM reach GROUP BY a),
+           |q AS (
+           |  SELECT doc_id,
+           |    round(len(list_distinct(string_split_regex(trim(text),
+           |        '\\s+')))
+           |      / CAST(len(string_split_regex(trim(text), '\\s+'))
+           |          AS DOUBLE), 4) AS q
+           |  FROM documents),
+           |rk AS (
+           |  SELECT g.group_id, g.doc_id, q.q, row_number() OVER (
+           |    PARTITION BY g.group_id ORDER BY q.q DESC, g.doc_id) AS rk
+           |  FROM grp g JOIN q ON q.doc_id = g.doc_id)
+           |SELECT group_id,
+           |  CAST(count(*) AS BIGINT) AS n_members,
+           |  CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+           |  min(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+           |  min(CASE WHEN rk = 1 THEN q END) AS kept_quality
+           |FROM rk GROUP BY group_id ORDER BY group_id""".stripMargin,
+      // t28: the oracle computes the straight global running sum —
+      // same values the declared two-level prefix sum produces
+      "t28_sequence_pack" -> {
+        val l = PackSeqLen
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\\s+'))
+           |      AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_tokens,
+           |    COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS BIGINT), 0) AS cum_before
+           |  FROM t)
+           |SELECT doc_id, n_tokens,
+           |  cum_before // $l AS start_seq,
+           |  (cum_before + n_tokens - 1) // $l AS end_seq,
+           |  cum_before % $l AS seq_offset,
+           |  (cum_before // $l <> (cum_before + n_tokens - 1) // $l)
+           |    AS crosses
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
       // same md5-derived bucket arithmetic as Sampling.portableBucket
       "t20_split_audit" ->
         """WITH b AS (

@@ -270,6 +270,24 @@ class PlanSpec extends SparkSpec {
       s"train side must stream straight from the scan:\n$p")
   }
 
+  test("t28: the running token total is the two-level prefix sum — " +
+      "corpus window parallel by shard, SinglePartition only on the " +
+      "shard totals, offsets broadcast back") {
+    val p = plan("t28_sequence_pack")
+    // the corpus-sized window must partition by the shard key
+    assert("""Window \[sum\(n_tokens[^\n]*\], \[shard""".r
+        .findFirstIn(p).isDefined,
+      s"corpus running sum is not shard-partitioned:\n$p")
+    // exactly one single-partition exchange, and it carries the
+    // per-shard totals (two longs per shard), never the corpus
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles == 1,
+      s"expected exactly one SinglePartition exchange (shard totals), " +
+        s"got $singles:\n$p")
+    assert(p.contains("BroadcastHashJoin [shard"),
+      s"shard offsets must broadcast back into the corpus:\n$p")
+  }
+
   test("t08: winnowing is the linear kernel — no per-position explode, " +
       "no window sort, one presentation exchange") {
     val df = SparkEntry.queries("t08_winnow_fingerprint")(spark, sf)

@@ -575,6 +575,48 @@ class TextSpec extends SparkSpec {
     assert(cut === flagged)
   }
 
+  test("t27 cluster resolution keeps the max-quality member of every " +
+      "t19 group") {
+    val rows = TextOps.t27ClusterKeepBest(spark, sf).collect()
+    val groups = TextOps.t19DedupGroups(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id"))
+    val byGroup = groups.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    assert(rows.map(_.getAs[Long]("group_id")).toSet === byGroup.keySet)
+    // brute quality recompute on the collected corpus
+    val q = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).trim.split("\\s+")
+        r.getLong(0) ->
+          BigDecimal(w.distinct.length.toDouble / w.length)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    rows.foreach { r =>
+      val members = byGroup(r.getAs[Long]("group_id"))
+      assert(r.getAs[Long]("n_members") === members.size)
+      assert(r.getAs[Long]("n_dropped") === members.size - 1)
+      val best = members.toSeq.map(id => (q(id), id))
+        .sortBy { case (qq, id) => (-qq, id) }.head._2
+      assert(r.getAs[Long]("kept_doc") === best,
+        s"group ${r.getAs[Long]("group_id")} kept the wrong member")
+    }
+  }
+
+  test("t28 sequence packing: offsets and boundary flags reconcile " +
+      "with the straight running total") {
+    val rows = TextOps.t28SequencePack(spark, sf).collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+    val L = TextOps.PackSeqLen
+    var cum = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("start_seq") === cum / L)
+      assert(r.getAs[Long]("end_seq") === (cum + n - 1) / L)
+      assert(r.getAs[Long]("seq_offset") === cum % L)
+      assert(r.getAs[Boolean]("crosses") === (cum / L != (cum + n - 1) / L))
+      cum += n
+    }
+  }
+
   test("t22 repetition scores are exact on a constructed document") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
