@@ -321,6 +321,22 @@ class PlanSpec extends SparkSpec {
       s"corpus re-sign inside the t19 pair plan:\n$p")
   }
 
+  test("t27: cluster resolution joins quality by doc_id with no " +
+      "all-pairs and no corpus gram explode (pair sourcing from the " +
+      "stored index is t19's gate — the components loop checkpoints, " +
+      "so the final plan starts from the materialized groups)") {
+    val df = SparkEntry.queries("t27_cluster_keep_best")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("sequence(1"),
+      s"corpus re-sign inside the t27 plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in cluster resolution:\n$p")
+    // the per-group argmax must partially evaluate before the shuffle
+    assert(p.contains("partial_count"),
+      s"group resolution not partial-aggregated:\n$p")
+  }
+
   test("t05: PPJoin joins on the rare-token prefix, not all tokens") {
     val df = SparkEntry.queries("t05_word_jaccard")(spark, sf)
     df.collect()
