@@ -160,6 +160,32 @@ object Bmp {
     encode24(ow, oh, out)
   }
 
+  /** REAL center crop over the real format: the `cw`×`ch` window
+    * anchored at (⌊(w−cw)/2⌋, ⌊(h−ch)/2⌋) — integer-exact, so an
+    * oracle can recompute any output pixel's source index without
+    * float tolerance. Returns a fully valid re-encoded BMP; pure byte
+    * kernel, map-side like decode.
+    */
+  def cropCenter(blob: Array[Byte], cw: Int, ch: Int): Array[Byte] = {
+    val m = decodeMeta(blob)
+    require(cw > 0 && ch > 0 && cw <= m.width && ch <= m.height,
+      s"bad crop ${cw}x$ch of ${m.width}x${m.height}")
+    val in = pixels(blob)
+    val x0 = (m.width - cw) / 2
+    val y0 = (m.height - ch) / 2
+    val out = new Array[Int](cw * ch)
+    var y = 0
+    while (y < ch) {
+      var x = 0
+      while (x < cw) {
+        out(y * cw + x) = in((y0 + y) * m.width + (x0 + x))
+        x += 1
+      }
+      y += 1
+    }
+    encode24(cw, ch, out)
+  }
+
   /** Exact integer channel statistics (like [[Wav]]'s sample stats:
     * integer sums cannot drift with summation order, so the oracle
     * hash is stable). `peakLum` is the integer BT.601 luminance

@@ -380,6 +380,44 @@ object Multimodal {
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
+  // --- crop (m09) ---
+
+  /** REAL crop operator over the image column: center crop of every
+    * BMP blob to `w`×`h` via [[Bmp.cropCenter]] — binary→binary, pure
+    * map-side, output blobs are fully valid BMPs.
+    */
+  def crop(images: DataFrame, w: Int, h: Int): DataFrame = {
+    val cr = udf { (blob: Array[Byte]) => Bmp.cropCenter(blob, w, h) }
+    images.withColumn("blob", cr(col("blob")))
+  }
+
+  /** m09 crop window: 4×3 is the corpus-wide minimum image size
+    * (width = 4 + n_chars%29, height = 3 + doc_id%13), so the center
+    * crop is in-bounds for every blob with no clamping special case.
+    */
+  val CropW = 4
+  val CropH = 3
+
+  /** m09 — crop + decode stats of the CROPPED bytes (the third member
+    * of the transform set: m07 resize, m08 resample, m09 crop): the
+    * query reads width/height back out of the re-encoded BMP and
+    * aggregates the cropped pixels, so the oracle (which recomputes
+    * the center-anchor source index (⌊(h−ch)/2⌋+y)·w + ⌊(w−cw)/2⌋+x
+    * from the synthesis formula) verifies every output pixel
+    * end-to-end.
+    */
+  val m09Crop: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Bmp.decodeMeta(blob)
+      val st = Bmp.stats(Bmp.pixels(blob))
+      ImageStats(m.width, m.height, st.sumR, st.sumG, st.sumB,
+        st.peakLum)
+    }
+    crop(imageTable(s, d), CropW, CropH)
+      .withColumn("a", dec(col("blob")))
+      .select(col("doc_id"), col("a.*")).orderBy("doc_id")
+  }
+
   // --- resample (m08) ---
 
   /** REAL resample operator over the audio column: nearest-neighbor
@@ -427,6 +465,7 @@ object Multimodal {
     "m06_video_frame_stats" -> m06VideoFrameStats,
     "m07_resize" -> m07Resize,
     "m08_audio_resample" -> m08Resample,
+    "m09_crop" -> m09Crop,
   )
 
   // Every oracle recomputes container contents from the synthesis
@@ -518,6 +557,34 @@ object Multimodal {
         |SELECT p.doc_id, sample_rate, channels, n_samples,
         |  peak_abs, sum_abs, sum_sq
         |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
+    // m09: center-crop source index from the synthesis formula —
+    // sp = (⌊(h−ch)/2⌋ + y)·w + ⌊(w−cw)/2⌋ + x for output pixel i,
+    // with y = i // cw, x = i % cw
+    "m09_crop" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(4 + n_chars % 29 AS INT) AS w,
+        |    CAST(3 + doc_id % 13 AS INT) AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    ((h - $CropH) // 2 + i // $CropW) * w
+        |      + ((w - $CropW) // 2 + i % $CropW) AS sp
+        |  FROM (SELECT doc_id, w, h,
+        |          unnest(range(0, ${CropW * CropH})) AS i FROM p)),
+        |px AS (
+        |  SELECT doc_id,
+        |    (doc_id * 13 + sp * 19) % 256 AS r,
+        |    (doc_id * 11 + sp * 17) % 256 AS g,
+        |    (doc_id * 7 + sp * 13) % 256 AS b
+        |  FROM m)
+        |SELECT doc_id, CAST($CropW AS INT) AS width,
+        |  CAST($CropH AS INT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(max(299 * r + 587 * g + 114 * b) AS INT) AS peak_lum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "m05_image_stats" ->
       """WITH p AS (
         |  SELECT doc_id,

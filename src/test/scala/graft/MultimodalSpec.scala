@@ -387,6 +387,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Bmp.pixels(Bmp.resizeNearest(one, 4, 3)).forall(_ == 0x123456))
   }
 
+  test("bmp cropCenter maps every output pixel by the exact " +
+      "center-anchor rule, yields a valid BMP, and rejects " +
+      "out-of-bounds windows") {
+    val w = 7; val h = 5
+    val src = Bmp.encode24(w, h, Multimodal.synthPixels(3L, w * h))
+    val dst = Bmp.cropCenter(src, 4, 3)
+    val m = Bmp.decodeMeta(dst)
+    assert(m.width === 4 && m.height === 3)
+    val in = Bmp.pixels(src)
+    val out = Bmp.pixels(dst)
+    val x0 = (w - 4) / 2; val y0 = (h - 3) / 2
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(out(y * 4 + x) === in((y0 + y) * w + (x0 + x)),
+        s"output ($x,$y) not the center-anchored source pixel")
+    // full-frame crop is the identity on pixels
+    assert(Bmp.pixels(Bmp.cropCenter(src, w, h)).toSeq === in.toSeq)
+    intercept[IllegalArgumentException] { Bmp.cropCenter(src, w + 1, h) }
+  }
+
   test("m05 stats match a direct recompute of the synthesis formula") {
     val rows = Multimodal.m05ImageStats(spark, sf).collect()
     assert(rows.length > 0)
