@@ -472,6 +472,94 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q39 histogram geometry: 1024 equi-width bins over [0, 110000.00)
+    * in integer CENTS — l_extendedprice is ≤ ~104,950 at any TPC-H SF
+    * (50 × max part retail price), so the fixed range covers every
+    * row and bin assignment is pure BIGINT arithmetic:
+    * (cents · 1024) // 11000000.
+    */
+  val Q39Bins = 1024
+  val Q39RangeCents = 11000000L
+
+  /** q39 — PORTABLE mergeable histogram quantiles: the q37 story
+    * applied to percentiles. q29 is exact (holds all values — wrong at
+    * 100 TB), q29b is the engine-private GK sketch (un-oracle-able);
+    * q39 is the third member: a fixed-bin integer histogram whose
+    * QUANTILE ESTIMATES hash-match across engines. Bin assignment is
+    * exact BIGINT arithmetic on cents; the per-group histogram is a
+    * mergeable sketch (counts add — the property q40 proves); the
+    * quantile is the lower boundary of the first bin whose cumulative
+    * count reaches ⌈q·n⌉, all integer. Output stays in integer cents —
+    * no float appears anywhere in the pipeline.
+    *
+    * Scale shape: one partial-aggregated shuffle keyed (group, bin) —
+    * output bounded by groups × 1024, never data-sized; the
+    * cumulative walk windows over sketch-sized frames only.
+    */
+  val q39PortableHistQuantiles: Q = (s, d) =>
+    histQuantilesFromCounts(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), binCol.as("bin"))
+        .groupBy("l_returnflag", "bin")
+        .agg(count(lit(1)).as("c")))
+
+  private def binCol =
+    expr(s"CAST(round(l_extendedprice * 100) AS BIGINT) * $Q39Bins " +
+      s"div $Q39RangeCents")
+
+  /** Shared quantile tail over a (l_returnflag, bin, c) histogram:
+    * cumulative walk → integer rank thresholds → bin lower boundary
+    * in cents. Windows run over sketch-sized frames (≤ 1024 rows per
+    * group), never the data.
+    */
+  private def histQuantilesFromCounts(
+      hist: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wCum = Window.partitionBy("l_returnflag").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    def pick(k: String) = min(when(col("cum") >= expr(k), col("bin")))
+    hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("l_returnflag")
+      .agg(max("n").as("n_rows"),
+        pick("(n + 1) div 2").as("p50_bin"),
+        pick("(9 * n + 9) div 10").as("p90_bin"),
+        pick("(99 * n + 99) div 100").as("p99_bin"))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("p50_bin"),
+        expr(s"p50_bin * $Q39RangeCents div $Q39Bins")
+          .as("p50_lo_cents"),
+        col("p90_bin"),
+        expr(s"p90_bin * $Q39RangeCents div $Q39Bins")
+          .as("p90_lo_cents"),
+        col("p99_bin"),
+        expr(s"p99_bin * $Q39RangeCents div $Q39Bins")
+          .as("p99_lo_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q40 — histogram MERGEABILITY (the q38-union story for q39): two
+    * disjoint halves of lineitem are histogrammed INDEPENDENTLY, the
+    * two sketches merge by plain bin-count addition, and the merged
+    * sketch's quantiles must equal q39's whole-corpus answer — which
+    * is why the same oracle SQL verifies it. This is the exact
+    * operation a 100 TB run performs: per-partition histograms
+    * combine map-side, and a day×day rollup adds stored sketches
+    * instead of rescanning raw data.
+    */
+  val q40PortableHistMerge: Q = (s, d) => {
+    val parts = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), binCol.as("bin"),
+        pmod(col("l_orderkey"), lit(2)).as("half"))
+      .groupBy("l_returnflag", "bin", "half")
+      .agg(count(lit(1)).as("c"))
+    // merge = bin-count addition of the two independent sketches
+    histQuantilesFromCounts(
+      parts.groupBy("l_returnflag", "bin").agg(sum("c").as("c")))
+  }
+
   /** q25 — range (non-equi) join: price-band classification. Band table is
     * tiny → broadcast nested loop, which is the right physical plan for a
     * non-equi join against a constant-size dim at any scale.
@@ -817,6 +905,8 @@ object Relational {
   )
 
   val queries: Map[String, Q] = Map(
+    "q39_portable_hist_quantiles" -> q39PortableHistQuantiles,
+    "q40_portable_hist_merge" -> q40PortableHistMerge,
     "q36_bucketed_join" -> q36BucketedJoin,
     "q35_salted_agg" -> q35SaltedAgg,
     "q33_hll_sketch_union" -> q33HllSketchUnion,
@@ -857,11 +947,45 @@ object Relational {
     "q38_portable_hll_union" -> q38PortableHllUnion,
   )
 
+  private lazy val q39OracleSql: String =
+    s"""WITH h AS (
+      |  SELECT l_returnflag,
+      |    (CAST(round(l_extendedprice * 100) AS BIGINT) * $Q39Bins)
+      |      // $Q39RangeCents AS bin,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, bin, c,
+      |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin)
+      |      AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      |  FROM h)
+      |SELECT l_returnflag,
+      |  max(n) AS n_rows,
+      |  min(CASE WHEN cum >= (n + 1) // 2 THEN bin END) AS p50_bin,
+      |  min(CASE WHEN cum >= (n + 1) // 2 THEN bin END)
+      |    * $Q39RangeCents // $Q39Bins AS p50_lo_cents,
+      |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END) AS p90_bin,
+      |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END)
+      |    * $Q39RangeCents // $Q39Bins AS p90_lo_cents,
+      |  min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END)
+      |    AS p99_bin,
+      |  min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END)
+      |    * $Q39RangeCents // $Q39Bins AS p99_lo_cents
+      |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** DuckDB oracles. Column names and ORDER BY match the Spark plans
     * exactly; integer sums are cast to BIGINT (DuckDB widens to HUGEINT),
     * timestamps are cast to DATE or formatted as strings.
     */
   val oracles: Map[String, String] = Map(
+    // q39/q40: the oracle recomputes the integer histogram and the
+    // cumulative quantile walk — pure BIGINT throughout. q40 merges
+    // two independently-built half-histograms by bin addition, which
+    // must reproduce the whole-corpus histogram exactly — hence the
+    // SAME oracle text verifies both (mergeability is the claim).
+    "q39_portable_hist_quantiles" -> q39OracleSql,
+    "q40_portable_hist_merge" -> q39OracleSql,
     // q37: the oracle recomputes the WHOLE portable HLL — hash,
     // register index, bin()-length rank, scaled-integer harmonic sum —
     // and divides the same interpolated double numerator.
