@@ -98,6 +98,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q39/q40: histogram counts partial-aggregate map-side; the " +
+      "first exchange is sketch-keyed; no cartesian product") {
+    Seq("q39_portable_hist_quantiles", "q40_portable_hist_merge")
+      .foreach { q =>
+        val p = plan(q)
+        // bin counting must combine map-side: the (group, bin)
+        // exchange moves ≤ groups × 1024 rows per task, never data
+        assert(p.contains("partial_count") || p.contains("partial"),
+          s"$q: histogram agg not partial:\n$p")
+        assert(p.contains("hashpartitioning(l_returnflag"),
+          s"$q: expected a sketch-keyed exchange:\n$p")
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$q: unexpected all-pairs join:\n$p")
+        // the cumulative walk and the quantile pick are windows/aggs
+        // over the SKETCH (≤1024 rows per group) — everything after
+        // the first aggregate exchange is sketch-sized, so any sort
+        // the windows need is cheap; what must NOT appear is a
+        // data-sized join back to lineitem
+        assert(!p.contains("SortMergeJoin"),
+          s"$q: no join belongs in a histogram sketch plan:\n$p")
+      }
+  }
+
   test("t25: bigrams are an in-row generator, count joins stay keyed, " +
       "the only nested-loop is the 1-row V broadcast") {
     val p = plan("t25_lm_quality")
@@ -109,6 +133,24 @@ class PlanSpec extends SparkSpec {
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(bnl <= 1, s"unexpected nested-loop joins ($bnl):\n$p")
     assert(p.contains("partial"), s"count tables not partial-agged:\n$p")
+  }
+
+  test("t29: the repeat table broadcasts into the fact scan and the " +
+      "epoch expansion is a generator — no data-sized shuffle join") {
+    val p = plan("t29_mixture_upsample")
+    assert(p.contains("Generate"),
+      s"epoch expansion must be a generator explode:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |langs|-row repeat table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no data-sized shuffle join belongs here:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // the global-max cross-join is the 1-row broadcast pattern; any
+    // other nested loop would be an accident
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1, s"unexpected nested-loop joins ($bnl):\n$p")
+    assert(p.contains("partial"),
+      s"per-lang counts not partial-agged:\n$p")
   }
 
   test("m02: feature rollup partial-aggregates map-side and shuffles " +

@@ -143,6 +143,43 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q39 histogram quantiles: each estimate is within one bin width " +
+      "of the exact percentile; bins cover every row") {
+    val binWidth = Relational.Q39RangeCents.toDouble / Relational.Q39Bins
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(CAST(round(l_extendedprice * 100) AS " +
+        "BIGINT), array(0.5, 0.9, 0.99))").as("p"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    val got = Relational.q39PortableHistQuantiles(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (ps, n) = exact(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Long]("n_rows") === n,
+        "histogram dropped rows — fixed range must cover the domain")
+      Seq("p50" -> ps(0), "p90" -> ps(1), "p99" -> ps(2)).foreach {
+        case (k, ex) =>
+          val lo = r.getAs[Long](s"${k}_lo_cents").toDouble
+          assert(ex >= lo - binWidth && ex <= lo + 2 * binWidth,
+            s"$k: exact $ex outside bin [$lo, ${lo + binWidth}]")
+      }
+    }
+  }
+
+  test("q40 histogram merge: two independently-built half-sketches " +
+      "merged by bin addition reproduce q39 exactly") {
+    val whole = Relational.q39PortableHistQuantiles(spark, sf)
+      .collect().map(_.toString).sorted
+    val merged = Relational.q40PortableHistMerge(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(whole.sameElements(merged),
+      s"merge ≠ whole:\n${whole.mkString("\n")}\nvs\n" +
+        merged.mkString("\n"))
+  }
+
   test("st_distance_sphere: Fairbanks to Anchorage ≈ 420 km") {
     graft.functions.GeoFunctions.registerAll(spark)
     val d = spark.sql(
