@@ -907,6 +907,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t29's upsampling cap: no language repeats more than this many
+    * epochs regardless of how rare it is (unbounded duplication of a
+    * tiny slice degrades models faster than it balances them).
+    */
+  val MixtureMaxEpochs = 4L
+
+  /** t29 — mixture upsampling (epoch weighting): rebalance the
+    * training mixture by REPEATING documents from under-represented
+    * languages — the standard multilingual recipe (low-resource
+    * upsampling with a hard epoch cap). Each language's repeat count
+    * is pure integer arithmetic: ceil(max_n / n) capped at
+    * [[MixtureMaxEpochs]], so the dominant language runs 1 epoch and
+    * rarer ones proportionally more. The output is the expanded
+    * sampling manifest: one (doc_id, lang, epoch) row per scheduled
+    * appearance — exactly what a data loader consumes.
+    *
+    * Scale shape: per-lang counts partial-aggregate to ~|langs| rows;
+    * the global max is a 1-row broadcast; the repeat table (|langs|
+    * rows) broadcasts into the fact scan, and the epoch expansion is
+    * a map-side generator explode — no data-sized shuffle anywhere
+    * except the presentation sort.
+    */
+  val t29MixtureUpsample: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "lang")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val mx = counts.agg(max("n").as("mx"))
+    val reps = counts.crossJoin(broadcast(mx))
+      .select(col("lang"),
+        least(lit(MixtureMaxEpochs), expr("(mx + n - 1) div n"))
+          .as("reps"))
+    docs.join(broadcast(reps), "lang")
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), col("reps") - 1)).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** t20 — deterministic train/val/test split audit (mandate:
     * "sampling/splits"): every doc lands in a split by the PORTABLE
     * stable bucket of its id ([[graft.operators.Sampling
@@ -1595,6 +1631,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t29_mixture_upsample" -> t29MixtureUpsample,
     "t25_lm_quality" -> t25LmQuality,
     "t24_span_dedup" -> t24SpanDedup,
     "t26_span_decontaminate" -> t26SpanDecontaminate,
@@ -2017,6 +2054,23 @@ object TextOps {
            |    AS crosses
            |FROM c ORDER BY doc_id""".stripMargin
       },
+      // t29: the DuckDB twin recomputes the same integer epoch
+      // arithmetic — ceil by (mx + n - 1) // n, capped — and expands
+      // with generate_series; // and div both truncate (positive here)
+      "t29_mixture_upsample" ->
+        s"""WITH c AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+           |  FROM documents GROUP BY 1),
+           |m AS (SELECT max(n) AS mx FROM c),
+           |r AS (
+           |  SELECT lang,
+           |    least($MixtureMaxEpochs, (mx + n - 1) // n) AS reps
+           |  FROM c, m)
+           |SELECT doc_id, lang, epoch FROM (
+           |  SELECT d.doc_id, d.lang,
+           |    unnest(generate_series(0, r.reps - 1)) AS epoch
+           |  FROM documents d JOIN r USING (lang))
+           |ORDER BY doc_id, epoch""".stripMargin,
       // same md5-derived bucket arithmetic as Sampling.portableBucket
       "t20_split_audit" ->
         """WITH b AS (

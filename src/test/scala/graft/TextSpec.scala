@@ -617,6 +617,30 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("t29 mixture upsampling: per-lang epochs equal the capped " +
+      "ceiling ratio and every doc appears exactly reps times") {
+    val counts = graft.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mx = counts.values.max
+    val expectedReps = counts.map { case (l, n) =>
+      l -> math.min(TextOps.MixtureMaxEpochs, (mx + n - 1) / n) }
+    val rows = TextOps.t29MixtureUpsample(spark, sf).collect()
+    // per-doc appearance count = its lang's reps; epochs are 0..reps-1
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val lang = rs.head.getAs[String]("lang")
+      assert(rs.length === expectedReps(lang))
+      assert(rs.map(_.getAs[Long]("epoch")).sorted
+        .sameElements(0L until expectedReps(lang)))
+    }
+    // the dominant language runs exactly 1 epoch; the mixture is
+    // non-degenerate on this corpus (some lang actually upsamples)
+    val dominant = counts.maxBy(_._2)._1
+    assert(expectedReps(dominant) === 1L)
+    assert(expectedReps.values.exists(_ > 1L),
+      "corpus too uniform for the upsampling test to exercise anything")
+  }
+
   test("t22 repetition scores are exact on a constructed document") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
