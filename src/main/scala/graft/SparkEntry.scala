@@ -35,7 +35,9 @@ object SparkEntry {
         "s04_stream_neardup_verified" -> ((s, d) =>
           EventStreams.replayNearDupVerified(s, d)),
         "s05_stream_ingest_dedup" -> ((s, d) =>
-          EventStreams.replayIngestDedup(s, d)))
+          EventStreams.replayIngestDedup(s, d)),
+        "s06_stream_hist_quantiles" -> ((s, d) =>
+          EventStreams.replayHistQuantiles(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -110,5 +112,9 @@ object SparkEntry {
           TextOps.oracles("t06_minhash_lsh"),
         // foreachBatch ingest loop: sequential multi-batch dedup over
         // the stored band index ≡ a fixed-depth kept/drop CTE chain
-        "s05_stream_ingest_dedup" -> TextOps.ingestDedupOracleSql)
+        "s05_stream_ingest_dedup" -> TextOps.ingestDedupOracleSql,
+        // incrementally-maintained histogram sketch ≡ batch recompute
+        // (merge commutes) — q39's oracle verifies the streaming loop
+        "s06_stream_hist_quantiles" ->
+          Relational.oracles("q39_portable_hist_quantiles"))
 }

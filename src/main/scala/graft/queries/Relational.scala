@@ -503,7 +503,7 @@ object Relational {
         .groupBy("l_returnflag", "bin")
         .agg(count(lit(1)).as("c")))
 
-  private def binCol =
+  private[graft] def binCol =
     expr(s"CAST(round(l_extendedprice * 100) AS BIGINT) * $Q39Bins " +
       s"div $Q39RangeCents")
 
@@ -512,7 +512,7 @@ object Relational {
     * in cents. Windows run over sketch-sized frames (≤ 1024 rows per
     * group), never the data.
     */
-  private def histQuantilesFromCounts(
+  private[graft] def histQuantilesFromCounts(
       hist: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val wCum = Window.partitionBy("l_returnflag").orderBy("bin")

@@ -582,6 +582,73 @@ object EventStreams {
     (drops.orderBy("doc_id"), stateRows, deltaRows.toList)
   }
 
+  /** s06 — streaming HISTOGRAM-SKETCH maintenance: the q39/q40 portable
+    * histogram kept incrementally by the micro-batch engine. lineitem
+    * rows arrive as ordered file micro-batches; the engine's stateful
+    * aggregation holds the (l_returnflag, bin) count sketch and each
+    * batch's partial counts MERGE into it by plain addition — q40's
+    * mergeability property, realized by the state store instead of a
+    * union. Batch order cannot matter (addition commutes), which is
+    * exactly why the final sketch — and therefore the quantile walk
+    * over it — must equal q39's batch answer, so the SAME oracle SQL
+    * verifies the whole streaming loop.
+    *
+    * Scale shape: state is SKETCH-sized (≤ groups × 1024 rows) no
+    * matter how much data streams through — the property that makes
+    * Complete mode safe here where s01 documents it as unsafe for
+    * unbounded window×key state. A 100 TB deployment is the same plan
+    * with a real source: per-batch partial counts are map-side, the
+    * state update shuffles only sketch-keyed rows, and the quantile
+    * walk reads ~5k state rows. StreamingSpec asserts the state bound.
+    */
+  def replayHistQuantiles(spark: SparkSession, dir: String): DataFrame =
+    replayHistQuantilesWithStats(spark, dir)._1
+
+  /** s06 plus the state-store row total after the final micro-batch
+    * (must stay ≤ groups × 1024 — the sketch-sized-state assertion)
+    * and the number of data micro-batches processed (must be > 1, or
+    * the replay degenerates into a single batch and proves nothing
+    * about incremental maintenance).
+    */
+  def replayHistQuantilesWithStats(spark: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s06")
+      .toFile
+    work.deleteOnExit()
+    val srcDir = s"${work.getAbsolutePath}/incoming"
+    // Stage the two needed columns as 4 single-file micro-batches.
+    // Which rows land in which batch is irrelevant (the merge
+    // commutes), so a plain repartition is enough — no span logic.
+    graft.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .repartition(4)
+      .write.parquet(srcDir)
+    val srcSchema = StructType(Seq(
+      StructField("l_returnflag", StringType),
+      StructField("l_extendedprice", DoubleType)))
+    val qn = s"stream_hist_${math.abs(dir.hashCode)}"
+    val q = spark.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("l_returnflag"),
+        graft.queries.Relational.binCol.as("bin"))
+      .groupBy("l_returnflag", "bin")
+      .agg(count(lit(1)).as("c"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"${work.getAbsolutePath}/ckpt")
+      .format("memory").queryName(qn).start()
+    val (stateRows, nBatches) =
+      try {
+        q.processAllAvailable()
+        (Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum,
+          q.recentProgress.count(_.numInputRows > 0).toLong)
+      } finally { q.stop() }
+    (graft.queries.Relational
+      .histQuantilesFromCounts(spark.table(qn)),
+      stateRows, nBatches)
+  }
+
   /** Incremental layer refresh via foreachBatch (SURVEY §2.9: the
     * generalized "re-run the pipeline on new certificate events"): each
     * micro-batch republishes the layer produced by `buildLayer` over

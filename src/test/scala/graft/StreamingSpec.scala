@@ -93,6 +93,25 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
   }
 
+  test("streaming histogram sketch (declared s06) equals the batch q39 " +
+      "across multiple micro-batches with sketch-bounded state") {
+    val (df, stateRows, nBatches) =
+      EventStreams.replayHistQuantilesWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = graft.queries.Relational
+      .queries("q39_portable_hist_quantiles")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    // incremental maintenance actually happened (merges across batches)
+    assert(nBatches > 1, s"only $nBatches data micro-batch(es)")
+    // state is the sketch, not the data: ≤ groups × bins rows
+    val groups = batch.length
+    assert(stateRows > 0 &&
+      stateRows <= groups * graft.queries.Relational.Q39Bins,
+      s"state rows $stateRows exceed the sketch bound")
+  }
+
   test("flatMapGroupsWithState session state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
