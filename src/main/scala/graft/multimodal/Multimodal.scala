@@ -454,9 +454,46 @@ object Multimodal {
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
+  // --- mixdown (m10) ---
+
+  /** REAL channel-mixdown operator over the audio column: every WAV
+    * blob collapses to mono via [[Wav.mixdownMono]] (per-frame integer
+    * average across channels) — binary→binary, pure map-side, output
+    * blobs are fully valid mono PCM16 WAVs at the original rate.
+    */
+  def mixdown(audio: DataFrame): DataFrame = {
+    val mx = udf { (blob: Array[Byte]) => Wav.mixdownMono(blob) }
+    audio.withColumn("blob", mx(col("blob")))
+  }
+
+  /** m10 — mixdown + decode stats of the MIXED bytes (the channel
+    * counterpart of m08's rate conversion; together they are the two
+    * normalizations an audio training pipeline applies before feature
+    * extraction): the query reads rate/channels/counts back out of the
+    * re-encoded WAV — channels must read 1, frame count must survive —
+    * and aggregates the mixed samples, so the oracle (which recomputes
+    * every mono sample as sum-over-channels // channels from the
+    * synthesis formula, both engines truncating toward zero) verifies
+    * every output sample end-to-end. Half the corpus is stereo
+    * (channels = 1 + doc_id % 2), so the kernel's identity and
+    * averaging paths both execute.
+    */
+  val m10MixdownMono: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Wav.decodeMeta(blob)
+      val st = Wav.stats(Wav.samples(blob))
+      AudioStats(m.sampleRate, m.channels, m.nSamples,
+        st.peakAbs, st.sumAbs, st.sumSq)
+    }
+    mixdown(audioTable(s, d))
+      .withColumn("a", dec(col("blob")))
+      .select(col("doc_id"), col("a.*")).orderBy("doc_id")
+  }
+
   // --- driver-contract queries ---
 
   val queries: Map[String, Q] = Map(
+    "m10_mixdown_mono" -> m10MixdownMono,
     "m01_media_meta" -> m01MediaMeta,
     "m02_media_features" -> m02MediaFeatures,
     "m03_frame_sample" -> m03FrameSample,
@@ -672,6 +709,38 @@ object Multimodal {
         |FROM g JOIN a ON g.doc_id = a.doc_id
         |ORDER BY g.doc_id""".stripMargin
     },
+    // m10: mono sample f = (Σ_c v[f·ch+c]) // ch — integer average
+    // across channels, both engines truncating toward zero; v comes
+    // from the m04 synthesis formula. Rate and frame count survive the
+    // mixdown; channels reads back 1 from the re-encoded header.
+    "m10_mixdown_mono" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 8000 AS INT) AS r,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(n_chars % 96 + 32 AS INT) AS frames
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, r, ch, unnest(range(0, frames)) AS f FROM p),
+        |sm AS (
+        |  SELECT doc_id, r, ch, f, unnest(range(0, ch)) AS c FROM fr),
+        |v AS (
+        |  SELECT doc_id, r, ch, f,
+        |    (doc_id * 31 + (f * ch + c) * 7919) % 65536 - 32768 AS v
+        |  FROM sm),
+        |mono AS (
+        |  SELECT doc_id, r, f,
+        |    CAST(CAST(sum(v) AS BIGINT) // ch AS BIGINT) AS v
+        |  FROM v GROUP BY doc_id, r, ch, f),
+        |a AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_samples,
+        |    CAST(max(abs(v)) AS INT) AS peak_abs,
+        |    CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |    CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |  FROM mono GROUP BY doc_id)
+        |SELECT p.doc_id, p.r AS sample_rate, CAST(1 AS INT) AS channels,
+        |  a.n_samples, peak_abs, sum_abs, sum_sq
+        |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
     // m07: output pixel i of the 8×6 resample maps to source pixel
     // sp = (⌊i/8⌋·h ÷ 6)·w + (i mod 8)·w ÷ 8 (integer division — the
     // exact nearest-neighbor rule resizeNearest implements), whose

@@ -153,6 +153,32 @@ object Wav {
     encodePcm16(out, outRate, ch)
   }
 
+  /** REAL channel mixdown over the real format: every frame's channels
+    * average into one mono sample by integer division (sum / channels,
+    * truncating toward zero — the same rule DuckDB's `//` applies, so
+    * an oracle recomputes every output sample exactly; a float average
+    * would need a rounding convention). Mono input passes through the
+    * same kernel unchanged (sum of one / one). Returns a fully valid
+    * mono PCM16 WAV at the original rate; pure byte kernel, map-side
+    * like decode.
+    */
+  def mixdownMono(blob: Array[Byte]): Array[Byte] = {
+    val m = decodeMeta(blob)
+    val in = samples(blob)
+    val ch = m.channels
+    val frames = m.nSamples / ch
+    val out = new Array[Short](frames)
+    var f = 0
+    while (f < frames) {
+      var sum = 0
+      var c = 0
+      while (c < ch) { sum += in(f * ch + c); c += 1 }
+      out(f) = (sum / ch).toShort
+      f += 1
+    }
+    encodePcm16(out, m.sampleRate, 1)
+  }
+
   /** Exact integer sample statistics — peak |s|, Σ|s|, Σs² — chosen so
     * the DuckDB oracle reproduces them with exact BIGINT arithmetic
     * (float RMS would hash-mismatch on summation order).

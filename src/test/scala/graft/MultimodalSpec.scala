@@ -346,6 +346,32 @@ class MultimodalSpec extends SparkSpec {
         s"output frame $f ch $c must be input frame ${2 * f}")
   }
 
+  test("wav mixdownMono: mono passes through sample-exact, stereo " +
+      "frames average with truncation toward zero") {
+    // mono: the kernel is the identity on samples (header re-encoded)
+    val mono = fixture("sine_mono_8k.wav")
+    val monoOut = Wav.mixdownMono(mono)
+    assert(Wav.decodeMeta(monoOut).channels === 1)
+    assert(Wav.samples(monoOut).sameElements(Wav.samples(mono)))
+    // stereo: frame f becomes (L + R) / 2, Scala Int division —
+    // truncation toward zero, the rule the DuckDB oracle mirrors
+    val stereo = fixture("ramp_stereo_44k.wav")
+    val out = Wav.mixdownMono(stereo)
+    val m = Wav.decodeMeta(out)
+    assert(m.channels === 1 &&
+      m.sampleRate === Wav.decodeMeta(stereo).sampleRate)
+    val in = Wav.samples(stereo)
+    val os = Wav.samples(out)
+    assert(os.length === in.length / 2)
+    for (f <- os.indices)
+      assert(os(f) === ((in(2 * f) + in(2 * f + 1)) / 2).toShort,
+        s"frame $f must be the truncated channel average")
+    // the truncation rule on a negative odd sum: (-3 + 0) / 2 = -1
+    val neg = Wav.encodePcm16(Array[Short](-3, 0), 8000, 2)
+    assert(Wav.samples(Wav.mixdownMono(neg)).sameElements(
+      Array[Short](-1)))
+  }
+
   test("m08 resample stats match a direct recompute through " +
       "resampleNearest") {
     val rows = Multimodal.m08Resample(spark, sf).collect()
