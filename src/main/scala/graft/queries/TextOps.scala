@@ -943,6 +943,51 @@ object TextOps {
       .orderBy("doc_id", "epoch")
   }
 
+  /** t30 chunk geometry: 32-token windows advancing 24 tokens per
+    * step (8-token overlap). Production chunkers run 256–1024 BPE
+    * tokens with ~10–25% overlap; these are the proportional settings
+    * for the synthetic corpus (docs average ~50 tokens, so multi-chunk
+    * and single-chunk docs both occur). Oracle SQL interpolates both.
+    */
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  /** t30 — overlapping token-window CHUNKING (the splitter feeding
+    * embedding/retrieval indexes and long-doc pretraining: fixed-size
+    * windows with overlap so no boundary loses context). Chunk i of a
+    * doc covers tokens [i·stride, i·stride + L); the chunk count is
+    * the smallest k with (k−1)·stride + L ≥ n, i.e.
+    * 1 + max(0, ⌈(n−L)/stride⌉) — all truncating integer arithmetic
+    * shared by both engines. Output is one row per chunk with its
+    * token span AND the reconstructed chunk text, so the oracle
+    * verifies the actual payload a downstream embedder would see, not
+    * just the geometry.
+    *
+    * Scale shape: tokenize + window-count + explode + slice are all
+    * in-row (one generator, no join); the only exchange is the
+    * presentation sort. The same plan chunked 100 TB would be a pure
+    * map stage.
+    */
+  val t30Chunk: Q = (s, d) => {
+    val (l, st) = (ChunkLen, ChunkStride)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("k",
+        greatest(lit(1L), expr(s"(n - $l + $st - 1) div $st + 1")))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0L), col("k") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * st).as("chunk_start"),
+        least(lit(l.toLong), col("n") - col("chunk_id") * st)
+          .as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("w"), (col("chunk_id") * st + 1).cast("int"),
+            lit(l)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** t20 — deterministic train/val/test split audit (mandate:
     * "sampling/splits"): every doc lands in a split by the PORTABLE
     * stable bucket of its id ([[graft.operators.Sampling
@@ -1631,6 +1676,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t30_chunking" -> t30Chunk,
     "t29_mixture_upsample" -> t29MixtureUpsample,
     "t25_lm_quality" -> t25LmQuality,
     "t24_span_dedup" -> t24SpanDedup,
@@ -2053,6 +2099,32 @@ object TextOps {
            |  (cum_before // $l <> (cum_before + n_tokens - 1) // $l)
            |    AS crosses
            |FROM c ORDER BY doc_id""".stripMargin
+      },
+      // t30: the DuckDB twin recomputes the chunk count from the same
+      // truncating arithmetic and rebuilds every chunk's text from the
+      // inclusive list slice — geometry AND payload verified
+      "t30_chunking" -> {
+        val (l, st) = (ChunkLen, ChunkStride)
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+           |      AS w,
+           |    CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+           |      AS BIGINT) AS n
+           |  FROM documents),
+           |k AS (
+           |  SELECT doc_id, w, n,
+           |    greatest(1, (n - $l + $st - 1) // $st + 1) AS k
+           |  FROM t),
+           |c AS (
+           |  SELECT doc_id, w, n, unnest(range(0, k)) AS chunk_id
+           |  FROM k)
+           |SELECT doc_id, chunk_id,
+           |  chunk_id * $st AS chunk_start,
+           |  least($l, n - chunk_id * $st) AS n_chunk_tokens,
+           |  array_to_string(
+           |    w[chunk_id * $st + 1 : chunk_id * $st + $l], ' ')
+           |    AS chunk_text
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin
       },
       // t29: the DuckDB twin recomputes the same integer epoch
       // arithmetic — ceil by (mx + n - 1) // n, capped — and expands

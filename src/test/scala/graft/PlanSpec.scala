@@ -153,6 +153,18 @@ class PlanSpec extends SparkSpec {
       s"per-lang counts not partial-agged:\n$p")
   }
 
+  test("t30: chunking is pure map-side — tokenize, window-count, " +
+      "generator, slice all in-row; only the presentation exchange") {
+    val p = plan("t30_chunking")
+    assert(p.contains("Generate"),
+      s"chunk expansion must be a generator explode:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"sole exchange must be the presentation sort:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a chunker:\n$p")
+  }
+
   test("m02: feature rollup partial-aggregates map-side and shuffles " +
       "only the (lang, bin) counts") {
     val p = plan("m02_media_features")

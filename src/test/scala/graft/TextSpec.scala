@@ -641,6 +641,39 @@ class TextSpec extends SparkSpec {
       "corpus too uniform for the upsampling test to exercise anything")
   }
 
+  test("t30 chunking: chunks tile every doc with the declared overlap " +
+      "and each chunk's text is the exact token-window slice") {
+    val (l, st) = (TextOps.ChunkLen, TextOps.ChunkStride)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+      .toMap
+    val byDoc = TextOps.t30Chunk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === docs.keySet)
+    byDoc.foreach { case (id, rs) =>
+      val w = docs(id)
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_id"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_id") === i.toLong)
+        val start = i * st
+        assert(r.getAs[Long]("chunk_start") === start.toLong)
+        val exp = w.slice(start, start + l)
+        assert(r.getAs[Long]("n_chunk_tokens") === exp.length.toLong)
+        assert(r.getAs[String]("chunk_text") === exp.mkString(" "))
+      }
+      // full coverage: the last chunk reaches the end of the doc, and
+      // one fewer chunk would leave a tail uncovered
+      val k = sorted.length
+      assert((k - 1) * st + l >= w.length, s"doc $id tail uncovered")
+      assert(k == 1 || (k - 2) * st + l < w.length,
+        s"doc $id has a redundant trailing chunk")
+    }
+    // the corpus exercises both single- and multi-chunk docs
+    assert(byDoc.values.exists(_.length > 1))
+    assert(byDoc.values.exists(_.length == 1))
+  }
+
   test("t22 repetition scores are exact on a constructed document") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
