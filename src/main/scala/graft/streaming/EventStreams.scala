@@ -614,7 +614,6 @@ object EventStreams {
       : (DataFrame, Long, Long) = {
     val work = java.nio.file.Files.createTempDirectory("graft-s06")
       .toFile
-    work.deleteOnExit()
     val srcDir = s"${work.getAbsolutePath}/incoming"
     // Stage the two needed columns as 4 single-file micro-batches.
     // Which rows land in which batch is irrelevant (the merge
@@ -643,7 +642,14 @@ object EventStreams {
         (Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum,
           q.recentProgress.count(_.numInputRows > 0).toLong)
-      } finally { q.stop() }
+      } finally {
+        q.stop()
+        // the sketch lives in the memory sink — the staged lineitem
+        // copy and checkpoint/state dirs are dead weight once the
+        // query stops (the s03b lesson: deleteOnExit on a non-empty
+        // dir is a silent no-op)
+        deleteRecursively(work)
+      }
     (graft.queries.Relational
       .histQuantilesFromCounts(spark.table(qn)),
       stateRows, nBatches)
