@@ -37,7 +37,9 @@ object SparkEntry {
         "s05_stream_ingest_dedup" -> ((s, d) =>
           EventStreams.replayIngestDedup(s, d)),
         "s06_stream_hist_quantiles" -> ((s, d) =>
-          EventStreams.replayHistQuantiles(s, d)))
+          EventStreams.replayHistQuantiles(s, d)),
+        "s07_stream_hll" -> ((s, d) =>
+          EventStreams.replayHllSketch(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -116,5 +118,8 @@ object SparkEntry {
         // incrementally-maintained histogram sketch ≡ batch recompute
         // (merge commutes) — q39's oracle verifies the streaming loop
         "s06_stream_hist_quantiles" ->
-          Relational.oracles("q39_portable_hist_quantiles"))
+          Relational.oracles("q39_portable_hist_quantiles"),
+        // incrementally-maintained portable HLL ≡ batch recompute
+        // (register-wise max commutes) — q37's oracle verifies it
+        "s07_stream_hll" -> Relational.oracles("q37_portable_hll"))
 }

@@ -439,20 +439,47 @@ object Relational {
     */
   val q37PortableHll: Q = (s, d) => {
     graft.functions.Md5Hash48.registerAll(s)
-    val m = Q37Registers
+    val regs = hllRegisterProjection(
+      Tables.lineitem(s, d).select("l_returnflag", "l_partkey"))
+      .groupBy("l_returnflag", "idx")
+      .agg(max("rho").as("r"))
+    hllFinalize(regs, hllExactCounts(Tables.lineitem(s, d)))
+  }
+
+  /** The q37 register projection — (group, register index, rank ρ) per
+    * row, all engine-neutral integer arithmetic (see q37's doc). Shared
+    * with the streaming s07 twin, whose stateful max(ρ) over exactly
+    * these columns IS the register table.
+    */
+  private[graft] def hllRegisterProjection(
+      df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val rem = col("h").bitwiseAND(lit((1L << 38) - 1))
-    val regs = Tables.lineitem(s, d)
-      .select(col("l_returnflag"),
+    df.select(col("l_returnflag"),
         graft.functions.Md5Hash48
           .md5_hash48(col("l_partkey").cast("string")).as("h"))
       .select(col("l_returnflag"), expr("h >> 38").as("idx"),
         when(rem === 0, lit(39))
           .otherwise(lit(39) - length(bin(rem))).as("rho"))
-      .groupBy("l_returnflag", "idx")
-      .agg(max("rho").as("r"))
-    val exact = Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
+  }
+
+  /** The transparent-error exact side q37 reports next to its estimate. */
+  private[graft] def hllExactCounts(
+      lineitem: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    lineitem.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** The q37 estimate walk over a finished (l_returnflag, idx, r)
+    * register table: scaled-integer harmonic sum, one final float
+    * division, linear counting alongside. Shared with s07 so the
+    * streaming-maintained sketch finalizes through literally the same
+    * plan tail the oracle verifies.
+    */
+  private[graft] def hllFinalize(regs: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = Q37Registers
     regs
       .groupBy("l_returnflag")
       .agg(count(lit(1)).cast("int").as("regs_hit"),

@@ -655,6 +655,68 @@ object EventStreams {
       stateRows, nBatches)
   }
 
+  /** s07 — streaming PORTABLE-HLL maintenance: the q37 sketch kept
+    * incrementally by the micro-batch engine, completing the pair with
+    * s06 (both portable sketch families — histogram and HLL — now have
+    * a streaming-maintained member verified by their batch oracle).
+    * lineitem rows arrive as file micro-batches; the map-side register
+    * projection is LITERALLY q37's ([[graft.queries.Relational
+    * .hllRegisterProjection]]), and the engine's stateful max(ρ) per
+    * (group, register) IS the register table — each batch merges into
+    * state by register-wise max, exactly the union operation q38
+    * proves mergeable. The finalize walk (also shared with q37) over
+    * the final state must therefore equal q37's batch answer, and
+    * q37's own DuckDB oracle verifies the whole streaming loop.
+    *
+    * Scale shape: state is SKETCH-sized (≤ groups × 1024 registers)
+    * regardless of input volume; per-batch register projection is
+    * map-side; the state update shuffles only sketch-keyed rows.
+    */
+  def replayHllSketch(spark: SparkSession, dir: String): DataFrame =
+    replayHllSketchWithStats(spark, dir)._1
+
+  /** s07 plus the state-store row total (≤ groups × registers) and the
+    * data micro-batch count (> 1, or nothing incremental was proven).
+    */
+  def replayHllSketchWithStats(spark: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s07")
+      .toFile
+    val srcDir = s"${work.getAbsolutePath}/incoming"
+    graft.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_partkey"))
+      .repartition(4)
+      .write.parquet(srcDir)
+    val srcSchema = StructType(Seq(
+      StructField("l_returnflag", StringType),
+      StructField("l_partkey", LongType)))
+    val qn = s"stream_hll_${math.abs(dir.hashCode)}"
+    graft.functions.Md5Hash48.registerAll(spark)
+    val q = graft.queries.Relational.hllRegisterProjection(
+        spark.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir))
+      .groupBy("l_returnflag", "idx")
+      .agg(max("rho").as("r"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"${work.getAbsolutePath}/ckpt")
+      .format("memory").queryName(qn).start()
+    val (stateRows, nBatches) =
+      try {
+        q.processAllAvailable()
+        (Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum,
+          q.recentProgress.count(_.numInputRows > 0).toLong)
+      } finally {
+        q.stop()
+        deleteRecursively(work) // sketch lives in the memory sink
+      }
+    (graft.queries.Relational.hllFinalize(spark.table(qn),
+      graft.queries.Relational.hllExactCounts(
+        graft.Tables.lineitem(spark, dir))),
+      stateRows, nBatches)
+  }
+
   /** Incremental layer refresh via foreachBatch (SURVEY §2.9: the
     * generalized "re-run the pipeline on new certificate events"): each
     * micro-batch republishes the layer produced by `buildLayer` over

@@ -112,6 +112,23 @@ class StreamingSpec extends SparkSpec {
       s"state rows $stateRows exceed the sketch bound")
   }
 
+  test("streaming portable HLL (declared s07) equals the batch q37 " +
+      "across multiple micro-batches with register-bounded state") {
+    val (df, stateRows, nBatches) =
+      EventStreams.replayHllSketchWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = graft.queries.Relational
+      .queries("q37_portable_hll")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(nBatches > 1, s"only $nBatches data micro-batch(es)")
+    val groups = batch.length
+    assert(stateRows > 0 &&
+      stateRows <= groups * graft.queries.Relational.Q37Registers,
+      s"state rows $stateRows exceed the register bound")
+  }
+
   test("flatMapGroupsWithState session state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
