@@ -988,6 +988,37 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** t31's per-language sample size. */
+  val EvalSamplePerLang = 20L
+
+  /** t31 — deterministic FIXED-SIZE per-stratum sampling (the eval-set
+    * draw: exactly k docs per language, reproducible on any engine,
+    * any cluster, any partition layout). t20's fraction thresholds
+    * give layout-independent ~percentages; an eval set needs an exact
+    * COUNT, so t31 ranks each stratum by the portable md5 bucket
+    * (doc_id tiebreak) and keeps rank ≤ k — the "sort by stable hash,
+    * take k" recipe, whose whole selection hash-verifies against
+    * DuckDB recomputing the same bucket arithmetic.
+    *
+    * Scale shape: the rank-≤-k window is exactly the q08 top-k family
+    * — Spark evaluates `row_number ≤ k` as WindowGroupLimit, pruning
+    * each partition to k rows map-side BEFORE the stratum exchange
+    * (the gate asserts it), so the shuffle moves O(strata × k), not
+    * the corpus.
+    */
+  val t31EvalSample: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("bucket"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.operators.Sampling.portableBucket(col("doc_id"))
+          .as("bucket"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= EvalSamplePerLang)
+      .select(col("lang"), col("rk"), col("doc_id"), col("bucket"))
+      .orderBy("lang", "rk")
+  }
+
   /** t20 — deterministic train/val/test split audit (mandate:
     * "sampling/splits"): every doc lands in a split by the PORTABLE
     * stable bucket of its id ([[graft.operators.Sampling
@@ -1676,6 +1707,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t31_eval_sample" -> t31EvalSample,
     "t30_chunking" -> t30Chunk,
     "t29_mixture_upsample" -> t29MixtureUpsample,
     "t25_lm_quality" -> t25LmQuality,
@@ -2143,6 +2175,20 @@ object TextOps {
            |    unnest(generate_series(0, r.reps - 1)) AS epoch
            |  FROM documents d JOIN r USING (lang))
            |ORDER BY doc_id, epoch""".stripMargin,
+      // t31: the same md5 bucket arithmetic as t20, ranked per stratum
+      "t31_eval_sample" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, lang,
+           |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+           |      AS BIGINT) % 1000000 AS bucket
+           |  FROM documents),
+           |r AS (
+           |  SELECT lang, doc_id, bucket,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY bucket, doc_id) AS rk
+           |  FROM b)
+           |SELECT lang, rk, doc_id, bucket FROM r
+           |WHERE rk <= $EvalSamplePerLang ORDER BY lang, rk""".stripMargin,
       // same md5-derived bucket arithmetic as Sampling.portableBucket
       "t20_split_audit" ->
         """WITH b AS (

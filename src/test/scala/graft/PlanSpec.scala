@@ -165,6 +165,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs in a chunker:\n$p")
   }
 
+  test("t31: the per-stratum rank prunes to k map-side " +
+      "(WindowGroupLimit) before the stratum exchange — the shuffle " +
+      "moves O(strata × k), not the corpus") {
+    val p = plan("t31_eval_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank ≤ k not partially evaluated before the shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a sampler:\n$p")
+  }
+
   test("m02: feature rollup partial-aggregates map-side and shuffles " +
       "only the (lang, bin) counts") {
     val p = plan("m02_media_features")

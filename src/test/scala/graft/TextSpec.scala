@@ -674,6 +674,23 @@ class TextSpec extends SparkSpec {
     assert(byDoc.values.exists(_.length == 1))
   }
 
+  test("t31 eval sampling: exactly k docs per language, selected by " +
+      "the portable bucket order") {
+    val k = TextOps.EvalSamplePerLang
+    val rows = TextOps.t31EvalSample(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length === k.toInt, s"$lang: ${rs.length} docs, want $k")
+      // ranks are 1..k and bucket-ordered (doc_id tiebreak)
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).sameElements(1 to k.toInt))
+      val keys = sorted.map(r =>
+        (r.getAs[Long]("bucket"), r.getAs[Long]("doc_id")))
+      assert(keys.sameElements(keys.sorted), s"$lang: not bucket-ordered")
+    }
+  }
+
   test("t22 repetition scores are exact on a constructed document") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
