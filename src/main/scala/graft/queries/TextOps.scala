@@ -1019,6 +1019,60 @@ object TextOps {
       .orderBy("lang", "rk")
   }
 
+  /** t32 span-mask geometry: 3-token spans, one starting every 20
+    * positions (≈15% of tokens masked — the T5 default), the start
+    * offset varied per doc by doc_id % 18 so span positions differ
+    * across docs while staying strictly periodic (spans can never
+    * overlap: stride 20 > span 3).
+    */
+  val MaskSpanLen = 3
+  val MaskStride = 20
+
+  /** t32 — SPAN-CORRUPTION example construction (the T5/UL2 denoising
+    * objective: replace each noise span with one sentinel in the
+    * input, emit sentinel-prefixed span contents as the target). Span
+    * selection is pure integer arithmetic on the token position — a
+    * position p is masked iff p ≥ off ∧ (p−off) mod 20 < 3, sentinel
+    * index k = (p−off) div 20 — so the WHOLE example pair (input with
+    * `<extra_id_k>` sentinels, target with span contents) is
+    * deterministic and the oracle rebuilds both strings token by
+    * token. Production uses seeded randomness per doc; a hash of
+    * (doc_id, position) slots into the same arithmetic shape.
+    *
+    * Scale shape: entirely in-row — tokenize, the position filter/
+    * transform lambdas, and both string rebuilds are higher-order
+    * array functions with NO explode and NO shuffle; the only
+    * exchange is the presentation sort. 100 TB = a pure map stage.
+    */
+  val t32SpanMask: Q = (s, d) => {
+    val (sp, st) = (MaskSpanLen, MaskStride)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("off", pmod(col("doc_id"), lit(18L)))
+      .withColumn("idx", expr("sequence(0L, n - 1)"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr(s"CAST(size(filter(idx, p -> p >= off AND " +
+          s"(p - off) % $st < $sp)) AS BIGINT)").as("n_masked"),
+        expr(s"""array_join(transform(
+          filter(idx, p -> p < off OR (p - off) % $st >= $sp
+                           OR (p - off) % $st = 0),
+          p -> CASE WHEN p >= off AND (p - off) % $st = 0
+               THEN concat('<extra_id_',
+                 CAST((p - off) div $st AS STRING), '>')
+               ELSE element_at(w, CAST(p + 1 AS INT)) END), ' ')""")
+          .as("input_text"),
+        expr(s"""array_join(transform(
+          filter(idx, p -> p >= off AND (p - off) % $st < $sp),
+          p -> CASE WHEN (p - off) % $st = 0
+               THEN concat('<extra_id_',
+                 CAST((p - off) div $st AS STRING), '> ',
+                 element_at(w, CAST(p + 1 AS INT)))
+               ELSE element_at(w, CAST(p + 1 AS INT)) END), ' ')""")
+          .as("target_text"))
+      .orderBy("doc_id")
+  }
+
   /** t20 — deterministic train/val/test split audit (mandate:
     * "sampling/splits"): every doc lands in a split by the PORTABLE
     * stable bucket of its id ([[graft.operators.Sampling
@@ -1707,6 +1761,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t32_span_mask" -> t32SpanMask,
     "t31_eval_sample" -> t31EvalSample,
     "t30_chunking" -> t30Chunk,
     "t29_mixture_upsample" -> t29MixtureUpsample,
@@ -2175,6 +2230,42 @@ object TextOps {
            |    unnest(generate_series(0, r.reps - 1)) AS epoch
            |  FROM documents d JOIN r USING (lang))
            |ORDER BY doc_id, epoch""".stripMargin,
+      // t32: the DuckDB twin rebuilds both example strings token by
+      // token from the same position arithmetic (string_agg with
+      // FILTER + ORDER BY); COALESCE covers span-free docs where
+      // Spark's array_join of an empty array yields ''
+      "t32_span_mask" -> {
+        val (sp, st) = (MaskSpanLen, MaskStride)
+        s"""WITH t AS (
+           |  SELECT doc_id, doc_id % 18 AS off,
+           |    regexp_split_to_array(trim(text), '\\s+') AS w
+           |  FROM documents),
+           |words AS (
+           |  SELECT doc_id, off, unnest(w) AS word,
+           |    unnest(range(0, len(w))) AS p
+           |  FROM t),
+           |f AS (
+           |  SELECT doc_id, off, word, p,
+           |    (p >= off AND (p - off) % $st < $sp) AS inspan,
+           |    (p >= off AND (p - off) % $st = 0) AS firsttok,
+           |    (p - off) // $st AS k
+           |  FROM words)
+           |SELECT doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(count(*) FILTER (WHERE inspan) AS BIGINT) AS n_masked,
+           |  COALESCE(string_agg(
+           |    CASE WHEN firsttok
+           |         THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+           |         ELSE word END, ' ' ORDER BY p)
+           |    FILTER (WHERE NOT inspan OR firsttok), '') AS input_text,
+           |  COALESCE(string_agg(
+           |    CASE WHEN firsttok
+           |         THEN '<extra_id_' || CAST(k AS VARCHAR) || '> '
+           |           || word
+           |         ELSE word END, ' ' ORDER BY p)
+           |    FILTER (WHERE inspan), '') AS target_text
+           |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
       // t31: the same md5 bucket arithmetic as t20, ranked per stratum
       "t31_eval_sample" ->
         s"""WITH b AS (

@@ -174,6 +174,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs in a sampler:\n$p")
   }
 
+  test("t32: span corruption is pure in-row higher-order-function " +
+      "work — no explode, no shuffle, one presentation exchange") {
+    val p = plan("t32_span_mask")
+    assert(!p.contains("Generate"),
+      s"masking must not explode the corpus:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"sole exchange must be the presentation sort:\n$p")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
+
   test("m02: feature rollup partial-aggregates map-side and shuffles " +
       "only the (lang, bin) counts") {
     val p = plan("m02_media_features")

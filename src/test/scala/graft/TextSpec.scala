@@ -691,6 +691,39 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("t32 span masking: splicing each target span back over its " +
+      "sentinel reproduces the original document exactly") {
+    val rows = TextOps.t32SpanMask(spark, sf).collect()
+    val orig = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim
+        .split("\\s+").toSeq).toMap
+    assert(rows.length === orig.size)
+    var masked = 0L
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // parse the target into sentinel → span-tokens
+      val tgt = r.getAs[String]("target_text")
+      val spans: Map[String, Seq[String]] =
+        if (tgt.isEmpty) Map.empty
+        else "<extra_id_\\d+>".r.findAllIn(tgt).toSeq
+          .zip(tgt.split("<extra_id_\\d+>").drop(1).toSeq)
+          .map { case (sent, body) =>
+            sent -> body.trim.split("\\s+").toSeq }.toMap
+      val rebuilt = r.getAs[String]("input_text").split("\\s+").toSeq
+        .flatMap(tok => spans.getOrElse(tok, Seq(tok)))
+      assert(rebuilt === orig(id), s"doc $id does not round-trip")
+      assert(r.getAs[Long]("n_masked") ===
+        spans.values.map(_.length.toLong).sum)
+      assert(r.getAs[Long]("n_tokens") === orig(id).length.toLong)
+      masked += r.getAs[Long]("n_masked")
+    }
+    // the corpus-wide mask rate is near the configured 3/20 = 15%
+    val total = orig.values.map(_.length.toLong).sum
+    val rate = masked.toDouble / total
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate off target")
+  }
+
   test("t22 repetition scores are exact on a constructed document") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
