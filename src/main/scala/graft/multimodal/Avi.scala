@@ -187,4 +187,22 @@ object Avi {
       s"${fs.length} frame chunks but avih declares ${m.nFrames}")
     fs
   }
+
+  /** REAL temporal downsample over the real format (the video member
+    * of the transform set next to [[Bmp.resizeNearest]]/
+    * [[Bmp.cropCenter]]/[[Wav.resampleNearest]]/[[Wav.mixdownMono]]):
+    * keep every `step`-th frame (f mod step = 0 — the same selection
+    * rule the m03/m06 read-only sampling uses) and re-encode a fully
+    * valid AVI. Kept frames keep their exact pixel bytes; usPerFrame
+    * scales by `step` so the clip's wall-clock duration survives the
+    * frame drop. Pure byte kernel, map-side like decode.
+    */
+  def temporalSample(blob: Array[Byte], step: Int): Array[Byte] = {
+    require(step >= 1, s"bad step $step")
+    val m = decodeMeta(blob)
+    val kept = frames(blob).zipWithIndex
+      .collect { case (px, f) if f % step == 0 => px }
+    encode(m.width, m.height, kept,
+      math.min(m.usPerFrame.toLong * step, Int.MaxValue).toInt)
+  }
 }

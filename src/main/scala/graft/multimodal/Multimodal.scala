@@ -490,9 +490,48 @@ object Multimodal {
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
+  // --- temporal downsample (m11) ---
+
+  /** m11's output-frame stats record: every field read back out of the
+    * RE-ENCODED container (n_frames from the new avih header must be
+    * ⌈nf/2⌉; stats over all surviving frames' pixels).
+    */
+  case class TrimStats(width: Int, height: Int, n_frames: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, peak_lum: Int)
+
+  /** m11 — REAL temporal downsample + decode stats of the re-encoded
+    * bytes (the video member of the transform set, completing all
+    * three modalities: image resize/crop, audio resample/mixdown,
+    * video frame-drop): every AVI halves its frame rate via
+    * [[Avi.temporalSample]] (keep f % 2 = 0, duration-preserving
+    * usPerFrame), binary→binary, and the query reads frame count and
+    * pixel stats back out of the NEW container, so the oracle (which
+    * recomputes the kept frames from the synthesis formula) verifies
+    * every surviving pixel end-to-end.
+    */
+  val m11VideoTrim: Q = (s, d) => {
+    val ts = udf { (blob: Array[Byte]) => Avi.temporalSample(blob, 2) }
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Avi.decodeMeta(blob)
+      val fs = Avi.frames(blob)
+      var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0
+      fs.foreach { px =>
+        val st = Bmp.stats(px)
+        sr += st.sumR; sg += st.sumG; sb += st.sumB
+        if (st.peakLum > peak) peak = st.peakLum
+      }
+      TrimStats(m.width, m.height, m.nFrames, sr, sg, sb, peak)
+    }
+    videoTable(s, d)
+      .withColumn("blob", ts(col("blob")))
+      .withColumn("a", dec(col("blob")))
+      .select(col("doc_id"), col("a.*")).orderBy("doc_id")
+  }
+
   // --- driver-contract queries ---
 
   val queries: Map[String, Q] = Map(
+    "m11_video_trim" -> m11VideoTrim,
     "m10_mixdown_mono" -> m10MixdownMono,
     "m01_media_meta" -> m01MediaMeta,
     "m02_media_features" -> m02MediaFeatures,
@@ -709,6 +748,39 @@ object Multimodal {
         |FROM g JOIN a ON g.doc_id = a.doc_id
         |ORDER BY g.doc_id""".stripMargin
     },
+    // m11: the kept frames are the original even-f frames with their
+    // original pixels (the m06 synthesis formula); n_frames reads
+    // ⌈nf/2⌉ back out of the re-encoded avih header
+    "m11_video_trim" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(3 + n_chars % 13 AS INT) AS width,
+        |    CAST(2 + doc_id % 5 AS INT) AS height,
+        |    CAST(2 + n_chars % 7 AS INT) AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, width, height,
+        |    unnest(range(0, nf)) AS f
+        |  FROM p),
+        |px AS (
+        |  SELECT doc_id,
+        |    (doc_id * 13 + f * 23 + i * 19) % 256 AS r,
+        |    (doc_id * 11 + f * 29 + i * 17) % 256 AS g,
+        |    (doc_id * 7 + f * 31 + i * 13) % 256 AS b
+        |  FROM (SELECT doc_id, f,
+        |          unnest(range(0, width * height)) AS i
+        |        FROM fr WHERE f % 2 = 0)),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(r) AS BIGINT) AS sum_r,
+        |    CAST(sum(g) AS BIGINT) AS sum_g,
+        |    CAST(sum(b) AS BIGINT) AS sum_b,
+        |    CAST(max(299 * r + 587 * g + 114 * b) AS INT) AS peak_lum
+        |  FROM px GROUP BY doc_id)
+        |SELECT p.doc_id, width, height,
+        |  CAST((nf + 1) // 2 AS INT) AS n_frames,
+        |  sum_r, sum_g, sum_b, peak_lum
+        |FROM p JOIN a ON p.doc_id = a.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     // m10: mono sample f = (Σ_c v[f·ch+c]) // ch — integer average
     // across channels, both engines truncating toward zero; v comes
     // from the m04 synthesis formula. Rate and frame count survive the

@@ -372,6 +372,27 @@ class MultimodalSpec extends SparkSpec {
       Array[Short](-1)))
   }
 
+  test("avi temporalSample keeps exactly the even frames byte-exact " +
+      "and doubles usPerFrame") {
+    val w = 5; val h = 4
+    val fs = Array.tabulate(5)(f =>
+      Array.tabulate(w * h)(i => (f * 1000 + i) & 0xffffff))
+    val blob = Avi.encode(w, h, fs, usPerFrame = 40000)
+    val out = Avi.temporalSample(blob, 2)
+    val m = Avi.decodeMeta(out)
+    assert(m.width === w && m.height === h)
+    assert(m.nFrames === 3) // frames 0, 2, 4
+    assert(m.usPerFrame === 80000,
+      "duration preservation: usPerFrame must scale by the step")
+    val kept = Avi.frames(out)
+    assert(kept(0).sameElements(fs(0)))
+    assert(kept(1).sameElements(fs(2)))
+    assert(kept(2).sameElements(fs(4)))
+    // step 1 is the identity on frames
+    assert(Avi.frames(Avi.temporalSample(blob, 1)).zip(fs)
+      .forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("m08 resample stats match a direct recompute through " +
       "resampleNearest") {
     val rows = Multimodal.m08Resample(spark, sf).collect()
