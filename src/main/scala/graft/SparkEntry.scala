@@ -78,6 +78,7 @@ object SparkEntry {
           TextOps.SmallBatchFraction), "t15b_corpus")
     }
     VectorOps.ensureIvfPqIndex(spark, dir)
+    TextOps.ensureDedupGroups(spark, dir) // t27's persisted cluster map
     ()
   }
 
