@@ -1,10 +1,11 @@
 package graft
 
 class ScratchPlanDump extends SparkSpec {
-  test("dump t24 plan") {
-    val p = SparkEntry.queries("t24_span_dedup")(spark, sf)
-      .queryExecution.executedPlan.toString
+  test("dump q39 formatted plan") {
+    val p = SparkEntry.queries("q39_portable_hist_quantiles")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/t24plan.txt"), p.getBytes)
+      java.nio.file.Paths.get("/tmp/q39plan.txt"), p.getBytes)
   }
 }
