@@ -39,7 +39,9 @@ object SparkEntry {
         "s06_stream_hist_quantiles" -> ((s, d) =>
           EventStreams.replayHistQuantiles(s, d)),
         "s07_stream_hll" -> ((s, d) =>
-          EventStreams.replayHllSketch(s, d)))
+          EventStreams.replayHllSketch(s, d)),
+        "s08_stream_eval_sample" -> ((s, d) =>
+          EventStreams.replayEvalSample(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -122,5 +124,8 @@ object SparkEntry {
           Relational.oracles("q39_portable_hist_quantiles"),
         // incrementally-maintained portable HLL ≡ batch recompute
         // (register-wise max commutes) — q37's oracle verifies it
-        "s07_stream_hll" -> Relational.oracles("q37_portable_hll"))
+        "s07_stream_hll" -> Relational.oracles("q37_portable_hll"),
+        // continuously-maintained min-k sample ≡ batch recompute
+        // (min-k union commutes) — t31's oracle verifies the loop
+        "s08_stream_eval_sample" -> TextOps.oracles("t31_eval_sample"))
 }

@@ -717,6 +717,96 @@ object EventStreams {
       stateRows, nBatches)
   }
 
+  /** s08 — streaming EVAL-SAMPLE maintenance: t31's fixed-size
+    * per-stratum sample kept continuously as documents arrive — the
+    * third streaming-maintained artifact family (histogram s06, HLL
+    * s07, now the min-k sample), this one through the s05
+    * stored-artifact pattern rather than engine state. Each
+    * micro-batch unions its candidate (doc_id, lang, bucket) rows with
+    * the current sample table and keeps the k smallest buckets per
+    * language (min-k is associative and commutative, so batch order
+    * cannot matter) — the artifact never exceeds strata × k rows, and
+    * the state store stays EMPTY (the sample table, not the state
+    * store, carries the sampler's memory; the spec asserts both). The
+    * final table must equal batch t31 exactly, so t31's own DuckDB
+    * oracle verifies the whole streaming loop.
+    *
+    * This is the production shape of "maintain a held-out set over a
+    * growing corpus": at 100 TB the per-batch work is one narrow
+    * strata×k read + a batch-sized projection + a strata×k write.
+    */
+  def replayEvalSample(spark: SparkSession, dir: String): DataFrame =
+    replayEvalSampleWithStats(spark, dir)._1
+
+  /** s08 plus the state-store row total (must be 0), the data-batch
+    * count (> 1), and the per-batch sample-table row counts (each ≤
+    * strata × k — the bounded-artifact proof).
+    */
+  def replayEvalSampleWithStats(spark: SparkSession, dir: String)
+      : (DataFrame, Long, Long, Seq[Long]) = {
+    import graft.queries.TextOps
+    val k = TextOps.EvalSamplePerLang
+    val work = java.nio.file.Files.createTempDirectory("graft-s08")
+      .toFile
+    val srcDir = s"${work.getAbsolutePath}/incoming"
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .repartition(4)
+      .write.parquet(srcDir)
+    val srcSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType)))
+    @volatile var samplePath: Option[String] = None
+    val sampleRows = scala.collection.mutable.ListBuffer[Long]()
+    val q = spark.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"${work.getAbsolutePath}/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val cand = batch.select(col("doc_id"), col("lang"),
+            graft.operators.Sampling.portableBucket(col("doc_id"))
+              .as("bucket"))
+          val merged = samplePath match {
+            case Some(p) => s.read.parquet(p).unionByName(cand)
+            case None => cand
+          }
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy(col("bucket"), col("doc_id"))
+          val next = s"${work.getAbsolutePath}/sample-b$batchId"
+          merged.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= k).drop("rk")
+            .write.parquet(next)
+          samplePath = Some(next)
+          sampleRows += s.read.parquet(next).count()
+        }
+        ()
+      }
+      .start()
+    val stateRows =
+      try {
+        q.awaitTermination()
+        Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      } finally { q.stop() }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("bucket"), col("doc_id"))
+    val result = samplePath match {
+      case Some(p) => spark.read.parquet(p)
+          .withColumn("rk", row_number().over(w))
+          .select(col("lang"), col("rk"), col("doc_id"), col("bucket"))
+          .orderBy("lang", "rk")
+          .localCheckpoint() // materialize before the work dir dies
+      case None => throw new IllegalStateException("no data batches")
+    }
+    deleteRecursively(work)
+    (result, stateRows, sampleRows.length.toLong, sampleRows.toList)
+  }
+
   /** Incremental layer refresh via foreachBatch (SURVEY §2.9: the
     * generalized "re-run the pipeline on new certificate events"): each
     * micro-batch republishes the layer produced by `buildLayer` over

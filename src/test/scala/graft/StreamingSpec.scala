@@ -129,6 +129,25 @@ class StreamingSpec extends SparkSpec {
       s"state rows $stateRows exceed the register bound")
   }
 
+  test("streaming eval sample (declared s08) equals the batch t31 " +
+      "across micro-batches; artifact bounded, state store empty") {
+    val (df, stateRows, nBatches, sampleRows) =
+      EventStreams.replayEvalSampleWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = graft.queries.TextOps
+      .queries("t31_eval_sample")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(nBatches > 1, s"only $nBatches data micro-batch(es)")
+    // the sampler's memory is the stored artifact, not the state store
+    assert(stateRows === 0L, s"unexpected state-store rows: $stateRows")
+    val strata = streamed.map(_.head).distinct.length
+    val bound = strata * graft.queries.TextOps.EvalSamplePerLang
+    sampleRows.foreach(n =>
+      assert(n <= bound, s"sample table grew to $n rows (bound $bound)"))
+  }
+
   test("flatMapGroupsWithState session state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
