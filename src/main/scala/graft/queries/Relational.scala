@@ -470,33 +470,34 @@ object Relational {
     lineitem.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("exact_parts"))
 
-  /** The q37 estimate walk over a finished (l_returnflag, idx, r)
-    * register table: scaled-integer harmonic sum, one final float
-    * division, linear counting alongside. Shared with s07 so the
+  /** The q37/q38 estimate walk over a finished (key, idx, r) register
+    * table: scaled-integer harmonic sum, one final float division,
+    * linear counting alongside. Shared with s07 so the
     * streaming-maintained sketch finalizes through literally the same
     * plan tail the oracle verifies.
     */
   private[graft] def hllFinalize(regs: org.apache.spark.sql.DataFrame,
-      exact: org.apache.spark.sql.DataFrame)
+      exact: org.apache.spark.sql.DataFrame,
+      key: String = "l_returnflag")
       : org.apache.spark.sql.DataFrame = {
     val m = Q37Registers
     regs
-      .groupBy("l_returnflag")
+      .groupBy(key)
       .agg(count(lit(1)).cast("int").as("regs_hit"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - r)")).as("s_present"))
-      .select(col("l_returnflag"), col("regs_hit"),
+      .select(col(key), col("regs_hit"),
         (lit(m) - col("regs_hit")).cast("int").as("v_zero"),
         (col("s_present") +
           (lit(m.toLong) - col("regs_hit")) * lit(1L << 50))
           .as("s_scaled"))
-      .select(col("l_returnflag"), col("regs_hit"), col("v_zero"),
+      .select(col(key), col("regs_hit"), col("v_zero"),
         col("s_scaled"),
         round(lit(q37Num) / col("s_scaled"), 4).as("hll_estimate"),
         when(col("v_zero") > 0,
           round(lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")), 4))
           .as("lc_estimate"))
-      .join(broadcast(exact), "l_returnflag")
-      .orderBy("l_returnflag")
+      .join(broadcast(exact), key)
+      .orderBy(key)
   }
 
   /** q39 histogram geometry: 1024 equi-width bins over [0, 110000.00)
@@ -883,7 +884,6 @@ object Relational {
     */
   val q38PortableHllUnion: Q = (s, d) => {
     graft.functions.Md5Hash48.registerAll(s)
-    val m = Q37Registers
     val rem = col("h").bitwiseAND(lit((1L << 38) - 1))
     val daily = Tables.events(s, d)
       .select(dayofyear(col("ts")).as("doy"),
@@ -903,23 +903,7 @@ object Relational {
         expr("CAST((dayofyear(ts) - 1) DIV 7 AS INT)"))
       .groupBy("week")
       .agg(countDistinct(col("user_id")).as("exact_users"))
-    weekly
-      .groupBy("week")
-      .agg(count(lit(1)).cast("int").as("regs_hit"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - r)")).as("s_present"))
-      .select(col("week"), col("regs_hit"),
-        (lit(m) - col("regs_hit")).cast("int").as("v_zero"),
-        (col("s_present") +
-          (lit(m.toLong) - col("regs_hit")) * lit(1L << 50))
-          .as("s_scaled"))
-      .select(col("week"), col("regs_hit"), col("v_zero"),
-        col("s_scaled"),
-        round(lit(q37Num) / col("s_scaled"), 4).as("hll_estimate"),
-        when(col("v_zero") > 0,
-          round(lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")), 4))
-          .as("lc_estimate"))
-      .join(broadcast(exact), "week")
-      .orderBy("week")
+    hllFinalize(weekly, exact, key = "week")
   }
 
   /** Benched-but-not-oracled variants: scale-path twins of oracled
