@@ -200,9 +200,15 @@ object Avi {
   def temporalSample(blob: Array[Byte], step: Int): Array[Byte] = {
     require(step >= 1, s"bad step $step")
     val m = decodeMeta(blob)
+    // the scaled frame duration must stay representable in the avih
+    // field — a silent clamp would re-encode with a WRONG duration,
+    // breaking the duration-preservation contract this kernel declares
+    require(m.usPerFrame.toLong * step <= Int.MaxValue,
+      s"usPerFrame ${m.usPerFrame} * step $step exceeds the 32-bit avih" +
+        " frame-duration field; the downsampled clip's duration would" +
+        " not be representable")
     val kept = frames(blob).zipWithIndex
       .collect { case (px, f) if f % step == 0 => px }
-    encode(m.width, m.height, kept,
-      math.min(m.usPerFrame.toLong * step, Int.MaxValue).toInt)
+    encode(m.width, m.height, kept, (m.usPerFrame.toLong * step).toInt)
   }
 }

@@ -798,9 +798,17 @@ object TextOps {
     * component and fine for an oracle, while the declared plan stays
     * the scalable label propagation.
     */
+  /** The verify threshold the whole transitive-dedup family (t19's
+    * rebuild, the persisted cluster map, t27's resolution) runs at.
+    * The oracle SQL pins the same value independently, so a change
+    * here that is not mirrored there fails the hash compare loudly.
+    */
+  val DedupGroupsThreshold = 0.5
+
   val t19DedupGroups: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val pairs = indexedVerifiedPairs(s, d, docs, 0.5).select("d1", "d2")
+    val pairs = indexedVerifiedPairs(s, d, docs, DedupGroupsThreshold)
+      .select("d1", "d2")
     graft.operators.Components.connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("component").as("group_id"))
       .orderBy("doc_id")
@@ -816,12 +824,16 @@ object TextOps {
   def ensureDedupGroups(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val cache = new graft.pipeline.StageCache(s,
       graft.pipeline.StageCache.indexRoot)
+    // the key is BUILT FROM the values the computation below actually
+    // uses (threshold constant + the band-index version seed), so a
+    // change to either cannot silently serve a stale cluster map
     cache.stage("t19_groups",
-      cache.versionHash(Seq("dedup-groups", "v1", "thr=0.5",
-        "minlabel-components")),
+      cache.versionHash(Seq("dedup-groups", "v1",
+        s"thr=$DedupGroupsThreshold", "minlabel-components") ++
+        bandIndexVersionSeed),
       Seq(s"$d/documents.parquet")) {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val pairs = indexedVerifiedPairs(s, d, docs, 0.5)
+      val pairs = indexedVerifiedPairs(s, d, docs, DedupGroupsThreshold)
         .select("d1", "d2")
       graft.operators.Components.connectedComponents(pairs)
         .select(col("node").as("doc_id"),
@@ -1279,13 +1291,22 @@ object TextOps {
     * returned frame is ALWAYS the parquet read-back — downstream plans
     * see a file scan, never the signature pipeline.
     */
+  /** The band-index version seed, SHARED by every cache key that
+    * depends on the index's parameters ([[ensureBandIndex]] itself and
+    * derived artifacts like [[ensureDedupGroups]]): a banding change
+    * must invalidate the derived artifacts too, so they all splice in
+    * this one sequence instead of repeating its parts.
+    */
+  private def bandIndexVersionSeed: Seq[String] =
+    Seq("minhash-band-index", "v1", "k=5",
+      s"nPerm=${minHashSeeds.length}", "rowsPerBand=4")
+
   def ensureBandIndex(s: SparkSession, d: String, corpus: DataFrame,
       name: String): DataFrame = {
     val cache = new graft.pipeline.StageCache(s,
       graft.pipeline.StageCache.indexRoot)
     cache.stage(name,
-      cache.versionHash(Seq("minhash-band-index", "v1", "k=5",
-        s"nPerm=${minHashSeeds.length}", "rowsPerBand=4")),
+      cache.versionHash(bandIndexVersionSeed),
       Seq(s"$d/documents.parquet")) {
       portableBandTable(corpus)
     }

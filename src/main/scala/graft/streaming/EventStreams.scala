@@ -346,6 +346,33 @@ object EventStreams {
     f.delete(); ()
   }
 
+  /** Count DATA micro-batches (numInputRows > 0) that `q` processes
+    * while the blocking `drain` runs. recentProgress is a BOUNDED
+    * buffer (default 100 entries — the [[drainTimerStream]] lesson):
+    * one post-hoc count of the buffer undercounts as soon as staging
+    * exceeds it, so batch ids are accumulated by a concurrent poller
+    * for the drain's duration, plus a final sweep after it returns
+    * (the poll interval is far inside the ~100-entry eviction window,
+    * so no id can be evicted unseen).
+    */
+  private def countDataBatches(
+      q: org.apache.spark.sql.streaming.StreamingQuery)(
+      drain: => Unit): Long = {
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def sweep(): Unit =
+      q.recentProgress.filter(_.numInputRows > 0)
+        .foreach(p => seen.add(p.batchId))
+    @volatile var running = true
+    val poller = new Thread(() => {
+      while (running) { sweep(); Thread.sleep(50) }
+    })
+    poller.setDaemon(true)
+    poller.start()
+    try drain finally { running = false; poller.join() }
+    sweep()
+    seen.size.toLong
+  }
+
   /** Wait until a stream with ARMED processing-time timers has
     * consumed `expectBatches` data batches: `processAllAvailable`
     * never quiesces once a timer is armed (the engine schedules
@@ -638,10 +665,10 @@ object EventStreams {
       .format("memory").queryName(qn).start()
     val (stateRows, nBatches) =
       try {
-        q.processAllAvailable()
+        val n = countDataBatches(q)(q.processAllAvailable())
         (Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum,
-          q.recentProgress.count(_.numInputRows > 0).toLong)
+          n)
       } finally {
         q.stop()
         // the sketch lives in the memory sink — the staged lineitem
@@ -703,10 +730,10 @@ object EventStreams {
       .format("memory").queryName(qn).start()
     val (stateRows, nBatches) =
       try {
-        q.processAllAvailable()
+        val n = countDataBatches(q)(q.processAllAvailable())
         (Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum,
-          q.recentProgress.count(_.numInputRows > 0).toLong)
+          n)
       } finally {
         q.stop()
         deleteRecursively(work) // sketch lives in the memory sink

@@ -164,7 +164,10 @@ class RelationalSpec extends SparkSpec {
         case (k, ex) =>
           val lo = r.getAs[Long](s"${k}_lo_cents").toDouble
           assert(ex >= lo - binWidth && ex <= lo + 2 * binWidth,
-            s"$k: exact $ex outside bin [$lo, ${lo + binWidth}]")
+            s"$k: exact $ex outside the one-bin-slack interval " +
+              s"[${lo - binWidth}, ${lo + 2 * binWidth}] around bin " +
+              s"[$lo, ${lo + binWidth}] (slack covers the " +
+              "interpolating exact percentile landing a neighbor bin)")
       }
     }
   }
