@@ -490,6 +490,49 @@ object Multimodal {
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
+  // --- peak normalization (m12) ---
+
+  /** Target peak for m12 — just under full scale, the standard
+    * headroom convention. Oracle SQL interpolates this constant.
+    */
+  val NormTargetPeak = 30000
+
+  /** REAL gain-normalization operator over the audio column: every WAV
+    * blob rescales to a common peak via [[Wav.normalizePeak]] (exact
+    * integer s·target/peak, truncating toward zero) — binary→binary,
+    * pure map-side, output blobs are fully valid PCM16 WAVs at the
+    * original rate/channel layout.
+    */
+  def normalize(audio: DataFrame): DataFrame = {
+    val nm = udf { (blob: Array[Byte]) =>
+      Wav.normalizePeak(blob, NormTargetPeak)
+    }
+    audio.withColumn("blob", nm(col("blob")))
+  }
+
+  /** m12 — peak normalization + decode stats of the NORMALIZED bytes
+    * (the loudness counterpart of m08's rate and m10's channel
+    * normalization — the third audio normalization a training
+    * pipeline applies before feature extraction): the query reads
+    * rate/channels/counts back out of the re-encoded WAV — layout
+    * must survive, peak_abs must read exactly the target for any
+    * non-silent blob — and aggregates the rescaled samples, so the
+    * oracle (which recomputes every output sample as
+    * (v · target) // peak from the synthesis formula, both engines
+    * truncating toward zero) verifies every output sample end-to-end.
+    */
+  val m12NormalizePeak: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Wav.decodeMeta(blob)
+      val st = Wav.stats(Wav.samples(blob))
+      AudioStats(m.sampleRate, m.channels, m.nSamples,
+        st.peakAbs, st.sumAbs, st.sumSq)
+    }
+    normalize(audioTable(s, d))
+      .withColumn("a", dec(col("blob")))
+      .select(col("doc_id"), col("a.*")).orderBy("doc_id")
+  }
+
   // --- temporal downsample (m11) ---
 
   /** m11's output-frame stats record: every field read back out of the
@@ -531,6 +574,7 @@ object Multimodal {
   // --- driver-contract queries ---
 
   val queries: Map[String, Q] = Map(
+    "m12_normalize_peak" -> m12NormalizePeak,
     "m11_video_trim" -> m11VideoTrim,
     "m10_mixdown_mono" -> m10MixdownMono,
     "m01_media_meta" -> m01MediaMeta,
@@ -630,6 +674,33 @@ object Multimodal {
         |    CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
         |    CAST(sum(v * v) AS BIGINT) AS sum_sq
         |  FROM s GROUP BY doc_id)
+        |SELECT p.doc_id, sample_rate, channels, n_samples,
+        |  peak_abs, sum_abs, sum_sq
+        |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
+    // m12: every output sample is (v · target) // peak — both engines
+    // truncate toward zero — and silence (peak = 0) passes through
+    "m12_normalize_peak" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 8000 AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST((n_chars % 96 + 32) * (1 + doc_id % 2) AS INT)
+        |      AS n_samples
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, (doc_id * 31 + i * 7919) % 65536 - 32768 AS v
+        |  FROM (SELECT doc_id, unnest(range(0, n_samples)) AS i FROM p)),
+        |pk AS (SELECT doc_id, max(abs(v)) AS peak FROM s GROUP BY doc_id),
+        |n AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN peak = 0 THEN v
+        |         ELSE (v * $NormTargetPeak) // peak END AS v
+        |  FROM s JOIN pk ON s.doc_id = pk.doc_id),
+        |a AS (
+        |  SELECT doc_id, CAST(max(abs(v)) AS INT) AS peak_abs,
+        |    CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |    CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |  FROM n GROUP BY doc_id)
         |SELECT p.doc_id, sample_rate, channels, n_samples,
         |  peak_abs, sum_abs, sum_sq
         |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,

@@ -179,6 +179,41 @@ object Wav {
     encodePcm16(out, m.sampleRate, 1)
   }
 
+  /** REAL peak (gain) normalization over the real format: every sample
+    * scales by targetPeak/peak in exact integer arithmetic —
+    * s' = s * targetPeak / peak, truncating toward zero (the same rule
+    * DuckDB's `//` applies, so an oracle recomputes every output
+    * sample; a float gain would need a rounding convention). After
+    * normalization the loudest sample sits at exactly ±targetPeak
+    * (peak * targetPeak / peak is exact), which is the property the
+    * spec pins. All-silent audio passes through unchanged — there is
+    * no gain that normalizes silence, and 0/0 must not be invented.
+    * Rate/channel layout survive; pure byte kernel, map-side.
+    */
+  def normalizePeak(blob: Array[Byte], targetPeak: Int): Array[Byte] = {
+    require(targetPeak > 0 && targetPeak <= 32767,
+      s"target peak $targetPeak outside PCM16 range (1..32767)")
+    val m = decodeMeta(blob)
+    val in = samples(blob)
+    var peak = 0
+    var i = 0
+    while (i < in.length) {
+      val a = math.abs(in(i).toInt)
+      if (a > peak) peak = a
+      i += 1
+    }
+    if (peak == 0) encodePcm16(in, m.sampleRate, m.channels)
+    else {
+      val out = new Array[Short](in.length)
+      i = 0
+      while (i < in.length) {
+        out(i) = (in(i).toLong * targetPeak / peak).toShort
+        i += 1
+      }
+      encodePcm16(out, m.sampleRate, m.channels)
+    }
+  }
+
   /** Exact integer sample statistics — peak |s|, Σ|s|, Σs² — chosen so
     * the DuckDB oracle reproduces them with exact BIGINT arithmetic
     * (float RMS would hash-mismatch on summation order).

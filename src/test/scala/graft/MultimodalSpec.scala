@@ -372,6 +372,34 @@ class MultimodalSpec extends SparkSpec {
       Array[Short](-1)))
   }
 
+  test("wav normalizePeak: loudest sample lands exactly on the " +
+      "target, scaling truncates toward zero, silence passes through") {
+    // peak 4 → gain 30000/4: every sample is s * 30000 / 4 exactly
+    val quiet = Wav.encodePcm16(Array[Short](1, -2, 4, 0), 8000, 1)
+    val out = Wav.samples(Wav.normalizePeak(quiet, 30000))
+    assert(out.sameElements(Array[Short](7500, -15000, 30000, 0)))
+    // truncation toward zero on both signs: 3*10/7 = 4, -3*10/7 = -4
+    val odd = Wav.encodePcm16(Array[Short](3, -3, 7), 8000, 1)
+    assert(Wav.samples(Wav.normalizePeak(odd, 10))
+      .sameElements(Array[Short](4, -4, 10)))
+    // layout survives; peak reads back exactly the target
+    val stereo = fixture("ramp_stereo_44k.wav")
+    val n = Wav.normalizePeak(stereo, 30000)
+    val m = Wav.decodeMeta(n)
+    assert(m.channels === Wav.decodeMeta(stereo).channels &&
+      m.sampleRate === Wav.decodeMeta(stereo).sampleRate &&
+      m.nSamples === Wav.decodeMeta(stereo).nSamples)
+    assert(Wav.stats(Wav.samples(n)).peakAbs === 30000)
+    // silence: no gain normalizes it — bytes must survive unchanged
+    val silent = Wav.encodePcm16(Array[Short](0, 0, 0), 8000, 1)
+    assert(Wav.normalizePeak(silent, 30000).sameElements(silent))
+    // the full-scale negative edge: -32768 at peak 32768 → exactly
+    // -30000, no overflow in the Long product
+    val full = Wav.encodePcm16(Array[Short](-32768, 16384), 8000, 1)
+    assert(Wav.samples(Wav.normalizePeak(full, 30000))
+      .sameElements(Array[Short](-30000, 15000)))
+  }
+
   test("avi temporalSample keeps exactly the even frames byte-exact " +
       "and doubles usPerFrame") {
     val w = 5; val h = 4
