@@ -1809,7 +1809,132 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Snapshot-diff modulus: doc_id mod this picks the synthetic churn
+    * classes below. Oracle SQL interpolates the same constants.
+    */
+  val SnapMod = 10
+  /** doc_id ≡ this (mod SnapMod): NEW today (absent from yesterday). */
+  val SnapAddedRes = 7
+  /** doc_id ≡ this (mod SnapMod): REMOVED today (present yesterday). */
+  val SnapRemovedRes = 5
+  /** doc_id ≡ this (mod SnapMod): text CHANGED since yesterday
+    * (yesterday held the first half of the characters).
+    */
+  val SnapChangedRes = 3
+
+  /** t33 — corpus SNAPSHOT DIFF (dataset versioning: the audit a
+    * training-data build runs between corpus releases — what was
+    * added, what was removed, what changed, per source). The two
+    * snapshots derive deterministically from the documents table
+    * (yesterday = everything but the "new" class, with the "changed"
+    * class holding its first half; today = everything but the
+    * "removed" class), the diff is a full-outer join on doc_id
+    * comparing md5 content fingerprints, and the report is per
+    * (source, status) counts with id ranges.
+    *
+    * Scale shape — the CDC pattern for 100 TB: fingerprints are
+    * computed MAP-SIDE on each snapshot scan, so the join shuffles
+    * only narrow (doc_id, source, 32-char hash) rows, never document
+    * payloads; doc_id keys are unique per side (no skew, no
+    * explosion); the status projection is map-side after the join and
+    * the final rollup is a partial-aggregated groupBy on (source,
+    * status) — a few dozen groups. Diffing two 100 TB snapshots moves
+    * two fingerprint tables, not two corpora.
+    */
+  val t33SnapshotDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "source", "text", "n_chars")
+    val prev = docs.filter(col("doc_id") % SnapMod =!= SnapAddedRes)
+      .withColumn("text",
+        when(col("doc_id") % SnapMod === SnapChangedRes,
+          expr("substring(text, 1, CAST(n_chars DIV 2 AS INT))"))
+          .otherwise(col("text")))
+    val cur = docs.filter(col("doc_id") % SnapMod =!= SnapRemovedRes)
+    // fingerprint map-side BEFORE the join: the shuffle carries
+    // (doc_id, source, hash), never text
+    val a = prev.select(col("doc_id"), col("source").as("src_a"),
+      md5(col("text").cast("binary")).as("h_a"))
+    val b = cur.select(col("doc_id"), col("source").as("src_b"),
+      md5(col("text").cast("binary")).as("h_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("src_b"), col("src_a")).as("source"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "status")
+  }
+
+  /** t34's keep fraction as an exact ratio (drop the bottom 3/10 of
+    * each source by quality value). Oracle SQL interpolates both
+    * parts — the cutoff rule is pure integer cross-multiplication, so
+    * no float quantile convention has to agree across engines.
+    */
+  val CurateDropNum = 3
+  val CurateDropDen = 10
+
+  /** t34 — per-source QUANTILE-THRESHOLD curation (the C4/RefinedWeb
+    * domain-filter shape: within each source, drop every document
+    * whose quality score falls below the source's own bottom-30%
+    * value). The cutoff per source is the smallest score whose
+    * ascending cumulative count strictly exceeds 3/10 of the source's
+    * documents; keep = score ≥ cutoff. Threshold semantics (all docs
+    * at one score share one fate) is the production rule — a drop-
+    * exactly-k rule would need a tie-break inside one score bucket.
+    *
+    * Scale shape — the q39 sketch-window pattern applied to curation:
+    * scoring is a map-side projection; the (source, score) histogram
+    * is a partial-aggregated groupBy with ≤ 10001 rows per source
+    * (scores live on a fixed 4-decimal grid), so the cumulative walk
+    * that finds each cutoff runs windows over SKETCH-sized frames,
+    * never corpus rows — the per-source window that a percent_rank
+    * formulation would run over the full corpus (one task per source,
+    * skew-bound) is exactly what this avoids. Cutoffs broadcast back
+    * and the keep filter is map-side. Everything after the one
+    * histogram shuffle is bounded by grid size, not corpus size; the
+    * cutoff comparison is integer cross-multiplication (cum·10 >
+    * n·3), so both engines decide every document identically with no
+    * float quantile convention.
+    */
+  val t34QuantileCurate: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .selectExpr("doc_id", "source",
+        "size(split(trim(text), '\\\\s+')) AS n_words",
+        "size(array_distinct(split(trim(text), '\\\\s+'))) AS n_distinct")
+      // integer floor-division onto the 4-decimal grid: no float
+      // anywhere, so no rounding convention has to pair across engines
+      .select(col("doc_id"), col("source"), col("n_words"),
+        expr("CAST(n_distinct AS BIGINT) * 10000 DIV n_words").as("q"))
+    val hist = scored.groupBy("source", "q")
+      .agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("q")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0L)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+    val cuts = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n_total", sum("c").over(wAll))
+      .filter(col("cum") * CurateDropDen > col("n_total") * CurateDropNum)
+      .groupBy("source")
+      .agg(min("q").as("cutoff"), max("n_total").as("n_total"))
+    scored.join(broadcast(cuts), "source")
+      .filter(col("q") >= col("cutoff"))
+      .groupBy("source")
+      .agg(max("n_total").as("n_total"), max("cutoff").as("cutoff"),
+        count(lit(1)).as("n_kept"), min("q").as("min_kept_q"),
+        sum("n_words").as("kept_words"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t34_quantile_curate" -> t34QuantileCurate,
+    "t33_snapshot_diff" -> t33SnapshotDiff,
     "t32_span_mask" -> t32SpanMask,
     "t31_eval_sample" -> t31EvalSample,
     "t30_chunking" -> t30Chunk,
@@ -1850,6 +1975,71 @@ object TextOps {
     }.mkString(",\n  ")
     val langCols = langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
     Map(
+      // t33: both snapshots re-derived in SQL, the diff recomputed
+      // over md5 fingerprints — identical churn classes, identical
+      // halved-text rule (integer // matches Spark DIV on positives)
+      "t33_snapshot_diff" ->
+        s"""WITH prev AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN doc_id % $SnapMod = $SnapChangedRes
+           |         THEN substr(text, 1, n_chars // 2)
+           |         ELSE text END AS text
+           |  FROM documents WHERE doc_id % $SnapMod <> $SnapAddedRes),
+           |cur AS (
+           |  SELECT doc_id, source, text FROM documents
+           |  WHERE doc_id % $SnapMod <> $SnapRemovedRes),
+           |a AS (SELECT doc_id, source AS src_a, md5(text) AS h_a
+           |      FROM prev),
+           |b AS (SELECT doc_id, source AS src_b, md5(text) AS h_b
+           |      FROM cur),
+           |j AS (
+           |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           |    COALESCE(src_b, src_a) AS source,
+           |    CASE WHEN h_a IS NULL THEN 'added'
+           |         WHEN h_b IS NULL THEN 'removed'
+           |         WHEN h_a <> h_b THEN 'changed'
+           |         ELSE 'unchanged' END AS status
+           |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+           |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM j GROUP BY source, status
+           |ORDER BY source, status""".stripMargin,
+      // t34: the oracle rebuilds the (source, score) histogram, walks
+      // the same cumulative rule (cum·10 > n·3, pure integers), and
+      // re-applies the threshold — every keep decision recomputed
+      "t34_quantile_curate" ->
+        s"""WITH sc AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+           |      AS n_words,
+           |    CAST(len(list_distinct(
+           |        string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           |      * 10000 // len(string_split_regex(trim(text), '\\s+'))
+           |      AS q
+           |  FROM documents),
+           |hist AS (SELECT source, q, count(*) AS c FROM sc
+           |         GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT source, q,
+           |    CAST(sum(c) OVER (PARTITION BY source ORDER BY q
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum,
+           |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT)
+           |      AS n_total
+           |  FROM hist),
+           |cuts AS (
+           |  SELECT source, min(q) AS cutoff, max(n_total) AS n_total
+           |  FROM cum
+           |  WHERE cum * $CurateDropDen > n_total * $CurateDropNum
+           |  GROUP BY source)
+           |SELECT sc.source, max(cuts.n_total) AS n_total,
+           |  max(cuts.cutoff) AS cutoff,
+           |  CAST(count(*) AS BIGINT) AS n_kept,
+           |  min(sc.q) AS min_kept_q,
+           |  CAST(sum(sc.n_words) AS BIGINT) AS kept_words
+           |FROM sc JOIN cuts
+           |  ON sc.source = cuts.source AND sc.q >= cuts.cutoff
+           |GROUP BY sc.source ORDER BY sc.source""".stripMargin,
       // t25: the oracle retrains the same add-one bigram LM and
       // rescores every doc; counts and V are exact integers, the
       // division is one double op, ln/avg round-4 (the t12/t13 float

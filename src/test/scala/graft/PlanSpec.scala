@@ -19,7 +19,7 @@ class PlanSpec extends SparkSpec {
     Seq("m01_media_meta", "m03_frame_sample", "m04_audio_stats",
       "m05_image_stats", "m06_video_frame_stats", "m07_resize",
       "m08_audio_resample", "m09_crop", "m10_mixdown_mono",
-      "m11_video_trim")
+      "m11_video_trim", "m12_normalize_peak")
       .foreach { q =>
         val p = plan(q)
         // encode → decode → stats all stay inside the row (m03's frame
@@ -487,6 +487,46 @@ class PlanSpec extends SparkSpec {
         s"$q: a per-document table is hint-broadcast:\n$p")
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("t33: the snapshot diff shuffles fingerprints, never text — " +
+      "md5 projects below the doc_id exchanges, full-outer SMJ on " +
+      "unique keys, no all-pairs") {
+    val p = plan("t33_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"diff must be a keyed full-outer join:\n$p")
+    // plans print top-down: every reference to the text column must
+    // sit BELOW the join (in the map-side fingerprint projections) —
+    // text crossing a shuffle is the 100 TB anti-shape for CDC
+    assert(p.indexOf("text#") > p.indexOf("SortMergeJoin"),
+      s"text column above the diff join — payload crossed a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the snapshot diff:\n$p")
+  }
+
+  test("t34: the cutoff walk runs over the (source, q) histogram, " +
+      "not corpus rows — histogram partial-aggregated, windows " +
+      "partitioned by source over sketch-sized frames, cutoffs " +
+      "broadcast back") {
+    val p = plan("t34_quantile_curate")
+    assert(p.contains("partial_count"),
+      s"histogram not partial-aggregated:\n$p")
+    // both windows must run over the histogram subtree (above the
+    // (source, q) aggregate), partitioned by source
+    assert(p.contains("windowspecdefinition(source"),
+      s"cumulative walk not partitioned by source:\n$p")
+    // top-down print order: the Window nodes sit ABOVE the histogram's
+    // (source, q) partial aggregate — they walk aggregated counts, not
+    // corpus rows (the final rollup's partial pass prints first, so
+    // anchor on the LAST partial_count, which is the histogram's)
+    assert(p.indexOf("Window") >= 0 &&
+      p.indexOf("Window") < p.lastIndexOf("partial_count"),
+      s"window must consume the histogram aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cutoffs must broadcast back to the corpus scan:\n$p")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"keep filter must be map-side — no per-doc shuffle:\n$p")
   }
 
   test("whole-stage codegen covers the q02 agg pipeline") {
