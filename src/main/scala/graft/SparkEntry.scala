@@ -41,7 +41,9 @@ object SparkEntry {
         "s07_stream_hll" -> ((s, d) =>
           EventStreams.replayHllSketch(s, d)),
         "s08_stream_eval_sample" -> ((s, d) =>
-          EventStreams.replayEvalSample(s, d)))
+          EventStreams.replayEvalSample(s, d)),
+        "s09_stream_decontaminate" -> ((s, d) =>
+          EventStreams.replayDecontaminate(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -127,5 +129,11 @@ object SparkEntry {
         "s07_stream_hll" -> Relational.oracles("q37_portable_hll"),
         // continuously-maintained min-k sample ≡ batch recompute
         // (min-k union commutes) — t31's oracle verifies the loop
-        "s08_stream_eval_sample" -> TextOps.oracles("t31_eval_sample"))
+        "s08_stream_eval_sample" -> TextOps.oracles("t31_eval_sample"),
+        // per-batch decontamination vs the FIXED benchmark gram
+        // artifact: a doc's verdict depends only on its own text and
+        // the static eval grams, so the union over batches ≡ batch
+        // t21 — t21's oracle verifies the streaming loop
+        "s09_stream_decontaminate" ->
+          TextOps.oracles("t21_decontaminate"))
 }

@@ -1541,23 +1541,41 @@ object TextOps {
     * pass over the training grams regardless of corpus size.
     */
   val t21Decontaminate: Q = (s, d) => {
-    val n = DecontamGramLen
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    decontamFlags(docs, evalGramTable(docs)).orderBy("doc_id")
+  }
+
+  /** (doc_id, g) word n-grams of `docs` — the shared kernel of t21's
+    * batch check and s09's streaming replay (one definition, so the
+    * streaming operator cannot drift from the batch semantics the
+    * oracle pins).
+    */
+  def wordGrams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .filter(size(col("t")) >= n)
-    val grams = toks.select(col("doc_id"), explode(expr(
-      s"transform(sequence(1, size(t) - ${n - 1}), " +
-        s"i -> concat_ws(' ', slice(t, i, $n)))")).as("g"))
-    val evalGrams = grams
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $n)))")).as("g"))
+
+  /** The held-out benchmark's distinct (gram → owning eval doc) table
+    * — tiny by construction (a benchmark suite, not a corpus), the
+    * side that broadcasts.
+    */
+  def evalGramTable(docs: DataFrame): DataFrame =
+    wordGrams(docs, DecontamGramLen)
       .filter(col("doc_id") % DecontamEvalMod === 0)
       .groupBy("g").agg(min("doc_id").as("eval_doc"))
-    grams.filter(col("doc_id") % DecontamEvalMod =!= 0)
+
+  /** Flag the train docs among `docs` that share any gram with the
+    * broadcast `evalGrams` table (see t21 doc for the scale shape).
+    */
+  def decontamFlags(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    wordGrams(docs, DecontamGramLen)
+      .filter(col("doc_id") % DecontamEvalMod =!= 0)
       .join(broadcast(evalGrams), "g")
       .groupBy("doc_id")
       .agg(countDistinct("g").as("n_shared"),
         min("eval_doc").as("first_eval_doc"))
-      .orderBy("doc_id")
-  }
 
   /** t22 — repetition / boilerplate scoring (the Gopher quality
     * rules): per document, the share of bigram occurrences taken by

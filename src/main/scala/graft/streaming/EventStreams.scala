@@ -834,6 +834,83 @@ object EventStreams {
     (result, stateRows, sampleRows.length.toLong, sampleRows.toList)
   }
 
+  /** s09 — streaming DECONTAMINATION: t21's benchmark-overlap check
+    * applied continuously as documents arrive — the curation gate a
+    * streaming ingest pipeline runs before admitting documents to the
+    * training corpus. The benchmark gram table is a FIXED artifact
+    * (the held-out suite is known upfront), staged once to parquet and
+    * broadcast into every micro-batch's map-side join — the s05
+    * stored-artifact pattern with a STATIC side: per batch the work is
+    * one pass over the batch's grams, the state store stays EMPTY (the
+    * appended flag table carries the operator's memory), and because a
+    * document's verdict depends only on its own text and the fixed
+    * eval grams, the union over batches must equal batch t21 exactly —
+    * t21's own DuckDB oracle verifies the whole streaming loop.
+    *
+    * At 100 TB this is the long-running shape: eval grams are
+    * benchmark-sized regardless of corpus, each batch's cost is
+    * batch-sized, and nothing ever rescans admitted documents.
+    */
+  def replayDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    replayDecontaminateWithStats(spark, dir)._1
+
+  /** s09 plus the state-store row total (must be 0 — the artifact, not
+    * the state store, carries the memory) and the data-batch count
+    * (> 1, or nothing incremental was proven).
+    */
+  def replayDecontaminateWithStats(spark: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    import graft.queries.TextOps
+    val work = java.nio.file.Files.createTempDirectory("graft-s09")
+      .toFile
+    val srcDir = s"${work.getAbsolutePath}/incoming"
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(4)
+      .write.parquet(srcDir)
+    // the fixed benchmark artifact, built once before the stream opens
+    val evalPath = s"${work.getAbsolutePath}/eval_grams"
+    TextOps.evalGramTable(
+        graft.Tables.documents(spark, dir).select("doc_id", "text"))
+      .write.parquet(evalPath)
+    val flagsDir = s"${work.getAbsolutePath}/flags"
+    val srcSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"${work.getAbsolutePath}/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          TextOps.decontamFlags(batch.toDF(), s.read.parquet(evalPath))
+            .write.parquet(s"$flagsDir/b$batchId")
+        }
+        ()
+      }
+      .start()
+    val stateRows =
+      try {
+        q.awaitTermination() // AvailableNow self-terminates when drained
+        Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      } finally { q.stop() }
+    val flagDirs = Option(new java.io.File(flagsDir).listFiles())
+      .getOrElse(Array.empty).map(_.getAbsolutePath).sorted
+    val result =
+      if (flagDirs.isEmpty)
+        throw new IllegalStateException("no data batches")
+      else spark.read.parquet(flagDirs.toIndexedSeq: _*)
+        .orderBy("doc_id")
+        .localCheckpoint() // materialize before the work dir dies
+    deleteRecursively(work)
+    (result, stateRows, flagDirs.length.toLong)
+  }
+
   /** Incremental layer refresh via foreachBatch (SURVEY §2.9: the
     * generalized "re-run the pipeline on new certificate events"): each
     * micro-batch republishes the layer produced by `buildLayer` over

@@ -148,6 +148,21 @@ class StreamingSpec extends SparkSpec {
       assert(n <= bound, s"sample table grew to $n rows (bound $bound)"))
   }
 
+  test("streaming decontamination (declared s09) equals the batch t21 " +
+      "across micro-batches; state store empty") {
+    val (df, stateRows, nBatches) =
+      EventStreams.replayDecontaminateWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = graft.queries.TextOps
+      .queries("t21_decontaminate")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(nBatches > 1, s"only $nBatches data micro-batch(es)")
+    // the operator's memory is the appended flag table, not state
+    assert(stateRows === 0L, s"unexpected state-store rows: $stateRows")
+  }
+
   test("flatMapGroupsWithState session state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
