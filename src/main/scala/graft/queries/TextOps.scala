@@ -947,6 +947,74 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Shard width in portable-bucket units for t35's per-language
+    * two-level prefix sum: buckets span [0, 1e6), so this yields ≤1000
+    * shards per language — the bounded frame the shard-totals walk
+    * runs over. Oracle SQL needs no twin constant (its naive window
+    * is shard-free; the sharding is pure plan shape).
+    */
+  val MixShardWidth = 1000L
+
+  /** t35 — mixture DOWNSAMPLING to a token budget (the data-mixing
+    * step a Pile/Dolma-style build runs after curation: balance the
+    * training mixture by capping every language at the same token
+    * budget, set here by the scarcest language). Documents are
+    * considered in the layout-independent unbiased order
+    * (portable bucket, doc_id) — the same deterministic coin t20/t31
+    * flip — and a document is admitted iff its tokens START inside
+    * the budget (cum_before < budget, one-sided so the rule stays
+    * pure integer; the final admitted doc may overshoot by < its own
+    * length, the standard take-until-crossed convention). The output
+    * is the full per-document manifest with the admission verdict, so
+    * the oracle re-verifies every cumulative position, not just the
+    * per-language totals.
+    *
+    * Scale shape — t28's two-level prefix sum, keyed by language: the
+    * corpus-sized running sum windows by (lang, shard) — parallel —
+    * and only the per-(lang, shard) TOTALS (≤1000 rows per language)
+    * pass through the per-language cumulative walk before
+    * broadcasting back as offsets; the per-language token totals and
+    * the global min are a two-stage partial aggregation ending in one
+    * 1-row broadcast. No corpus-sized single-partition window, no
+    * driver loop.
+    */
+  val t35MixtureBudget: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"),
+        graft.operators.Sampling.portableBucket(col("doc_id"))
+          .as("bucket"))
+      .withColumn("shard", expr(s"bucket div $MixShardWidth"))
+    // the scarcest language's token total IS the per-language budget
+    val budget = tok.groupBy("lang").agg(sum("n_tokens").as("lt"))
+      .agg(min("lt").as("budget"))
+    val wShardTot = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("shard")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val shardOffsets = tok.groupBy("lang", "shard")
+      .agg(sum("n_tokens").as("st"))
+      .withColumn("shard_before",
+        coalesce(sum("st").over(wShardTot), lit(0L)))
+      .select("lang", "shard", "shard_before")
+    val wInShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "shard").orderBy("bucket", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    tok
+      .withColumn("in_shard_before",
+        coalesce(sum("n_tokens").over(wInShard), lit(0L)))
+      .join(broadcast(shardOffsets), Seq("lang", "shard"))
+      .withColumn("cum_before",
+        col("shard_before") + col("in_shard_before"))
+      .crossJoin(broadcast(budget))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_before"),
+        (col("cum_before") < col("budget")).as("admitted"))
+      .orderBy("doc_id")
+  }
+
   /** t29's upsampling cap: no language repeats more than this many
     * epochs regardless of how rare it is (unbounded duplication of a
     * tiny slice degrades models faster than it balances them).
@@ -1951,6 +2019,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t35_mixture_budget" -> t35MixtureBudget,
     "t34_quantile_curate" -> t34QuantileCurate,
     "t33_snapshot_diff" -> t33SnapshotDiff,
     "t32_span_mask" -> t32SpanMask,
@@ -2058,6 +2127,33 @@ object TextOps {
            |FROM sc JOIN cuts
            |  ON sc.source = cuts.source AND sc.q >= cuts.cutoff
            |GROUP BY sc.source ORDER BY sc.source""".stripMargin,
+      // t35: the oracle recomputes every per-language cumulative
+      // position with one naive window in the same (bucket, doc_id)
+      // order and re-derives the min-language budget — admission is
+      // re-decided per document (the sharded prefix sum is pure plan
+      // shape, invisible to semantics)
+      "t35_mixture_budget" ->
+        """WITH tok AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          |      AS n_tokens,
+          |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+          |      AS BIGINT) % 1000000 AS bucket
+          |  FROM documents),
+          |bud AS (
+          |  SELECT CAST(min(lt) AS BIGINT) AS budget FROM (
+          |    SELECT CAST(sum(n_tokens) AS BIGINT) AS lt
+          |    FROM tok GROUP BY lang)),
+          |c AS (
+          |  SELECT doc_id, lang, n_tokens,
+          |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+          |      ORDER BY bucket, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS cum_before
+          |  FROM tok)
+          |SELECT doc_id, lang, n_tokens, cum_before,
+          |  cum_before < (SELECT budget FROM bud) AS admitted
+          |FROM c ORDER BY doc_id""".stripMargin,
       // t25: the oracle retrains the same add-one bigram LM and
       // rescores every doc; counts and V are exact integers, the
       // division is one double op, ln/avg round-4 (the t12/t13 float

@@ -489,6 +489,25 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("t35: the per-language running total is the two-level prefix " +
+      "sum — corpus window parallel by (lang, shard), shard totals " +
+      "walked per language, offsets broadcast back; the only " +
+      "SinglePartition is the 1-row budget") {
+    val p = plan("t35_mixture_budget")
+    assert("""Window \[sum\(n_tokens[^\n]*\], \[lang[^,\]]*, shard""".r
+        .findFirstIn(p).isDefined,
+      s"corpus running sum is not (lang, shard)-partitioned:\n$p")
+    assert("""Window \[sum\(st[^\n]*\], \[lang""".r
+        .findFirstIn(p).isDefined,
+      s"shard-totals walk is not per-language:\n$p")
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles == 1,
+      s"expected exactly one SinglePartition exchange (the 1-row " +
+        s"budget), got $singles:\n$p")
+    assert(p.contains("BroadcastHashJoin [lang"),
+      s"shard offsets must broadcast back into the corpus:\n$p")
+  }
+
   test("t33: the snapshot diff shuffles fingerprints, never text — " +
       "md5 projects below the doc_id exchanges, full-outer SMJ on " +
       "unique keys, no all-pairs") {

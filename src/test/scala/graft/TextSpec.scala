@@ -617,6 +617,41 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("t35 mixture budget: every language's admitted tokens land in " +
+      "[budget, budget + last doc), the scarcest language admits " +
+      "everything, and admission follows the (bucket, doc_id) order") {
+    val rows = TextOps.t35MixtureBudget(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val totals = byLang.map { case (l, rs) =>
+      l -> rs.map(_.getAs[Long]("n_tokens")).sum }
+    val budget = totals.values.min
+    byLang.foreach { case (lang, rs) =>
+      val adm = rs.filter(_.getAs[Boolean]("admitted"))
+      val admTokens = adm.map(_.getAs[Long]("n_tokens")).sum
+      if (totals(lang) <= budget)
+        assert(adm.length === rs.length,
+          s"$lang: under-budget language must admit every doc")
+      else {
+        // take-until-crossed: admitted ≥ budget, overshoot < last doc
+        val lastLen = adm.maxBy(_.getAs[Long]("cum_before"))
+          .getAs[Long]("n_tokens")
+        assert(admTokens >= budget && admTokens < budget + lastLen,
+          s"$lang: admitted $admTokens outside [$budget, " +
+            s"${budget + lastLen})")
+      }
+      // the admitted set is a PREFIX of the (cum_before) order: no
+      // admitted doc starts after a rejected one
+      val maxAdm = adm.map(_.getAs[Long]("cum_before")).max
+      val rej = rs.filterNot(_.getAs[Boolean]("admitted"))
+      if (rej.nonEmpty)
+        assert(rej.map(_.getAs[Long]("cum_before")).min > maxAdm,
+          s"$lang: a rejected doc starts before an admitted one")
+    }
+    // non-degenerate on this corpus: some language actually downsamples
+    assert(totals.values.exists(_ > budget),
+      "corpus has no over-budget language — the test proves nothing")
+  }
+
   test("t29 mixture upsampling: per-lang epochs equal the capped " +
       "ceiling ratio and every doc appears exactly reps times") {
     val counts = graft.Tables.documents(spark, sf)
