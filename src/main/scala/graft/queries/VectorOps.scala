@@ -74,6 +74,35 @@ object VectorOps {
       .orderBy("qid", "rk")
   }
 
+  /** v15 — FILTERED vector search (the "hybrid search" every vector
+    * store advertises: nearest neighbors among vectors satisfying a
+    * metadata predicate — here, the query's own label; think "similar
+    * documents within my category"). Same brute exact-rerank shape as
+    * v01 with the predicate applied AT THE JOIN, before any distance
+    * math or the top-k window: candidates per query shrink by the
+    * filter's selectivity (~1/|labels| here), which is precisely why
+    * production systems push filters below the scorer instead of
+    * post-filtering a k-list that may then come up short. Broadcast
+    * query side carries (qid, qv, qlabel); ranking over the rounded
+    * similarity + id tiebreak (the v01 cross-engine contract).
+    */
+  val v15KnnFiltered: Q = (s, d) => {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") === col("qlabel"))
+      .select(col("qid"), col("qlabel"), col("vec_id"),
+        round(cosUdf(col("qv"), col("v")), 4).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("qid", "qlabel", "rk", "vec_id", "cos_sim")
+      .orderBy("qid", "rk")
+  }
+
   /** v02 — per-label centroid (first 4 dims): posexplode the vector and
     * aggregate by (label, dim) — the distributed layout for any
     * vector-wide statistic; no vector ever has to fit a single reducer.
@@ -1099,6 +1128,7 @@ object VectorOps {
     "v10_sq8_quantization" -> v10Sq8Quantization,
     "v06_embedding_neardup" -> v06EmbeddingNearDup,
     "v01_knn_brute" -> v01KnnBrute,
+    "v15_knn_filtered" -> v15KnnFiltered,
     "v02_label_centroids" -> v02LabelCentroids,
     "v03_ann_lsh" -> v03AnnLsh,
     "v04_norm_stats" -> v04NormStats,
@@ -1480,6 +1510,35 @@ object VectorOps {
         |  FROM scored)
         |SELECT qid, CAST(rk AS INT) AS rk, vec_id, cos_sim FROM ranked
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // v15: v01's oracle with the label predicate applied at the same
+    // point — candidate set restricted to the query's label BEFORE
+    // scoring and ranking
+    "v15_knn_filtered" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e
+        |          GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, label AS qlabel, x, i FROM e
+        |      WHERE vec_id IN (0, 1, 2)),
+        |dots AS (
+        |  SELECT q.qid, q.qlabel, e.vec_id, sum(q.x * e.x) AS dot
+        |  FROM q JOIN e ON q.i = e.i AND e.label = q.qlabel
+        |  WHERE e.vec_id <> q.qid
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT qid, qlabel, dots.vec_id,
+        |    round(dot / (nq.nrm * ne.nrm), 4) AS cos_sim
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = qid
+        |  JOIN norms ne ON ne.vec_id = dots.vec_id),
+        |ranked AS (
+        |  SELECT qid, qlabel, vec_id, cos_sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        |  FROM scored)
+        |SELECT qid, qlabel, CAST(rk AS INT) AS rk, vec_id, cos_sim
+        |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "v02_label_centroids" ->
       """SELECT label, CAST(i AS INT) AS dim,
         |  round(avg(CAST(x AS DOUBLE)), 5) AS centroid,
