@@ -489,6 +489,25 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("v15: the metadata predicate applies AT the broadcast join — " +
+      "below the scorer and the top-k window, not as a post-filter") {
+    val p = plan("v15_knn_filtered")
+    // the label equality must be a join KEY of the broadcast join (the
+    // hybrid-search contract: candidates shrink by selectivity before
+    // any distance math); post-filtering the ranked k-list would both
+    // waste distance work and return short lists
+    assert("""BroadcastHashJoin \[[^\]]*label""".r.findFirstIn(p)
+        .isDefined,
+      s"label predicate is not a key of the broadcast join:\n$p")
+    // top-down: the Window (top-k) sits ABOVE the join, so every row
+    // it ranks already passed the filter
+    assert(p.indexOf("Window") < p.indexOf("BroadcastHashJoin"),
+      s"top-k window must consume the filtered join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in filtered knn:\n$p")
+  }
+
   test("t35: the per-language running total is the two-level prefix " +
       "sum — corpus window parallel by (lang, shard), shard totals " +
       "walked per language, offsets broadcast back; the only " +
