@@ -1015,6 +1015,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t36 — gram NOVELTY scoring (unique-content yield: what fraction
+    * of a document's distinct word n-grams appear FIRST in this
+    * document — the signal dedup-aware samplers use to rank documents
+    * by how much new text they actually contribute vs recombining
+    * what the corpus already holds). Attribution is deterministic
+    * first occurrence: the gram's owner is the minimum doc_id that
+    * contains it.
+    *
+    * Scale shape: distinct (doc_id, gram) pairs and the per-gram
+    * min-owner table are both partial-aggregated gram-keyed shuffles
+    * (the t05/t21 cost shape — corpus-linear, no all-pairs); the
+    * ownership join is keyed by gram, and the per-doc rollup by
+    * doc_id. Nothing driver-side, nothing quadratic.
+    */
+  val t36GramNovelty: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val grams = wordGrams(docs, DecontamGramLen).distinct()
+    val owners = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(owners, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_owned"))
+      .withColumn("novelty",
+        round(col("n_owned").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
   /** t29's upsampling cap: no language repeats more than this many
     * epochs regardless of how rare it is (unbounded duplication of a
     * tiny slice degrades models faster than it balances them).
@@ -2019,6 +2047,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t36_gram_novelty" -> t36GramNovelty,
     "t35_mixture_budget" -> t35MixtureBudget,
     "t34_quantile_curate" -> t34QuantileCurate,
     "t33_snapshot_diff" -> t33SnapshotDiff,
@@ -2154,6 +2183,29 @@ object TextOps {
           |SELECT doc_id, lang, n_tokens, cum_before,
           |  cum_before < (SELECT budget FROM bud) AS admitted
           |FROM c ORDER BY doc_id""".stripMargin,
+      // t36: the oracle rebuilds the distinct gram table, re-derives
+      // every gram's first owner, and re-scores every document
+      "t36_gram_novelty" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+           |  FROM documents),
+           |grams AS (
+           |  SELECT DISTINCT doc_id,
+           |    array_to_string(t[i:i+${DecontamGramLen - 1}], ' ') AS g
+           |  FROM (SELECT doc_id, t,
+           |          unnest(range(1, len(t) - ${DecontamGramLen - 2}))
+           |            AS i
+           |        FROM toks WHERE len(t) >= $DecontamGramLen)),
+           |own AS (SELECT g, min(doc_id) AS first_doc FROM grams
+           |        GROUP BY g)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_owned,
+           |  round(CAST(sum(CASE WHEN doc_id = first_doc THEN 1
+           |                 ELSE 0 END) AS DOUBLE) / count(*), 4)
+           |    AS novelty
+           |FROM grams JOIN own USING (g)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // t25: the oracle retrains the same add-one bigram LM and
       // rescores every doc; counts and V are exact integers, the
       // division is one double op, ln/avg round-4 (the t12/t13 float
