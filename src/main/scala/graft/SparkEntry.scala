@@ -43,7 +43,9 @@ object SparkEntry {
         "s08_stream_eval_sample" -> ((s, d) =>
           EventStreams.replayEvalSample(s, d)),
         "s09_stream_decontaminate" -> ((s, d) =>
-          EventStreams.replayDecontaminate(s, d)))
+          EventStreams.replayDecontaminate(s, d)),
+        "s10_stream_snapshot_diff" -> ((s, d) =>
+          EventStreams.replaySnapshotDiff(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -135,5 +137,11 @@ object SparkEntry {
         // the static eval grams, so the union over batches ≡ batch
         // t21 — t21's oracle verifies the streaming loop
         "s09_stream_decontaminate" ->
-          TextOps.oracles("t21_decontaminate"))
+          TextOps.oracles("t21_decontaminate"),
+        // per-batch diff against the shipped release's fingerprint
+        // artifact + one anti-join for the removed set: every verdict
+        // depends only on the doc's own bytes and the fixed artifact,
+        // so the rollup ≡ batch t33 — t33's oracle verifies the loop
+        "s10_stream_snapshot_diff" ->
+          TextOps.oracles("t33_snapshot_diff"))
 }

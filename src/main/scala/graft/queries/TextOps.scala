@@ -1955,32 +1955,52 @@ object TextOps {
     * status) — a few dozen groups. Diffing two 100 TB snapshots moves
     * two fingerprint tables, not two corpora.
     */
-  val t33SnapshotDiff: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select("doc_id", "source", "text", "n_chars")
-    val prev = docs.filter(col("doc_id") % SnapMod =!= SnapAddedRes)
+  /** The "yesterday" snapshot's FINGERPRINT table (doc_id, source,
+    * h_a) — fingerprints computed map-side on the scan, the artifact a
+    * shipped release stores so later diffs never reread its payloads.
+    * Shared by t33's batch diff and s10's streaming replay.
+    */
+  def snapshotPrevFingerprints(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % SnapMod =!= SnapAddedRes)
       .withColumn("text",
         when(col("doc_id") % SnapMod === SnapChangedRes,
           expr("substring(text, 1, CAST(n_chars DIV 2 AS INT))"))
           .otherwise(col("text")))
-    val cur = docs.filter(col("doc_id") % SnapMod =!= SnapRemovedRes)
-    // fingerprint map-side BEFORE the join: the shuffle carries
-    // (doc_id, source, hash), never text
-    val a = prev.select(col("doc_id"), col("source").as("src_a"),
-      md5(col("text").cast("binary")).as("h_a"))
-    val b = cur.select(col("doc_id"), col("source").as("src_b"),
-      md5(col("text").cast("binary")).as("h_b"))
-    a.join(b, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("src_b"), col("src_a")).as("source"),
-        when(col("h_a").isNull, "added")
-          .when(col("h_b").isNull, "removed")
-          .when(col("h_a") =!= col("h_b"), "changed")
-          .otherwise("unchanged").as("status"))
-      .groupBy("source", "status")
+      .select(col("doc_id"), col("source").as("src_a"),
+        md5(col("text").cast("binary")).as("h_a"))
+
+  /** The "today" snapshot's documents (doc_id, source, text). */
+  def snapshotCurDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % SnapMod =!= SnapRemovedRes)
+      .select("doc_id", "source", "text")
+
+  /** Per-(source, status) rollup of a per-document status frame —
+    * t33's report shape, shared with s10 so the streaming replay
+    * cannot drift from the batch one.
+    */
+  def snapshotDiffRollup(status: DataFrame): DataFrame =
+    status.groupBy("source", "status")
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("source", "status")
+
+  val t33SnapshotDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "source", "text", "n_chars")
+    // fingerprint map-side BEFORE the join: the shuffle carries
+    // (doc_id, source, hash), never text
+    val a = snapshotPrevFingerprints(docs)
+    val b = snapshotCurDocs(docs)
+      .select(col("doc_id"), col("source").as("src_b"),
+        md5(col("text").cast("binary")).as("h_b"))
+    snapshotDiffRollup(
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("src_b"), col("src_a")).as("source"),
+          when(col("h_a").isNull, "added")
+            .when(col("h_b").isNull, "removed")
+            .when(col("h_a") =!= col("h_b"), "changed")
+            .otherwise("unchanged").as("status")))
   }
 
   /** t34's keep fraction as an exact ratio (drop the bottom 3/10 of

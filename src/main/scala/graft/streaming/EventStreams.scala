@@ -911,6 +911,95 @@ object EventStreams {
     (result, stateRows, flagDirs.length.toLong)
   }
 
+  /** s10 — streaming SNAPSHOT DIFF: t33's corpus-versioning audit run
+    * continuously as the new release arrives — the CDC shape of "diff
+    * the incoming corpus against what shipped" without waiting for the
+    * full drop. The shipped release is present only as its FINGERPRINT
+    * artifact ([[graft.queries.TextOps.snapshotPrevFingerprints]],
+    * staged once — a release stores hashes precisely so later diffs
+    * never reread its payloads); each micro-batch fingerprints its own
+    * documents map-side, left-joins the artifact by doc_id to classify
+    * added/changed/unchanged, and appends its per-doc statuses; docs
+    * of the shipped release never seen by any batch are the removed
+    * set — one anti-join at close. The state store stays EMPTY and the
+    * final rollup must equal batch t33 exactly (every document's
+    * verdict depends only on its own bytes and the fixed artifact), so
+    * t33's own DuckDB oracle verifies the whole streaming loop.
+    *
+    * Scale note: the replay's per-batch join keys the artifact scan by
+    * doc_id; a production deployment buckets the fingerprint artifact
+    * on doc_id (the q36 layout) so each batch shuffles only itself.
+    */
+  def replaySnapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    replaySnapshotDiffWithStats(spark, dir)._1
+
+  /** s10 plus the state-store row total (must be 0) and the data-batch
+    * count (> 1, or nothing incremental was proven).
+    */
+  def replaySnapshotDiffWithStats(spark: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    import graft.queries.TextOps
+    val work = java.nio.file.Files.createTempDirectory("graft-s10")
+      .toFile
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text", "n_chars")
+    // the shipped release's fingerprint artifact, staged once
+    val prevPath = s"${work.getAbsolutePath}/prev_fp"
+    TextOps.snapshotPrevFingerprints(docs).write.parquet(prevPath)
+    // the incoming release, arriving as 4 file micro-batches
+    val srcDir = s"${work.getAbsolutePath}/incoming"
+    TextOps.snapshotCurDocs(docs).repartition(4).write.parquet(srcDir)
+    val statusDir = s"${work.getAbsolutePath}/status"
+    val srcSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"${work.getAbsolutePath}/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val fp = batch.select(col("doc_id"),
+            col("source").as("src_b"),
+            md5(col("text").cast("binary")).as("h_b"))
+          fp.join(s.read.parquet(prevPath), Seq("doc_id"), "left_outer")
+            .select(col("doc_id"), col("src_b").as("source"),
+              when(col("h_a").isNull, "added")
+                .when(col("h_a") =!= col("h_b"), "changed")
+                .otherwise("unchanged").as("status"))
+            .write.parquet(s"$statusDir/b$batchId")
+        }
+        ()
+      }
+      .start()
+    val stateRows =
+      try {
+        q.awaitTermination() // AvailableNow self-terminates when drained
+        Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      } finally { q.stop() }
+    val statusDirs = Option(new java.io.File(statusDir).listFiles())
+      .getOrElse(Array.empty).map(_.getAbsolutePath).sorted
+    if (statusDirs.isEmpty)
+      throw new IllegalStateException("no data batches")
+    val curStatuses = spark.read.parquet(statusDirs.toIndexedSeq: _*)
+    // shipped docs no batch ever presented are the removed set
+    val removed = spark.read.parquet(prevPath)
+      .join(curStatuses.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("src_a").as("source"),
+        lit("removed").as("status"))
+    val result = TextOps
+      .snapshotDiffRollup(curStatuses.unionByName(removed))
+      .localCheckpoint() // materialize before the work dir dies
+    deleteRecursively(work)
+    (result, stateRows, statusDirs.length.toLong)
+  }
+
   /** Incremental layer refresh via foreachBatch (SURVEY §2.9: the
     * generalized "re-run the pipeline on new certificate events"): each
     * micro-batch republishes the layer produced by `buildLayer` over
