@@ -171,6 +171,30 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q41 — RANGE-frame (time-interval) window, the one frame species
+    * §2.5's rowsBetween entries don't exercise: per customer, the
+    * trailing-30-day spend and order count at each order — the frame
+    * is VALUE-bounded (orders within 30 days, however many rows that
+    * is, peers included), not row-counted. Spark orders by epoch
+    * seconds with `rangeBetween(-30·86400, 0)`; the oracle's
+    * `RANGE BETWEEN INTERVAL 30 DAYS PRECEDING` is the same peer-
+    * inclusive value frame over the midnight-aligned timestamps.
+    */
+  val q41RangeWindow: Q = (s, d) => {
+    // NTZ → TZ (session is pinned UTC) → epoch seconds: NTZ has no
+    // direct long cast
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        round(sum("o_totalprice").over(w), 2).as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** q10 — exact dedup by key (reference A3 `distinct(.keep_all)`),
     * deterministic keep-lowest via min. Aggregation form (not
     * dropDuplicates) so the result is order-independent and the shuffle is
@@ -937,6 +961,7 @@ object Relational {
     "q07_anti_join" -> q07AntiJoin,
     "q08_window_topk" -> q08WindowTopk,
     "q09_window_running" -> q09WindowRunning,
+    "q41_range_window" -> q41RangeWindow,
     "q10_dedup_exact" -> q10DedupExact,
     "q11_topk_orders" -> q11TopkOrders,
     "q12_case_when" -> q12CaseWhen,
@@ -1225,6 +1250,16 @@ object Relational {
         |  coalesce(lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate ASC, o_orderkey ASC), -1) AS prev_orderkey
         |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // q41: the same peer-inclusive VALUE frame — DuckDB's interval
+    // range over midnight timestamps ≡ Spark's epoch-second range
+    "q41_range_window" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_orders_30d
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q10_dedup_exact" ->
       """SELECT l_partkey, l_suppkey, min(l_orderkey) AS first_orderkey,
