@@ -753,6 +753,17 @@ object VectorOps {
   private val IvfIntIters = 2
   private val IvfIntMaxQid = 50
 
+  /** Bounded deterministic training sample for the integer quantizer
+    * family (v12/v14/v16) — identical ordering to `trainingSample`:
+    * portable md5 bucket, vec_id tiebreak. Collect is bounded at
+    * [[IvfIntNlist]]·40 rows regardless of corpus size.
+    */
+  private def intTrainSample(fe: DataFrame): Array[Array[Long]] =
+    fe.orderBy(graft.operators.Sampling.portableBucket(col("vec_id")),
+        col("vec_id"))
+      .limit(IvfIntNlist * 40)
+      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+
   /** v12 — IVF with an integer-exact coarse quantizer: fixed-point
     * vectors, integer k-means (bounded hash-stratified sample, stride
     * init, [[IvfIntIters]] Lloyd iterations), map-side cell assignment
@@ -765,13 +776,7 @@ object VectorOps {
     */
   val v12AnnIvfInt: Q = (s, d) => {
     val fe = fixedEmb(s, d)
-    // bounded deterministic training sample (identical ordering to
-    // trainingSample: portable md5 bucket, vec_id tiebreak)
-    val sample = fe
-      .orderBy(graft.operators.Sampling.portableBucket(col("vec_id")),
-        col("vec_id"))
-      .limit(IvfIntNlist * 40)
-      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    val sample = intTrainSample(fe)
     val cents = intKmeansFit(sample, IvfIntNlist, IvfIntIters)
     val bc = s.sparkContext.broadcast(cents)
 
@@ -916,12 +921,7 @@ object VectorOps {
   val v14AnnIvfPqInt: Q = (s, d) => {
     val sub = Dim / PqIntM
     val fe = fixedEmb(s, d)
-    // bounded deterministic training sample — IDENTICAL to v12's
-    val sample = fe
-      .orderBy(graft.operators.Sampling.portableBucket(col("vec_id")),
-        col("vec_id"))
-      .limit(IvfIntNlist * 40)
-      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    val sample = intTrainSample(fe) // IDENTICAL to v12's
     val cents = intKmeansFit(sample, IvfIntNlist, IvfIntIters)
     // integer residuals of the training rows under the trained coarse
     // quantizer (assignment of a sample row ≡ full-corpus assignment
@@ -1021,6 +1021,83 @@ object VectorOps {
       .filter(col("rk") === 1)
       .select(col("qid"), col("vec_id").as("ann_nid"), col("d2"))
       .orderBy("qid")
+  }
+
+  // --- v16: SemDeDup — semantic dedup inside the trained quantizer's
+  // cells (Abbas et al., "SemDeDup", arXiv:2303.09540: cluster the
+  // embedding space, then near-dup ONLY within clusters) ---
+
+  /** v16 similarity threshold as an exact rational: τ = 7/20 = 0.35 —
+    * the same cosine bar v06 uses, so the two operators' pair sets are
+    * directly comparable (v16's ⊆ v06's restricted to shared cells).
+    */
+  private val SemDedupNum = 7L
+  private val SemDedupDen = 20L
+
+  /** cos(a,b) ≥ τ without division or floats: dot > 0 ∧
+    * dot²·Den² ≥ Num²·‖a‖²·‖b‖². With [[FixScale]]=10⁴ and dim 64 the
+    * squares exceed Long range (dot ≤ ~2·10⁹ → dot² ~4·10¹⁸, ×400
+    * overflows), so the final comparison runs in BigInt — the oracle's
+    * HUGEINT twin. Everything is exact integer arithmetic end-to-end.
+    */
+  private val semSimUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1
+    }
+    dot > 0 && BigInt(dot) * BigInt(dot) * (SemDedupDen * SemDedupDen) >=
+      BigInt(SemDedupNum * SemDedupNum) * BigInt(na) * BigInt(nb)
+  }
+
+  /** v16 — SemDeDup: semantic deduplication of the embedding corpus.
+    * Train v12's integer-exact coarse quantizer, assign every vector a
+    * cell map-side, emit near-dup edges ONLY within cells (exact
+    * integer cosine test, τ = 0.35), resolve transitive duplicate
+    * groups, and keep one representative (min vec_id) per group.
+    *
+    * This is the scale shape of the SemDeDup paper: the quadratic pair
+    * stage is bounded by cell size — ONE shuffle keyed on cell, never a
+    * corpus×corpus join — and cells shrink as nlist is raised with the
+    * corpus (nlist ∝ N keeps cell size constant at 100 TB). Because
+    * edges exist only within a cell, connected components never cross
+    * cells either, so the group resolution ([[graft.operators
+    * .Components]] min-label propagation) converges in a handful of
+    * keyed-shuffle iterations. Training, assignment, the edge predicate
+    * and the closure are all exact integer arithmetic, so the ENTIRE
+    * pipeline — not just the final keep-list — hash-matches the DuckDB
+    * oracle's recursive-CTE twin.
+    */
+  val v16Semdedup: Q = (s, d) => {
+    val fe = fixedEmb(s, d)
+    val cents = intKmeansFit(intTrainSample(fe), IvfIntNlist, IvfIntIters)
+    val bc = s.sparkContext.broadcast(cents)
+    val cellUdf = udf { (v: Seq[Long]) =>
+      nearestCellInt(bc.value, v.toArray)
+    }
+    val assigned = fe.repartition(s.sparkContext.defaultParallelism)
+      .withColumn("cell", cellUdf(col("qv")))
+      .persist() // reused: pair build + final labeling
+    val a = assigned.select(col("cell"), col("vec_id").as("d1"),
+      col("qv").as("x1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("d2"),
+      col("qv").as("x2"))
+    val edges = a.join(b, Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .filter(semSimUdf(col("x1"), col("x2")))
+      .select("d1", "d2")
+    val comps = graft.operators.Components.connectedComponents(edges)
+    val out = assigned
+      .join(comps, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("component"), col("vec_id")).as("group_id"))
+      .withColumn("kept",
+        (col("group_id") === col("vec_id")).cast("int"))
+    // eager cut: consume `assigned` while it is still cached, then
+    // release it (same lifecycle the t19 family uses)
+    val res = out.localCheckpoint()
+    assigned.unpersist()
+    res.orderBy("vec_id")
   }
 
   /** v04 — vector norm statistics per label (corpus sanity check every
@@ -1139,6 +1216,7 @@ object VectorOps {
     "v12_ann_ivf_int" -> v12AnnIvfInt,
     "v13_ann_lsh_int" -> v13AnnLshInt,
     "v14_ann_ivfpq_int" -> v14AnnIvfPqInt,
+    "v16_semdedup" -> v16Semdedup,
   )
 
   /** Shared oracle prefix for the integer IVF family (v12, v14): the
@@ -1276,6 +1354,51 @@ object VectorOps {
     // intermediate is BIGINT, so this hash-verifies coarse-quantizer
     // training itself, not just the final rerank. The CTE chain
     // through `prb` is shared with v14 (ivfIntCoreCtes).
+    // v16: the oracle retrains the coarse quantizer (the shared v12
+    // CTE chain through `asg`), rebuilds the within-cell edge set with
+    // the HUGEINT square comparison, closes it transitively with the
+    // t19 recursive-CTE pattern, and labels every vector — training,
+    // assignment, edges, groups and keep flags all hash-verified.
+    "v16_semdedup" -> {
+      val n2 = SemDedupNum * SemDedupNum
+      val d2 = SemDedupDen * SemDedupDen
+      s"""${ivfIntCoreCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |nrm2 AS (
+        |  SELECT vec_id, sum(CAST(qx AS HUGEINT) * qx) AS n2
+        |  FROM fx GROUP BY 1),
+        |pr AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM asg a JOIN asg b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |dt AS (
+        |  SELECT p.d1, p.d2,
+        |    sum(CAST(f1.qx AS HUGEINT) * f2.qx) AS dot
+        |  FROM pr p
+        |  JOIN fx f1 ON f1.vec_id = p.d1
+        |  JOIN fx f2 ON f2.vec_id = p.d2 AND f2.i = f1.i
+        |  GROUP BY 1, 2),
+        |ed AS (
+        |  SELECT dt.d1, dt.d2 FROM dt
+        |  JOIN nrm2 a ON a.vec_id = dt.d1
+        |  JOIN nrm2 b ON b.vec_id = dt.d2
+        |  WHERE dot > 0 AND dot * dot * $d2 >= $n2 * a.n2 * b.n2),
+        |edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM ed
+        |  UNION SELECT d2, d1 FROM ed),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |grp AS (
+        |  SELECT a AS vec_id, least(a, min(b)) AS group_id
+        |  FROM reach GROUP BY a)
+        |SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+        |  coalesce(g.group_id, s.vec_id) AS group_id,
+        |  CAST(coalesce(g.group_id, s.vec_id) = s.vec_id AS INT)
+        |    AS kept
+        |FROM asg s LEFT JOIN grp g ON g.vec_id = s.vec_id
+        |ORDER BY s.vec_id""".stripMargin
+    },
     "v12_ann_ivf_int" ->
       s"""$ivfIntCoreCtes,
         |cnd AS (

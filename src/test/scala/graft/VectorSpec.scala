@@ -316,4 +316,60 @@ class VectorSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("avg_norm") - 1.0) < 0.01)
     }
   }
+
+  test("v16 SemDeDup: groups re-derived by independent union-find, " +
+      "exactly one kept representative per group, never cross-cell") {
+    val rows = VectorOps.v16Semdedup(spark, sf).collect()
+    val cellOf = rows.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val groupOf = rows.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("group_id")).toMap
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id"); val g = r.getAs[Long]("group_id")
+      assert(g <= v, "min-label: the representative is the smallest id")
+      assert(r.getAs[Int]("kept") === (if (g == v) 1 else 0))
+      assert(cellOf(g) === cellOf(v),
+        "SemDeDup groups must stay inside one quantizer cell")
+    }
+
+    // Independent closure re-derivation: same fixed-point quantization
+    // (BigDecimal HALF_UP ≡ Spark round half-away-from-zero), the same
+    // exact BigInt cosine bar (τ = 7/20) over SAME-CELL pairs only —
+    // cells taken from the operator output, whose assignment the DuckDB
+    // oracle already retrains — then a plain union-find instead of the
+    // distributed min-label loop. Labels must agree exactly.
+    val qv: Map[Long, Array[Long]] = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(x =>
+          BigDecimal(x.toDouble * 10000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+      }.toMap
+    def cos35(a: Array[Long], b: Array[Long]): Boolean = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot > 0 &&
+        BigInt(dot) * BigInt(dot) * 400 >= BigInt(49) * BigInt(na) * BigInt(nb)
+    }
+    val parent = scala.collection.mutable.Map(
+      qv.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (c, members) <- qv.keys.toSeq.groupBy(cellOf)
+      Seq(a, b) <- members.sorted.combinations(2)
+      if cos35(qv(a), qv(b))
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    qv.keys.foreach { v =>
+      assert(groupOf(v) === find(v),
+        s"vec $v: union-find label ${find(v)} != operator ${groupOf(v)}")
+    }
+    // the dedup is non-trivial at sf0.001: some multi-member groups
+    assert(rows.count(_.getAs[Int]("kept") == 0) > 0)
+  }
 }
