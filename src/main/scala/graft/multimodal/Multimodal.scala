@@ -571,9 +571,98 @@ object Multimodal {
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
+  // --- perceptual-hash near-dup (m13) ---
+
+  /** m13 hamming bar: with the 64-bit hash cut into [[PhashBands]]
+    * 8-bit bands, pigeonhole guarantees any pair within
+    * [[PhashMaxHamming]] = 7 < 8 bits shares at least one band
+    * UNCHANGED — so band-keyed candidate generation is LOSSLESS, not
+    * approximate, and the banded plan's output equals brute-force
+    * all-pairs by construction (PhashSpec proves it per run).
+    */
+  val PhashMaxHamming = 7
+  val PhashBands      = 8
+
+  /** 64-bit average-hash of a BMP blob, returned as two non-negative
+    * 32-bit halves (hi = bits 32–63, lo = bits 0–31) so every engine
+    * computes band bytes and XORs in plain BIGINT range — no signed
+    * 2⁶³ corner. Pipeline: nearest-resize to 8×8 ([[Bmp.resizeNearest]]
+    * — REAL re-encoded bytes, same kernel as m07), integer luminance
+    * 299r+587g+114b per cell, mean by truncating division (all values
+    * ≥ 0, so trunc ≡ floor ≡ DuckDB `//`), bit i set iff lum_i ≥ mean.
+    */
+  def averageHash(blob: Array[Byte]): (Long, Long) = {
+    val px = Bmp.pixels(Bmp.resizeNearest(blob, 8, 8))
+    val lum = new Array[Long](64)
+    var i = 0; var sum = 0L
+    while (i < 64) {
+      val p = px(i)
+      lum(i) = 299L * ((p >> 16) & 255) + 587L * ((p >> 8) & 255) +
+        114L * (p & 255)
+      sum += lum(i); i += 1
+    }
+    val mean = sum / 64
+    var hi = 0L; var lo = 0L
+    i = 0
+    while (i < 64) {
+      if (lum(i) >= mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** m13 — image NEAR-dup by perceptual hash: the image-column twin of
+    * the t07 SimHash text pipeline (Abbas-style image dedup runs this
+    * shape over CLIP embeddings; aHash is its classic byte-exact
+    * ancestor). Decode+hash is map-side over the binary column;
+    * candidates come from a (band, byte)-keyed self-join — at 100 TB
+    * the shuffle is keyed on 8·N short rows, never an N×N product —
+    * and the hamming verify runs on the joined row. Because
+    * [[PhashMaxHamming]] < [[PhashBands]], the banded candidate set
+    * provably contains every qualifying pair (see above), so the
+    * DuckDB oracle (same bands, same verify) hash-matches exactly.
+    */
+  val m13ImageNeardup: Q = (s, d) => {
+    val ah = udf { (blob: Array[Byte]) =>
+      val (hi, lo) = averageHash(blob); Array(hi, lo)
+    }
+    val hashes = imageTable(s, d)
+      .select(col("doc_id"), ah(col("blob")).as("h"))
+      .select(col("doc_id"), col("h")(0).as("hi"), col("h")(1).as("lo"))
+    val bands = hashes
+      .select(col("doc_id"), col("hi"), col("lo"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        // SQL shiftright takes a column bits operand (the Scala
+        // functions API wants a literal); halves are < 2³², so & 255
+        // on the shifted value is the band byte in both engines
+        expr("""CASE WHEN band < 4 THEN shiftright(lo, band * 8) % 256
+                ELSE shiftright(hi, (band - 4) * 8) % 256 END""")
+          .as("byte"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val h1 = hashes.select(col("doc_id").as("d1"), col("hi").as("hi1"),
+      col("lo").as("lo1"))
+    val h2 = hashes.select(col("doc_id").as("d2"), col("hi").as("hi2"),
+      col("lo").as("lo2"))
+    cand.join(h1, "d1").join(h2, "d2")
+      .withColumn("hamming",
+        (bit_count(expr("hi1 ^ hi2")) + bit_count(expr("lo1 ^ lo2")))
+          .cast("int"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy("d1", "d2")
+  }
+
   // --- driver-contract queries ---
 
   val queries: Map[String, Q] = Map(
+    "m13_image_neardup" -> m13ImageNeardup,
     "m12_normalize_peak" -> m12NormalizePeak,
     "m11_video_trim" -> m11VideoTrim,
     "m10_mixdown_mono" -> m10MixdownMono,
@@ -593,6 +682,62 @@ object Multimodal {
   // HUGEINT, hence the BIGINT casts); the Spark side reads the same
   // facts back out of the container bytes instead.
   val oracles: Map[String, String] = Map(
+    // m13: the oracle recomputes the whole perceptual pipeline from
+    // the synthesis formula — nearest-resize source index sp =
+    // (⌊oy·h/8⌋)·w + ⌊ox·w/8⌋ per 8×8 cell, integer luminance,
+    // truncating mean, bit per cell, 32-bit halves, the same 8-bit
+    // bands, the same band-keyed candidate join, the same hamming
+    // verify. Banding is lossless under the τ=7<8 pigeonhole bound,
+    // so both engines' outputs are the exact qualifying pair set.
+    "m13_image_neardup" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(4 + n_chars % 29 AS INT) AS w,
+        |    CAST(3 + doc_id % 13 AS INT) AS h
+        |  FROM documents),
+        |lm AS (
+        |  SELECT doc_id, i,
+        |    299 * ((doc_id * 13 + sp * 19) % 256)
+        |    + 587 * ((doc_id * 11 + sp * 17) % 256)
+        |    + 114 * ((doc_id * 7 + sp * 13) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id, i,
+        |      ((i // 8) * h // 8) * w + ((i % 8) * w // 8) AS sp
+        |    FROM (SELECT doc_id, w, h, unnest(range(0, 64)) AS i
+        |          FROM p))),
+        |mn AS (SELECT doc_id, sum(lum) // 64 AS mean FROM lm GROUP BY 1),
+        |bt AS (
+        |  SELECT l.doc_id, l.i,
+        |    CASE WHEN l.lum >= m.mean THEN 1 ELSE 0 END AS b
+        |  FROM lm l JOIN mn m ON l.doc_id = m.doc_id),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN i >= 32
+        |      THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN i < 32
+        |      THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM bt GROUP BY 1),
+        |bd AS (
+        |  SELECT doc_id, band,
+        |    CASE WHEN band < 4 THEN (lo >> (band * 8)) % 256
+        |         ELSE (hi >> ((band - 4) * 8)) % 256 END AS byte
+        |  FROM (SELECT doc_id, hi, lo, unnest(range(0, $PhashBands))
+        |          AS band FROM hs)),
+        |cnd AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bd a JOIN bd b ON a.band = b.band AND a.byte = b.byte
+        |    AND a.doc_id < b.doc_id)
+        |SELECT c.d1, c.d2,
+        |  CAST(bit_count(xor(h1.hi, h2.hi))
+        |    + bit_count(xor(h1.lo, h2.lo)) AS INT) AS hamming
+        |FROM cnd c
+        |JOIN hs h1 ON h1.doc_id = c.d1
+        |JOIN hs h2 ON h2.doc_id = c.d2
+        |WHERE bit_count(xor(h1.hi, h2.hi))
+        |  + bit_count(xor(h1.lo, h2.lo)) <= $PhashMaxHamming
+        |ORDER BY d1, d2""".stripMargin,
     // m01: header facts per modality. img_bytes is the padded pixel
     // array (stride = ceil(3w/4)·4 bytes per row).
     "m01_media_meta" ->

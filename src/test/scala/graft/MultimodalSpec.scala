@@ -549,4 +549,34 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Int]("peak_lum") === st.peakLum)
     }
   }
+
+  test("m13 perceptual near-dup equals brute-force all-pairs hamming " +
+      "(the banded candidate join is lossless under tau < bands)") {
+    val got = Multimodal.m13ImageNeardup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Int]("hamming")))
+    // independent path: synthesize → encode → averageHash per doc,
+    // then BRUTE-FORCE every pair (no bands) — if banding dropped any
+    // qualifying pair, the sets would differ
+    val hashes = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect().map { r =>
+        val id = r.getLong(0); val n = r.getLong(1)
+        val w = (4 + n % 29).toInt; val h = (3 + id % 13).toInt
+        id -> Multimodal.averageHash(
+          Bmp.encode24(w, h, Multimodal.synthPixels(id, w * h)))
+      }.sortBy(_._1)
+    val want = for {
+      Array((a, (hiA, loA)), (b, (hiB, loB))) <- hashes.combinations(2)
+      hd = java.lang.Long.bitCount(hiA ^ hiB) +
+        java.lang.Long.bitCount(loA ^ loB)
+      if hd <= Multimodal.PhashMaxHamming
+    } yield (a, b, hd)
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty, "corpus must exercise the near-dup path")
+    // halves really are 32-bit non-negative (the no-2^63 contract the
+    // oracle's BIGINT shifts rely on)
+    hashes.foreach { case (_, (hi, lo)) =>
+      assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32))
+    }
+  }
 }

@@ -567,6 +567,17 @@ class PlanSpec extends SparkSpec {
       s"keep filter must be map-side — no per-doc shuffle:\n$p")
   }
 
+  test("m13: perceptual near-dup candidates come from the " +
+      "(band, byte) equi-join — no all-pairs, hash verify after " +
+      "candidate generation") {
+    val p = plan("m13_image_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in perceptual near-dup:\n$p")
+    // candidate generation must key on the band identity, not doc_id
+    assert(p.contains("band"), s"band key missing from the plan:\n$p")
+  }
+
   test("whole-stage codegen covers the q02 agg pipeline") {
     // AQE hides codegen markers until the final plan materializes —
     // execute first, then inspect; codegen'd stages render as "*(n)"
