@@ -884,6 +884,37 @@ object TextOps {
       .orderBy("group_id")
   }
 
+  /** t37 — cross-source duplicate OVERLAP MATRIX: for every unordered
+    * source pair (a, b), the number of verified near-dup pairs with one
+    * member in each (diagonal = within-source duplication). This is the
+    * audit every multi-source corpus build runs before mixing — "how
+    * much of source B is already in source A" decides dedup ORDER and
+    * per-source keep policy (the CCNet/RefinedWeb snapshot-overlap
+    * measurement, lifted to arbitrary source labels).
+    *
+    * Scale shape: the pair graph comes from the STORED band index
+    * ([[indexedVerifiedPairs]] — no corpus re-sign, t19's gate), and
+    * source labels attach via two doc_id-keyed joins (per-doc rows are
+    * never broadcast, the retrieval-family rule). The matrix aggregate
+    * is |sources|² rows — trivially partial-aggregated.
+    */
+  val t37SourceOverlap: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val src = Tables.documents(s, d).select("doc_id", "source")
+    val pairs = indexedVerifiedPairs(s, d, docs, DedupGroupsThreshold)
+      .select("d1", "d2")
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("sa")),
+        "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("sb")),
+        "d2")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Fixed training-sequence length for t28. Production packs 2k–8k
     * BPE tokens; 512 whitespace tokens is the proportional setting for
     * the synthetic corpus. Oracle SQL interpolates this constant.
@@ -2067,6 +2098,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t37_source_overlap" -> t37SourceOverlap,
     "t36_gram_novelty" -> t36GramNovelty,
     "t35_mixture_budget" -> t35MixtureBudget,
     "t34_quantile_curate" -> t34QuantileCurate,
@@ -2544,6 +2576,18 @@ object TextOps {
           |SELECT doc_id, count(*) AS n_grams, min(h) AS min_hash,
           |  count(DISTINCT h) AS n_distinct
           |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // t37: the same verified-pair CTE stack as t19, then two label
+      // joins + the unordered-pair source rollup — the oracle re-derives
+      // every matrix cell from scratch
+      "t37_source_overlap" ->
+        s"""WITH ${minHashCtes("SELECT doc_id, text FROM documents", 0.5)},
+           |lab AS (SELECT doc_id, source FROM documents)
+           |SELECT least(a.source, b.source) AS src_a,
+           |  greatest(a.source, b.source) AS src_b,
+           |  CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM pairs JOIN lab a ON a.doc_id = pairs.d1
+           |JOIN lab b ON b.doc_id = pairs.d2
+           |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
       // transitive closure (recursive CTE) twin of the label-propagation
       // components; group id = min reachable doc id
       "t19_dedup_groups" ->

@@ -413,6 +413,42 @@ class PlanSpec extends SparkSpec {
       s"group resolution not partial-aggregated:\n$p")
   }
 
+  test("t37: overlap matrix never re-signs the corpus and never " +
+      "hint-broadcasts a per-document table (pair sourcing from the " +
+      "stored index is t19's gate; the source-label joins are " +
+      "doc_id-keyed)") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val df = SparkEntry.queries("t37_source_overlap")(spark, sf)
+    val ps = df.queryExecution.executedPlan.toString
+    assert(!ps.contains("partial_min") && !ps.contains("sequence(1"),
+      s"corpus re-sign inside the t37 plan:\n$ps")
+    // the retrieval-family rule, extended to the dedup-audit family: a
+    // build side still carrying a per-document id (doc_id, or its d1/d2
+    // renames) has one row per corpus document — a HINT-forced broadcast
+    // of it is the 100 TB OOM shape. Size-driven broadcasts adapt at
+    // scale, so plan with the auto threshold OFF first.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("t37_source_overlap")(spark, sf)
+        .queryExecution.sparkPlan
+      val perDoc = Set("doc_id", "d1", "d2")
+      val offenders = p.collect {
+        case j: BroadcastHashJoinExec =>
+          j.buildSide match { case BuildLeft => j.left
+                              case BuildRight => j.right }
+        case j: BroadcastNestedLoopJoinExec =>
+          j.buildSide match { case BuildLeft => j.left
+                              case BuildRight => j.right }
+      }.filter(_.output.exists(a => perDoc(a.name)))
+      assert(offenders.isEmpty,
+        s"a per-document table is hint-broadcast in t37:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("t05: PPJoin joins on the rare-token prefix, not all tokens") {
     val df = SparkEntry.queries("t05_word_jaccard")(spark, sf)
     df.collect()
