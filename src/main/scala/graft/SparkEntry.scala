@@ -45,7 +45,9 @@ object SparkEntry {
         "s09_stream_decontaminate" -> ((s, d) =>
           EventStreams.replayDecontaminate(s, d)),
         "s10_stream_snapshot_diff" -> ((s, d) =>
-          EventStreams.replaySnapshotDiff(s, d)))
+          EventStreams.replaySnapshotDiff(s, d)),
+        "s11_stream_source_overlap" -> ((s, d) =>
+          EventStreams.replaySourceOverlap(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -143,5 +145,11 @@ object SparkEntry {
         // depends only on the doc's own bytes and the fixed artifact,
         // so the rollup ≡ batch t33 — t33's oracle verifies the loop
         "s10_stream_snapshot_diff" ->
-          TextOps.oracles("t33_snapshot_diff"))
+          TextOps.oracles("t33_snapshot_diff"),
+        // per-batch matrix contributions are disjoint (every verified
+        // pair has a unique later member, counted in that member's
+        // batch), so the streaming sum ≡ batch t37 — t37's oracle
+        // verifies the loop
+        "s11_stream_source_overlap" ->
+          TextOps.oracles("t37_source_overlap"))
 }

@@ -915,6 +915,47 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** s11's per-batch kernel: the overlap-matrix CONTRIBUTION of one
+    * ingest batch — verified near-dup pairs whose LATER member is in
+    * the batch (within-batch pairs + batch-vs-accumulated-index pairs),
+    * rolled up per unordered source pair. Because every pair has a
+    * unique later member, batch contributions are disjoint and their
+    * sum is exactly [[t37SourceOverlap]]'s matrix — which is what lets
+    * t37's DuckDB oracle verify the whole streaming loop.
+    *
+    * Scale shape: the accumulated index is scanned, the batch bands
+    * broadcast into it (s05's candidate-join pattern — the batch side
+    * is the small side by construction); the within-batch self-join is
+    * batch-sized; text and label attachment are candidate-driven keyed
+    * joins (no per-document broadcast, the t37 gate's rule).
+    */
+  def overlapBatchMatrix(index: DataFrame, batchBands: DataFrame,
+      texts: DataFrame, labels: DataFrame, minJaccard: Double)
+      : DataFrame = {
+    val within = batchBands.as("a").join(batchBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // span-ordered ingest guarantees index ids < batch ids; the filter
+    // keeps the kernel correct under any caller
+    val cross = index.as("i").join(broadcast(batchBands.as("n")),
+        col("i.band") === col("n.band") &&
+          col("i.bucket") === col("n.bucket") &&
+          col("i.doc_id") < col("n.doc_id"))
+      .select(col("i.doc_id").as("d1"), col("n.doc_id").as("d2"))
+    val cand = within.unionByName(cross).distinct()
+    verifiedJaccardPairs(cand, texts, minJaccard)
+      .join(labels.select(col("doc_id").as("d1"),
+        col("source").as("sa")), "d1")
+      .join(labels.select(col("doc_id").as("d2"),
+        col("source").as("sb")), "d2")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Fixed training-sequence length for t28. Production packs 2k–8k
     * BPE tokens; 512 whitespace tokens is the proportional setting for
     * the synthetic corpus. Oracle SQL interpolates this constant.

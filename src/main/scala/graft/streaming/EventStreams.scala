@@ -1000,6 +1000,123 @@ object EventStreams {
     (result, stateRows, statusDirs.length.toLong)
   }
 
+  /** s11 — streaming SOURCE-OVERLAP maintenance: t37's cross-source
+    * duplicate matrix kept current as the corpus is ingested — the
+    * audit dashboard a multi-source crawl updates per shard instead of
+    * recomputing from scratch. Documents arrive as ascending doc_id
+    * spans (one micro-batch per file); each batch signs ONLY itself,
+    * appends its bands to the accumulated index (append-only deltas —
+    * no batch rewrites corpus-sized state, the s05 shape), and emits
+    * its matrix CONTRIBUTION: verified pairs whose later member is in
+    * the batch ([[graft.queries.TextOps.overlapBatchMatrix]]). Pair
+    * contributions are disjoint across batches (each pair has a unique
+    * later member), so the sum over batches equals batch t37 exactly —
+    * t37's own DuckDB oracle verifies the whole streaming loop. The
+    * state store stays EMPTY (the delta files carry the memory).
+    *
+    * At 100 TB: per-batch cost is batch-signing + one scan of the
+    * narrow band index with the batch bands broadcast into it + a
+    * candidate-driven verify — nothing rescans admitted text, and the
+    * matrix itself is |sources|² rows.
+    */
+  def replaySourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    replaySourceOverlapWithStats(spark, dir)._1
+
+  /** s11 plus the state-store row total (must be 0) and the data-batch
+    * count (> 1, or nothing incremental was proven).
+    */
+  def replaySourceOverlapWithStats(spark: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    import graft.queries.TextOps
+    val work = java.nio.file.Files.createTempDirectory("graft-s11")
+      .toFile
+    val staticDocs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val labels = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source")
+    // the whole corpus streams in as 4 ascending doc_id spans, one
+    // parquet file each (ascending mtimes → the file source triggers
+    // them in order, so every index doc_id precedes every batch doc_id)
+    val nSpans = 4
+    val maxId = staticDocs
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+    val spanCol = (1 until nSpans).foldLeft(lit(0)) { (acc, i) =>
+      when(col("doc_id") >= (maxId + 1) * i / nSpans, lit(i))
+        .otherwise(acc)
+    }
+    val srcDir = s"${work.getAbsolutePath}/incoming"
+    val stage = s"${work.getAbsolutePath}/stage"
+    new java.io.File(srcDir).mkdirs()
+    staticDocs.withColumn("b", spanCol)
+      .repartition(col("b")) // one task → one file per span dir
+      .write.partitionBy("b").parquet(stage)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    (0 until nSpans).foreach { i =>
+      val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+      Option(new java.io.File(s"$stage/b=$i").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).headOption
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(t0 + i * 60000L)
+        }
+    }
+    val deltaDir = s"${work.getAbsolutePath}/index-delta"
+    val contribDir = s"${work.getAbsolutePath}/contrib"
+    val deltas = scala.collection.mutable.ListBuffer[String]()
+    val srcSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = spark.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*.parquet")
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"${work.getAbsolutePath}/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // sign the batch once; the persisted delta serves both the
+          // candidate join and every later batch's index
+          val deltaPath = s"$deltaDir/b$batchId"
+          TextOps.portableBandTable(
+            batch.select("doc_id", "text")
+              .repartition(s.sparkContext.defaultParallelism))
+            .write.parquet(deltaPath)
+          val batchBands = s.read.parquet(deltaPath)
+          // accumulated index = deltas of EARLIER batches only
+          val index = deltas.toList match {
+            case Nil => batchBands.limit(0)
+            case ps => ps.map(s.read.parquet(_)).reduce(_.unionByName(_))
+          }
+          TextOps.overlapBatchMatrix(index, batchBands, staticDocs,
+              labels, TextOps.DedupGroupsThreshold)
+            .write.parquet(s"$contribDir/b$batchId")
+          deltas += deltaPath
+        }
+        ()
+      }
+      .start()
+    val stateRows =
+      try {
+        q.awaitTermination() // AvailableNow self-terminates when drained
+        Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      } finally { q.stop() }
+    val contribDirs = Option(new java.io.File(contribDir).listFiles())
+      .getOrElse(Array.empty).map(_.getAbsolutePath).sorted
+    if (contribDirs.isEmpty)
+      throw new IllegalStateException("no data batches")
+    val result = spark.read.parquet(contribDirs.toIndexedSeq: _*)
+      .groupBy("src_a", "src_b")
+      .agg(sum("n_pairs").as("n_pairs"))
+      .orderBy("src_a", "src_b")
+      .localCheckpoint() // materialize before the work dir dies
+    deleteRecursively(work)
+    (result, stateRows, contribDirs.length.toLong)
+  }
+
   /** Incremental layer refresh via foreachBatch (SURVEY §2.9: the
     * generalized "re-run the pipeline on new certificate events"): each
     * micro-batch republishes the layer produced by `buildLayer` over

@@ -177,6 +177,20 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows === 0L, s"unexpected state-store rows: $stateRows")
   }
 
+  test("streaming source-overlap (declared s11) equals the batch t37 " +
+      "across micro-batches; state store empty") {
+    val (df, stateRows, nBatches) =
+      EventStreams.replaySourceOverlapWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = graft.queries.TextOps
+      .queries("t37_source_overlap")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(nBatches > 1, s"only $nBatches data micro-batch(es)")
+    assert(stateRows === 0L, s"unexpected state-store rows: $stateRows")
+  }
+
   test("flatMapGroupsWithState session state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
