@@ -195,6 +195,30 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q42 — retention COHORT matrix, the canonical product-analytics
+    * rollup over the events table: users are cohorted by their first
+    * active day, and each (cohort_day, day_offset) cell counts the
+    * distinct users of that cohort active offset days later. Two
+    * keyed shuffles: the per-user min-day aggregation, then the join
+    * back to events on user_id — deliberately NOT hint-broadcast (the
+    * cohort table is per-user-sized, the t13-defect shape; AQE may
+    * still choose a broadcast at runtime when it measures small). The
+    * distinct-user count is Spark's two-phase distinct aggregate —
+    * partial on (cohort, offset, user), final count — so nothing
+    * corpus-sized crosses the wire unaggregated.
+    */
+  val q42RetentionCohorts: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** q10 — exact dedup by key (reference A3 `distinct(.keep_all)`),
     * deterministic keep-lowest via min. Aggregation form (not
     * dropDuplicates) so the result is order-independent and the shuffle is
@@ -962,6 +986,7 @@ object Relational {
     "q08_window_topk" -> q08WindowTopk,
     "q09_window_running" -> q09WindowRunning,
     "q41_range_window" -> q41RangeWindow,
+    "q42_retention_cohorts" -> q42RetentionCohorts,
     "q10_dedup_exact" -> q10DedupExact,
     "q11_topk_orders" -> q11TopkOrders,
     "q12_case_when" -> q12CaseWhen,
@@ -1261,6 +1286,19 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
         |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // q42: per-user first-day cohort + distinct-active count per
+    // (cohort, offset) — date_diff('day') over DATE casts matches
+    // Spark's datediff on the same UTC-truncated days
+    "q42_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT c.cohort_day,
+        |  date_diff('day', c.cohort_day, e.day) AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN cohort c ON c.user_id = e.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q10_dedup_exact" ->
       """SELECT l_partkey, l_suppkey, min(l_orderkey) AS first_orderkey,
         |  count(*) AS n_dupes
