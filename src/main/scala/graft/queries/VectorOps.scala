@@ -103,6 +103,35 @@ object VectorOps {
       .orderBy("qid", "rk")
   }
 
+  /** v17's similarity floor. 0.25 sits near the p99 of the synthetic
+    * corpus's cosine distribution — a radius set of ~1% of the corpus
+    * per query, the "all plausibly-related documents" shape. The
+    * oracle SQL pins the same value independently.
+    */
+  val RangeSearchTau = 0.25
+
+  /** v17 — RANGE (radius) search: ALL vectors within a similarity
+    * floor of each query, not a fixed k — the retrieval mode dedup
+    * sweeps and recall-oriented RAG use when the answer set size is
+    * data-dependent ("every document at least this related"). Same
+    * broadcast-query scan as v01 but with NO top-k window: the
+    * threshold filter is applied map-side to the rounded similarity,
+    * so the whole plan is one corpus pass with zero shuffles before
+    * the presentation sort — strictly cheaper than top-k at scale
+    * (no per-query ranking state). Both engines filter on the SAME
+    * rounded value, so the boundary is deterministic cross-engine.
+    */
+  val v17RangeSearch: Q = (s, d) => {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosUdf(col("qv"), col("v")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= RangeSearchTau)
+      .orderBy("qid", "vec_id")
+  }
+
   /** v02 — per-label centroid (first 4 dims): posexplode the vector and
     * aggregate by (label, dim) — the distributed layout for any
     * vector-wide statistic; no vector ever has to fit a single reducer.
@@ -1201,6 +1230,7 @@ object VectorOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "v17_range_search" -> v17RangeSearch,
     "v11_sq8_adc_knn" -> v11Sq8AdcKnn,
     "v10_sq8_quantization" -> v10Sq8Quantization,
     "v06_embedding_neardup" -> v06EmbeddingNearDup,
@@ -1609,6 +1639,27 @@ object VectorOps {
         |JOIN norms nb ON nb.vec_id = d2
         |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.35
         |ORDER BY d1, d2""".stripMargin,
+    // v17: v01's scoring stack with the radius filter in place of the
+    // top-k window — both engines filter the identically-rounded value
+    "v17_range_search" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e
+        |          GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, x, i FROM e WHERE vec_id IN (0, 1, 2)),
+        |dots AS (
+        |  SELECT q.qid, e.vec_id, sum(q.x * e.x) AS dot
+        |  FROM q JOIN e ON q.i = e.i WHERE e.vec_id <> q.qid
+        |  GROUP BY 1, 2)
+        |SELECT qid, dots.vec_id,
+        |  round(dot / (nq.nrm * ne.nrm), 4) AS cos_sim
+        |FROM dots
+        |JOIN norms nq ON nq.vec_id = qid
+        |JOIN norms ne ON ne.vec_id = dots.vec_id
+        |WHERE round(dot / (nq.nrm * ne.nrm), 4) >= $RangeSearchTau
+        |ORDER BY qid, dots.vec_id""".stripMargin,
     "v01_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

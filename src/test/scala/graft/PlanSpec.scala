@@ -459,6 +459,20 @@ class PlanSpec extends SparkSpec {
       s"prefix-length filter missing from the plan:\n$p")
   }
 
+  test("v17: range search is one corpus pass — 3-row query side " +
+      "broadcast, threshold filter map-side (no top-k Window), only " +
+      "the presentation-sort shuffle") {
+    val p = plan("v17_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"query side must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("Window"),
+      s"radius search must not carry per-query ranking state:\n$p")
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(shuffles <= 1,
+      s"expected only the presentation-sort shuffle:\n$p")
+  }
+
   test("v10: SQ8 quantization is map-side — one exchange " +
       "(the presentation sort), no per-element shuffle") {
     val p = plan("v10_sq8_quantization")
