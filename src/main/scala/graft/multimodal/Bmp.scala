@@ -186,6 +186,29 @@ object Bmp {
     encode24(cw, ch, out)
   }
 
+  /** REAL grayscale conversion over the real format: every pixel
+    * replaced by its BT.601 luminance on all three channels —
+    * ⌊(299·R + 587·G + 114·B) / 1000⌋, integer truncating division
+    * (the rule DuckDB's `//` shares), so an oracle can recompute any
+    * output pixel without float tolerance. Returns a fully valid
+    * re-encoded 24-bit BMP; pure byte kernel, map-side like decode.
+    */
+  def grayscale(blob: Array[Byte]): Array[Byte] = {
+    val m = decodeMeta(blob)
+    val in = pixels(blob)
+    val out = new Array[Int](in.length)
+    var i = 0
+    while (i < in.length) {
+      val r = (in(i) >> 16) & 0xff
+      val g = (in(i) >> 8) & 0xff
+      val b = in(i) & 0xff
+      val l = (299 * r + 587 * g + 114 * b) / 1000
+      out(i) = (l << 16) | (l << 8) | l
+      i += 1
+    }
+    encode24(m.width, m.height, out)
+  }
+
   /** Exact integer channel statistics (like [[Wav]]'s sample stats:
     * integer sums cannot drift with summation order, so the oracle
     * hash is stable). `peakLum` is the integer BT.601 luminance

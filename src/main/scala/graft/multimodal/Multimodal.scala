@@ -418,6 +418,40 @@ object Multimodal {
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
+  // --- grayscale (m14) ---
+
+  /** REAL grayscale operator over the image column: BT.601 luminance
+    * conversion of every BMP blob via [[Bmp.grayscale]] —
+    * binary→binary, pure map-side, output blobs are fully valid
+    * 24-bit BMPs with R=G=B.
+    */
+  def toGrayscale(images: DataFrame): DataFrame = {
+    val gs = udf { (blob: Array[Byte]) => Bmp.grayscale(blob) }
+    images.withColumn("blob", gs(col("blob")))
+  }
+
+  /** m14 — grayscale + decode stats of the CONVERTED bytes (the
+    * channel-space member of the image transform set: m07 geometry,
+    * m09 window, m14 color space — the normalization every vision
+    * pipeline runs before single-channel models). The query reads the
+    * stats back OUT of the re-encoded BMP: equal channel sums and
+    * peak_lum = 1000·max(luma) hold only if every pixel was actually
+    * rewritten, and the oracle recomputes ⌊(299R+587G+114B)/1000⌋
+    * per pixel from the synthesis formula — so the conversion is
+    * verified end-to-end, not just the geometry.
+    */
+  val m14Grayscale: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Bmp.decodeMeta(blob)
+      val st = Bmp.stats(Bmp.pixels(blob))
+      ImageStats(m.width, m.height, st.sumR, st.sumG, st.sumB,
+        st.peakLum)
+    }
+    toGrayscale(imageTable(s, d))
+      .withColumn("a", dec(col("blob")))
+      .select(col("doc_id"), col("a.*")).orderBy("doc_id")
+  }
+
   // --- resample (m08) ---
 
   /** REAL resample operator over the audio column: nearest-neighbor
@@ -675,6 +709,7 @@ object Multimodal {
     "m07_resize" -> m07Resize,
     "m08_audio_resample" -> m08Resample,
     "m09_crop" -> m09Crop,
+    "m14_grayscale" -> m14Grayscale,
   )
 
   // Every oracle recomputes container contents from the synthesis
@@ -877,6 +912,30 @@ object Multimodal {
         |  CAST(sum(b) AS BIGINT) AS sum_b,
         |  CAST(max(299 * r + 587 * g + 114 * b) AS INT) AS peak_lum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // m14: the oracle recomputes every pixel's truncated BT.601 luma
+    // from the synthesis formula; equal channel sums and the exact
+    // 1000·luma peak pin the re-encoded grayscale bytes
+    "m14_grayscale" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(4 + n_chars % 29 AS INT) AS width,
+        |    CAST(3 + doc_id % 13 AS INT) AS height
+        |  FROM documents),
+        |gl AS (
+        |  SELECT doc_id,
+        |    (299 * ((doc_id * 13 + i * 19) % 256)
+        |     + 587 * ((doc_id * 11 + i * 17) % 256)
+        |     + 114 * ((doc_id * 7 + i * 13) % 256)) // 1000 AS l
+        |  FROM (SELECT doc_id, unnest(range(0, width * height)) AS i
+        |        FROM p)),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(l) AS BIGINT) AS sum_r,
+        |    CAST(sum(l) AS BIGINT) AS sum_g,
+        |    CAST(sum(l) AS BIGINT) AS sum_b,
+        |    CAST(max(1000 * l) AS INT) AS peak_lum
+        |  FROM gl GROUP BY doc_id)
+        |SELECT p.doc_id, width, height, sum_r, sum_g, sum_b, peak_lum
+        |FROM p JOIN a ON p.doc_id = a.doc_id ORDER BY p.doc_id""".stripMargin,
     "m05_image_stats" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -177,6 +177,19 @@ class MultimodalSpec extends SparkSpec {
       Bmp.PixelStats(510L, 510L, 510L, 299 * 255 + 587 * 255 + 114 * 255))
   }
 
+  test("grayscale converts the documented 2x2 example pixel-exactly " +
+      "and re-encodes a valid BMP") {
+    val g = Bmp.grayscale(bmp2x2)
+    val m = Bmp.decodeMeta(g)
+    assert(m.width === 2 && m.height === 2 && m.bitsPerPixel === 24)
+    // truncated BT.601: blue ⌊114·255/1000⌋=29, green ⌊587·255/1000⌋
+    // =149, red ⌊299·255/1000⌋=76, white exactly 255
+    assert(Bmp.pixels(g).toSeq ===
+      Seq(0x1d1d1d, 0x959595, 0x4c4c4c, 0xffffff))
+    // idempotent: luma of an R=G=B pixel is the pixel
+    assert(Bmp.pixels(Bmp.grayscale(g)).toSeq === Bmp.pixels(g).toSeq)
+  }
+
   test("encode24 is byte-identical to the documented example") {
     val enc = Bmp.encode24(2, 2,
       Array(0x0000ff, 0x00ff00, 0xff0000, 0xffffff))

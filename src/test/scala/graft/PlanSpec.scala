@@ -19,7 +19,7 @@ class PlanSpec extends SparkSpec {
     Seq("m01_media_meta", "m03_frame_sample", "m04_audio_stats",
       "m05_image_stats", "m06_video_frame_stats", "m07_resize",
       "m08_audio_resample", "m09_crop", "m10_mixdown_mono",
-      "m11_video_trim", "m12_normalize_peak")
+      "m11_video_trim", "m12_normalize_peak", "m14_grayscale")
       .foreach { q =>
         val p = plan(q)
         // encode → decode → stats all stay inside the row (m03's frame
