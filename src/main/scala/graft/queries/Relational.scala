@@ -219,6 +219,39 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** q43 — ordered conversion FUNNEL over events: users who viewed,
+    * then clicked strictly after their first view, then purchased
+    * strictly after that first qualifying click — the other canonical
+    * product-analytics rollup next to q42's cohort matrix, and a
+    * DIFFERENT shape: a chain of order-dependent semi-aggregations
+    * rather than one distinct count. Each step is a per-user min over
+    * a type-pruned scan joined keyed on user_id to the previous
+    * step's frontier (no hint broadcast — per-user tables, the t13
+    * rule; AQE may broadcast the shrinking frontiers at runtime when
+    * it measures them small, which is exactly when it's safe). Three
+    * rows out: survivors at each funnel step.
+    */
+  val q43Funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    def firstAfter(typ: String, prev: DataFrame, prevTs: String,
+        outTs: String): DataFrame =
+      ev.filter(col("event_type") === typ)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy("user_id").agg(min("ts").as(outTs))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = firstAfter("click", v, "v_ts", "c_ts")
+    val p = firstAfter("purchase", c, "c_ts", "p_ts")
+    def counted(df: DataFrame, step: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), col("n_users"))
+    counted(v, "step1_view")
+      .unionByName(counted(c, "step2_click"))
+      .unionByName(counted(p, "step3_purchase"))
+      .orderBy("step")
+  }
+
   /** q10 — exact dedup by key (reference A3 `distinct(.keep_all)`),
     * deterministic keep-lowest via min. Aggregation form (not
     * dropDuplicates) so the result is order-independent and the shuffle is
@@ -987,6 +1020,7 @@ object Relational {
     "q09_window_running" -> q09WindowRunning,
     "q41_range_window" -> q41RangeWindow,
     "q42_retention_cohorts" -> q42RetentionCohorts,
+    "q43_funnel" -> q43Funnel,
     "q10_dedup_exact" -> q10DedupExact,
     "q11_topk_orders" -> q11TopkOrders,
     "q12_case_when" -> q12CaseWhen,
@@ -1299,6 +1333,28 @@ object Relational {
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM ev e JOIN cohort c ON c.user_id = e.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // q43: the same strictly-ordered step chain — each CTE is the
+    // previous frontier's first qualifying later event
+    "q43_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'step1_view' AS step, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM v
+        |  UNION ALL
+        |  SELECT 'step2_click', CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM p)
+        |ORDER BY step""".stripMargin,
     "q10_dedup_exact" ->
       """SELECT l_partkey, l_suppkey, min(l_orderkey) AS first_orderkey,
         |  count(*) AS n_dupes
