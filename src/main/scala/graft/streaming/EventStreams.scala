@@ -17,25 +17,38 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw parquet schema: ts is TIMESTAMP(NANOS) stored as INT64 — read
-    * as long (matches Tables.events handling) and truncated to micros.
+  /** Stream sources need an explicit schema, so the `ts` physical
+    * encoding must be known up front. Mirror Tables.events'
+    * infer-then-contract: probe the footer via a cheap batch schema
+    * read, then declare the matching stream schema.
     */
-  private val rawSchema = StructType(Seq(
+  private def rawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming scan of the events parquet with event-time column. */
+  /** Streaming scan of the events parquet with event-time column.
+    * Probes the on-disk `ts` type (batch schema read — footer only, no
+    * data scan) and adapts: raw INT64 nanos get the div-1000 shim;
+    * native TIMESTAMP(MICROS) (tz'd or NTZ) streams as timestamp and is
+    * normalized to TimestampType (identity under the UTC session tz).
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDisk = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // glob (not a bare file path) so the stream source infers the
     // parent directory as basePath
-    spark.readStream.schema(rawSchema)
+    val stream = spark.readStream.schema(rawSchema(onDisk))
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    onDisk match {
+      case LongType => // legacy nanos-as-long encoding
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour window aggregation with a watermark (default: 35
