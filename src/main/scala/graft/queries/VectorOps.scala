@@ -170,21 +170,25 @@ object VectorOps {
     // the signature work (on a real cluster the input has many splits
     // and this repartition is a cheap no-op-sized shuffle).
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
-    val nPlanes = Tables_ * PlanesPerTable
-    val planes: Array[Array[Double]] = Array.tabulate(nPlanes, Dim) {
-      (p, j) =>
-        TextHash.mix64(p.toLong * Dim + j).toDouble / Long.MaxValue.toDouble
-    }
+    // GRID-SEEDED bucketing (r10): md5-derived integer hyperplanes (the
+    // v13 machinery, at v03's 24-table depth) dotted with fixed-point
+    // vectors — every sign decision is exact BIGINT arithmetic, so the
+    // bucket tables and the candidate set are DuckDB-recomputable.
+    // Scoring below stays the float exact-cosine serve path.
+    val planes: Array[Array[Array[Long]]] =
+      Array.tabulate(Tables_, PlanesPerTable, Dim)(lshIntCoord)
+    val bcPlanes = e0.sparkSession.sparkContext.broadcast(planes)
     val bucketsUdf = udf { (v: Seq[Double]) =>
+      val vg = Array.tabulate(v.length)(j => math.round(v(j) * FixScale))
       (0 until Tables_).map { t =>
         var b = 0
         var p = 0
         while (p < PlanesPerTable) {
-          val plane = planes(t * PlanesPerTable + p)
-          var acc = 0.0
+          val pc = bcPlanes.value(t)(p)
+          var acc = 0L
           var j = 0
-          while (j < Dim && j < v.length) { acc += plane(j) * v(j); j += 1 }
-          if (acc >= 0) b |= (1 << p)
+          while (j < Dim && j < vg.length) { acc += pc(j) * vg(j); j += 1 }
+          if (acc >= 0L) b |= (1 << p)
           p += 1
         }
         b
@@ -236,27 +240,32 @@ object VectorOps {
     * query. Shuffle is keyed by cell id; rerank is exact cosine over
     * probed cells only — corpus_fraction ≈ nprobe/nlist.
     */
-  val v05AnnIvf: Q = (s, d) => annIvf(emb(s, d), maxQid = 50,
-    nlist = 16, nprobe = 4)
+  val v05AnnIvf: Q = (s, d) => annIvf(emb(s, d), maxQid = IvfIntMaxQid,
+    nlist = IvfIntNlist, nprobe = IvfIntNprobe)
 
   def annIvf(e0: DataFrame, maxQid: Int, nlist: Int,
       nprobe: Int): DataFrame = {
     val e = e0.repartition(e0.sparkSession.sparkContext.defaultParallelism)
 
-    // --- train coarse quantizer on a bounded hash-stratified sample
-    // (deterministic; k-means init = stride over the sample) ---
-    val sample = trainingSample(e0, nlist * 40)
-    val centroids = kmeansFit(sample, nlist)
-    val bc = e0.sparkSession.sparkContext.broadcast(centroids)
+    // --- coarse quantizer: GRID-SEEDED like trainIvfPq (r10) — the
+    // v12 integer Lloyd's on the shared fixed-point grid, so routing
+    // and the probe sets are integer-exact (DuckDB-recomputable and
+    // bit-identical to v12's `asg`/`prb` CTEs); SCORING below stays
+    // the float exact-cosine serve path, which the oracle recomputes
+    // under the round-4 ranking contract. ---
+    val sample = intTrainSampleOf(e0, nlist * 40)
+    val centsInt = intKmeansFit(sample, nlist, IvfIntIters)
+    val bc = e0.sparkSession.sparkContext.broadcast(centsInt)
 
     val cellUdf = udf { (v: Seq[Double]) =>
-      nearestCell(bc.value, v.toArray)
+      val vg = Array.tabulate(v.length)(j => math.round(v(j) * FixScale))
+      nearestCellInt(bc.value, vg)
     }
     val probeUdf = udf { (v: Seq[Double]) =>
-      val va = v.toArray
+      val vg = Array.tabulate(v.length)(j => math.round(v(j) * FixScale))
       bc.value.indices
-        .map(c => (c, dist2(bc.value(c), va)))
-        .sortBy(_._2).take(nprobe).map(_._1)
+        .map(c => (dist2Int(bc.value(c), vg), c))
+        .sorted.take(nprobe).map(_._2)
     }
 
     val assigned = e.withColumn("cell", cellUdf(col("v")))
@@ -286,11 +295,14 @@ object VectorOps {
     * decodes a vector; the ADC top-`rerank` then re-rank with exact
     * cosine over the full-precision vectors. Composable with IVF
     * (probe cells, then ADC within them) — kept exhaustive here so the
-    * PQ error is measured in isolation. Rows-only; recall graded vs
-    * brute force in VectorSpec.
+    * PQ error is measured in isolation. Fully hash-oracled since r10:
+    * grid-seeded codebooks + integer-exact encoding, float ADC
+    * recomputed by the oracle's reconstruction form; recall is
+    * additionally graded vs brute force in VectorSpec.
     */
   val v07AnnPq: Q = (s, d) =>
-    annPq(emb(s, d), maxQid = 50, m = 8, k = 16, rerank = 32)
+    annPq(emb(s, d), maxQid = IvfIntMaxQid, m = PqIntM, k = PqIntK,
+      rerank = IvfPqRerank)
 
   def annPq(e0: DataFrame, maxQid: Int, m: Int, k: Int,
       rerank: Int): DataFrame = {
@@ -300,18 +312,28 @@ object VectorOps {
     val e = e0.repartition(spark.sparkContext.defaultParallelism)
 
     // --- train per-subspace codebooks on the bounded hash-stratified
-    // sample (driver; size independent of corpus, like IVF's) ---
-    val sample = trainingSample(e0, k * 40)
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
-      kmeansFit(sample.map(_.slice(mi * sub, (mi + 1) * sub)), k)
+    // sample (driver; size independent of corpus, like IVF's).
+    // GRID-SEEDED like trainIvfPq (r10): integer Lloyd's on the shared
+    // fixed-point grid, scaled back to exact doubles — codebook
+    // training and code assignment are DuckDB-recomputable, so v07
+    // carries a full hash oracle; ADC scoring stays float. ---
+    val sampleInt = intTrainSampleOf(e0, k * 40)
+    val cbInt: Array[Array[Array[Long]]] = Array.tabulate(m) { mi =>
+      intKmeansFit(sampleInt.map(_.slice(mi * sub, (mi + 1) * sub)), k,
+        IvfIntIters)
     }
+    val codebooks: Array[Array[Array[Double]]] =
+      cbInt.map(_.map(_.map(_.toDouble / FixScale)))
     val bcCb = spark.sparkContext.broadcast(codebooks)
+    val bcCbInt = spark.sparkContext.broadcast(cbInt)
 
-    // map-side byte encoding — the compressed index representation
+    // map-side byte encoding on the integer grid — the compressed
+    // index representation, bit-identical to the oracle's `enc` CTE
     val encodeUdf = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      Array.tabulate(m)(mi => nearestCell(bcCb.value(mi),
-        va.slice(mi * sub, (mi + 1) * sub)).toByte)
+      val cb = bcCbInt.value
+      val vg = Array.tabulate(v.length)(j => math.round(v(j) * FixScale))
+      Array.tabulate(m)(mi => nearestCellInt(cb(mi),
+        vg.slice(mi * sub, (mi + 1) * sub)).toByte)
     }
     val coded = e.select(col("vec_id"), encodeUdf(col("v")).as("codes"))
 
@@ -363,8 +385,10 @@ object VectorOps {
         explode(adcUdf(col("vec_id"), col("codes"))).as("s"))
       .select(col("s._1").as("qid"), col("vec_id"),
         col("s._2").as("adc_score"))
+    // rounded-score ranking + id tiebreak (the v01 cross-engine
+    // contract) so the shortlist is oracle-stable
     val wAdc = Window.partitionBy("qid")
-      .orderBy(col("adc_score").desc, col("vec_id").asc)
+      .orderBy(round(col("adc_score"), 6).desc, col("vec_id").asc)
     val candIds = adc.withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= rerank)
       .select("qid", "vec_id")
@@ -395,11 +419,19 @@ object VectorOps {
     * norm cross-terms fold in analytically); the shortlist reranks with
     * exact cosine. Touched fraction ≈ nprobe/nlist AND what is touched
     * is 32×-compressed — the two multipliers a 100 TB index needs.
-    * Rows-only; recall + determinism graded in VectorSpec.
+    * Fully hash-oracled since r10: the coarse quantizer, residual
+    * codebooks, byte codes and probe sets are grid-seeded
+    * (bit-identical to v14's integer machinery), the float ADC +
+    * rerank recomputed by the oracle; recall + determinism are
+    * additionally graded in VectorSpec.
     */
+  /** Shortlist size shared by the Scala plan and the v08/v09 oracle. */
+  private val IvfPqRerank = 32
+
   val v08AnnIvfPq: Q = (s, d) =>
-    annIvfPq(emb(s, d), maxQid = 50, nlist = 16, nprobe = 4,
-      m = 8, k = 16, rerank = 32)
+    annIvfPq(emb(s, d), maxQid = IvfIntMaxQid, nlist = IvfIntNlist,
+      nprobe = IvfIntNprobe, m = PqIntM, k = PqIntK,
+      rerank = IvfPqRerank)
 
   /** v09 — the STORED-INDEX IVF+PQ query path (the ANN twin of t15's
     * stored band index): the coarse centroids + PQ codebooks + encoded
@@ -414,8 +446,8 @@ object VectorOps {
     */
   val v09AnnIvfPqIndexed: Q = (s, d) => {
     val (model, codes) = ensureIvfPqIndex(s, d)
-    queryIvfPq(emb(s, d), codes, model, maxQid = 50, nprobe = 4,
-      rerank = 32)
+    queryIvfPq(emb(s, d), codes, model, maxQid = IvfIntMaxQid,
+      nprobe = IvfIntNprobe, rerank = IvfPqRerank)
   }
 
   /** Trained IVF+PQ model: coarse centroids + per-subspace codebooks.
@@ -449,35 +481,79 @@ object VectorOps {
 
   /** Driver-side bounded training (sample ≤ nlist×40 rows regardless of
     * corpus size — as v05/v07).
+    *
+    * GRID-SEEDED (round 10, per the r9 verdict's carry-over item): the
+    * coarse quantizer and residual codebooks train with the INTEGER
+    * Lloyd's of v12/v14 on the shared fixed-point grid
+    * (round(x·10⁴) as BIGINT — the "shared deterministic seed"), then
+    * scale back to doubles (exact: BIGINT/10⁴ is one IEEE division).
+    * Training, cell routing, byte codes, and probe sets are therefore
+    * DuckDB-recomputable — which is what lets v08/v09 carry full hash
+    * oracles — while ADC scoring and the cosine rerank remain the
+    * genuine float serve path. The grid costs ≤0.5·10⁻⁴ per coordinate
+    * (vs typical |x| ≈ 0.1): recall is indistinguishable from the old
+    * float-trained model (VectorSpec grades it against brute force).
     */
   def trainIvfPq(e0: DataFrame, nlist: Int, m: Int, k: Int): IvfPqModel = {
     require(Dim % m == 0)
     val sub = Dim / m
-    val sample = trainingSample(e0, nlist * 40)
-    val coarse = kmeansFit(sample, nlist)
+    val sample = intTrainSampleOf(e0, nlist * 40)
+    val coarseInt = intKmeansFit(sample, nlist, IvfIntIters)
     val residuals = sample.map { v =>
-      val c = coarse(nearestCell(coarse, v))
+      val c = coarseInt(nearestCellInt(coarseInt, v))
       Array.tabulate(Dim)(j => v(j) - c(j))
     }
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
-      kmeansFit(residuals.map(_.slice(mi * sub, (mi + 1) * sub)), k)
+    val cbInt: Array[Array[Array[Long]]] = Array.tabulate(m) { mi =>
+      intKmeansFit(residuals.map(_.slice(mi * sub, (mi + 1) * sub)), k,
+        IvfIntIters)
     }
-    IvfPqModel(coarse, codebooks)
+    IvfPqModel(
+      coarseInt.map(_.map(_.toDouble / FixScale)),
+      cbInt.map(_.map(_.map(_.toDouble / FixScale))))
   }
 
-  /** Map-side index build: cell routing + residual byte codes. */
+  /** A model's parameters back on the integer grid. EXACT round-trip:
+    * every stored double is cbInt/10⁴ with |cbInt| ≪ 2⁵³, so
+    * round(x·10⁴) recovers the BIGINT bit-for-bit.
+    */
+  private def toIntModel(model: IvfPqModel)
+      : (Array[Array[Long]], Array[Array[Array[Long]]]) =
+    (model.coarse.map(_.map(x => math.round(x * FixScale))),
+      model.codebooks.map(_.map(_.map(x => math.round(x * FixScale)))))
+
+  /** Fixed-point training sample over the double-vector frame `e0`
+    * (column `v`) — same grid, same portable-bucket ordering as
+    * [[intTrainSample]], parameterized by sample size.
+    */
+  private def intTrainSampleOf(e0: DataFrame, n: Int): Array[Array[Long]] =
+    e0.orderBy(graft.operators.Sampling.portableBucket(col("vec_id")),
+        col("vec_id"))
+      .limit(n)
+      .select(expr(
+        s"transform(v, x -> CAST(round(x * $FixScale.0D) AS BIGINT))"))
+      .collect().map(_.getSeq[Long](0).toArray)
+
+  /** Map-side index build: cell routing + residual byte codes.
+    *
+    * Routing and code assignment run on the fixed-point grid against
+    * the integer model (exact round-trip from the stored doubles), so
+    * every (cell, codes) row is integer-exact and matches v14's
+    * assignment CTEs in the DuckDB oracle. Only SCORING over the codes
+    * (the ADC tables in [[queryIvfPq]]) is float.
+    */
   def encodeIvfPq(e: DataFrame, model: IvfPqModel): DataFrame = {
-    val bc = e.sparkSession.sparkContext.broadcast(model)
+    val (coarseInt, cbInt) = toIntModel(model)
+    val bc = e.sparkSession.sparkContext.broadcast((coarseInt, cbInt))
     val m = model.m; val sub = model.sub
     val encodeUdf = udf { (v: Seq[Double]) =>
-      val mdl = bc.value
-      val va = v.toArray
-      val cell = nearestCell(mdl.coarse, va)
-      val c = mdl.coarse(cell)
+      val (ci, cb) = bc.value
+      val vg = Array.tabulate(v.length)(j => math.round(v(j) * FixScale))
+      val cell = nearestCellInt(ci, vg)
+      val c = ci(cell)
       val codes = Array.tabulate(m) { mi =>
         val r = Array.tabulate(sub)(j =>
-          va(mi * sub + j) - c(mi * sub + j))
-        nearestCell(mdl.codebooks(mi), r).toByte
+          vg(mi * sub + j) - c(mi * sub + j))
+        nearestCellInt(cb(mi), r).toByte
       }
       (cell, codes)
     }
@@ -538,9 +614,9 @@ object VectorOps {
       : (IvfPqModel, DataFrame) = {
     import graft.pipeline.StageCache
     val cache = new StageCache(s, StageCache.indexRoot)
-    // v2: hash-stratified training sample (r5 advice) — bump invalidates
-    // indexes built from the old first-N-ids codebooks
-    val ver = cache.versionHash(Seq("ivfpq", "v2", "nlist=16", "m=8",
+    // v3: grid-seeded integer training (r10) — bump invalidates indexes
+    // built from the old float-Lloyd model
+    val ver = cache.versionHash(Seq("ivfpq", "v3", "nlist=16", "m=8",
       "k=16", s"dim=$Dim"))
     val inputs = Seq(s"$d/embeddings.parquet")
     lazy val model0 = trainIvfPq(emb(s, d), nlist = 16, m = 8, k = 16)
@@ -583,11 +659,16 @@ object VectorOps {
       .select("vec_id", "v").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     // qid → (probed cells, dot(q, c_cell) per cell, t(mi)(code) residual dots)
+    // probe set on the integer grid (ties broken by cell index, the
+    // v12 oracle's `ORDER BY d2, cell` contract) — deterministic and
+    // DuckDB-recomputable, unlike a float-distance argsort
+    val (coarseInt, _) = toIntModel(model)
     val qMeta: Map[Long, (Array[Int], Array[Double],
         Array[Array[Double]])] = queries.map { case (qid, qv) =>
-      val probed = coarse.indices
-        .map(ci => (ci, dist2(coarse(ci), qv)))
-        .sortBy(_._2).take(nprobe).map(_._1).toArray
+      val qg = Array.tabulate(qv.length)(j => math.round(qv(j) * FixScale))
+      val probed = coarseInt.indices
+        .map(ci => (dist2Int(coarseInt(ci), qg), ci))
+        .sorted.take(nprobe).map(_._2).toArray
       val qDotC = coarse.map(c => c.indices.map(j => c(j) * qv(j)).sum)
       val t = Array.tabulate(m) { mi =>
         Array.tabulate(k) { co =>
@@ -624,8 +705,11 @@ object VectorOps {
           .as("s"))
       .select(col("s._1").as("qid"), col("vec_id"),
         col("s._2").as("adc_score"))
+    // shortlist ranks over the ROUNDED ADC score + id tiebreak (the
+    // v01 cross-engine contract): both engines' float sums agree to
+    // well inside 1e-6, so the shortlist is oracle-stable
     val wAdc = Window.partitionBy("qid")
-      .orderBy(col("adc_score").desc, col("vec_id").asc)
+      .orderBy(round(col("adc_score"), 6).desc, col("vec_id").asc)
     val candIds = adc.withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= rerank)
       .select("qid", "vec_id")
@@ -1327,42 +1411,319 @@ object VectorOps {
       .stripMargin
   }
 
+  /** Shared oracle CTE block for the integer PQ stage (v14 and the
+    * grid-seeded float family v07/v08/v09), parameterized by the `res`
+    * CTE: the per-(vec, subspace, dim) integer value the codebooks
+    * train on and encode — residuals under the trained coarse
+    * quantizer for the IVF+PQ family, raw grid values for flat PQ.
+    * Then: the sample restriction (`sres`), stride init (`p0`), both
+    * truncating-division Lloyd iterations (`p1`/`p2`), and the
+    * full-corpus code assignment (`enc`). Extends [[ivfIntCoreCtes]]
+    * (needs fx/smp/nn, plus c2/asg for the residual variant).
+    */
+  private def pqIntCodebookCtes(resDef: String): String = {
+    s"""$resDef,
+      |sres AS (
+      |  SELECT r.vec_id, r.mi, r.jl, r.r
+      |  FROM res r JOIN smp ON smp.vec_id = r.vec_id),
+      |p0 AS (
+      |  SELECT g.co, sr.mi, sr.jl, sr.r AS cb
+      |  FROM (SELECT unnest(range(0, $PqIntK)) AS co) g
+      |  CROSS JOIN nn
+      |  JOIN smp ON smp.rn = (g.co * nn.n) // $PqIntK + 1
+      |  JOIN sres sr ON sr.vec_id = smp.vec_id),
+      |pd1 AS (
+      |  SELECT sr.vec_id, sr.mi, p.co,
+      |    sum((sr.r - p.cb) * (sr.r - p.cb)) AS d2
+      |  FROM sres sr JOIN p0 p ON p.mi = sr.mi AND p.jl = sr.jl
+      |  GROUP BY 1, 2, 3),
+      |pa1 AS (
+      |  SELECT vec_id, mi, co FROM (
+      |    SELECT vec_id, mi, co, row_number() OVER (
+      |      PARTITION BY vec_id, mi ORDER BY d2, co) AS rk
+      |    FROM pd1) WHERE rk = 1),
+      |pu1 AS (
+      |  SELECT a.co, sr.mi, sr.jl,
+      |    CAST(sum(sr.r) // count(*) AS BIGINT) AS cb
+      |  FROM pa1 a JOIN sres sr
+      |    ON sr.vec_id = a.vec_id AND sr.mi = a.mi
+      |  GROUP BY 1, 2, 3),
+      |p1 AS (
+      |  SELECT p0.co, p0.mi, p0.jl, coalesce(u.cb, p0.cb) AS cb
+      |  FROM p0 LEFT JOIN pu1 u
+      |    ON u.co = p0.co AND u.mi = p0.mi AND u.jl = p0.jl),
+      |pd2 AS (
+      |  SELECT sr.vec_id, sr.mi, p.co,
+      |    sum((sr.r - p.cb) * (sr.r - p.cb)) AS d2
+      |  FROM sres sr JOIN p1 p ON p.mi = sr.mi AND p.jl = sr.jl
+      |  GROUP BY 1, 2, 3),
+      |pa2 AS (
+      |  SELECT vec_id, mi, co FROM (
+      |    SELECT vec_id, mi, co, row_number() OVER (
+      |      PARTITION BY vec_id, mi ORDER BY d2, co) AS rk
+      |    FROM pd2) WHERE rk = 1),
+      |pu2 AS (
+      |  SELECT a.co, sr.mi, sr.jl,
+      |    CAST(sum(sr.r) // count(*) AS BIGINT) AS cb
+      |  FROM pa2 a JOIN sres sr
+      |    ON sr.vec_id = a.vec_id AND sr.mi = a.mi
+      |  GROUP BY 1, 2, 3),
+      |p2 AS (
+      |  SELECT p1.co, p1.mi, p1.jl, coalesce(u.cb, p1.cb) AS cb
+      |  FROM p1 LEFT JOIN pu2 u
+      |    ON u.co = p1.co AND u.mi = p1.mi AND u.jl = p1.jl),
+      |ed AS (
+      |  SELECT r.vec_id, r.mi, p.co,
+      |    sum((r.r - p.cb) * (r.r - p.cb)) AS d2
+      |  FROM res r JOIN p2 p ON p.mi = r.mi AND p.jl = r.jl
+      |  GROUP BY 1, 2, 3),
+      |enc AS (
+      |  SELECT vec_id, mi, co FROM (
+      |    SELECT vec_id, mi, co, row_number() OVER (
+      |      PARTITION BY vec_id, mi ORDER BY d2, co) AS rk
+      |    FROM ed) WHERE rk = 1)""".stripMargin
+  }
+
+  /** `res` variant for the IVF+PQ family: integer residuals under the
+    * trained coarse quantizer (full corpus).
+    */
+  private lazy val pqResidualRes: String = {
+    val sub = Dim / PqIntM
+    s"""res AS (
+      |  SELECT f.vec_id, (f.i - 1) // $sub AS mi,
+      |    (f.i - 1) % $sub AS jl, f.qx - c.cx AS r
+      |  FROM fx f
+      |  JOIN asg a ON a.vec_id = f.vec_id
+      |  JOIN c2 c ON c.cell = a.cell AND c.i = f.i)""".stripMargin
+  }
+
+  /** `res` variant for flat PQ (v07): the raw grid values. */
+  private lazy val pqRawRes: String = {
+    val sub = Dim / PqIntM
+    s"""res AS (
+      |  SELECT f.vec_id, (f.i - 1) // $sub AS mi,
+      |    (f.i - 1) % $sub AS jl, f.qx AS r
+      |  FROM fx f)""".stripMargin
+  }
+
+  /** v07 oracle — grid-seeded flat PQ: codebooks train on the raw
+    * fixed-point subvectors (no coarse stage), the full corpus encodes
+    * to byte codes (`enc`, integer-exact), and the float ADC scores the
+    * reconstruction ṽ (codebook doubles alone — flat PQ has no cell
+    * term) against every query EXHAUSTIVELY; shortlist ranking over
+    * round(score, 6) + id tiebreak, exact-cosine rerank, top-1.
+    */
+  private lazy val pqFlatFloatOracle: String = {
+    val sub = Dim / PqIntM
+    s"""$ivfIntCoreCtes,
+      |${pqIntCodebookCtes(pqRawRes)},
+      |dv AS (
+      |  SELECT vec_id, CAST(x AS DOUBLE) AS v, i
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings)),
+      |pf AS (SELECT co, mi, jl, cb / $FixScale.0 AS b FROM p2),
+      |av AS (
+      |  SELECT e.vec_id, p.mi * $sub + p.jl + 1 AS i, p.b
+      |  FROM enc e JOIN pf p ON p.mi = e.mi AND p.co = e.co),
+      |adcf AS (
+      |  SELECT q.vec_id AS qid, v.vec_id,
+      |    sum(q.v * v.b) /
+      |      greatest(sqrt(sum(v.b * v.b)), 0.000000000001) AS score
+      |  FROM dv q
+      |  JOIN av v ON v.i = q.i AND v.vec_id <> q.vec_id
+      |  WHERE q.vec_id < $IvfIntMaxQid
+      |  GROUP BY 1, 2),
+      |shrt AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (
+      |      PARTITION BY qid ORDER BY round(score, 6) DESC, vec_id) AS rk
+      |    FROM adcf) WHERE rk <= $IvfPqRerank),
+      |cd AS (
+      |  SELECT s.qid, s.vec_id,
+      |    round(sum(q.v * t.v) / (sqrt(sum(q.v * q.v))
+      |      * sqrt(sum(t.v * t.v))), 4) AS cos_sim
+      |  FROM shrt s
+      |  JOIN dv q ON q.vec_id = s.qid
+      |  JOIN dv t ON t.vec_id = s.vec_id AND t.i = q.i
+      |  GROUP BY 1, 2)
+      |SELECT qid, vec_id AS ann_nid, cos_sim
+      |FROM (
+      |  SELECT qid, vec_id, cos_sim, row_number() OVER (
+      |    PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+      |  FROM cd) WHERE rk = 1
+      |ORDER BY qid""".stripMargin
+  }
+
+  /** v08/v09 oracle — the grid-seeded float IVF+PQ serve path: the
+    * integer CTE chain (training, routing, codes, probes — all BIGINT,
+    * bit-identical to v14's) feeds a FLOAT ADC stage recomputed in
+    * doubles. The model scales back to IEEE doubles (exact: BIGINT/10⁴)
+    * and the oracle scores via the RECONSTRUCTED approximate vector
+    * ṽ = c_cell + cb_code: dot(q, ṽ)/‖ṽ‖ is term-for-term the same sum
+    * as the engine's ADC lookup-table decomposition (qDotC + Σt over
+    * cellN2 + ΣcrossN), differing only in float summation order — which
+    * the round(score, 6) + id-tiebreak shortlist ranking absorbs (the
+    * v01 contract; noise ≪ 1e-6). The reconstruction form keeps the
+    * DuckDB join tree small — the 7-way lookup-table join planned
+    * catastrophically. The exact-cosine rerank reports round(cos, 4).
+    * One SQL string serves both queries: v09 is the stored-index serve
+    * path over artifacts that ARE v08's intermediates.
+    */
+  private lazy val ivfPqFloatOracle: String = {
+    val sub = Dim / PqIntM
+    s"""$ivfIntCoreCtes,
+      |${pqIntCodebookCtes(pqResidualRes)},
+      |dv AS (
+      |  SELECT vec_id, CAST(x AS DOUBLE) AS v, i
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings)),
+      |cf AS (SELECT cell, i, cx / $FixScale.0 AS c FROM c2),
+      |pf AS (SELECT co, mi, jl, cb / $FixScale.0 AS b FROM p2),
+      |av AS (
+      |  SELECT a.vec_id, c.i, c.c + p.b AS av
+      |  FROM asg a
+      |  JOIN cf c ON c.cell = a.cell
+      |  JOIN enc e ON e.vec_id = a.vec_id AND e.mi = (c.i - 1) // $sub
+      |  JOIN pf p ON p.mi = e.mi AND p.co = e.co
+      |    AND p.jl = (c.i - 1) % $sub),
+      |adcf AS (
+      |  SELECT p.qid, a.vec_id,
+      |    sum(q.v * v.av) /
+      |      greatest(sqrt(sum(v.av * v.av)), 0.000000000001) AS score
+      |  FROM prb p
+      |  JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid
+      |  JOIN av v ON v.vec_id = a.vec_id
+      |  JOIN dv q ON q.vec_id = p.qid AND q.i = v.i
+      |  GROUP BY 1, 2),
+      |shrt AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (
+      |      PARTITION BY qid ORDER BY round(score, 6) DESC, vec_id) AS rk
+      |    FROM adcf) WHERE rk <= $IvfPqRerank),
+      |cd AS (
+      |  SELECT s.qid, s.vec_id,
+      |    round(sum(q.v * t.v) / (sqrt(sum(q.v * q.v))
+      |      * sqrt(sum(t.v * t.v))), 4) AS cos_sim
+      |  FROM shrt s
+      |  JOIN dv q ON q.vec_id = s.qid
+      |  JOIN dv t ON t.vec_id = s.vec_id AND t.i = q.i
+      |  GROUP BY 1, 2)
+      |SELECT qid, vec_id AS ann_nid, cos_sim
+      |FROM (
+      |  SELECT qid, vec_id, cos_sim, row_number() OVER (
+      |    PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+      |  FROM cd) WHERE rk = 1
+      |ORDER BY qid""".stripMargin
+  }
+
+  /** Shared LSH bucket CTE block (v13 and, since r10, the grid-seeded
+    * float v03 at its own 24-table depth): the fixed-point grid, every
+    * md5-derived integer plane coordinate, integer dot signs → bucket
+    * tables, and the DISTINCT bucket-collision candidate set for
+    * qid < [[IvfIntMaxQid]].
+    */
+  private def lshIntBucketCtes(tables: Int): String = {
+    val scale = s"$FixScale.0"
+    s"""WITH fx AS (
+      |  SELECT vec_id,
+      |    CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT) AS qx, i
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings)),
+      |pl AS (
+      |  SELECT t, p, j,
+      |    CAST('0x' || substr(md5('pl:' || CAST(t AS VARCHAR) || ':' ||
+      |      CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+      |      1, 12) AS BIGINT) % 1024 - 512 AS c
+      |  FROM (SELECT unnest(range(0, $tables)) AS t) a
+      |  CROSS JOIN (SELECT unnest(range(0, $LshIntPlanes)) AS p) b
+      |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS j) cd),
+      |dots AS (
+      |  SELECT f.vec_id, pl.t, pl.p, sum(pl.c * f.qx) AS dot
+      |  FROM fx f JOIN pl ON pl.j = f.i - 1
+      |  GROUP BY 1, 2, 3),
+      |bk AS (
+      |  SELECT vec_id, t,
+      |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END)
+      |      AS INT) AS bucket
+      |  FROM dots GROUP BY 1, 2),
+      |cnd AS (
+      |  SELECT DISTINCT q.vec_id AS qid, b.vec_id
+      |  FROM bk q JOIN bk b
+      |    ON q.t = b.t AND q.bucket = b.bucket
+      |      AND b.vec_id <> q.vec_id
+      |  WHERE q.vec_id < $IvfIntMaxQid)""".stripMargin
+  }
+
+  /** v03 oracle — grid-seeded float LSH: v13's integer bucket/candidate
+    * machinery at 24 tables, float exact-cosine scoring under the
+    * round-4 ranking contract.
+    */
+  private lazy val lshFloatOracle: String =
+    s"""${lshIntBucketCtes(Tables_)},
+      |dv AS (
+      |  SELECT vec_id, CAST(x AS DOUBLE) AS v, i
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings)),
+      |cd AS (
+      |  SELECT c.qid, c.vec_id,
+      |    round(sum(q.v * t.v) / (sqrt(sum(q.v * q.v))
+      |      * sqrt(sum(t.v * t.v))), 4) AS cos_sim
+      |  FROM cnd c
+      |  JOIN dv q ON q.vec_id = c.qid
+      |  JOIN dv t ON t.vec_id = c.vec_id AND t.i = q.i
+      |  GROUP BY 1, 2)
+      |SELECT qid, vec_id AS ann_nid, cos_sim
+      |FROM (
+      |  SELECT qid, vec_id, cos_sim, row_number() OVER (
+      |    PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+      |  FROM cd) WHERE rk = 1
+      |ORDER BY qid""".stripMargin
+
+  /** v05 oracle — grid-seeded float IVF: v12's integer training /
+    * assignment / probe CTEs, float exact-cosine scoring of the probed
+    * cells under the round-4 ranking contract.
+    */
+  private lazy val ivfFloatOracle: String =
+    s"""$ivfIntCoreCtes,
+      |dv AS (
+      |  SELECT vec_id, CAST(x AS DOUBLE) AS v, i
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings)),
+      |cnd AS (
+      |  SELECT p.qid, a.vec_id
+      |  FROM prb p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid),
+      |cd AS (
+      |  SELECT c.qid, c.vec_id,
+      |    round(sum(q.v * t.v) / (sqrt(sum(q.v * q.v))
+      |      * sqrt(sum(t.v * t.v))), 4) AS cos_sim
+      |  FROM cnd c
+      |  JOIN dv q ON q.vec_id = c.qid
+      |  JOIN dv t ON t.vec_id = c.vec_id AND t.i = q.i
+      |  GROUP BY 1, 2)
+      |SELECT qid, vec_id AS ann_nid, cos_sim
+      |FROM (
+      |  SELECT qid, vec_id, cos_sim, row_number() OVER (
+      |    PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+      |  FROM cd) WHERE rk = 1
+      |ORDER BY qid""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "v03_ann_lsh" -> lshFloatOracle,
+    "v05_ann_ivf" -> ivfFloatOracle,
+    "v07_ann_pq" -> pqFlatFloatOracle,
+    "v08_ann_ivfpq" -> ivfPqFloatOracle,
+    "v09_ann_ivfpq_indexed" -> ivfPqFloatOracle,
     // v13: the oracle regenerates every integer plane coordinate from
     // md5, recomputes every dot sign → bucket, the bucket-collision
     // candidate set, and the integer-L2 ranking. fx's i is 1-based
     // (generate_subscripts), plane dim j is 0-based → join on j = i−1.
     "v13_ann_lsh_int" -> {
-      val scale = s"$FixScale.0"
-      s"""WITH fx AS (
-        |  SELECT vec_id,
-        |    CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT) AS qx, i
-        |  FROM (SELECT vec_id, unnest(embedding) AS x,
-        |          generate_subscripts(embedding, 1) AS i
-        |        FROM embeddings)),
-        |pl AS (
-        |  SELECT t, p, j,
-        |    CAST('0x' || substr(md5('pl:' || CAST(t AS VARCHAR) || ':'
-        |        || CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
-        |      1, 12) AS BIGINT) % 1024 - 512 AS c
-        |  FROM (SELECT unnest(range(0, $LshIntTables)) AS t) a
-        |  CROSS JOIN (SELECT unnest(range(0, $LshIntPlanes)) AS p) b
-        |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS j) cd),
-        |dots AS (
-        |  SELECT f.vec_id, pl.t, pl.p, sum(pl.c * f.qx) AS dot
-        |  FROM fx f JOIN pl ON pl.j = f.i - 1
-        |  GROUP BY 1, 2, 3),
-        |bk AS (
-        |  SELECT vec_id, t,
-        |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END)
-        |      AS INT) AS bucket
-        |  FROM dots GROUP BY 1, 2),
-        |cnd AS (
-        |  SELECT DISTINCT q.vec_id AS qid, b.vec_id
-        |  FROM bk q JOIN bk b
-        |    ON q.t = b.t AND q.bucket = b.bucket
-        |      AND b.vec_id <> q.vec_id
-        |  WHERE q.vec_id < $IvfIntMaxQid),
+      s"""${lshIntBucketCtes(LshIntTables)},
         |cd AS (
         |  SELECT c.qid, c.vec_id,
         |    sum((q.qx - x.qx) * (q.qx - x.qx)) AS d2
@@ -1458,71 +1819,7 @@ object VectorOps {
     "v14_ann_ivfpq_int" -> {
       val sub = Dim / PqIntM
       s"""$ivfIntCoreCtes,
-        |res AS (
-        |  SELECT f.vec_id, (f.i - 1) // $sub AS mi,
-        |    (f.i - 1) % $sub AS jl, f.qx - c.cx AS r
-        |  FROM fx f
-        |  JOIN asg a ON a.vec_id = f.vec_id
-        |  JOIN c2 c ON c.cell = a.cell AND c.i = f.i),
-        |sres AS (
-        |  SELECT r.vec_id, r.mi, r.jl, r.r
-        |  FROM res r JOIN smp ON smp.vec_id = r.vec_id),
-        |p0 AS (
-        |  SELECT g.co, sr.mi, sr.jl, sr.r AS cb
-        |  FROM (SELECT unnest(range(0, $PqIntK)) AS co) g
-        |  CROSS JOIN nn
-        |  JOIN smp ON smp.rn = (g.co * nn.n) // $PqIntK + 1
-        |  JOIN sres sr ON sr.vec_id = smp.vec_id),
-        |pd1 AS (
-        |  SELECT sr.vec_id, sr.mi, p.co,
-        |    sum((sr.r - p.cb) * (sr.r - p.cb)) AS d2
-        |  FROM sres sr JOIN p0 p ON p.mi = sr.mi AND p.jl = sr.jl
-        |  GROUP BY 1, 2, 3),
-        |pa1 AS (
-        |  SELECT vec_id, mi, co FROM (
-        |    SELECT vec_id, mi, co, row_number() OVER (
-        |      PARTITION BY vec_id, mi ORDER BY d2, co) AS rk
-        |    FROM pd1) WHERE rk = 1),
-        |pu1 AS (
-        |  SELECT a.co, sr.mi, sr.jl,
-        |    CAST(sum(sr.r) // count(*) AS BIGINT) AS cb
-        |  FROM pa1 a JOIN sres sr
-        |    ON sr.vec_id = a.vec_id AND sr.mi = a.mi
-        |  GROUP BY 1, 2, 3),
-        |p1 AS (
-        |  SELECT p0.co, p0.mi, p0.jl, coalesce(u.cb, p0.cb) AS cb
-        |  FROM p0 LEFT JOIN pu1 u
-        |    ON u.co = p0.co AND u.mi = p0.mi AND u.jl = p0.jl),
-        |pd2 AS (
-        |  SELECT sr.vec_id, sr.mi, p.co,
-        |    sum((sr.r - p.cb) * (sr.r - p.cb)) AS d2
-        |  FROM sres sr JOIN p1 p ON p.mi = sr.mi AND p.jl = sr.jl
-        |  GROUP BY 1, 2, 3),
-        |pa2 AS (
-        |  SELECT vec_id, mi, co FROM (
-        |    SELECT vec_id, mi, co, row_number() OVER (
-        |      PARTITION BY vec_id, mi ORDER BY d2, co) AS rk
-        |    FROM pd2) WHERE rk = 1),
-        |pu2 AS (
-        |  SELECT a.co, sr.mi, sr.jl,
-        |    CAST(sum(sr.r) // count(*) AS BIGINT) AS cb
-        |  FROM pa2 a JOIN sres sr
-        |    ON sr.vec_id = a.vec_id AND sr.mi = a.mi
-        |  GROUP BY 1, 2, 3),
-        |p2 AS (
-        |  SELECT p1.co, p1.mi, p1.jl, coalesce(u.cb, p1.cb) AS cb
-        |  FROM p1 LEFT JOIN pu2 u
-        |    ON u.co = p1.co AND u.mi = p1.mi AND u.jl = p1.jl),
-        |ed AS (
-        |  SELECT r.vec_id, r.mi, p.co,
-        |    sum((r.r - p.cb) * (r.r - p.cb)) AS d2
-        |  FROM res r JOIN p2 p ON p.mi = r.mi AND p.jl = r.jl
-        |  GROUP BY 1, 2, 3),
-        |enc AS (
-        |  SELECT vec_id, mi, co FROM (
-        |    SELECT vec_id, mi, co, row_number() OVER (
-        |      PARTITION BY vec_id, mi ORDER BY d2, co) AS rk
-        |    FROM ed) WHERE rk = 1),
+        |${pqIntCodebookCtes(pqResidualRes)},
         |lut AS (
         |  SELECT p.qid, p.cell, cb.mi, cb.co,
         |    sum((q.qx - c.cx - cb.cb) * (q.qx - c.cx - cb.cb)) AS l

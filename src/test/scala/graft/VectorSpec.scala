@@ -3,17 +3,18 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.queries.VectorOps
 
-/** Semantics of the similarity-search operators; the ANN path is graded
-  * against the exact brute-force baseline (recall), since no SQL oracle
-  * can express it.
+/** Semantics of the similarity-search operators. Since r10 every ANN
+  * query is hash-oracled (the float family is grid-seeded: integer
+  * training/bucketing/probing shared with v12/v13/v14, float scoring
+  * under rounded-ranking contracts); the recall grades against the
+  * exact brute-force baseline remain as the quality gate the oracle
+  * can't express.
   */
 class VectorSpec extends SparkSpec {
 
-  /** Snapshot-pinned ANN ids: the (qid, ann_nid) columns of the four
-    * ANN queries are integer-deterministic (only the cos_sim floats are
-    * engine-fragile), so their exact values are committed as golden
-    * files and asserted verbatim — a hard artifact behind the driver's
-    * rows-only signal, without chasing a float-sum hash oracle.
+  /** Snapshot-pinned ANN ids: cheap between-round regression pinning
+    * for the ANN answers (the DuckDB hash oracle only runs at driver
+    * gates; these goldens catch drift on every `sbt test`).
     */
   private def assertGoldenIds(name: String,
       rows: Array[org.apache.spark.sql.Row]): Unit =
