@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{GeoOps, Relational, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, VectorStreams}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,7 +47,9 @@ object SparkEntry {
         "s10_stream_snapshot_diff" -> ((s, d) =>
           EventStreams.replaySnapshotDiff(s, d)),
         "s11_stream_source_overlap" -> ((s, d) =>
-          EventStreams.replaySourceOverlap(s, d)))
+          EventStreams.replaySourceOverlap(s, d)),
+        "s12_stream_index_ingest" -> ((s, d) =>
+          VectorStreams.replayIndexIngest(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -151,5 +153,10 @@ object SparkEntry {
         // batch), so the streaming sum ≡ batch t37 — t37's oracle
         // verifies the loop
         "s11_stream_source_overlap" ->
-          TextOps.oracles("t37_source_overlap"))
+          TextOps.oracles("t37_source_overlap"),
+        // model-fixed streaming encode is per-row pure, so the
+        // append-only union over batches ≡ the batch index build —
+        // the integer CTE chain recomputes it from scratch
+        "s12_stream_index_ingest" ->
+          graft.queries.VectorOps.indexCodesOracleSql)
 }

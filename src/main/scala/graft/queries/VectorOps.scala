@@ -132,6 +132,65 @@ object VectorOps {
       .orderBy("qid", "vec_id")
   }
 
+  /** v18's truncation depth and shortlist size. 16 of 64 dims in the
+    * cheap pass (4× less data touched), 64 candidates into the exact
+    * rerank. The oracle pins both independently.
+    */
+  val MatryoshkaPrefixDim = 16
+  val MatryoshkaShortlist = 64
+
+  private val prefixCosUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(MatryoshkaPrefixDim, math.min(a.length, b.length))
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** v18 — MATRYOSHKA (truncated-dimension) ANN: score every corpus
+    * vector with the cosine over only the first [[MatryoshkaPrefixDim]]
+    * dims — the cheap pass; with Matryoshka-style embeddings the
+    * leading dims carry the coarse geometry, and at 100 TB the prefix
+    * lives as its own narrow column/file so this scan reads 4× less —
+    * shortlist the top [[MatryoshkaShortlist]] per query on the ROUNDED
+    * prefix similarity (round-6 + id tiebreak, the oracle-stable
+    * contract), then exact full-dim rerank to the reported top-1
+    * (round-4). Same two-stage cheap-filter → exact-rerank shape as
+    * PQ's ADC, with dimension truncation instead of quantization as
+    * the compression axis. Fully hash-oracled: every stage is plain
+    * float arithmetic under rounded-ranking contracts.
+    */
+  val v18AnnMatryoshka: Q = (s, d) => {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < IvfIntMaxQid)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // narrow (qid, vec_id, pre_sim) rows through the shortlist window —
+    // the full vectors rejoin only for shortlist×query rows (the v07
+    // rerank shape; shuffling 64-double payloads through the ranking
+    // exchange would dominate at scale)
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(prefixCosUdf(col("qv"), col("v")), 6).as("pre_sim"))
+    val wPre = Window.partitionBy("qid")
+      .orderBy(col("pre_sim").desc, col("vec_id").asc)
+    val short = scored.withColumn("rk", row_number().over(wPre))
+      .filter(col("rk") <= MatryoshkaShortlist)
+      .select("qid", "vec_id")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    short
+      .join(e.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(cosUdf(col("qv"), col("v")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("vec_id").as("ann_nid"), col("cos_sim"))
+      .orderBy("qid")
+  }
+
   /** v02 — per-label centroid (first 4 dims): posexplode the vector and
     * aggregate by (label, dim) — the distributed layout for any
     * vector-wide statistic; no vector ever has to fit a single reducer.
@@ -1315,6 +1374,7 @@ object VectorOps {
 
   val queries: Map[String, Q] = Map(
     "v17_range_search" -> v17RangeSearch,
+    "v18_ann_matryoshka" -> v18AnnMatryoshka,
     "v11_sq8_adc_knn" -> v11Sq8AdcKnn,
     "v10_sq8_quantization" -> v10Sq8Quantization,
     "v06_embedding_neardup" -> v06EmbeddingNearDup,
@@ -1712,7 +1772,59 @@ object VectorOps {
       |  FROM cd) WHERE rk = 1
       |ORDER BY qid""".stripMargin
 
+  /** s12 oracle — full recompute of the stored-index code rows: the
+    * shared integer chain (training, routing, residual codebooks, code
+    * assignment) folded to one (vec_id, cell, codes_str) row per
+    * vector. The streaming ingest's append-only union over batches is
+    * provably this same table (model-fixed encode is per-row pure).
+    */
+  lazy val indexCodesOracleSql: String =
+    s"""$ivfIntCoreCtes,
+      |${pqIntCodebookCtes(pqResidualRes)}
+      |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+      |  string_agg(CAST(e.co AS VARCHAR), ' ' ORDER BY e.mi) AS codes_str
+      |FROM asg a JOIN enc e ON e.vec_id = a.vec_id
+      |GROUP BY 1, 2
+      |ORDER BY a.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // v18: the oracle recomputes the truncated-dim prefilter (first
+    // PrefixDim dims, round-6 shortlist ranking) and the exact
+    // full-dim rerank — all float under the rounded-ranking contracts.
+    "v18_ann_matryoshka" ->
+      s"""WITH dv AS (
+        |  SELECT vec_id, CAST(x AS DOUBLE) AS v, i
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)),
+        |pre AS (
+        |  SELECT q.vec_id AS qid, t.vec_id,
+        |    round(sum(q.v * t.v) / (sqrt(sum(q.v * q.v))
+        |      * sqrt(sum(t.v * t.v))), 6) AS pre_sim
+        |  FROM dv q
+        |  JOIN dv t ON t.i = q.i AND t.vec_id <> q.vec_id
+        |  WHERE q.vec_id < $IvfIntMaxQid
+        |    AND q.i <= $MatryoshkaPrefixDim AND t.i <= $MatryoshkaPrefixDim
+        |  GROUP BY 1, 2),
+        |shrt AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY pre_sim DESC, vec_id) AS rk
+        |    FROM pre) WHERE rk <= $MatryoshkaShortlist),
+        |cd AS (
+        |  SELECT s.qid, s.vec_id,
+        |    round(sum(q.v * t.v) / (sqrt(sum(q.v * q.v))
+        |      * sqrt(sum(t.v * t.v))), 4) AS cos_sim
+        |  FROM shrt s
+        |  JOIN dv q ON q.vec_id = s.qid
+        |  JOIN dv t ON t.vec_id = s.vec_id AND t.i = q.i
+        |  GROUP BY 1, 2)
+        |SELECT qid, vec_id AS ann_nid, cos_sim
+        |FROM (
+        |  SELECT qid, vec_id, cos_sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+        |  FROM cd) WHERE rk = 1
+        |ORDER BY qid""".stripMargin,
     "v03_ann_lsh" -> lshFloatOracle,
     "v05_ann_ivf" -> ivfFloatOracle,
     "v07_ann_pq" -> pqFlatFloatOracle,

@@ -558,6 +558,24 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join in filtered knn:\n$p")
   }
 
+  test("v18: the shortlist window ranks NARROW rows — the 64-double " +
+      "vector payload rejoins only after the cut") {
+    val p = plan("v18_ann_matryoshka")
+    // the prefilter window must not carry the vector columns through
+    // its ranking exchange: at scale that would shuffle the whole
+    // embedding matrix instead of (qid, vec_id, pre_sim) triples
+    val w = """Window \[row_number\(\)[^\n]*pre_sim[^\n]*""".r
+      .findFirstIn(p)
+    assert(w.isDefined, s"prefilter window missing:\n$p")
+    assert(!w.get.contains("qv#") && !w.get.contains("v#"),
+      s"shortlist window carries the vector payload:\n${w.get}")
+    // the exhaustive prefilter IS a broadcast nested loop (50-row query
+    // side, corpus streamed once — the v01 shape); what must not appear
+    // is an unbroadcast cartesian
+    assert(!p.contains("CartesianProduct"),
+      s"unbroadcast cartesian in matryoshka plan:\n$p")
+  }
+
   test("t35: the per-language running total is the two-level prefix " +
       "sum — corpus window parallel by (lang, shard), shard totals " +
       "walked per language, offsets broadcast back; the only " +

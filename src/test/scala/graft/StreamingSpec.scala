@@ -191,6 +191,26 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows === 0L, s"unexpected state-store rows: $stateRows")
   }
 
+  test("streaming index ingest (declared s12) equals the batch encode " +
+      "of the whole corpus") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.VectorStreams
+      .replayIndexIngest(spark, sf, nBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val (model, _) = graft.queries.VectorOps.ensureIvfPqIndex(spark, sf)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val codesStr = udf { (codes: Array[Byte]) =>
+      codes.map(_ & 0xff).mkString(" ")
+    }
+    val batch = graft.queries.VectorOps.encodeIvfPq(e, model)
+      .select(col("vec_id"), col("cell"), codesStr(col("codes")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq,
+      "append-only streaming encode must equal the batch index build")
+  }
+
   test("flatMapGroupsWithState session state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

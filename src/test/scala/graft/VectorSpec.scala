@@ -182,6 +182,42 @@ class VectorSpec extends SparkSpec {
     assert(hits >= 10, s"IVF+PQ recall too low: $hits/50")
   }
 
+  test("v18 Matryoshka ANN: truncated-dim prefilter finds near " +
+      "neighbors, deterministic") {
+    val a = VectorOps.v18AnnMatryoshka(spark, sf).collect()
+    val b = VectorOps.v18AnnMatryoshka(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "matryoshka must be deterministic")
+    assert(a.length === 50)
+    val ans = a.map(r => r.getAs[Long]("qid") ->
+      (r.getAs[Long]("ann_nid"), r.getAs[Double]("cos_sim"))).toMap
+    ans.foreach { case (qid, (nid, _)) => assert(nid !== qid) }
+    // grade against the exact top-1: a 16-of-64-dim prefilter with a
+    // top-64 shortlist should recover the exact winner often, and the
+    // answer must never be a poor neighbor
+    val e = Tables.embeddings(spark, sf).selectExpr(
+      "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val q = e.filter(col("vec_id") < 50)
+      .withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qv")
+    val brute = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .selectExpr("qid", "vec_id",
+        """aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (s, x) -> s + x)
+          | / (sqrt(aggregate(qv, 0D, (s, x) -> s + x * x))
+          |    * sqrt(aggregate(v, 0D, (s, x) -> s + x * x))) AS cs"""
+          .stripMargin)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (qid, rs) =>
+        val best = rs.maxBy(_.getAs[Double]("cs"))
+        qid -> (best.getAs[Long]("vec_id"), best.getAs[Double]("cs"))
+      }
+    val hits = brute.count { case (qid, (bid, _)) => ans(qid)._1 == bid }
+    assert(hits >= 10, s"matryoshka recall too low: $hits/50")
+    brute.foreach { case (qid, (_, bestCs)) =>
+      assert(ans(qid)._2 >= bestCs - 0.2,
+        s"query $qid: answer cos ${ans(qid)._2} far below exact $bestCs")
+    }
+  }
+
   test("v05 IVF ANN: deterministic, nonempty, reasonable recall") {
     val ivf1 = VectorOps.v05AnnIvf(spark, sf).collect()
       .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("ann_nid")).toMap
