@@ -252,6 +252,39 @@ object Relational {
       .orderBy("step")
   }
 
+  /** q44 — LINEAR MULTI-TOUCH ATTRIBUTION over events (the third
+    * canonical product-analytics rollup next to q42's cohorts and
+    * q43's funnel): every purchase distributes one unit of credit
+    * equally across that user's click/view/signup touches in the
+    * prior 24 hours; rolled up to (touch_type, day). The shape is an
+    * event-time range join KEYED ON user_id (equi key carries the
+    * shuffle; the 24 h band is a post-join filter inside each user's
+    * partition — never a time-cross-join) followed by a per-conversion
+    * window count for the 1/n split. Credit sums are floats under the
+    * round-4 contract; n_touches pins the join cardinality exactly.
+    */
+  val q44Attribution: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"))
+    val touch = ev.filter(col("event_type")
+        .isin("click", "view", "signup"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ts").as("touch_ts"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr("INTERVAL 24 HOURS"))
+    val perConv = Window.partitionBy("conv_id")
+    pairs
+      .withColumn("credit", lit(1.0) / count(lit(1)).over(perConv))
+      .groupBy(col("touch_type"),
+        date_format(col("touch_ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum("credit"), 4).as("credit"),
+        count(lit(1)).as("n_touches"))
+      .orderBy("touch_type", "day")
+  }
+
   /** q10 — exact dedup by key (reference A3 `distinct(.keep_all)`),
     * deterministic keep-lowest via min. Aggregation form (not
     * dropDuplicates) so the result is order-independent and the shuffle is
@@ -1021,6 +1054,7 @@ object Relational {
     "q41_range_window" -> q41RangeWindow,
     "q42_retention_cohorts" -> q42RetentionCohorts,
     "q43_funnel" -> q43Funnel,
+    "q44_attribution" -> q44Attribution,
     "q10_dedup_exact" -> q10DedupExact,
     "q11_topk_orders" -> q11TopkOrders,
     "q12_case_when" -> q12CaseWhen,
@@ -1355,6 +1389,32 @@ object Relational {
         |  UNION ALL
         |  SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM p)
         |ORDER BY step""".stripMargin,
+    // q44: the same user-keyed range join + per-conversion 1/n split;
+    // CAST(1 AS DOUBLE) keeps the division out of DECIMAL arithmetic
+    // (Spark's lit(1.0) is a double)
+    "q44_attribution" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_type AS touch_type, ts AS touch_ts
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'signup')),
+        |pairs AS (
+        |  SELECT c.conv_id, t.touch_type, t.touch_ts
+        |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+        |  WHERE t.touch_ts < c.conv_ts
+        |    AND t.touch_ts >= c.conv_ts - INTERVAL 24 HOUR),
+        |credited AS (
+        |  SELECT touch_type, touch_ts,
+        |    CAST(1 AS DOUBLE) / (count(*) OVER (PARTITION BY conv_id))
+        |      AS credit
+        |  FROM pairs)
+        |SELECT touch_type, strftime(touch_ts, '%Y-%m-%d') AS day,
+        |  round(sum(credit), 4) AS credit,
+        |  CAST(count(*) AS BIGINT) AS n_touches
+        |FROM credited GROUP BY 1, 2
+        |ORDER BY touch_type, day""".stripMargin,
     "q10_dedup_exact" ->
       """SELECT l_partkey, l_suppkey, min(l_orderkey) AS first_orderkey,
         |  count(*) AS n_dupes

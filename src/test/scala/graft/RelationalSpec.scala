@@ -183,6 +183,30 @@ class RelationalSpec extends SparkSpec {
         merged.mkString("\n"))
   }
 
+  test("q44 attribution conserves credit: total credit equals the " +
+      "number of purchases with at least one prior-24h touch") {
+    import org.apache.spark.sql.functions._
+    val out = queries.Relational.q44Attribution(spark, sf).collect()
+    val totalCredit = out.map(_.getAs[Double]("credit")).sum
+    // independent recount of credited conversions (no window math)
+    val ev = Tables.events(spark, sf)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"))
+    val touch = ev.filter(col("event_type")
+        .isin("click", "view", "signup"))
+      .select(col("user_id"), col("ts").as("touch_ts"))
+    val credited = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr("INTERVAL 24 HOURS"))
+      .select("conv_id").distinct().count()
+    // each credited conversion distributes exactly 1.0 across its
+    // touches; rounding per output row bounds the drift
+    assert(math.abs(totalCredit - credited.toDouble) < 0.01,
+      s"credit not conserved: $totalCredit vs $credited conversions")
+    assert(out.nonEmpty)
+  }
+
   test("st_distance_sphere: Fairbanks to Anchorage ≈ 420 km") {
     graft.functions.GeoFunctions.registerAll(spark)
     val d = spark.sql(

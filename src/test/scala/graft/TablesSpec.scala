@@ -13,6 +13,82 @@ import org.apache.spark.sql.types.TimestampType
   */
 class TablesSpec extends SparkSpec {
 
+  /** Schema-contract tripwire for every driver table: each important
+    * column must stay in its TYPE CLASS (integral / fractional /
+    * string / temporal / numeric-array). Exact physical types may
+    * drift benignly across testdata regenerations (int32→int64,
+    * float→double, NTZ→LTZ — the engine adapts); a CLASS flip (the
+    * round-9 incident: `ts` arriving integral) is what silently breaks
+    * query surfaces, and this test turns that into one precise failure
+    * instead of nine cryptic ones.
+    */
+  test("every table's columns keep their contracted type class") {
+    import org.apache.spark.sql.types._
+    def cls(t: DataType): String = t match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+        "integral"
+      case _: FloatType | _: DoubleType | _: DecimalType => "fractional"
+      case _: StringType => "string"
+      case _: TimestampType | _: TimestampNTZType | _: DateType =>
+        "temporal"
+      case ArrayType(e, _)
+          if cls(e) == "integral" || cls(e) == "fractional" =>
+        "numeric-array"
+      case other => other.simpleString
+    }
+    val contract: Map[String, Map[String, String]] = Map(
+      "customer" -> Map("c_custkey" -> "integral",
+        "c_nationkey" -> "integral", "c_acctbal" -> "fractional",
+        "c_name" -> "string", "c_mktsegment" -> "string"),
+      "documents" -> Map("doc_id" -> "integral", "text" -> "string",
+        "lang" -> "string", "source" -> "string",
+        "n_chars" -> "integral"),
+      "embeddings" -> Map("vec_id" -> "integral",
+        "embedding" -> "numeric-array", "label" -> "integral"),
+      "lineitem" -> Map("l_orderkey" -> "integral",
+        "l_partkey" -> "integral", "l_suppkey" -> "integral",
+        "l_linenumber" -> "integral", "l_quantity" -> "fractional",
+        "l_extendedprice" -> "fractional", "l_discount" -> "fractional",
+        "l_tax" -> "fractional", "l_returnflag" -> "string",
+        "l_linestatus" -> "string", "l_shipdate" -> "temporal"),
+      "nation" -> Map("n_nationkey" -> "integral", "n_name" -> "string",
+        "n_regionkey" -> "integral"),
+      "orders" -> Map("o_orderkey" -> "integral",
+        "o_custkey" -> "integral", "o_orderstatus" -> "string",
+        "o_totalprice" -> "fractional", "o_orderdate" -> "temporal",
+        "o_orderpriority" -> "string"),
+      "part" -> Map("p_partkey" -> "integral", "p_name" -> "string",
+        "p_brand" -> "string", "p_type" -> "string",
+        "p_size" -> "integral", "p_retailprice" -> "fractional"),
+      "region" -> Map("r_regionkey" -> "integral",
+        "r_name" -> "string"),
+      "supplier" -> Map("s_suppkey" -> "integral",
+        "s_name" -> "string", "s_nationkey" -> "integral",
+        "s_acctbal" -> "fractional"),
+      // events goes through the adaptive ingest: whatever the physical
+      // encoding, the contracted post-load classes must hold
+      "events" -> Map("event_id" -> "integral", "ts" -> "temporal",
+        "user_id" -> "integral", "event_type" -> "string",
+        "value" -> "fractional", "props" -> "string"))
+    val drifts = contract.toSeq.sortBy(_._1).flatMap {
+      case (table, cols) =>
+        val df =
+          if (table == "events") Tables.events(spark, sf)
+          else Tables(spark, sf, table)
+        val loaded = df.schema.map(f => f.name -> cls(f.dataType)).toMap
+        cols.flatMap { case (name, want) =>
+          loaded.get(name) match {
+            case None => Some(s"$table.$name: MISSING (schema drift)")
+            case Some(got) if got != want =>
+              Some(s"$table.$name: $got, contract says $want")
+            case _ => None
+          }
+        }
+    }
+    assert(drifts.isEmpty,
+      s"testdata schema drift detected:\n  ${drifts.mkString("\n  ")}")
+  }
+
   test("batch events: ts is TimestampType and lands in the 2024 domain") {
     val ev = Tables.events(spark, sf)
     assert(ev.schema("ts").dataType === TimestampType)
