@@ -285,6 +285,32 @@ object Relational {
       .orderBy("touch_type", "day")
   }
 
+  /** q45 — ROLLING 7-DAY DISTINCT ACTIVES over events ("weekly active
+    * users per day", the staple engagement metric): for each event day
+    * D, the distinct users active in [D-6, D]. The scale-safe shape is
+    * contribution EXPLOSION, not a range join: each (user, day) row
+    * fans out to the ≤7 window-days it contributes to via
+    * `explode(0..6)` + `date_add`, then one equi-shuffle
+    * `groupBy(window_day).countDistinct(user)` — at 100 TB a 7× fanout
+    * of narrow (user, day) pairs beats an interval join's sort or a
+    * 7-day self-join, and the distinct is partial-aggregated map-side.
+    * Window-days are restricted to observed event days (inner join
+    * with the day dimension) so no partial trailing windows appear.
+    */
+  val q45RollingActives: Q = (s, d) => {
+    val du = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cal = du.select(col("day").as("wday")).distinct()
+    du.withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(col("user_id"),
+        date_add(col("day"), col("off")).as("wday"))
+      .join(cal, Seq("wday"))
+      .groupBy(date_format(col("wday"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct("user_id").as("active_users"))
+      .orderBy("day")
+  }
+
   /** q10 — exact dedup by key (reference A3 `distinct(.keep_all)`),
     * deterministic keep-lowest via min. Aggregation form (not
     * dropDuplicates) so the result is order-independent and the shuffle is
@@ -1055,6 +1081,7 @@ object Relational {
     "q42_retention_cohorts" -> q42RetentionCohorts,
     "q43_funnel" -> q43Funnel,
     "q44_attribution" -> q44Attribution,
+    "q45_rolling_actives" -> q45RollingActives,
     "q10_dedup_exact" -> q10DedupExact,
     "q11_topk_orders" -> q11TopkOrders,
     "q12_case_when" -> q12CaseWhen,
@@ -1415,6 +1442,23 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n_touches
         |FROM credited GROUP BY 1, 2
         |ORDER BY touch_type, day""".stripMargin,
+    // q45: the same contribution-explosion rewrite — each (user, day)
+    // feeds the 7 window-days it belongs to; window-days restricted to
+    // observed event days
+    "q45_rolling_actives" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+        |    AS day
+        |  FROM events),
+        |cal AS (SELECT DISTINCT day AS wday FROM du),
+        |contrib AS (
+        |  SELECT du.user_id, du.day + o.off AS wday
+        |  FROM du CROSS JOIN
+        |    (SELECT CAST(unnest(range(0, 7)) AS INT) AS off) o)
+        |SELECT strftime(c.wday, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users
+        |FROM contrib c JOIN cal ON cal.wday = c.wday
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q10_dedup_exact" ->
       """SELECT l_partkey, l_suppkey, min(l_orderkey) AS first_orderkey,
         |  count(*) AS n_dupes

@@ -982,6 +982,42 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** v19 — K-MEANS CLUSTERING as a first-class output (not just the
+    * internal quantizer): the v12 integer Lloyd's trains on the shared
+    * grid sample, every corpus vector routes map-side to its cluster,
+    * and the result is the per-cluster PROFILE — size, label purity
+    * (distinct labels), the lowest member id, and the exact integer
+    * inertia (Σ squared-L2 to the centroid, the k-means objective).
+    * The shape is broadcast-centroids + one partial-agg'd groupBy on
+    * cell — no shuffle of the vectors themselves — and every number is
+    * a BIGINT, so training, assignment, and all four profile columns
+    * hash-match the oracle. At 100 TB this is the embedding-corpus
+    * cartography step (cluster sizes/purity drive curation decisions,
+    * SemDeDup cell choice, mixture design).
+    */
+  val v19ClusterProfile: Q = (s, d) => {
+    val fe = fixedEmb(s, d)
+    val sample = intTrainSample(fe)
+    val cents = intKmeansFit(sample, IvfIntNlist, IvfIntIters)
+    val bc = s.sparkContext.broadcast(cents)
+    val cellD2Udf = udf { (v: Seq[Long]) =>
+      val va = v.toArray
+      val cell = nearestCellInt(bc.value, va)
+      (cell, dist2Int(bc.value(cell), va))
+    }
+    val labels = Tables.embeddings(s, d).select("vec_id", "label")
+    fe.withColumn("cd", cellD2Udf(col("qv")))
+      .select(col("vec_id"), col("cd._1").as("cell"),
+        col("cd._2").as("d2"))
+      .join(labels, "vec_id")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct("label").as("n_labels"),
+        min("vec_id").as("first_member"),
+        sum("d2").as("inertia"))
+      .orderBy("cell")
+  }
+
   // --- v13: integer-exact LSH (the hyperplane twin of v12 — the
   // second ANN family branch converted from golden-pinned to
   // hash-oracled) ---
@@ -1375,6 +1411,7 @@ object VectorOps {
   val queries: Map[String, Q] = Map(
     "v17_range_search" -> v17RangeSearch,
     "v18_ann_matryoshka" -> v18AnnMatryoshka,
+    "v19_cluster_profile" -> v19ClusterProfile,
     "v11_sq8_adc_knn" -> v11Sq8AdcKnn,
     "v10_sq8_quantization" -> v10Sq8Quantization,
     "v06_embedding_neardup" -> v06EmbeddingNearDup,
@@ -1788,6 +1825,21 @@ object VectorOps {
       |ORDER BY a.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // v19: the oracle retrains the quantizer (the shared integer CTE
+    // chain), reassigns the corpus (`asg`), and recomputes all four
+    // profile columns — the per-(vec, cell) distances come from the
+    // same dA frame the assignment argmin ranks
+    "v19_cluster_profile" ->
+      s"""$ivfIntCoreCtes
+        |SELECT CAST(a.cell AS INT) AS cell,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(count(DISTINCT e.label) AS BIGINT) AS n_labels,
+        |  min(a.vec_id) AS first_member,
+        |  CAST(sum(d.d2) AS BIGINT) AS inertia
+        |FROM asg a
+        |JOIN dA d ON d.vec_id = a.vec_id AND d.cell = a.cell
+        |JOIN embeddings e ON e.vec_id = a.vec_id
+        |GROUP BY 1 ORDER BY cell""".stripMargin,
     // v18: the oracle recomputes the truncated-dim prefilter (first
     // PrefixDim dims, round-6 shortlist ranking) and the exact
     // full-dim rerank — all float under the rounded-ranking contracts.

@@ -207,6 +207,25 @@ class RelationalSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("q45 rolling actives dominate single-day actives and never " +
+      "exceed the user universe") {
+    import org.apache.spark.sql.functions._
+    val roll = queries.Relational.q45RollingActives(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("active_users")).toMap
+    val ev = Tables.events(spark, sf)
+    val daily = ev.groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(countDistinct("user_id").as("dau"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("dau")).toMap
+    val universe = ev.select("user_id").distinct().count()
+    assert(roll.keySet === daily.keySet,
+      "one rolling row per observed event day")
+    daily.foreach { case (day, dau) =>
+      assert(roll(day) >= dau, s"$day: rolling ${roll(day)} < daily $dau")
+      assert(roll(day) <= universe)
+    }
+  }
+
   test("st_distance_sphere: Fairbanks to Anchorage ≈ 420 km") {
     graft.functions.GeoFunctions.registerAll(spark)
     val d = spark.sql(

@@ -218,6 +218,23 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("v19 cluster profile: partition of the corpus with exact " +
+      "inertia accounting") {
+    val rows = VectorOps.v19ClusterProfile(spark, sf).collect()
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === corpus,
+      "cluster sizes must partition the corpus")
+    val nLabels = Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") > 0L)
+      assert(r.getAs[Long]("n_labels") <= nLabels)
+      assert(r.getAs[Long]("inertia") >= 0L)
+      assert(r.getAs[Long]("first_member") >= 0L)
+    }
+    assert(rows.length <= 16, "at most nlist clusters")
+  }
+
   test("v05 IVF ANN: deterministic, nonempty, reasonable recall") {
     val ivf1 = VectorOps.v05AnnIvf(spark, sf).collect()
       .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("ann_nid")).toMap
