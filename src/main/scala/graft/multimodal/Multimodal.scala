@@ -216,6 +216,56 @@ object Multimodal {
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
+  /** m15's cut threshold: a transition is a CUT when its total
+    * absolute RGB difference exceeds `thresh × 3 × n_pixels` (i.e. the
+    * per-channel mean |Δ| exceeds `thresh`). 49 sits at the corpus's
+    * mean inter-frame difference, so both outcomes occur and the
+    * decision is a pure integer comparison in both engines.
+    */
+  val SceneCutThresh = 49L
+
+  /** Per-video shot-boundary facts: exact integer frame-difference
+    * accounting (no float similarity — the oracle recomputes every
+    * per-pixel |Δ| from the synthesis formula).
+    */
+  case class SceneStats(n_frames: Int, n_cuts: Int, max_diff: Long,
+      sum_diff: Long)
+
+  /** m15 — SCENE-CHANGE (shot-boundary) detection over the real AVI
+    * container: decode consecutive frame pairs, total absolute RGB
+    * difference per transition, a cut wherever the per-channel mean
+    * difference clears [[SceneCutThresh]]. The training-data use is
+    * frame-sampling budget allocation — sample densely around cuts,
+    * sparsely inside static shots. All map-side over the binary
+    * column (the m06 contract): blobs never outlive their row, the
+    * only exchange is the presentation sort.
+    */
+  val m15SceneCuts: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val fs = Avi.frames(blob)
+      val npx = if (fs.nonEmpty) fs(0).length else 0
+      var cuts = 0; var maxD = 0L; var sumD = 0L
+      var f = 1
+      while (f < fs.length) {
+        var i = 0; var dsum = 0L
+        while (i < npx) {
+          val a = fs(f - 1)(i); val b = fs(f)(i)
+          dsum += math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)) +
+            math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)) +
+            math.abs((a & 0xff) - (b & 0xff))
+          i += 1
+        }
+        sumD += dsum
+        if (dsum > maxD) maxD = dsum
+        if (dsum > SceneCutThresh * 3L * npx) cuts += 1
+        f += 1
+      }
+      SceneStats(fs.length, cuts, maxD, sumD)
+    }
+    videoTable(s, d).withColumn("a", dec(col("blob")))
+      .select(col("doc_id"), col("a.*")).orderBy("doc_id")
+  }
+
   // --- cross-modal metadata decode (m01) ---
 
   /** One row per doc with all three real-format binary columns, built
@@ -710,6 +760,7 @@ object Multimodal {
     "m08_audio_resample" -> m08Resample,
     "m09_crop" -> m09Crop,
     "m14_grayscale" -> m14Grayscale,
+    "m15_scene_cuts" -> m15SceneCuts,
   )
 
   // Every oracle recomputes container contents from the synthesis
@@ -717,6 +768,41 @@ object Multimodal {
   // HUGEINT, hence the BIGINT casts); the Spark side reads the same
   // facts back out of the container bytes instead.
   val oracles: Map[String, String] = Map(
+    // m15: the oracle recomputes every transition's per-pixel |Δ| from
+    // the frame synthesis formula and applies the same integer cut
+    // comparison; nf ≥ 2 for every doc, so each has ≥ 1 transition
+    "m15_scene_cuts" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(3 + n_chars % 13 AS INT) AS w,
+        |    CAST(2 + doc_id % 5 AS INT) AS h,
+        |    CAST(2 + n_chars % 7 AS INT) AS nf
+        |  FROM documents),
+        |tr AS (SELECT doc_id, w, h, unnest(range(1, nf)) AS f FROM p),
+        |px AS (
+        |  SELECT doc_id, f, w * h AS npx,
+        |    abs((doc_id * 13 + f * 23 + i * 19) % 256
+        |      - (doc_id * 13 + (f - 1) * 23 + i * 19) % 256)
+        |    + abs((doc_id * 11 + f * 29 + i * 17) % 256
+        |      - (doc_id * 11 + (f - 1) * 29 + i * 17) % 256)
+        |    + abs((doc_id * 7 + f * 31 + i * 13) % 256
+        |      - (doc_id * 7 + (f - 1) * 31 + i * 13) % 256) AS ad
+        |  FROM (SELECT doc_id, f, w, h, unnest(range(0, w * h)) AS i
+        |        FROM tr)),
+        |fd AS (
+        |  SELECT doc_id, f, max(npx) AS npx, sum(ad) AS diff
+        |  FROM px GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(count(CASE WHEN diff > $SceneCutThresh * 3 * npx
+        |      THEN 1 END) AS INT) AS n_cuts,
+        |    CAST(max(diff) AS BIGINT) AS max_diff,
+        |    CAST(sum(diff) AS BIGINT) AS sum_diff
+        |  FROM fd GROUP BY 1)
+        |SELECT p.doc_id, nf AS n_frames, a.n_cuts, a.max_diff,
+        |  a.sum_diff
+        |FROM p JOIN agg a ON a.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     // m13: the oracle recomputes the whole perceptual pipeline from
     // the synthesis formula — nearest-resize source index sp =
     // (⌊oy·h/8⌋)·w + ⌊ox·w/8⌋ per 8×8 cell, integer luminance,

@@ -510,6 +510,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m15 scene cuts: bounded by transitions, non-degenerate " +
+      "threshold, exact diff accounting") {
+    val rows = Multimodal.m15SceneCuts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nf = r.getAs[Int]("n_frames")
+      val cuts = r.getAs[Int]("n_cuts")
+      assert(nf >= 2, "every synthetic video has >= 2 frames")
+      assert(cuts >= 0 && cuts <= nf - 1,
+        s"doc ${r.getLong(0)}: $cuts cuts for $nf frames")
+      assert(r.getAs[Long]("max_diff") <= r.getAs[Long]("sum_diff"))
+      assert(r.getAs[Long]("max_diff") > 0L,
+        "consecutive synthetic frames always differ")
+    }
+    // the threshold must actually discriminate: both outcomes occur
+    val cutCounts = rows.map(_.getAs[Int]("n_cuts")).toSet
+    assert(cutCounts.size > 1,
+      s"degenerate cut threshold — every video got $cutCounts")
+  }
+
   test("m04 stats match a direct recompute of the synthesis formula") {
     val rows = Multimodal.m04AudioStats(spark, sf).collect()
     assert(rows.length > 0)
