@@ -787,68 +787,9 @@ object VectorOps {
       .orderBy("qid")
   }
 
-  /** Bounded deterministic codebook-training sample, representative
-    * under any input order: rows rank by the layout-independent
-    * [[graft.operators.Sampling.portableBucket]] of vec_id (md5-derived
-    * uniform bucket; vec_id tiebreak) instead of "lowest n vec_ids" —
-    * which on an id-sorted or time-clustered corpus trains the
-    * quantizer on one corner of the embedding space and mis-assigns
-    * everything else. Cost is unchanged: a TakeOrderedAndProject top-n
-    * (per-partition heap + merge, no shuffle of the full corpus) and a
-    * driver collect of exactly n rows regardless of corpus size; the
-    * same rows select on any partition layout, any cluster size.
-    */
-  private def trainingSample(e0: DataFrame, n: Int)
-      : Array[Array[Double]] =
-    e0.orderBy(graft.operators.Sampling.portableBucket(col("vec_id")),
-        col("vec_id"))
-      .limit(n)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-
-  /** Deterministic bounded Lloyd's k-means (driver-side; sample size is
-    * corpus-independent — shared by the IVF coarse quantizer and the PQ
-    * codebooks).
-    */
-  private def kmeansFit(points: Array[Array[Double]], k: Int)
-      : Array[Array[Double]] = {
-    val dim = points.head.length
-    var cents = Array.tabulate(k)(i =>
-      points((i * points.length) / k).clone())
-    for (_ <- 0 until 10) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
-      points.foreach { v =>
-        val c = nearestCell(cents, v)
-        var j = 0
-        while (j < dim) { sums(c)(j) += v(j); j += 1 }
-        counts(c) += 1
-      }
-      cents = Array.tabulate(k)(c =>
-        if (counts(c) == 0) cents(c)
-        else { val s2 = sums(c); s2.indices.foreach(j =>
-          s2(j) /= counts(c)); s2 })
-    }
-    cents
-  }
-
-  private def dist2(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
-    s
-  }
-
-  private def nearestCell(centroids: Array[Array[Double]],
-      v: Array[Double]): Int = {
-    var best = 0; var bestD = Double.MaxValue
-    var c = 0
-    while (c < centroids.length) {
-      val d = dist2(centroids(c), v)
-      if (d < bestD) { bestD = d; best = c }
-      c += 1
-    }
-    best
-  }
+  // (The float trainingSample/kmeansFit/nearestCell/dist2 helpers
+  // retired in round 10 when the whole float family moved to the
+  // grid-seeded integer training below — `git log` has them.)
 
   // --- v12: integer-exact IVF (the fully hash-oracled IVF family
   // member — v10/v11's fixed-point trick applied to the coarse
@@ -891,13 +832,15 @@ object VectorOps {
     best
   }
 
-  /** Integer Lloyd's: same stride init and per-point assignment as
-    * [[kmeansFit]], but sums are Long accumulators and the centroid
-    * update is TRUNCATING integer division (Scala `/` ≡ DuckDB `//`,
-    * both toward zero) — every intermediate is a BIGINT both engines
-    * compute identically, so the trained centroids (and therefore cell
-    * assignment and the probe set) are DuckDB-recomputable. A FIXED
-    * iteration count keeps the oracle a finite CTE chain.
+  /** Integer Lloyd's (stride init, per-point argmin assignment): sums
+    * are Long accumulators and the centroid update is TRUNCATING
+    * integer division (Scala `/` ≡ DuckDB `//`, both toward zero) —
+    * every intermediate is a BIGINT both engines compute identically,
+    * so the trained centroids (and therefore cell assignment and the
+    * probe set) are DuckDB-recomputable. A FIXED iteration count keeps
+    * the oracle a finite CTE chain. Since r10 this is THE quantizer
+    * trainer for the whole vector family (float paths scale its
+    * centroids back to exact doubles).
     */
   private def intKmeansFit(points: Array[Array[Long]], k: Int,
       iters: Int): Array[Array[Long]] = {
@@ -926,8 +869,11 @@ object VectorOps {
   private val IvfIntMaxQid = 50
 
   /** Bounded deterministic training sample for the integer quantizer
-    * family (v12/v14/v16) — identical ordering to `trainingSample`:
-    * portable md5 bucket, vec_id tiebreak. Collect is bounded at
+    * family (v12/v14/v16/v19): rows rank by the layout-independent
+    * [[graft.operators.Sampling.portableBucket]] of vec_id (md5-derived
+    * uniform bucket; vec_id tiebreak) rather than "lowest n ids", so
+    * the same representative rows select on any partition layout. Cost:
+    * a TakeOrderedAndProject top-n + a driver collect bounded at
     * [[IvfIntNlist]]·40 rows regardless of corpus size.
     */
   private def intTrainSample(fe: DataFrame): Array[Array[Long]] =
