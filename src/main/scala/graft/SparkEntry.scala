@@ -49,7 +49,9 @@ object SparkEntry {
         "s11_stream_source_overlap" -> ((s, d) =>
           EventStreams.replaySourceOverlap(s, d)),
         "s12_stream_index_ingest" -> ((s, d) =>
-          VectorStreams.replayIndexIngest(s, d)))
+          VectorStreams.replayIndexIngest(s, d)),
+        "s13_stream_rolling_actives" -> ((s, d) =>
+          EventStreams.replayRollingActives(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -158,5 +160,10 @@ object SparkEntry {
         // append-only union over batches ≡ the batch index build —
         // the integer CTE chain recomputes it from scratch
         "s12_stream_index_ingest" ->
-          graft.queries.VectorOps.indexCodesOracleSql)
+          graft.queries.VectorOps.indexCodesOracleSql,
+        // sliding-window distinct actives ≡ the batch rolling rewrite:
+        // every event reaches the same 7 window-days either way, and
+        // the per-window user set is exact — q45's oracle verifies it
+        "s13_stream_rolling_actives" ->
+          Relational.oracles("q45_rolling_actives"))
 }

@@ -120,6 +120,40 @@ object EventStreams {
     (finalSlice(spark.table(qn)), stateRows)
   }
 
+  /** s13 — SLIDING event-time windows (the coverage twin of s01's
+    * tumbling ones): rolling 7-day distinct actives per day, the
+    * streaming face of batch q45. `window(ts, '7 days', '1 day')`
+    * routes every event into its 7 overlapping windows; the per-window
+    * state is the distinct user-id set (collect_set), so the final
+    * count is exact. Complete-mode replay harness, like
+    * [[replayHourlyComplete]] — NOT the scale path: per-window
+    * distinct-user state is O(windows × users) and complete mode
+    * retains every window; a deployment bounds state with a watermark +
+    * append emission and an approx sketch (the s07 HLL pattern) or the
+    * batch q45 rewrite. Output days restrict to observed event days
+    * (window end − 1 day), matching q45's frame exactly — q45's oracle
+    * verifies the streaming loop.
+    */
+  def replayRollingActives(spark: SparkSession, dir: String): DataFrame = {
+    val qn = s"stream_rolling_actives_${math.abs(dir.hashCode)}"
+    val q = readEvents(spark, dir)
+      .withWatermark("ts", "35 days")
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+      .agg(collect_set(col("user_id")).as("users"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(qn).start()
+    try q.processAllAvailable() finally q.stop()
+    val observed = graft.Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
+    spark.table(qn)
+      .select(
+        date_format(date_sub(to_date(col("w.end")), 1), "yyyy-MM-dd")
+          .as("day"),
+        size(col("users")).cast("long").as("active_users"))
+      .join(observed, Seq("day"))
+      .orderBy("day")
+  }
+
   /** Scale-safe declared streaming dedup (s02): the streaming twin of
     * the exact-dedup batch operators (t04/q10) and the ingest-side
     * counterpart of the t15 incremental dedup — first sight of a

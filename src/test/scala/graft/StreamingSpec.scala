@@ -211,6 +211,19 @@ class StreamingSpec extends SparkSpec {
       "append-only streaming encode must equal the batch index build")
   }
 
+  test("streaming sliding-window rolling actives (declared s13) equal " +
+      "the batch q45 rewrite") {
+    val streamed = graft.streaming.EventStreams
+      .replayRollingActives(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("active_users")).toSeq
+    val batch = graft.queries.Relational
+      .q45RollingActives(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("active_users")).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "sliding event-time windows must agree with the batch rewrite")
+  }
+
   test("flatMapGroupsWithState session state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
