@@ -51,7 +51,9 @@ object SparkEntry {
         "s12_stream_index_ingest" -> ((s, d) =>
           VectorStreams.replayIndexIngest(s, d)),
         "s13_stream_rolling_actives" -> ((s, d) =>
-          EventStreams.replayRollingActives(s, d)))
+          EventStreams.replayRollingActives(s, d)),
+        "s14_stream_attribution_join" -> ((s, d) =>
+          EventStreams.replayAttributionPairs(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -165,5 +167,18 @@ object SparkEntry {
         // every event reaches the same 7 window-days either way, and
         // the per-window user set is exact — q45's oracle verifies it
         "s13_stream_rolling_actives" ->
-          Relational.oracles("q45_rolling_actives"))
+          Relational.oracles("q45_rolling_actives"),
+        // the stream-stream interval join emits exactly the batch
+        // interval-join pair set (inner join, append mode, one row per
+        // matched pair) — recomputed verbatim in DuckDB
+        "s14_stream_attribution_join" ->
+          """SELECT c.event_id AS conv_id,
+            |  t.event_type AS touch_type,
+            |  strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS touch_s
+            |FROM (SELECT * FROM events WHERE event_type = 'purchase') c
+            |JOIN (SELECT * FROM events
+            |      WHERE event_type IN ('click', 'view', 'signup')) t
+            |  ON t.user_id = c.user_id
+            | AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 24 HOUR
+            |ORDER BY conv_id, touch_type, touch_s""".stripMargin)
 }

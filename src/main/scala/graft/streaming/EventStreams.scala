@@ -154,6 +154,45 @@ object EventStreams {
       .orderBy("day")
   }
 
+  /** s14 — STREAM–STREAM INTERVAL JOIN (the last major Structured
+    * Streaming capability the engine exercises: two unbounded sides
+    * joined on key + event-time band): purchases join their same-user
+    * click/view/signup touches from the prior 24 h — the streaming
+    * face of q44's attribution pairs. Both sides carry event-time
+    * watermarks and the join condition bounds touch_ts to a window
+    * around conv_ts, which is exactly what lets the engine EVICT
+    * matched state (a touch older than the watermark minus the band
+    * can never match a future conversion). Inner join in append mode:
+    * every pair is emitted exactly once as both sides arrive. The
+    * declared output is the pair set itself (conv_id, touch_type,
+    * touch second) — deterministic, exact, and SQL-expressible, so
+    * the oracle recomputes the identical interval join in DuckDB.
+    */
+  def replayAttributionPairs(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val qn = s"stream_attr_pairs_${math.abs(dir.hashCode)}"
+    val conv = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id").as("c_uid"),
+        col("ts").as("conv_ts"))
+      .withWatermark("conv_ts", "35 days")
+    val touch = readEvents(spark, dir)
+      .filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id").as("t_uid"),
+        col("event_type").as("touch_type"), col("ts").as("touch_ts"))
+      .withWatermark("touch_ts", "35 days")
+    val q = conv.join(touch,
+        expr("""c_uid = t_uid AND touch_ts < conv_ts
+          AND touch_ts >= conv_ts - INTERVAL 24 HOURS"""))
+      .select(col("conv_id"), col("touch_type"),
+        date_format(col("touch_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("touch_s"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qn).orderBy("conv_id", "touch_type", "touch_s")
+  }
+
   /** Scale-safe declared streaming dedup (s02): the streaming twin of
     * the exact-dedup batch operators (t04/q10) and the ingest-side
     * counterpart of the t15 incremental dedup — first sight of a

@@ -224,6 +224,32 @@ class StreamingSpec extends SparkSpec {
       "sliding event-time windows must agree with the batch rewrite")
   }
 
+  test("stream-stream interval join (declared s14) emits exactly the " +
+      "batch interval-join pair set") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventStreams
+      .replayAttributionPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val ev = Tables.events(spark, sf)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"))
+    val touch = ev.filter(col("event_type")
+        .isin("click", "view", "signup"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ts").as("touch_ts"))
+    val batch = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr("INTERVAL 24 HOURS"))
+      .select(col("conv_id"), col("touch_type"),
+        date_format(col("touch_ts"), "yyyy-MM-dd HH:mm:ss"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "stream-stream join must emit the batch pair set exactly")
+  }
+
   test("flatMapGroupsWithState session state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
