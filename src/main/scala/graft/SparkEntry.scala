@@ -66,7 +66,18 @@ object SparkEntry {
         // s03's NoTimeout number; not declared — the oracle needs
         // full-corpus pairing (see replayNearDupCandidatesTtl doc)
         "s03b_stream_neardup_ttl" -> ((s, d) =>
-          EventStreams.replayNearDupCandidatesTtl(s, d)))
+          EventStreams.replayNearDupCandidatesTtl(s, d)),
+        // the bounded-state (watermark + append + HLL registers)
+        // sliding-window configuration next to s13's exact Complete
+        // replay; not declared — the estimate is approximate by design
+        "s13b_stream_rolling_sketch" -> ((s, d) =>
+          EventStreams.replayRollingActivesSketch(s, d)),
+        // the evicting-state (25 h watermark) interval-join
+        // configuration next to s14's replay-wide retention; the pair
+        // set is identical (StreamingSpec proves it) — this prices
+        // the deployment shape
+        "s14b_stream_attr_tight" -> ((s, d) =>
+          EventStreams.replayAttributionPairsTight(s, d)))
 
   /** Build-or-refresh the persisted stored-index artifacts for `dir`
     * (t15/t16/s05 band index, v09 IVF+PQ model + codes). Bench calls
@@ -92,6 +103,7 @@ object SparkEntry {
           TextOps.SmallBatchFraction), "t15b_corpus")
     }
     VectorOps.ensureIvfPqIndex(spark, dir)
+    VectorOps.ensureMatryoshkaPrefix(spark, dir) // v18's narrow prefix
     TextOps.ensureDedupGroups(spark, dir) // t27's persisted cluster map
     ()
   }

@@ -146,33 +146,59 @@ object VectorOps {
     while (i < n) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // eps-guard (the ADC convention): an all-zero prefix must score a
+    // deterministic 0.0 in BOTH engines, not Spark-NaN vs DuckDB-NULL
+    dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+  }
+
+  /** The staged narrow Matryoshka artifact: (vec_id, v_prefix) with
+    * v_prefix = the first [[MatryoshkaPrefixDim]] dims. StageCache'd
+    * next to the IVF+PQ index (content-fingerprinted, rebuilt only
+    * when the corpus changes), so v18's cheap pass physically scans a
+    * file 4× narrower than the embeddings — the "reads 4× less" claim
+    * as an on-disk fact, not a projection the reader may or may not
+    * prune (PlanSpec gates the scan schema).
+    */
+  def ensureMatryoshkaPrefix(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.StageCache
+    val cache = new StageCache(s, StageCache.indexRoot)
+    val ver = cache.versionHash(Seq("mrl_prefix", "v1",
+      s"dim=$MatryoshkaPrefixDim"))
+    cache.stage("mrl_prefix", ver, Seq(s"$d/embeddings.parquet")) {
+      emb(s, d).select(col("vec_id"),
+        slice(col("v"), 1, MatryoshkaPrefixDim).as("v_prefix"))
+    }
   }
 
   /** v18 — MATRYOSHKA (truncated-dimension) ANN: score every corpus
     * vector with the cosine over only the first [[MatryoshkaPrefixDim]]
     * dims — the cheap pass; with Matryoshka-style embeddings the
-    * leading dims carry the coarse geometry, and at 100 TB the prefix
-    * lives as its own narrow column/file so this scan reads 4× less —
-    * shortlist the top [[MatryoshkaShortlist]] per query on the ROUNDED
-    * prefix similarity (round-6 + id tiebreak, the oracle-stable
-    * contract), then exact full-dim rerank to the reported top-1
-    * (round-4). Same two-stage cheap-filter → exact-rerank shape as
-    * PQ's ADC, with dimension truncation instead of quantization as
-    * the compression axis. Fully hash-oracled: every stage is plain
-    * float arithmetic under rounded-ranking contracts.
+    * leading dims carry the coarse geometry, and the prefix lives as
+    * its own narrow artifact ([[ensureMatryoshkaPrefix]]) so this scan
+    * physically reads 4× less — shortlist the top
+    * [[MatryoshkaShortlist]] per query on the ROUNDED prefix
+    * similarity (round-6 + id tiebreak, the oracle-stable contract),
+    * then exact full-dim rerank to the reported top-1 (round-4). Same
+    * two-stage cheap-filter → exact-rerank shape as PQ's ADC, with
+    * dimension truncation instead of quantization as the compression
+    * axis. Fully hash-oracled: every stage is plain float arithmetic
+    * under rounded-ranking contracts.
     */
   val v18AnnMatryoshka: Q = (s, d) => {
     val e = emb(s, d)
+    val pre = ensureMatryoshkaPrefix(s, d)
+    val qp = pre.filter(col("vec_id") < IvfIntMaxQid)
+      .select(col("vec_id").as("qid"), col("v_prefix").as("qpv"))
     val q = e.filter(col("vec_id") < IvfIntMaxQid)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     // narrow (qid, vec_id, pre_sim) rows through the shortlist window —
     // the full vectors rejoin only for shortlist×query rows (the v07
     // rerank shape; shuffling 64-double payloads through the ranking
     // exchange would dominate at scale)
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val scored = pre.join(broadcast(qp), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(prefixCosUdf(col("qv"), col("v")), 6).as("pre_sim"))
+        round(prefixCosUdf(col("qpv"), col("v_prefix")), 6)
+          .as("pre_sim"))
     val wPre = Window.partitionBy("qid")
       .orderBy(col("pre_sim").desc, col("vec_id").asc)
     val short = scored.withColumn("rk", row_number().over(wPre))
@@ -238,7 +264,7 @@ object VectorOps {
       Array.tabulate(Tables_, PlanesPerTable, Dim)(lshIntCoord)
     val bcPlanes = e0.sparkSession.sparkContext.broadcast(planes)
     val bucketsUdf = udf { (v: Seq[Double]) =>
-      val vg = Array.tabulate(v.length)(j => math.round(v(j) * FixScale))
+      val vg = Array.tabulate(v.length)(j => snapLong(v(j)))
       (0 until Tables_).map { t =>
         var b = 0
         var p = 0
@@ -317,11 +343,11 @@ object VectorOps {
     val bc = e0.sparkSession.sparkContext.broadcast(centsInt)
 
     val cellUdf = udf { (v: Seq[Double]) =>
-      val vg = Array.tabulate(v.length)(j => math.round(v(j) * FixScale))
+      val vg = Array.tabulate(v.length)(j => snapLong(v(j)))
       nearestCellInt(bc.value, vg)
     }
     val probeUdf = udf { (v: Seq[Double]) =>
-      val vg = Array.tabulate(v.length)(j => math.round(v(j) * FixScale))
+      val vg = Array.tabulate(v.length)(j => snapLong(v(j)))
       bc.value.indices
         .map(c => (dist2Int(bc.value(c), vg), c))
         .sorted.take(nprobe).map(_._2)
@@ -390,7 +416,7 @@ object VectorOps {
     // index representation, bit-identical to the oracle's `enc` CTE
     val encodeUdf = udf { (v: Seq[Double]) =>
       val cb = bcCbInt.value
-      val vg = Array.tabulate(v.length)(j => math.round(v(j) * FixScale))
+      val vg = Array.tabulate(v.length)(j => snapLong(v(j)))
       Array.tabulate(m)(mi => nearestCellInt(cb(mi),
         vg.slice(mi * sub, (mi + 1) * sub)).toByte)
     }
@@ -577,8 +603,8 @@ object VectorOps {
     */
   private def toIntModel(model: IvfPqModel)
       : (Array[Array[Long]], Array[Array[Array[Long]]]) =
-    (model.coarse.map(_.map(x => math.round(x * FixScale))),
-      model.codebooks.map(_.map(_.map(x => math.round(x * FixScale)))))
+    (model.coarse.map(_.map(x => snapLong(x))),
+      model.codebooks.map(_.map(_.map(x => snapLong(x)))))
 
   /** Fixed-point training sample over the double-vector frame `e0`
     * (column `v`) — same grid, same portable-bucket ordering as
@@ -606,7 +632,7 @@ object VectorOps {
     val m = model.m; val sub = model.sub
     val encodeUdf = udf { (v: Seq[Double]) =>
       val (ci, cb) = bc.value
-      val vg = Array.tabulate(v.length)(j => math.round(v(j) * FixScale))
+      val vg = Array.tabulate(v.length)(j => snapLong(v(j)))
       val cell = nearestCellInt(ci, vg)
       val c = ci(cell)
       val codes = Array.tabulate(m) { mi =>
@@ -724,7 +750,7 @@ object VectorOps {
     val (coarseInt, _) = toIntModel(model)
     val qMeta: Map[Long, (Array[Int], Array[Double],
         Array[Array[Double]])] = queries.map { case (qid, qv) =>
-      val qg = Array.tabulate(qv.length)(j => math.round(qv(j) * FixScale))
+      val qg = Array.tabulate(qv.length)(j => snapLong(qv(j)))
       val probed = coarseInt.indices
         .map(ci => (dist2Int(coarseInt(ci), qg), ci))
         .sorted.take(nprobe).map(_._2).toArray
@@ -797,11 +823,24 @@ object VectorOps {
 
   /** Fixed-point grid for v12: x → round(x·10⁴) as BIGINT. One global
     * grid (unlike v10's per-vector SQ8 range) so integer L2 distances
-    * between DIFFERENT vectors are meaningful; round() agrees
+    * between DIFFERENT vectors are meaningful; SQL round() agrees
     * bit-for-bit across Spark and DuckDB (both half-away-from-zero),
     * so every downstream comparison is exact integer arithmetic.
+    * Scala-side snaps MUST use [[snapLong]], not math.round: math.round
+    * rounds ties toward +inf, which diverges from both engines on
+    * negative dyadic ties (-0.03125·10⁴ = -312.5 → -312, not -313).
     */
   private val FixScale = 10000
+
+  /** x → round(x·FixScale) with half-AWAY-FROM-ZERO ties — the exact
+    * rounding Spark SQL round() and DuckDB round() apply, so every
+    * Scala-side grid path (routing, encoding, training samples) lands
+    * on the same integer as the SQL-side grids.
+    */
+  private def snapLong(x: Double): Long = {
+    val s = x * FixScale
+    (math.signum(s) * math.floor(math.abs(s) + 0.5)).toLong
+  }
 
   private def fixedEmb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
@@ -1797,8 +1836,8 @@ object VectorOps {
         |        FROM embeddings)),
         |pre AS (
         |  SELECT q.vec_id AS qid, t.vec_id,
-        |    round(sum(q.v * t.v) / (sqrt(sum(q.v * q.v))
-        |      * sqrt(sum(t.v * t.v))), 6) AS pre_sim
+        |    round(sum(q.v * t.v) / greatest(sqrt(sum(q.v * q.v))
+        |      * sqrt(sum(t.v * t.v)), 1e-12), 6) AS pre_sim
         |  FROM dv q
         |  JOIN dv t ON t.i = q.i AND t.vec_id <> q.vec_id
         |  WHERE q.vec_id < $IvfIntMaxQid

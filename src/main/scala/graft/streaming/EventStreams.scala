@@ -38,7 +38,12 @@ object EventStreams {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // probe the SAME glob the stream reads: merging the footers of
+    // every matching file either yields one agreed ts type or fails
+    // loudly on a mixed-encoding drop — never a silent mis-shim of a
+    // non-probed file
+    val onDisk = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/events*.parquet").schema("ts").dataType
     // glob (not a bare file path) so the stream source infers the
     // parent directory as basePath
     val stream = spark.readStream.schema(rawSchema(onDisk))
@@ -71,14 +76,16 @@ object EventStreams {
       .filter(col("hour_start") < "2024-01-03 00:00:00")
       .orderBy("hour_start", "event_type")
 
-  /** Run the streaming query to completion over the static input (memory
-    * sink, complete mode) and return the final table — a batch-shaped
-    * DataFrame suitable for cross-checks. NOT the scale path: Complete
-    * mode retains every window's state forever and the memory sink holds
-    * the whole result on the driver — fine as an oracle harness, wrong
-    * at 100× the window × key cardinality (use [[replayHourlyAppend]]).
+  /** TEST-ONLY cross-check harness (StreamingSpec's batch-vs-stream
+    * equality proofs) — NOT part of the engine surface and NOT the
+    * scale path: Complete mode retains every window's state forever and
+    * the memory sink holds the whole result on the driver — fine as an
+    * oracle harness, wrong at 100× the window × key cardinality. The
+    * declared s01 path is [[replayHourlyAppend]] (watermark + append +
+    * eviction); no production caller may use this helper.
     */
-  def replayHourlyComplete(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def replayHourlyComplete(spark: SparkSession,
+      dir: String): DataFrame = {
     val qn = s"stream_hourly_${math.abs(dir.hashCode)}"
     val q = hourlyAgg(readEvents(spark, dir))
       .writeStream.outputMode(OutputMode.Complete())
@@ -154,6 +161,59 @@ object EventStreams {
       .orderBy("day")
   }
 
+  /** s13b — the deployment-shape twin of s13 (bench-only): sliding
+    * 7-day windows with a 1-DAY watermark, APPEND emission, and a
+    * per-window PORTABLE-HLL register sketch (the q37/s07 kernel over
+    * user_id) instead of the exact distinct-user set. State is
+    * O(open windows × 1024 registers) — each window's registers are
+    * emitted once and EVICTED when the watermark passes its end —
+    * versus Complete mode's O(all windows × all users); at 100 TB the
+    * register rows are a fixed ~8×1024 per slide regardless of user
+    * cardinality. The emitted registers finalize through the shared
+    * q37 estimate walk with the batch-exact q45 count joined in for
+    * transparent error. Not declared: the estimate is approximate by
+    * design (s13's exact form carries the q45 oracle); StreamingSpec
+    * asserts the state bound and the estimate's HLL-σ accuracy.
+    */
+  def replayRollingActivesSketch(spark: SparkSession, dir: String)
+      : DataFrame = replayRollingActivesSketchWithStats(spark, dir)._1
+
+  /** s13b plus the state-store row total after the final micro-batch
+    * (≤ open windows × registers — the eviction assertion).
+    */
+  def replayRollingActivesSketchWithStats(spark: SparkSession,
+      dir: String): (DataFrame, Long) = {
+    graft.functions.Md5Hash48.registerAll(spark)
+    val qn = s"stream_rolling_sketch_${math.abs(dir.hashCode)}"
+    val rem = col("h").bitwiseAND(lit((1L << 38) - 1))
+    val regs = readEvents(spark, dir)
+      .withWatermark("ts", "1 day")
+      .select(col("ts"), graft.functions.Md5Hash48
+        .md5_hash48(col("user_id").cast("string")).as("h"))
+      .select(col("ts"), expr("h >> 38").as("idx"),
+        when(rem === 0, lit(39))
+          .otherwise(lit(39) - length(bin(rem))).as("rho"))
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("idx"))
+      .agg(max("rho").as("r"))
+    val q = regs.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn).start()
+    val stateRows =
+      try {
+        q.processAllAvailable()
+        Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      } finally q.stop()
+    val exact = graft.queries.Relational
+      .q45RollingActives(spark, dir)
+      .withColumnRenamed("active_users", "exact_actives")
+    val emitted = spark.table(qn).select(
+      date_format(date_sub(to_date(col("w.end")), 1), "yyyy-MM-dd")
+        .as("day"),
+      col("idx"), col("r"))
+    (graft.queries.Relational.hllFinalize(emitted, exact, key = "day"),
+      stateRows)
+  }
+
   /** s14 — STREAM–STREAM INTERVAL JOIN (the last major Structured
     * Streaming capability the engine exercises: two unbounded sides
     * joined on key + event-time band): purchases join their same-user
@@ -191,6 +251,96 @@ object EventStreams {
       .format("memory").queryName(qn).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(qn).orderBy("conv_id", "touch_type", "touch_s")
+  }
+
+  /** s14b — the deployment-watermark twin of s14 (bench-only): the
+    * same user-keyed 24 h interval join replayed with 25 H watermarks
+    * (the join band plus a 1 h disorder allowance) over a TIME-ORDERED
+    * staged arrival (ascending event-time file spans, one per
+    * micro-batch — production ingest order), so the engine provably
+    * EVICTS join state during the replay: a touch older than
+    * watermark − 24 h can never match a future conversion and its
+    * state row is dropped, keeping state O(events per ~2-day horizon)
+    * instead of s14's replay-wide retention. The interval-join
+    * watermark contract preserves EXACTNESS — no match is missed, the
+    * emitted pair set is identical to s14's (StreamingSpec asserts
+    * both the equality and the eviction) — this twin exists to PRICE
+    * the evicting configuration next to the unbounded-state one.
+    */
+  def replayAttributionPairsTight(spark: SparkSession, dir: String)
+      : DataFrame = replayAttributionPairsTightWithStats(spark, dir)._1
+
+  /** s14b plus the join-state row total after the final micro-batch
+    * (≪ conv+touch row count — the eviction assertion).
+    */
+  def replayAttributionPairsTightWithStats(spark: SparkSession,
+      dir: String, nBatches: Int = 10): (DataFrame, Long) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s14b")
+      .toFile
+    try {
+      val srcDir = s"${work.getAbsolutePath}/incoming"
+      new java.io.File(srcDir).mkdirs()
+      // ascending event-time spans: batch k's rows all arrive after
+      // batch k−1's, so nothing is ever late for the 25 h watermark
+      // (span ≫ 1 h) and the watermark advances monotonically through
+      // the replay — the arrival shape a deployed ingest provides
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      val mm = ev.agg(min(unix_timestamp(col("ts"))),
+        max(unix_timestamp(col("ts")))).head()
+      val lo = mm.getLong(0); val hi = mm.getLong(1) + 1
+      val span = math.max(1L, (hi - lo + nBatches - 1) / nBatches)
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      (0 until nBatches).foreach { i =>
+        val stage = s"${work.getAbsolutePath}/stage$i"
+        ev.filter(unix_timestamp(col("ts")) >= lo + i * span &&
+            unix_timestamp(col("ts")) < lo + (i + 1) * span)
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      val stagedSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      val staged = spark.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$srcDir/b*.parquet")
+      val conv = staged.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"),
+          col("user_id").as("c_uid"), col("ts").as("conv_ts"))
+        .withWatermark("conv_ts", "25 hours")
+      val touch = staged.filter(col("event_type")
+          .isin("click", "view", "signup"))
+        .select(col("user_id").as("t_uid"),
+          col("event_type").as("touch_type"), col("ts").as("touch_ts"))
+        .withWatermark("touch_ts", "25 hours")
+      val qn = s"stream_attr_tight_${math.abs(dir.hashCode)}"
+      val q = conv.join(touch,
+          expr("""c_uid = t_uid AND touch_ts < conv_ts
+            AND touch_ts >= conv_ts - INTERVAL 24 HOURS"""))
+        .select(col("conv_id"), col("touch_type"),
+          date_format(col("touch_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("touch_s"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(qn).start()
+      val stateRows =
+        try {
+          q.processAllAvailable()
+          Option(q.lastProgress).toSeq
+            .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        } finally q.stop()
+      (spark.table(qn).orderBy("conv_id", "touch_type", "touch_s"),
+        stateRows)
+    } finally deleteRecursively(work)
   }
 
   /** Scale-safe declared streaming dedup (s02): the streaming twin of

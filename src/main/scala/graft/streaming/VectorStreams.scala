@@ -33,9 +33,20 @@ object VectorStreams {
     */
   def replayIndexIngest(spark: SparkSession, dir: String,
       nBatches: Int = 4): DataFrame = {
-    val (model, _) = graft.queries.VectorOps.ensureIvfPqIndex(spark, dir)
     val work = java.nio.file.Files.createTempDirectory("graft-s12")
       .toFile.getAbsolutePath
+    // one try around staging AND streaming: a failure in the staging
+    // write/move loop must still delete the work dir, not leak it
+    // (the memory sink holds the result driver-side, so the work dir
+    // is safe to delete before the caller materializes the frame)
+    try {
+      replayIndexIngestStaged(spark, dir, nBatches, work)
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
+  private def replayIndexIngestStaged(spark: SparkSession, dir: String,
+      nBatches: Int, work: String): DataFrame = {
+    val (model, _) = graft.queries.VectorOps.ensureIvfPqIndex(spark, dir)
     val srcDir = s"$work/incoming"
     new java.io.File(srcDir).mkdirs()
     // stage the corpus as nBatches single-file spans, ascending mtimes
@@ -69,10 +80,7 @@ object VectorStreams {
     val q = coded.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(qn).start()
     try q.processAllAvailable()
-    finally {
-      q.stop()
-      deleteRecursively(new java.io.File(work))
-    }
+    finally q.stop()
     spark.table(qn).orderBy("vec_id")
   }
 

@@ -646,6 +646,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("band"), s"band key missing from the plan:\n$p")
   }
 
+  test("q44: attribution pairs come from the user_id equi-join with " +
+      "the 24h band as a post-join filter — never a time cross-join") {
+    val p = plan("q44_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs/time-cross join in attribution:\n$p")
+    // the join must be KEYED on user_id (the equi key that carries
+    // the shuffle/broadcast); the time band rides as the join's
+    // residual condition. At test SF the small conv side broadcasts
+    // (BroadcastHashJoin [user_id...]); at scale the same plan
+    // shuffles both sides on user_id (SortMergeJoin [user_id...]) —
+    // both are the keyed shape, unkeyed would be a nested loop.
+    assert(p.contains("HashJoin [user_id") ||
+      p.contains("SortMergeJoin [user_id"),
+      s"join not keyed on user_id:\n$p")
+  }
+
+  test("q45: the 7-day fanout is a generator explode feeding one " +
+      "distinct aggregate — no range join, no self-join of events") {
+    val p = plan("q45_rolling_actives")
+    assert(p.contains("Generate"),
+      s"window-day fanout must be a generator explode:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in rolling actives:\n$p")
+    // the only join is the observed-day restriction — a day-dimension
+    // equi-join, never a data-sized sort-merge of events × events
+    assert(!p.contains("SortMergeJoin [day") &&
+      !p.contains("SortMergeJoin [user_id"),
+      s"events self-join shape leaked into rolling actives:\n$p")
+  }
+
+  test("v18: the cheap pass scans the staged narrow prefix artifact " +
+      "— a 16-dim (vec_id, v_prefix) file, not the 64-dim corpus") {
+    val p = plan("v18_ann_matryoshka")
+    // the shortlist side must read the mrl_prefix artifact with ONLY
+    // the narrow columns — the "reads 4× less" claim as a plan fact
+    assert(p.contains("mrl_prefix"),
+      s"cheap pass not scanning the staged prefix artifact:\n$p")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint," +
+      "v_prefix:array<double>>"),
+      s"prefix scan must be the narrow 2-column schema:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+  }
+
   test("whole-stage codegen covers the q02 agg pipeline") {
     // AQE hides codegen markers until the final plan materializes —
     // execute first, then inspect; codegen'd stages render as "*(n)"

@@ -224,6 +224,58 @@ class StreamingSpec extends SparkSpec {
       "sliding event-time windows must agree with the batch rewrite")
   }
 
+  test("s13b sketch twin: bounded register state, window eviction, " +
+      "and HLL-accurate estimates vs the exact per-day actives") {
+    val (df, stateRows) = graft.streaming.EventStreams
+      .replayRollingActivesSketchWithStats(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "watermark must have closed and emitted windows")
+    // state is open-windows × registers, NEVER user- or history-sized:
+    // ≤ ~8 un-closable 7-day windows at the watermark frontier × 1024
+    // registers (vs Complete mode's every-window × every-user sets)
+    assert(stateRows > 0 && stateRows <= 12 * 1024,
+      s"state rows $stateRows exceed the open-window register bound")
+    rows.foreach { r =>
+      val hll = r.getAs[Double]("hll_estimate")
+      // the standard HLL small-range correction: below 2.5m with empty
+      // registers, linear counting is the estimator (Flajolet §4)
+      val est = if (r.getAs[Int]("v_zero") > 0 && hll < 2.5 * 1024)
+        r.getAs[Double]("lc_estimate") else hll
+      val exact = r.getAs[Long]("exact_actives").toDouble
+      // 1024 registers → σ ≈ 1.04/√1024 ≈ 3.3%; 12% ≈ 3.6σ
+      assert(math.abs(est - exact) / exact < 0.12,
+        s"day ${r.getString(0)}: estimate $est vs exact $exact")
+    }
+    // emitted days are a prefix of the exact day set (trailing windows
+    // stay open behind the 1-day watermark)
+    val exactDays = graft.queries.Relational.q45RollingActives(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).forall(exactDays.contains))
+  }
+
+  test("s14b tight-watermark twin: the pair set equals s14's exactly " +
+      "and join state evicts during the replay") {
+    val (df, stateRows) = graft.streaming.EventStreams
+      .replayAttributionPairsTightWithStats(spark, sf)
+    val tight = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val loose = graft.streaming.EventStreams
+      .replayAttributionPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(tight.nonEmpty)
+    assert(tight.toSeq === loose.toSeq,
+      "the 25 h watermark must not change the emitted pair set")
+    // eviction: the 35-day config retains every conv+touch row in join
+    // state for the whole replay; the 25 h config holds only the
+    // ~2-day unmatchable horizon behind the watermark frontier
+    val nSides = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click", "view",
+        "signup")).count()
+    assert(stateRows > 0, "progress should report join state rows")
+    assert(stateRows < nSides / 2,
+      s"join state $stateRows did not evict (sides total $nSides)")
+  }
+
   test("stream-stream interval join (declared s14) emits exactly the " +
       "batch interval-join pair set") {
     import org.apache.spark.sql.functions._
