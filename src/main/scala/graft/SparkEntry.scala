@@ -53,7 +53,11 @@ object SparkEntry {
         "s13_stream_rolling_actives" -> ((s, d) =>
           EventStreams.replayRollingActives(s, d)),
         "s14_stream_attribution_join" -> ((s, d) =>
-          EventStreams.replayAttributionPairs(s, d)))
+          EventStreams.replayAttributionPairs(s, d)),
+        "s15_stream_session_windows" -> ((s, d) =>
+          EventStreams.replaySessionWindows(s, d)),
+        "s16_stream_changelog_compact" -> ((s, d) =>
+          EventStreams.replayChangelogCompact(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -192,5 +196,42 @@ object SparkEntry {
             |      WHERE event_type IN ('click', 'view', 'signup')) t
             |  ON t.user_id = c.user_id
             | AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 24 HOUR
-            |ORDER BY conv_id, touch_type, touch_s""".stripMargin)
+            |ORDER BY conv_id, touch_type, touch_s""".stripMargin,
+        // session windows ≡ batch gap-merge sessionization with the
+        // SAME gap convention session_window uses (an event at exactly
+        // last + 30 min starts a NEW session, hence >=; batch q22
+        // deliberately keeps its own > convention) — session end is
+        // last event + gap, both engines truncate the format to seconds
+        "s15_stream_session_windows" ->
+          """WITH lagd AS (
+            |  SELECT user_id, ts, event_id, value,
+            |    CASE WHEN lag(ts) OVER w IS NULL
+            |      OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+            |    THEN 1 ELSE 0 END AS new_session
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            |sess AS (
+            |  SELECT user_id, ts, value,
+            |    sum(new_session) OVER (PARTITION BY user_id
+            |      ORDER BY ts, event_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |      AS sid
+            |  FROM lagd),
+            |agg AS (
+            |  SELECT user_id,
+            |    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+            |    strftime(max(ts) + INTERVAL 30 MINUTE,
+            |      '%Y-%m-%d %H:%M:%S') AS session_end,
+            |    CAST(count(*) AS BIGINT) AS n_events,
+            |    round(sum(value), 2) AS sum_value
+            |  FROM sess GROUP BY user_id, sid)
+            |SELECT user_id, session_start, session_end, n_events,
+            |  sum_value
+            |FROM agg WHERE session_end < '2024-01-03 00:00:00'
+            |ORDER BY user_id, session_start""".stripMargin,
+        // the foreachBatch MERGE loop's final artifact ≡ batch q46:
+        // struct-max + count + sum commute across any batch slicing,
+        // so q46's oracle verifies the whole maintenance loop
+        "s16_stream_changelog_compact" ->
+          Relational.oracles("q46_changelog_compact"))
 }

@@ -266,6 +266,60 @@ object Multimodal {
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
+  /** m16's analysis frame: 64 interleaved samples per energy frame
+    * (the 8 ms VAD frame at 8 kHz), and the low-energy decision
+    * compares the frame's Σ|s| against frameLen × [[VadMeanAbs]] —
+    * the corpus-wide expected |sample| under the synthesis formula,
+    * so both outcomes occur and the cut is exact integer arithmetic
+    * in both engines (the last partial frame scales its threshold by
+    * its true length).
+    */
+  val VadFrameLen = 64
+  val VadMeanAbs = 16384L
+
+  /** Per-clip silence/low-energy segmentation facts: frame counts,
+    * low-frame count, the number of contiguous low RUNS (segments),
+    * and the longest run — all exact integers.
+    */
+  case class VadStats(n_frames: Int, n_low: Int, n_segments: Int,
+      longest_run: Int)
+
+  /** m16 — LOW-ENERGY SEGMENTATION (voice-activity-detection shape)
+    * over the real WAV container: decode PCM16, frame the sample
+    * stream, flag low-energy frames by exact integer Σ|s| threshold,
+    * then run-length the flags into contiguous segments — the
+    * gaps-and-islands statistic an audio curation pipeline uses to
+    * drop silence-dominated clips and to cut long recordings at
+    * pauses. All map-side over the binary column (the m04 contract);
+    * the oracle recomputes every frame energy from the synthesis
+    * formula and rebuilds the same islands with window functions.
+    */
+  val m16AudioSegments: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val samples = Wav.samples(blob)
+      val n = samples.length
+      val nFrames = (n + VadFrameLen - 1) / VadFrameLen
+      var nLow = 0; var nSeg = 0; var longest = 0; var run = 0
+      var f = 0
+      while (f < nFrames) {
+        val lo = f * VadFrameLen
+        val hi = math.min(lo + VadFrameLen, n)
+        var sumAbs = 0L
+        var i = lo
+        while (i < hi) { sumAbs += math.abs(samples(i).toLong); i += 1 }
+        if (sumAbs < (hi - lo) * VadMeanAbs) {
+          nLow += 1; run += 1
+          if (run == 1) nSeg += 1
+          if (run > longest) longest = run
+        } else run = 0
+        f += 1
+      }
+      VadStats(nFrames, nLow, nSeg, longest)
+    }
+    audioTable(s, d).withColumn("a", dec(col("blob")))
+      .select(col("doc_id"), col("a.*")).orderBy("doc_id")
+  }
+
   // --- cross-modal metadata decode (m01) ---
 
   /** One row per doc with all three real-format binary columns, built
@@ -761,6 +815,7 @@ object Multimodal {
     "m09_crop" -> m09Crop,
     "m14_grayscale" -> m14Grayscale,
     "m15_scene_cuts" -> m15SceneCuts,
+    "m16_audio_segments" -> m16AudioSegments,
   )
 
   // Every oracle recomputes container contents from the synthesis
@@ -768,6 +823,49 @@ object Multimodal {
   // HUGEINT, hence the BIGINT casts); the Spark side reads the same
   // facts back out of the container bytes instead.
   val oracles: Map[String, String] = Map(
+    // m16: frame energies recomputed from the synthesis formula; the
+    // islands rebuild as the classic fi − row_number() grouping; docs
+    // with zero low frames keep 0/0 via the left join
+    "m16_audio_segments" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST((n_chars % 96 + 32) * (1 + doc_id % 2) AS INT)
+        |      AS n_samples
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, i,
+        |    abs((doc_id * 31 + i * 7919) % 65536 - 32768) AS av
+        |  FROM (SELECT doc_id, unnest(range(0, n_samples)) AS i
+        |        FROM p)),
+        |f AS (
+        |  SELECT doc_id, i // $VadFrameLen AS fi,
+        |    CAST(sum(av) AS BIGINT) AS e, count(*) AS flen
+        |  FROM s GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT doc_id, fi,
+        |    CASE WHEN e < flen * $VadMeanAbs THEN 1 ELSE 0 END AS low
+        |  FROM f),
+        |stats AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+        |    CAST(sum(low) AS INT) AS n_low
+        |  FROM fl GROUP BY 1),
+        |runs AS (
+        |  SELECT doc_id,
+        |    fi - row_number() OVER (PARTITION BY doc_id ORDER BY fi)
+        |      AS grp
+        |  FROM fl WHERE low = 1),
+        |seg AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS run_len
+        |  FROM runs GROUP BY doc_id, grp),
+        |segstats AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_segments,
+        |    CAST(max(run_len) AS INT) AS longest_run
+        |  FROM seg GROUP BY 1)
+        |SELECT st.doc_id, st.n_frames, st.n_low,
+        |  COALESCE(sg.n_segments, 0) AS n_segments,
+        |  COALESCE(sg.longest_run, 0) AS longest_run
+        |FROM stats st LEFT JOIN segstats sg ON sg.doc_id = st.doc_id
+        |ORDER BY st.doc_id""".stripMargin,
     // m15: the oracle recomputes every transition's per-pixel |Δ| from
     // the frame synthesis formula and applies the same integer cut
     // comparison; nf ≥ 2 for every doc, so each has ≥ 1 transition

@@ -311,6 +311,67 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q46 — CHANGELOG COMPACTION (CDC "merge into current state"): the
+    * events table read as an upsert log keyed by user_id, compacted to
+    * one current-state row per key — the operation every incremental
+    * lakehouse pipeline runs to turn an append-only log into a
+    * serving table. Latest-wins is decided by (ts, event_id) — the
+    * event_id tiebreak makes the winner deterministic when two events
+    * share a timestamp.
+    *
+    * Scale shape: ONE keyed shuffle. Latest-row selection is the
+    * struct-max aggregation (`max(struct(ts, event_id, payload...))`,
+    * Spark's max_by shape) fused into the same groupBy as the lifetime
+    * counters — partial aggregation runs map-side, so each mapper
+    * ships at most one candidate struct + one counter row per key,
+    * never the log itself. The window-sort alternative
+    * (row_number over user_id ORDER BY ts DESC) would shuffle AND
+    * sort every log row; at 100 TB of changelog that sort is the
+    * bottleneck, the struct-max is a plain hash agg.
+    */
+  val q46ChangelogCompact: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("last"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("lifetime_value"))
+      .select(col("user_id"),
+        date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        round(col("last.value"), 2).as("last_value"),
+        col("n_events"), col("lifetime_value"))
+      .orderBy("user_id")
+
+  /** q47 — UNPIVOT / MELT (wide → long reshaping, the R
+    * `pivot_longer` the reference's tidyverse idiom implies and the
+    * inverse of q23's conditional pivot): the four lineitem measure
+    * columns melt into (measure, value) rows which then aggregate per
+    * (returnflag, measure). Spark's native `unpivot` (Expand under
+    * the hood) emits the 4 long rows per input row IN-ROW — no join,
+    * no union of 4 re-scans: one pass over the table, then one keyed
+    * aggregation over a 4×-taller but 3-column-narrow frame. At
+    * 100 TB the single-scan property is the point — the UNION ALL
+    * form the oracle uses (portable SQL) would read the table 4
+    * times.
+    */
+  val q47UnpivotMelt: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("l_returnflag", "measure")
+      .agg(round(sum("value"), 2).as("total"),
+        round(avg("value"), 4).as("mean"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "measure")
+
   /** q10 — exact dedup by key (reference A3 `distinct(.keep_all)`),
     * deterministic keep-lowest via min. Aggregation form (not
     * dropDuplicates) so the result is order-independent and the shuffle is
@@ -1082,6 +1143,8 @@ object Relational {
     "q43_funnel" -> q43Funnel,
     "q44_attribution" -> q44Attribution,
     "q45_rolling_actives" -> q45RollingActives,
+    "q46_changelog_compact" -> q46ChangelogCompact,
+    "q47_unpivot_melt" -> q47UnpivotMelt,
     "q10_dedup_exact" -> q10DedupExact,
     "q11_topk_orders" -> q11TopkOrders,
     "q12_case_when" -> q12CaseWhen,
@@ -1459,6 +1522,42 @@ object Relational {
         |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users
         |FROM contrib c JOIN cal ON cal.wday = c.wday
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    // q46: latest-wins replicated as a deterministic row_number over
+    // (ts DESC, event_id DESC) — the same winner the struct-max picks
+    // (event_id is unique, so the struct comparison never reaches the
+    // payload fields)
+    "q46_changelog_compact" ->
+      """WITH last AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    round(sum(value), 2) AS lifetime_value
+        |  FROM events GROUP BY 1)
+        |SELECT a.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  l.event_id AS last_event_id, l.event_type AS last_type,
+        |  round(l.value, 2) AS last_value, a.n_events, a.lifetime_value
+        |FROM agg a JOIN last l ON l.user_id = a.user_id AND l.rn = 1
+        |ORDER BY a.user_id""".stripMargin,
+    // q47: the portable long-form equivalent — 4 UNION ALL branches
+    // (the engine's unpivot is ONE scan; SQL portability costs 4 here)
+    "q47_unpivot_melt" ->
+      """WITH long AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure,
+        |    l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice',
+        |    l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount',
+        |    l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax',
+        |    l_tax FROM lineitem)
+        |SELECT l_returnflag, measure, round(sum(value), 2) AS total,
+        |  round(avg(value), 4) AS mean,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM long GROUP BY 1, 2
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "q10_dedup_exact" ->
       """SELECT l_partkey, l_suppkey, min(l_orderkey) AS first_orderkey,
         |  count(*) AS n_dupes

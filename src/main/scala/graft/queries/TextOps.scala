@@ -915,6 +915,31 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** t38 — MERGE-PAIR MINING (the statistic behind BPE training's
+    * first merge step): the corpus-wide frequency of every ADJACENT
+    * whitespace-token pair, top-50 by count with a full deterministic
+    * tie order. A tokenizer-training pipeline runs exactly this scan
+    * per merge round over the whole corpus, so its shape matters at
+    * 100 TB: pair generation is IN-ROW (zip_with of the token array
+    * against its own tail — no explode-then-self-join on position,
+    * which would shuffle |tokens| rows twice), the count partial-
+    * aggregates map-side, and the top-50 is TakeOrderedAndProject —
+    * per-partition heaps + a 50-row driver merge, never a full sort
+    * of the pair vocabulary.
+    */
+  val t38MergePairs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(split(trim(col("text")), "\\s+").as("w"))
+      .select(explode(expr(
+        """filter(zip_with(w, slice(w, 2, size(w)),
+          |  (a, b) -> named_struct('a', a, 'b', b)),
+          |  p -> p.b IS NOT NULL)""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(desc("n_pairs"), asc("a"), asc("b"))
+      .limit(50)
+
   /** s11's per-batch kernel: the overlap-matrix CONTRIBUTION of one
     * ingest batch — verified near-dup pairs whose LATER member is in
     * the batch (within-batch pairs + batch-vs-accumulated-index pairs),
@@ -2139,6 +2164,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t38_merge_pairs" -> t38MergePairs,
     "t37_source_overlap" -> t37SourceOverlap,
     "t36_gram_novelty" -> t36GramNovelty,
     "t35_mixture_budget" -> t35MixtureBudget,
@@ -2617,6 +2643,21 @@ object TextOps {
           |SELECT doc_id, count(*) AS n_grams, min(h) AS min_hash,
           |  count(DISTINCT h) AS n_distinct
           |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // t38: 1-based list indexing over the same \s+ tokenization —
+      // range(1, len) stops at len-1, so (l[i], l[i+1]) enumerates
+      // exactly the engine's zip_with-against-tail pairs; the LIMIT
+      // boundary is deterministic under the (count, a, b) total order
+      "t38_merge_pairs" ->
+        """WITH toks AS (
+          |  SELECT string_split_regex(trim(text), '\s+') AS l
+          |  FROM documents),
+          |pos AS (
+          |  SELECT l, unnest(range(1, len(l))) AS i FROM toks
+          |  WHERE len(l) > 1),
+          |pairs AS (SELECT l[i] AS a, l[i + 1] AS b FROM pos)
+          |SELECT a, b, CAST(count(*) AS BIGINT) AS n_pairs
+          |FROM pairs GROUP BY a, b
+          |ORDER BY n_pairs DESC, a, b LIMIT 50""".stripMargin,
       // t37: the same verified-pair CTE stack as t19, then two label
       // joins + the unordered-pair source rollup — the oracle re-derives
       // every matrix cell from scratch

@@ -343,6 +343,185 @@ object EventStreams {
     } finally deleteRecursively(work)
   }
 
+  /** s15 — SESSION WINDOWS (the third and last event-time window type
+    * next to s01's tumbling and s13's sliding ones): per-user activity
+    * sessions that close after 30 minutes of inactivity, the streaming
+    * face of batch q22's gap-sessionization. `session_window(ts, gap)`
+    * is Spark's native merging-window state: each user's open session
+    * is ONE state row that extends/merges as events arrive, and APPEND
+    * mode emits a session exactly once when the 1-hour watermark passes
+    * its end (last event + gap) — then EVICTS it, so state is O(open
+    * sessions), not O(history). Session semantics: an event at
+    * t ≥ last + gap starts a NEW session (the window is [start,
+    * last + gap)), which the oracle mirrors with a `>=` gap comparison
+    * — note batch q22 uses `>` (a 30:00.000000-exact gap stays merged
+    * there); the two queries pin their own convention in their own
+    * oracle. Output slices to sessions ending before the same
+    * 2024-01-03 horizon s01 uses — all finalized under the replay's
+    * watermark — so the append result is complete and deterministic.
+    */
+  def replaySessionWindows(spark: SparkSession, dir: String): DataFrame =
+    replaySessionWindowsWithStats(spark, dir)._1
+
+  /** s15 plus the state-store row count after the final micro-batch
+    * (open-session rows only — the eviction assertion).
+    */
+  def replaySessionWindowsWithStats(spark: SparkSession, dir: String)
+      : (DataFrame, Long) = {
+    val qn = s"stream_sessions_${math.abs(dir.hashCode)}"
+    val q = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"), col("sum_value"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn).start()
+    val stateRows =
+      try {
+        q.processAllAvailable()
+        Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      } finally q.stop()
+    (spark.table(qn)
+      .filter(col("session_end") < "2024-01-03 00:00:00")
+      .orderBy("user_id", "session_start"), stateRows)
+  }
+
+  /** s16 — STREAMING CHANGELOG COMPACTION (incremental materialized
+    * view maintenance, the streaming twin of batch q46): the events
+    * log replayed as time-ordered ingest batches through a
+    * `foreachBatch` MERGE loop that maintains a compacted
+    * current-state artifact — each batch is aggregated to one
+    * candidate row per touched key (struct-max latest + counters),
+    * then merged with the previous state by the SAME commutative
+    * aggregation, and the result replaces the artifact. This is the
+    * lakehouse `MERGE INTO` maintenance shape: per-batch cost is
+    * O(|state| + |batch|) with a keyed shuffle only — the log is
+    * never re-read, no window sort ever happens, and the artifact
+    * stays key-cardinality-sized no matter how much log flows
+    * through. The streaming engine's own state store carries NOTHING
+    * (stateless foreachBatch) — the artifact IS the state, which is
+    * what makes the loop restartable from the last committed batch.
+    * Struct-max + count + sum all commute across any batch slicing,
+    * so the final artifact equals batch q46 exactly — q46's oracle
+    * verifies the whole loop.
+    */
+  def replayChangelogCompact(spark: SparkSession, dir: String)
+      : DataFrame = replayChangelogCompactWithStats(spark, dir)._1
+
+  /** s16 plus the engine state-store row total (must be 0 — the
+    * artifact, not the state store, carries the state) for the
+    * StreamingSpec assertion.
+    */
+  def replayChangelogCompactWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 10): (DataFrame, Long) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s16")
+      .toFile
+    try {
+      val srcDir = s"${work.getAbsolutePath}/incoming"
+      new java.io.File(srcDir).mkdirs()
+      // ascending event-time spans — production ingest order (the
+      // s14b staging shape); correctness does NOT depend on it
+      // (the merge aggregation commutes), only the restart/latency
+      // story does
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val mm = ev.agg(min(unix_timestamp(col("ts"))),
+        max(unix_timestamp(col("ts")))).head()
+      val lo = mm.getLong(0); val hi = mm.getLong(1) + 1
+      val span = math.max(1L, (hi - lo + nBatches - 1) / nBatches)
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      (0 until nBatches).foreach { i =>
+        val stage = s"${work.getAbsolutePath}/stage$i"
+        ev.filter(unix_timestamp(col("ts")) >= lo + i * span &&
+            unix_timestamp(col("ts")) < lo + (i + 1) * span)
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      val stagedSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      // the per-slice compaction aggregate — applied to each batch AND
+      // to (state ∪ batch-agg), which is what makes the merge exact
+      def compact(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"))
+          .agg(max(col("last")).as("last"),
+            sum(col("n_events")).as("n_events"),
+            sum(col("sum_value")).as("sum_value"))
+      def preAgg(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"),
+            col("event_type"), col("value"))).as("last"),
+            count(lit(1)).as("n_events"),
+            sum(col("value")).as("sum_value"))
+      val states = scala.collection.mutable.ListBuffer[String]()
+      val stateDir = s"${work.getAbsolutePath}/state"
+      val q = spark.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$srcDir/b*.parquet")
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"${work.getAbsolutePath}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          if (!batch.isEmpty) {
+            val s = batch.sparkSession
+            val batchAgg = preAgg(batch)
+            val merged = states.lastOption match {
+              case Some(prev) =>
+                compact(s.read.parquet(prev).unionByName(batchAgg))
+              case None => batchAgg
+            }
+            val path = s"$stateDir/b$batchId"
+            merged.write.parquet(path)
+            states += path
+          }
+          ()
+        }
+        .start()
+      val stateRows =
+        try {
+          q.awaitTermination()
+          Option(q.lastProgress).toSeq
+            .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        } finally q.stop()
+      val fin = spark.read.parquet(states.last)
+        .select(col("user_id"),
+          date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("last_ts"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          round(col("last.value"), 2).as("last_value"),
+          col("n_events"),
+          round(col("sum_value"), 2).as("lifetime_value"))
+        .select("user_id", "last_ts", "last_event_id", "last_type",
+          "last_value", "n_events", "lifetime_value")
+        .orderBy("user_id")
+      // materialize BEFORE the temp state dir is deleted
+      val rows = fin.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fin.schema), stateRows)
+    } finally deleteRecursively(work)
+  }
+
   /** Scale-safe declared streaming dedup (s02): the streaming twin of
     * the exact-dedup batch operators (t04/q10) and the ingest-side
     * counterpart of the t15 incremental dedup — first sight of a

@@ -530,6 +530,32 @@ class MultimodalSpec extends SparkSpec {
       s"degenerate cut threshold — every video got $cutCounts")
   }
 
+  test("m16 low-energy segments: consistent run accounting and a " +
+      "non-degenerate threshold") {
+    val rows = Multimodal.m16AudioSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nf = r.getAs[Int]("n_frames")
+      val low = r.getAs[Int]("n_low")
+      val segs = r.getAs[Int]("n_segments")
+      val longest = r.getAs[Int]("longest_run")
+      assert(nf >= 1)
+      assert(low >= 0 && low <= nf)
+      // runs partition the low frames: each segment has >= 1 frame,
+      // the longest is one of them, and segments can't outnumber lows
+      assert(segs >= 0 && segs <= low)
+      assert(longest <= low && (low == 0 || longest >= 1))
+      assert(segs == 0 || longest >= (low + segs - 1) / segs,
+        s"doc ${r.getLong(0)}: longest run $longest can't cover " +
+          s"$low lows in $segs segments")
+    }
+    // the energy threshold must discriminate: both outcomes occur
+    val lows = rows.map(_.getAs[Int]("n_low"))
+    assert(lows.exists(_ > 0) && rows.exists(r =>
+      r.getAs[Int]("n_low") < r.getAs[Int]("n_frames")),
+      "degenerate VAD threshold — all-low or all-high everywhere")
+  }
+
   test("m04 stats match a direct recompute of the synthesis formula") {
     val rows = Multimodal.m04AudioStats(spark, sf).collect()
     assert(rows.length > 0)

@@ -691,6 +691,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
   }
 
+  test("q46: changelog compaction is one keyed hash aggregate — " +
+      "struct-max latest-wins, never a window sort of the log") {
+    val p = plan("q46_changelog_compact")
+    assert(!p.contains("Window"),
+      s"latest-wins must be the struct-max aggregate, not a " +
+        s"row_number window sort:\n$p")
+    assert(p.contains("partial_"),
+      s"compaction aggregate must partial-aggregate map-side:\n$p")
+    // exactly one data shuffle: the user_id aggregation exchange
+    // (plus the presentation sort's range exchange)
+    val shuffles = "hashpartitioning\\(user_id".r
+      .findAllIn(p).length
+    assert(shuffles >= 1 && !p.contains("Join"),
+      s"compaction must be a single keyed aggregation, no join:\n$p")
+  }
+
+  test("t38: merge-pair mining is in-row pair generation + top-k — " +
+      "a Generate feeding TakeOrderedAndProject, no positional " +
+      "self-join, no full sort") {
+    val p = plan("t38_merge_pairs")
+    assert(p.contains("Generate"),
+      s"pair fanout must be a generator explode:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be per-partition heaps + driver merge:\n$p")
+    assert(!p.contains("Join"),
+      s"adjacent pairs must come from the in-row zip, not a " +
+        s"positional self-join:\n$p")
+  }
+
   test("whole-stage codegen covers the q02 agg pipeline") {
     // AQE hides codegen markers until the final plan materializes —
     // execute first, then inspect; codegen'd stages render as "*(n)"

@@ -276,6 +276,63 @@ class StreamingSpec extends SparkSpec {
       s"join state $stateRows did not evict (sides total $nSides)")
   }
 
+  test("session windows (declared s15) equal batch gap-merge " +
+      "sessionization and evict closed-session state") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val (df, stateRows) =
+      EventStreams.replaySessionWindowsWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("new_session",
+        when(lag("ts", 1).over(w).isNull ||
+          col("ts") >= lag("ts", 1).over(w) +
+            expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("sid", sum("new_session").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(max(col("ts")) + expr("INTERVAL 30 MINUTES"),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select("user_id", "session_start", "session_end", "n_events",
+        "sum_value")
+      .filter(col("session_end") < "2024-01-03 00:00:00")
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    // eviction: a month of per-user sessions flowed through; with the
+    // 1-hour watermark only sessions still open (or closed less than
+    // 1 h before the final event-time frontier) may hold state — far
+    // below the total session count
+    assert(stateRows > 0, "progress should report session state rows")
+    assert(stateRows < streamed.length,
+      s"session state ($stateRows rows) must evict closed sessions")
+  }
+
+  test("changelog compaction loop (declared s16) equals batch q46 " +
+      "and carries no engine state") {
+    val (df, stateRows) =
+      EventStreams.replayChangelogCompactWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = Relational.q46ChangelogCompact(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    // the artifact is the state: the stateless foreachBatch loop must
+    // report zero state-store rows (restartability comes from the
+    // committed artifact + checkpoint, not engine state)
+    assert(stateRows === 0L,
+      s"foreachBatch compaction must be stateless, got $stateRows")
+  }
+
   test("stream-stream interval join (declared s14) emits exactly the " +
       "batch interval-join pair set") {
     import org.apache.spark.sql.functions._
