@@ -720,6 +720,18 @@ class PlanSpec extends SparkSpec {
         s"positional self-join:\n$p")
   }
 
+  test("q47: unpivot is the single-scan Expand — one lineitem read, " +
+      "no union of re-scans, no join") {
+    val p = plan("q47_unpivot_melt")
+    assert(p.contains("Expand"),
+      s"melt must lower to the in-row Expand operator:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"melt must read the table ONCE (got $scans scans — the " +
+        s"UNION ALL shape re-reads per measure):\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a melt:\n$p")
+  }
+
   test("whole-stage codegen covers the q02 agg pipeline") {
     // AQE hides codegen markers until the final plan materializes —
     // execute first, then inspect; codegen'd stages render as "*(n)"
