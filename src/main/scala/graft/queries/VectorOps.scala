@@ -1293,6 +1293,68 @@ object VectorOps {
     res.orderBy("vec_id")
   }
 
+  /** v20's graph degree: top-k neighbors kept per node. */
+  private val KnnGraphK = 3
+
+  /** v20 — k-NN GRAPH construction (cell-local): every corpus vector's
+    * [[KnnGraphK]] nearest cell-mates under exact integer squared-L2
+    * on the fixed-point grid — the neighborhood structure that
+    * graph-based clustering, agglomerative dedup, and NN-Descent-style
+    * index builds all start from, and the third consumer of the
+    * trained integer coarse quantizer (v12 routes queries through it,
+    * v16 dedups inside its cells, v20 materializes the neighbor
+    * graph). Candidate generation is the v16 cell equi-join — never
+    * all-pairs: at 100 TB, nlist grows ∝ corpus so cell size (and the
+    * per-node candidate count) stays constant, and the per-node top-k
+    * is a WindowGroupLimit rank over cell-mate rows only. Ranking is
+    * (d², neighbor id) — exact BIGINT arithmetic end-to-end, so the
+    * DuckDB oracle recomputes training, assignment, every distance,
+    * and every rank bit-for-bit.
+    */
+  val v20KnnGraph: Q = (s, d) => {
+    val (out, assigned) = knnGraphRanked(s, d)
+    val res = out.localCheckpoint()
+    assigned.unpersist()
+    res.orderBy("vec_id", "rank")
+  }
+
+  /** v20's pre-checkpoint plan (the ranked edge build over the cached
+    * cell assignment) — split out so PlanSpec can gate the REAL shape
+    * (cell-keyed join + WindowGroupLimit), which the declared query's
+    * localCheckpoint lineage cut would otherwise hide. Caller owns the
+    * returned `assigned` cache.
+    */
+  private[graft] def knnGraphRanked(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val fe = fixedEmb(s, d)
+    val cents = intKmeansFit(intTrainSample(fe), IvfIntNlist, IvfIntIters)
+    val bc = s.sparkContext.broadcast(cents)
+    val cellUdf = udf { (v: Seq[Long]) =>
+      nearestCellInt(bc.value, v.toArray)
+    }
+    val d2Udf = udf { (x: Seq[Long], y: Seq[Long]) =>
+      var i = 0; var s2 = 0L
+      while (i < x.length) { val t = x(i) - y(i); s2 += t * t; i += 1 }
+      s2
+    }
+    val assigned = fe.repartition(s.sparkContext.defaultParallelism)
+      .withColumn("cell", cellUdf(col("qv")))
+      .persist()
+    val a = assigned.select(col("cell"), col("vec_id"),
+      col("qv").as("x1"))
+    val b = assigned.select(col("cell"),
+      col("vec_id").as("neighbor_id"), col("qv").as("x2"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("neighbor_id"))
+    val out = a.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("d2", d2Udf(col("x1"), col("x2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnGraphK)
+      .select("vec_id", "rank", "neighbor_id", "d2")
+    (out, assigned)
+  }
+
   /** v04 — vector norm statistics per label (corpus sanity check every
     * embedding pipeline runs before indexing).
     */
@@ -1413,6 +1475,7 @@ object VectorOps {
     "v13_ann_lsh_int" -> v13AnnLshInt,
     "v14_ann_ivfpq_int" -> v14AnnIvfPqInt,
     "v16_semdedup" -> v16Semdedup,
+    "v20_knn_graph" -> v20KnnGraph,
   )
 
   /** Shared oracle prefix for the integer IVF family (v12, v14): the
@@ -1939,6 +2002,30 @@ object VectorOps {
         |FROM asg s LEFT JOIN grp g ON g.vec_id = s.vec_id
         |ORDER BY s.vec_id""".stripMargin
     },
+    // v20: the same trained-quantizer core, then directed cell-mate
+    // pairs, exact BIGINT squared-L2 per pair, and the per-node
+    // (d2, neighbor) rank — every edge of the graph recomputed
+    "v20_knn_graph" ->
+      s"""$ivfIntCoreCtes,
+        |pr AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id
+        |  FROM asg a JOIN asg b
+        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |dd AS (
+        |  SELECT p.vec_id, p.neighbor_id,
+        |    CAST(sum((fa.qx - fb.qx) * (fa.qx - fb.qx)) AS BIGINT)
+        |      AS d2
+        |  FROM pr p
+        |  JOIN fx fa ON fa.vec_id = p.vec_id
+        |  JOIN fx fb ON fb.vec_id = p.neighbor_id AND fb.i = fa.i
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT vec_id, neighbor_id, d2, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, neighbor_id) AS rank
+        |  FROM dd)
+        |SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id, d2
+        |FROM rk WHERE rank <= $KnnGraphK
+        |ORDER BY vec_id, rank""".stripMargin,
     "v12_ann_ivf_int" ->
       s"""$ivfIntCoreCtes,
         |cnd AS (

@@ -732,6 +732,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs in a melt:\n$p")
   }
 
+  test("v20: neighbor candidates come from the cell equi-join with a " +
+      "map-side per-node rank prune — no all-pairs join") {
+    // the declared query localCheckpoints (lineage cut) — gate the
+    // pre-checkpoint edge-build plan it wraps
+    val (out, assigned) =
+      graft.queries.VectorOps.knnGraphRanked(spark, sf)
+    val p = out.queryExecution.executedPlan.toString
+    assigned.unpersist()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in knn graph:\n$p")
+    assert(p.contains("Join [cell") || p.contains("Join cell") ||
+      p.contains("[cell"), s"candidate join not keyed on cell:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-node top-k must prune map-side before the rank shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the q02 agg pipeline") {
     // AQE hides codegen markers until the final plan materializes —
     // execute first, then inspect; codegen'd stages render as "*(n)"

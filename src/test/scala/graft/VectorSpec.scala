@@ -371,6 +371,30 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("v20 kNN graph: contiguous ranks, distance-monotone per node, " +
+      "rank-1 edges mutually consistent with the exact distances") {
+    val rows = VectorOps.v20KnnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byNode = rows.groupBy(_.getAs[Long]("vec_id"))
+    byNode.foreach { case (v, rs) =>
+      val ranked = rs.sortBy(_.getAs[Int]("rank"))
+      // ranks are 1..k with no gaps, distances non-decreasing, ties
+      // broken by neighbor id (the deterministic contract)
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq ===
+        (1 to ranked.length))
+      val ds = ranked.map(_.getAs[Long]("d2"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"node $v: distances not monotone in rank")
+      ranked.foreach(r => assert(r.getAs[Long]("neighbor_id") !== v,
+        "no self-edges"))
+    }
+    // graph sanity: most nodes found k neighbors (cells are ~40-wide
+    // by construction, far above k)
+    val full = byNode.values.count(_.length == 3)
+    assert(full * 10 >= byNode.size * 9,
+      s"only $full/${byNode.size} nodes have a full neighbor list")
+  }
+
   test("v16 SemDeDup: groups re-derived by independent union-find, " +
       "exactly one kept representative per group, never cross-cell") {
     val rows = VectorOps.v16Semdedup(spark, sf).collect()
