@@ -266,6 +266,46 @@ object Multimodal {
       .select(col("doc_id"), col("a.*")).orderBy("doc_id")
   }
 
+  /** m17 — KEYFRAME SELECTION (scene-cut-anchored frame sampling, the
+    * consumer of m15's shot boundaries): emit frame 0 plus the first
+    * frame of every new shot (each transition clearing
+    * [[SceneCutThresh]]), tagged with its running shot number — the
+    * content-aware sampling manifest a video training pipeline feeds
+    * to the frame extractor (dense at cuts, sparse inside static
+    * shots), next to m03's uniform every-Nth sampling. One row per
+    * selected keyframe via an in-row generator over the decoded AVI;
+    * all map-side, exact integer cut decisions, fully oracled.
+    */
+  val m17Keyframes: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val fs = Avi.frames(blob)
+      val npx = if (fs.nonEmpty) fs(0).length else 0
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]((0, 1))
+      var shot = 1
+      var f = 1
+      while (f < fs.length) {
+        var i = 0; var dsum = 0L
+        while (i < npx) {
+          val a = fs(f - 1)(i); val b = fs(f)(i)
+          dsum += math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)) +
+            math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)) +
+            math.abs((a & 0xff) - (b & 0xff))
+          i += 1
+        }
+        if (dsum > SceneCutThresh * 3L * npx) {
+          shot += 1; out += ((f, shot))
+        }
+        f += 1
+      }
+      out.toSeq
+    }
+    videoTable(s, d)
+      .select(col("doc_id"), explode(dec(col("blob"))).as("k"))
+      .select(col("doc_id"), col("k._1").as("frame_idx"),
+        col("k._2").as("shot_id"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** m16's analysis frame: 64 interleaved samples per energy frame
     * (the 8 ms VAD frame at 8 kHz), and the low-energy decision
     * compares the frame's Σ|s| against frameLen × [[VadMeanAbs]] —
@@ -816,6 +856,7 @@ object Multimodal {
     "m14_grayscale" -> m14Grayscale,
     "m15_scene_cuts" -> m15SceneCuts,
     "m16_audio_segments" -> m16AudioSegments,
+    "m17_keyframes" -> m17Keyframes,
   )
 
   // Every oracle recomputes container contents from the synthesis
@@ -823,6 +864,44 @@ object Multimodal {
   // HUGEINT, hence the BIGINT casts); the Spark side reads the same
   // facts back out of the container bytes instead.
   val oracles: Map[String, String] = Map(
+    // m17: m15's transition deltas recomputed, then frame 0 plus one
+    // row per cut transition, shot id = 1 + cuts through that frame
+    "m17_keyframes" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(3 + n_chars % 13 AS INT) AS w,
+        |    CAST(2 + doc_id % 5 AS INT) AS h,
+        |    CAST(2 + n_chars % 7 AS INT) AS nf
+        |  FROM documents),
+        |tr AS (SELECT doc_id, w, h, unnest(range(1, nf)) AS f FROM p),
+        |px AS (
+        |  SELECT doc_id, f, w * h AS npx,
+        |    abs((doc_id * 13 + f * 23 + i * 19) % 256
+        |      - (doc_id * 13 + (f - 1) * 23 + i * 19) % 256)
+        |    + abs((doc_id * 11 + f * 29 + i * 17) % 256
+        |      - (doc_id * 11 + (f - 1) * 29 + i * 17) % 256)
+        |    + abs((doc_id * 7 + f * 31 + i * 13) % 256
+        |      - (doc_id * 7 + (f - 1) * 31 + i * 13) % 256) AS ad
+        |  FROM (SELECT doc_id, f, w, h, unnest(range(0, w * h)) AS i
+        |        FROM tr)),
+        |fd AS (
+        |  SELECT doc_id, f, max(npx) AS npx, sum(ad) AS diff
+        |  FROM px GROUP BY 1, 2),
+        |cuts AS (
+        |  SELECT doc_id, f,
+        |    CASE WHEN diff > $SceneCutThresh * 3 * npx THEN 1 ELSE 0
+        |      END AS cut
+        |  FROM fd),
+        |kf AS (
+        |  SELECT doc_id, 0 AS frame_idx, 1 AS shot_id FROM p
+        |  UNION ALL
+        |  SELECT doc_id, f AS frame_idx,
+        |    1 + sum(cut) OVER (PARTITION BY doc_id ORDER BY f)
+        |      AS shot_id
+        |  FROM cuts WHERE cut = 1)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(shot_id AS INT) AS shot_id
+        |FROM kf ORDER BY doc_id, frame_idx""".stripMargin,
     // m16: frame energies recomputed from the synthesis formula; the
     // islands rebuild as the classic fi − row_number() grouping; docs
     // with zero low frames keep 0/0 via the left join

@@ -556,6 +556,26 @@ class MultimodalSpec extends SparkSpec {
       "degenerate VAD threshold — all-low or all-high everywhere")
   }
 
+  test("m17 keyframes: frame 0 opens shot 1, one keyframe per m15 " +
+      "cut, shot ids contiguous") {
+    val kf = Multimodal.m17Keyframes(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val cuts = Multimodal.m15SceneCuts(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_cuts")).toMap
+    assert(kf.nonEmpty && kf.keySet === cuts.keySet)
+    kf.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("frame_idx"))
+      assert(sorted.head.getAs[Int]("frame_idx") === 0)
+      assert(sorted.head.getAs[Int]("shot_id") === 1)
+      // exactly one keyframe per shot: n_cuts transitions open
+      // n_cuts new shots after the opener
+      assert(sorted.length === cuts(doc) + 1,
+        s"doc $doc: ${sorted.length} keyframes for ${cuts(doc)} cuts")
+      assert(sorted.map(_.getAs[Int]("shot_id")).toSeq ===
+        (1 to sorted.length))
+    }
+  }
+
   test("m04 stats match a direct recompute of the synthesis formula") {
     val rows = Multimodal.m04AudioStats(spark, sf).collect()
     assert(rows.length > 0)
