@@ -57,7 +57,9 @@ object SparkEntry {
         "s15_stream_session_windows" -> ((s, d) =>
           EventStreams.replaySessionWindows(s, d)),
         "s16_stream_changelog_compact" -> ((s, d) =>
-          EventStreams.replayChangelogCompact(s, d)))
+          EventStreams.replayChangelogCompact(s, d)),
+        "s17_stream_knn_graph" -> ((s, d) =>
+          VectorStreams.replayKnnGraphIngest(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -233,5 +235,11 @@ object SparkEntry {
         // struct-max + count + sum commute across any batch slicing,
         // so q46's oracle verifies the whole maintenance loop
         "s16_stream_changelog_compact" ->
-          Relational.oracles("q46_changelog_compact"))
+          Relational.oracles("q46_changelog_compact"),
+        // per-node top-k merge is associative/commutative under the
+        // deterministic (d2, neighbor) order and every cell-mate pair
+        // is generated exactly once across batches, so the maintained
+        // graph artifact ≡ batch v20 — v20's oracle verifies the loop
+        "s17_stream_knn_graph" ->
+          graft.queries.VectorOps.oracles("v20_knn_graph"))
 }

@@ -849,6 +849,40 @@ object VectorOps {
         s"CAST(round(CAST(x AS DOUBLE) * $FixScale.0D) AS BIGINT))")
         .as("qv"))
 
+  /** v20's trained integer coarse quantizer (the v12/v16 model) — the
+    * fixed model s17's streaming graph maintenance encodes against.
+    */
+  private[graft] def intCoarseModel(s: SparkSession, d: String)
+      : Array[Array[Long]] =
+    intKmeansFit(intTrainSample(fixedEmb(s, d)), IvfIntNlist, IvfIntIters)
+
+  /** Map-side fixed-grid snap + cell assignment under a FIXED model:
+    * (vec_id, v: array<double>) → (vec_id, qv, cell). The snap is the
+    * same SQL round (half away from zero) [[fixedEmb]] applies, so a
+    * streamed vector lands on exactly the batch grid.
+    */
+  private[graft] def assignIntCells(df: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(cents)
+    val cellUdf = udf { (v: Seq[Long]) =>
+      nearestCellInt(bc.value, v.toArray)
+    }
+    df.withColumn("qv", expr(s"transform(v, x -> " +
+        s"CAST(round(CAST(x AS DOUBLE) * $FixScale.0D) AS BIGINT))"))
+      .withColumn("cell", cellUdf(col("qv")))
+      .select(col("vec_id"), col("qv"), col("cell"))
+  }
+
+  /** Exact integer squared-L2 over two snapped vectors (v20/s17). */
+  private[graft] val intD2Udf = udf { (x: Seq[Long], y: Seq[Long]) =>
+    var i = 0; var s2 = 0L
+    while (i < x.length) { val t = x(i) - y(i); s2 += t * t; i += 1 }
+    s2
+  }
+
+  /** v20's graph degree, shared with the s17 maintenance loop. */
+  private[graft] def knnGraphDegree: Int = KnnGraphK
+
   private def dist2Int(a: Array[Long], b: Array[Long]): Long = {
     var s = 0L; var i = 0
     val n = math.min(a.length, b.length)

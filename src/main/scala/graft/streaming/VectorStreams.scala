@@ -84,6 +84,136 @@ object VectorStreams {
     spark.table(qn).orderBy("vec_id")
   }
 
+  /** s17 — streaming k-NN GRAPH maintenance (the streaming twin of
+    * batch v20, completing the index-maintenance symmetry: t15/s05
+    * keep the text band index current, v09/s12 the vector codes,
+    * v20/s17 the neighbor graph): embedding batches arrive as files
+    * in ascending vec_id spans (append-only corpus growth); each
+    * batch snaps + cell-assigns MAP-SIDE against the FIXED trained
+    * coarse quantizer (broadcast — the s12 model-fixed rule), emits
+    * its new directed cell-mate edges (batch×batch plus both
+    * directions of batch×accumulated-store), and MERGES them into the
+    * per-node top-k graph artifact by the same (d², neighbor) order.
+    * Per-node top-k merge is associative and commutative under the
+    * deterministic total order, so after the replay the artifact
+    * equals batch v20 EXACTLY — v20's oracle verifies the whole loop.
+    * The engine state store carries nothing (stateless foreachBatch;
+    * the artifact is the state) and per-batch cost is
+    * O(batch × cell-mates + |graph|), never a corpus re-pair.
+    */
+  def replayKnnGraphIngest(spark: SparkSession, dir: String)
+      : DataFrame = replayKnnGraphIngestWithStats(spark, dir)._1
+
+  /** s17 plus the engine state-store row total (must be 0) for the
+    * StreamingSpec assertion.
+    */
+  def replayKnnGraphIngestWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 4): (DataFrame, Long) = {
+    import graft.queries.VectorOps
+    val work = java.nio.file.Files.createTempDirectory("graft-s17")
+      .toFile
+    try {
+      val cents = VectorOps.intCoarseModel(spark, dir)
+      val k = VectorOps.knnGraphDegree
+      val srcDir = s"${work.getAbsolutePath}/incoming"
+      new java.io.File(srcDir).mkdirs()
+      // ascending vec_id spans: batch i carries ids in
+      // [i·span, (i+1)·span) — the append-only ingest shape
+      val all = spark.read.schema(embSchema)
+        .parquet(s"$dir/embeddings.parquet")
+      val maxId = all.agg(max("vec_id")).head().getLong(0)
+      val span = maxId / nBatches + 1
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      (0 until nBatches).foreach { i =>
+        val stage = s"${work.getAbsolutePath}/stage$i"
+        all.filter(col("vec_id") >= i * span &&
+            col("vec_id") < (i + 1) * span)
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      val asgDirs = scala.collection.mutable.ListBuffer[String]()
+      val graphDirs = scala.collection.mutable.ListBuffer[String]()
+      val base = work.getAbsolutePath
+      val q = spark.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$srcDir/b*.parquet")
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          if (!batch.isEmpty) {
+            val s = batch.sparkSession
+            val asgB = VectorOps.assignIntCells(
+              batch.select(col("vec_id"),
+                transform(col("embedding"), x => x.cast("double"))
+                  .as("v")), cents)
+              .persist()
+            val store = asgDirs.map(s.read.parquet(_))
+              .reduceOption(_ unionByName _)
+            def edges(a: DataFrame, b: DataFrame): DataFrame =
+              a.select(col("cell"), col("vec_id"), col("qv").as("x1"))
+                .join(b.select(col("cell"),
+                  col("vec_id").as("neighbor_id"),
+                  col("qv").as("x2")), Seq("cell"))
+                .filter(col("vec_id") =!= col("neighbor_id"))
+                .select(col("vec_id"), col("neighbor_id"),
+                  VectorOps.intD2Udf(col("x1"), col("x2")).as("d2"))
+            val fresh = store match {
+              case Some(st) =>
+                edges(asgB, asgB)
+                  .unionByName(edges(asgB, st))
+                  .unionByName(edges(st, asgB))
+              case None => edges(asgB, asgB)
+            }
+            val merged = graphDirs.lastOption
+              .map(p => s.read.parquet(p).unionByName(fresh))
+              .getOrElse(fresh)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id").orderBy(col("d2"),
+                col("neighbor_id"))
+            val pruned = merged
+              .withColumn("rk", row_number().over(w))
+              .filter(col("rk") <= k)
+              .select("vec_id", "neighbor_id", "d2")
+            val gPath = s"$base/graph/b$batchId"
+            pruned.write.parquet(gPath)
+            graphDirs += gPath
+            val aPath = s"$base/asg/b$batchId"
+            asgB.write.parquet(aPath)
+            asgB.unpersist()
+            asgDirs += aPath
+          }
+          ()
+        }
+        .start()
+      val stateRows =
+        try {
+          q.awaitTermination()
+          Option(q.lastProgress).toSeq
+            .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        } finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d2"), col("neighbor_id"))
+      val fin = spark.read.parquet(graphDirs.last)
+        .withColumn("rank", row_number().over(w))
+        .select("vec_id", "rank", "neighbor_id", "d2")
+        .orderBy("vec_id", "rank")
+      // materialize BEFORE the temp graph dir is deleted
+      val rows = fin.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fin.schema), stateRows)
+    } finally deleteRecursively(work)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty)
       .foreach(deleteRecursively)

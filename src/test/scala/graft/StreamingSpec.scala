@@ -333,6 +333,23 @@ class StreamingSpec extends SparkSpec {
       s"foreachBatch compaction must be stateless, got $stateRows")
   }
 
+  test("streaming kNN-graph maintenance (declared s17) equals batch " +
+      "v20 and carries no engine state") {
+    val (df, stateRows) = graft.streaming.VectorStreams
+      .replayKnnGraphIngestWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = graft.queries.VectorOps.v20KnnGraph(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    // the graph artifact is the state: the stateless foreachBatch
+    // merge loop must report zero state-store rows
+    assert(stateRows === 0L,
+      s"foreachBatch graph maintenance must be stateless, got " +
+        s"$stateRows")
+  }
+
   test("stream-stream interval join (declared s14) emits exactly the " +
       "batch interval-join pair set") {
     import org.apache.spark.sql.functions._
