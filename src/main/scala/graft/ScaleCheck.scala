@@ -105,6 +105,45 @@ object ScaleCheck {
       docs.unpersist()
       index.unpersist()
     }
+
+    // claim 3: the v20/s17 kNN-graph build stays ~linear when nlist
+    // grows with the corpus (constant cell width), vs the quadratic
+    // blow-up of a FIXED nlist. The k× embedding corpus is k
+    // id-shifted replicas separated by a large dim-0 grid offset, so
+    // each replica keeps the original's internal neighbor structure
+    // but replicas are linearly separable — exactly the regime where
+    // proportional nlist keeps cells replica-local and constant-width.
+    val vks = sys.env.getOrElse("SPARK_GRAFT_VSCALE_KS", "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
+    val febase = graft.queries.VectorOps.fixedEmbFrame(spark, sfDir)
+    def vreplica(r: Int): org.apache.spark.sql.DataFrame =
+      febase.select(
+        (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        expr(s"transform(qv, (x, i) -> CASE WHEN i = 0 " +
+          s"THEN x + ${r}L * 50000000L ELSE x END)").as("qv"))
+    // warmup: JIT the edge-build plan once
+    graft.queries.VectorOps.knnGraphRankedOf(vreplica(0).limit(200), 4, 2)
+      ._1.count()
+    vks.foreach { k =>
+      val fe = (0 until k).map(vreplica).reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+      val nVecs = fe.count()
+      val (eProp, tProp) = timed {
+        val (out, asg) = graft.queries.VectorOps
+          .knnGraphRankedOf(fe, 16 * k, 2)
+        val n = out.count(); asg.unpersist(); n
+      }
+      val (eFix, tFix) = timed {
+        val (out, asg) = graft.queries.VectorOps
+          .knnGraphRankedOf(fe, 16, 2)
+        val n = out.count(); asg.unpersist(); n
+      }
+      println(
+        f"""{"probe":"knn_graph","k":$k,"n_vecs":$nVecs,"nlist_prop":${16 * k},"edges_prop":$eProp,"sec_prop":$tProp%.2f,"nlist_fixed":16,"edges_fixed":$eFix,"sec_fixed":$tFix%.2f}""")
+      fe.unpersist()
+      ()
+    }
     spark.stop()
   }
 }
