@@ -940,6 +940,60 @@ object TextOps {
       .orderBy(desc("n_pairs"), asc("a"), asc("b"))
       .limit(50)
 
+  /** t39 — QUALITY-FILTER CASCADE with reason codes (the C4/RefinedWeb
+    * composed keep/drop decision a production pipeline actually
+    * ships): each document runs the ordered rule chain — too_short
+    * (t02's length floor) → low_diversity (t02's lexical-diversity
+    * floor) → repetitive (t22's Gopher bigram/trigram bars) →
+    * lang_mismatch (t03's marker-scored prediction vs the label) —
+    * and reports keep plus the FIRST failing rule, the audit trail
+    * curation dashboards read. Composition shape: the scalar rules
+    * are one map-side projection over a single scan; only t22's gram
+    * shares need their two (doc_id, gram)-keyed partial-aggregated
+    * shuffles, joined back by doc_id (left — short docs have no gram
+    * rows and fail earlier rules anyway). At 100 TB this is the same
+    * cost as t22 alone; every added scalar rule is free.
+    */
+  val t39FilterCascade: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .withColumn("p", concat(lit(" "), trim(col("text")), lit(" ")))
+      .selectExpr(Seq(
+        "doc_id", "lang",
+        "size(split(trim(text), '\\\\s+')) AS n_words",
+        "size(array_distinct(split(trim(text), '\\\\s+'))) AS n_distinct") ++
+        langMarkers.map { case (l, ms) =>
+          s"${langScoreExpr(ms)} AS s_$l"
+        }: _*)
+      .selectExpr("doc_id", "lang", "n_words", "n_distinct",
+        s"$langCaseExpr AS predicted_lang")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    def gramStats(k: Int) = toks.filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $k)))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val bi = gramStats(2).groupBy("doc_id")
+      .agg(round(max("c").cast("double") / sum("c"), 4)
+        .as("top_bigram_share"))
+    val tri = gramStats(3).groupBy("doc_id")
+      .agg(round((sum("c") - count(lit(1))).cast("double") / sum("c"), 4)
+        .as("dup_trigram_frac"))
+    base.join(bi, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("n_words") < 20, "too_short")
+          .when(col("n_distinct").cast("double") / col("n_words") < 0.2,
+            "low_diversity")
+          .when(coalesce(col("top_bigram_share"), lit(0.0)) > 0.05 ||
+            coalesce(col("dup_trigram_frac"), lit(0.0)) > 0.02,
+            "repetitive")
+          .when(col("predicted_lang") =!= col("lang"), "lang_mismatch")
+          .otherwise("kept"))
+      .withColumn("keep", (col("reason") === "kept").cast("int"))
+      .select("doc_id", "keep", "reason")
+      .orderBy("doc_id")
+  }
+
   /** s11's per-batch kernel: the overlap-matrix CONTRIBUTION of one
     * ingest batch — verified near-dup pairs whose LATER member is in
     * the batch (within-batch pairs + batch-vs-accumulated-index pairs),
@@ -2164,6 +2218,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t39_filter_cascade" -> t39FilterCascade,
     "t38_merge_pairs" -> t38MergePairs,
     "t37_source_overlap" -> t37SourceOverlap,
     "t36_gram_novelty" -> t36GramNovelty,
@@ -2643,6 +2698,65 @@ object TextOps {
           |SELECT doc_id, count(*) AS n_grams, min(h) AS min_hash,
           |  count(DISTINCT h) AS n_distinct
           |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // t39: the same rule chain re-derived — t02's scalar metrics +
+      // t22's gram-share CTEs + t03's marker case, one CASE in the
+      // same order (left joins NULL-coalesce like the engine)
+      "t39_filter_cascade" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, lang,
+           |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+           |    len(list_distinct(string_split_regex(trim(text),
+           |      '\\s+'))) AS n_distinct,
+           |    concat(' ', trim(text), ' ') AS p
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, lang, n_words, n_distinct,
+           |  $langScoreSql
+           |  FROM base),
+           |pred AS (
+           |  SELECT doc_id, lang, n_words, n_distinct,
+           |    $langCaseExpr AS predicted_lang
+           |  FROM scored),
+           |toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+           |  FROM documents),
+           |bi AS (
+           |  SELECT doc_id, g, count(*) AS c FROM (
+           |    SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+           |    FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+           |          FROM toks WHERE len(t) >= 2))
+           |  GROUP BY 1, 2),
+           |tri AS (
+           |  SELECT doc_id, g, count(*) AS c FROM (
+           |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+           |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+           |          FROM toks WHERE len(t) >= 3))
+           |  GROUP BY 1, 2),
+           |bs AS (SELECT doc_id,
+           |         round(CAST(max(c) AS DOUBLE) / sum(c), 4)
+           |           AS top_bigram_share
+           |       FROM bi GROUP BY 1),
+           |ts AS (SELECT doc_id,
+           |         round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4)
+           |           AS dup_trigram_frac
+           |       FROM tri GROUP BY 1),
+           |dec AS (
+           |  SELECT p.doc_id,
+           |    CASE
+           |      WHEN p.n_words < 20 THEN 'too_short'
+           |      WHEN CAST(p.n_distinct AS DOUBLE) / p.n_words < 0.2
+           |        THEN 'low_diversity'
+           |      WHEN coalesce(bs.top_bigram_share, 0.0) > 0.05
+           |        OR coalesce(ts.dup_trigram_frac, 0.0) > 0.02
+           |        THEN 'repetitive'
+           |      WHEN p.predicted_lang <> p.lang THEN 'lang_mismatch'
+           |      ELSE 'kept' END AS reason
+           |  FROM pred p
+           |  LEFT JOIN bs ON bs.doc_id = p.doc_id
+           |  LEFT JOIN ts ON ts.doc_id = p.doc_id)
+           |SELECT doc_id,
+           |  CAST(reason = 'kept' AS INT) AS keep, reason
+           |FROM dec ORDER BY doc_id""".stripMargin,
       // t38: 1-based list indexing over the same \s+ tokenization —
       // range(1, len) stops at len-1, so (l[i], l[i+1]) enumerates
       // exactly the engine's zip_with-against-tail pairs; the LIMIT

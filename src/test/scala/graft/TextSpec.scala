@@ -759,6 +759,36 @@ class TextSpec extends SparkSpec {
     assert(rate > 0.10 && rate < 0.20, s"mask rate $rate off target")
   }
 
+  test("t39 cascade agrees with its component rules and orders " +
+      "reasons first-fail-wins") {
+    val cascade = TextOps.t39FilterCascade(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val quality = TextOps.t02QualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_words"), r.getAs[Boolean]("keep_doc"))).toMap
+    val rep = TextOps.t22Repetition(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("flagged"))
+      .toMap
+    val langOk = TextOps.t03LangId(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("predicted_lang") == r.getAs[String]("lang")))
+      .toMap
+    assert(cascade.nonEmpty)
+    cascade.foreach { case (doc, (keep, reason)) =>
+      val (nWords, q) = quality(doc)
+      val pass = q && !rep.getOrElse(doc, false) && langOk(doc)
+      assert((keep == 1) === pass,
+        s"doc $doc: keep=$keep vs components pass=$pass ($reason)")
+      // first-fail-wins ordering spot checks
+      if (reason == "too_short") assert(nWords < 20)
+      if (reason == "repetitive") assert(q && rep(doc))
+      if (reason == "lang_mismatch")
+        assert(q && !rep.getOrElse(doc, false) && !langOk(doc))
+    }
+    // the cascade discriminates: multiple reasons actually fire
+    assert(cascade.values.map(_._2).toSet.size >= 3)
+  }
+
   test("t22 repetition scores are exact on a constructed document") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
