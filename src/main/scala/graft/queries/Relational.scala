@@ -916,6 +916,32 @@ object Relational {
           "max_price")))
       .orderBy("l_returnflag")
 
+  /** q48 — SALTED EQUI-JOIN as a declared, oracled query (the join
+    * half of the skew mandate, next to q35's salted aggregation):
+    * lineitem joins supplier through [[graft.operators.Skew.saltedJoin]]
+    * — left rows take a row-hash salt, the right side replicates once
+    * per salt value, and the join key becomes (suppkey, __salt), so a
+    * hot supplier's rows split across `buckets` tasks instead of
+    * landing on one reducer. This is the static remedy for the case
+    * AQE's skew split doesn't cover (broadcast-ineligible right side,
+    * hot-key left); correctness is salt-invariant, so the plain join
+    * is the oracle. The rollup per nation keeps the output small and
+    * order-exact.
+    */
+  val q48SaltedJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"),
+        col("l_extendedprice"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.Skew.saltedJoin(li, sup, "suppkey", buckets = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("s_nationkey")
+  }
+
   /** q36 — co-located bucketed join as a declared, oracled query
     * (mandate "bucketing for co-located joins"): both sides are written
     * bucketed+sorted on the join key (paid once at write time — the
@@ -1121,6 +1147,7 @@ object Relational {
     "q40_portable_hist_merge" -> q40PortableHistMerge,
     "q36_bucketed_join" -> q36BucketedJoin,
     "q35_salted_agg" -> q35SaltedAgg,
+    "q48_salted_join" -> q48SaltedJoin,
     "q33_hll_sketch_union" -> q33HllSketchUnion,
     "q32_ranking_windows" -> q32RankingWindows,
     "q31_asof_join" -> q31AsofJoin,
@@ -1324,6 +1351,14 @@ object Relational {
         |ORDER BY o_orderstatus""".stripMargin,
     // the salted two-phase plan must equal the PLAIN group-by — that
     // equality is the point, so the plain form is the oracle
+    // q48: salting is correctness-invariant, so the plain join + the
+    // same per-nation rollup is the oracle
+    "q48_salted_join" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
     "q35_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
         |  count(l_orderkey) AS n_rows,

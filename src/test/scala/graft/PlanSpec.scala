@@ -749,6 +749,19 @@ class PlanSpec extends SparkSpec {
       s"per-node top-k must prune map-side before the rank shuffle:\n$p")
   }
 
+  test("q48: the salted join keys on (suppkey, __salt) with the " +
+      "right side replicated by a generator — hot keys split across " +
+      "buckets") {
+    val p = plan("q48_salted_join")
+    assert(p.contains("__salt"),
+      s"join must carry the salt in its key:\n$p")
+    assert(p.contains("Generate"),
+      s"right-side replication must be the explode generator:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"salted join degenerated to an unkeyed join:\n$p")
+  }
+
   test("whole-stage codegen covers the q02 agg pipeline") {
     // AQE hides codegen markers until the final plan materializes —
     // execute first, then inspect; codegen'd stages render as "*(n)"
