@@ -860,6 +860,35 @@ object Relational {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("k_bucket")
 
+  /** q49 — MAP-typed feature profiles (§2.8's map surface as a real
+    * feature-store shape): each user's event-type histogram built as a
+    * MapType column (`map_from_entries` over a sorted entry list —
+    * deterministic construction), then consumed back through
+    * `size(map)` and `explode(map)` into the per-type rollup. The map
+    * round-trip is the point: construction, width, and explosion all
+    * run distributed and codegen'd, with the map living only INSIDE
+    * the plan — the declared output is flat columns, so the oracle is
+    * plain SQL with no cross-engine map-ordering hazard. Two keyed
+    * shuffles (user×type counts, then the type rollup), both
+    * partial-aggregated.
+    */
+  val q49MapProfile: Q = (s, d) => {
+    val profiles = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("event_type"), col("c"))))).as("m"))
+    profiles
+      .select(col("user_id"), size(col("m")).as("n_types"),
+        explode(col("m")).as(Seq("event_type", "c")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum("c").as("n_events"),
+        round(avg("n_types"), 4).as("avg_profile_width"))
+      .orderBy("event_type")
+  }
+
   /** q29 — exact interpolated percentiles (both engines implement the
     * same linear-interpolation definition: Spark `percentile`, DuckDB
     * `quantile_cont`). At 100 TB you'd switch to `approx_percentile`
@@ -1148,6 +1177,7 @@ object Relational {
     "q36_bucketed_join" -> q36BucketedJoin,
     "q35_salted_agg" -> q35SaltedAgg,
     "q48_salted_join" -> q48SaltedJoin,
+    "q49_map_profile" -> q49MapProfile,
     "q33_hll_sketch_union" -> q33HllSketchUnion,
     "q32_ranking_windows" -> q32RankingWindows,
     "q31_asof_join" -> q31AsofJoin,
@@ -1351,6 +1381,19 @@ object Relational {
         |ORDER BY o_orderstatus""".stripMargin,
     // the salted two-phase plan must equal the PLAIN group-by — that
     // equality is the point, so the plain form is the oracle
+    // q49: the flat re-derivation — per-(user, type) counts, per-user
+    // profile width, per-type rollup; the engine's map round-trip
+    // must land on exactly these numbers
+    "q49_map_profile" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT user_id, count(*) AS n_types FROM c GROUP BY 1)
+        |SELECT c.event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(c.c) AS BIGINT) AS n_events,
+        |  round(avg(w.n_types), 4) AS avg_profile_width
+        |FROM c JOIN w ON w.user_id = c.user_id
+        |GROUP BY 1 ORDER BY c.event_type""".stripMargin,
     // q48: salting is correctness-invariant, so the plain join + the
     // same per-nation rollup is the oracle
     "q48_salted_join" ->
