@@ -1002,6 +1002,67 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** v21 — ANN RECALL EVALUATION as a first-class distributed op (the
+    * eval harness every index deployment runs before trusting an
+    * approximate search): per query, recall@10 of the integer IVF
+    * search (v12's probe-cell candidates under the same trained
+    * quantizer) against the EXACT top-10 from a full brute-force pass
+    * — both sides integer-exact on the fixed grid with the
+    * deterministic (d², id) rank, so hits and recall hash-match the
+    * oracle bit-for-bit. Shapes: the ANN side is v12's cell-keyed
+    * candidate join + per-query WindowGroupLimit; the exact side
+    * broadcasts the 50-row query set into one corpus pass (the
+    * v01/v06 bounded-query rule — the corpus never self-joins); the
+    * intersection is a (qid, vec_id)-keyed join of two ≤10-row-per-
+    * query frames. At 100 TB the eval cost is one brute pass over a
+    * sampled query set — exactly how production recall audits run.
+    */
+  val v21AnnRecall: Q = (s, d) => {
+    val fe = fixedEmb(s, d)
+    val cents = intKmeansFit(intTrainSample(fe), IvfIntNlist, IvfIntIters)
+    val bc = s.sparkContext.broadcast(cents)
+    val cellUdf = udf { (v: Seq[Long]) =>
+      nearestCellInt(bc.value, v.toArray)
+    }
+    val probeUdf = udf { (v: Seq[Long]) =>
+      val va = v.toArray
+      bc.value.indices
+        .map(c => (dist2Int(bc.value(c), va), c))
+        .sorted.take(IvfIntNprobe).map(_._2)
+    }
+    val e = fe.repartition(s.sparkContext.defaultParallelism)
+    val assigned = e.withColumn("cell", cellUdf(col("qv"))).persist()
+    val queries = assigned.filter(col("vec_id") < IvfIntMaxQid)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    def top10(cand: DataFrame): DataFrame = cand
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("qid", "vec_id")
+    val annTop = top10(assigned
+      .join(queries.select(col("qid"), col("qqv"),
+        explode(probeUdf(col("qqv"))).as("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        intD2Udf(col("qqv"), col("qv")).as("d2")))
+    val exactTop = top10(e
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        intD2Udf(col("qqv"), col("qv")).as("d2")))
+    val hits = annTop.join(exactTop, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    val out = queries.select("qid")
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall_at_10",
+        round(col("n_hits") / lit(10).cast("double"), 4))
+      .orderBy("qid")
+    val res = out.localCheckpoint()
+    assigned.unpersist()
+    res
+  }
+
   /** v19 — K-MEANS CLUSTERING as a first-class output (not just the
     * internal quantizer): the v12 integer Lloyd's trains on the shared
     * grid sample, every corpus vector routes map-side to its cluster,
@@ -1525,6 +1586,7 @@ object VectorOps {
     "v14_ann_ivfpq_int" -> v14AnnIvfPqInt,
     "v16_semdedup" -> v16Semdedup,
     "v20_knn_graph" -> v20KnnGraph,
+    "v21_ann_recall" -> v21AnnRecall,
   )
 
   /** Shared oracle prefix for the integer IVF family (v12, v14): the
@@ -2075,6 +2137,51 @@ object VectorOps {
         |SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id, d2
         |FROM rk WHERE rank <= $KnnGraphK
         |ORDER BY vec_id, rank""".stripMargin,
+    // v21: v12's candidate/rank CTEs widened to top-10, an exact
+    // brute top-10 per query, and the (qid, vec_id)-keyed hit count —
+    // recall recomputed bit-for-bit
+    "v21_ann_recall" ->
+      s"""$ivfIntCoreCtes,
+        |cnd AS (
+        |  SELECT p.qid, a.vec_id
+        |  FROM prb p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid),
+        |cd AS (
+        |  SELECT c.qid, c.vec_id,
+        |    sum((q.qx - t.qx) * (q.qx - t.qx)) AS d2
+        |  FROM cnd c
+        |  JOIN fx q ON q.vec_id = c.qid
+        |  JOIN fx t ON t.vec_id = c.vec_id AND t.i = q.i
+        |  GROUP BY 1, 2),
+        |annt AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY d2, vec_id) AS rk
+        |    FROM cd) WHERE rk <= 10),
+        |qs AS (
+        |  SELECT DISTINCT vec_id AS qid FROM embeddings
+        |  WHERE vec_id < $IvfIntMaxQid),
+        |ext AS (
+        |  SELECT q.qid, t.vec_id,
+        |    sum((a.qx - b.qx) * (a.qx - b.qx)) AS d2
+        |  FROM qs q
+        |  JOIN embeddings t ON t.vec_id <> q.qid
+        |  JOIN fx a ON a.vec_id = q.qid
+        |  JOIN fx b ON b.vec_id = t.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |extt AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY d2, vec_id) AS rk
+        |    FROM ext) WHERE rk <= 10),
+        |hits AS (
+        |  SELECT a.qid, count(*) AS n FROM annt a
+        |  JOIN extt e ON e.qid = a.qid AND e.vec_id = a.vec_id
+        |  GROUP BY 1)
+        |SELECT q.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+        |  round(coalesce(h.n, 0) / CAST(10 AS DOUBLE), 4)
+        |    AS recall_at_10
+        |FROM qs q LEFT JOIN hits h ON h.qid = q.qid
+        |ORDER BY q.qid""".stripMargin,
     "v12_ann_ivf_int" ->
       s"""$ivfIntCoreCtes,
         |cnd AS (

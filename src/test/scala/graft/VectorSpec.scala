@@ -395,6 +395,27 @@ class VectorSpec extends SparkSpec {
       s"only $full/${byNode.size} nodes have a full neighbor list")
   }
 
+  test("v21 ANN recall eval: one row per query, hits within bounds, " +
+      "and the metric discriminates (neither all-0 nor all-1)") {
+    val rows = VectorOps.v21AnnRecall(spark, sf).collect()
+    assert(rows.length === 50, "one row per query id < 50")
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(hits >= 0 && hits <= 10)
+      assert(math.abs(rec - hits / 10.0) < 1e-9,
+        s"recall must be n_hits/10, got $rec for $hits")
+    }
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    // nprobe=4 of nlist=16 cells: partial recall is the expected
+    // regime — the eval must show real signal, not a degenerate
+    // all-hit or all-miss artifact
+    assert(recalls.sum / recalls.length > 0.2,
+      "mean recall implausibly low — ANN side broken")
+    assert(recalls.distinct.length > 1,
+      "recall is constant across queries — eval not discriminating")
+  }
+
   test("v16 SemDeDup: groups re-derived by independent union-find, " +
       "exactly one kept representative per group, never cross-cell") {
     val rows = VectorOps.v16Semdedup(spark, sf).collect()
