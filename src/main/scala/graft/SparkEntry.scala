@@ -59,7 +59,9 @@ object SparkEntry {
         "s16_stream_changelog_compact" -> ((s, d) =>
           EventStreams.replayChangelogCompact(s, d)),
         "s17_stream_knn_graph" -> ((s, d) =>
-          VectorStreams.replayKnnGraphIngest(s, d)))
+          VectorStreams.replayKnnGraphIngest(s, d)),
+        "s18_stream_quality_gate" -> ((s, d) =>
+          EventStreams.replayQualityGate(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -241,5 +243,10 @@ object SparkEntry {
         // is generated exactly once across batches, so the maintained
         // graph artifact ≡ batch v20 — v20's oracle verifies the loop
         "s17_stream_knn_graph" ->
-          graft.queries.VectorOps.oracles("v20_knn_graph"))
+          graft.queries.VectorOps.oracles("v20_knn_graph"),
+        // every t39 rule is per-document (no cross-document state),
+        // so the union of per-batch verdicts ≡ batch t39 — t39's
+        // oracle verifies the streaming admission loop
+        "s18_stream_quality_gate" ->
+          TextOps.oracles("t39_filter_cascade"))
 }

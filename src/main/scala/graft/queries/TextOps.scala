@@ -954,8 +954,15 @@ object TextOps {
     * rows and fail earlier rules anyway). At 100 TB this is the same
     * cost as t22 alone; every added scalar rule is free.
     */
-  val t39FilterCascade: Q = (s, d) => {
-    val base = Tables.documents(s, d)
+  val t39FilterCascade: Q = (s, d) =>
+    filterCascadeOf(Tables.documents(s, d))
+
+  /** t39's rule chain over an arbitrary (doc_id, lang, text, ...)
+    * frame — shared with s18's streaming admission gate (every rule is
+    * per-document, so the per-batch union equals the batch run).
+    */
+  private[graft] def filterCascadeOf(docs: DataFrame): DataFrame = {
+    val base = docs
       .withColumn("p", concat(lit(" "), trim(col("text")), lit(" ")))
       .selectExpr(Seq(
         "doc_id", "lang",
@@ -966,7 +973,7 @@ object TextOps {
         }: _*)
       .selectExpr("doc_id", "lang", "n_words", "n_distinct",
         s"$langCaseExpr AS predicted_lang")
-    val toks = Tables.documents(s, d)
+    val toks = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
     def gramStats(k: Int) = toks.filter(size(col("t")) >= k)
       .select(col("doc_id"), explode(expr(

@@ -521,6 +521,85 @@ object EventStreams {
     } finally deleteRecursively(work)
   }
 
+  /** s18 — STREAMING QUALITY-GATE ADMISSION (t39's streaming twin,
+    * the admission controller at the ingest door): each arriving
+    * document batch runs the full t39 rule chain INSIDE its
+    * micro-batch — every rule is per-document (scalar metrics, the
+    * doc's own gram shares, the doc's own language markers; no
+    * cross-document state), so the union of per-batch verdicts equals
+    * the batch t39 run EXACTLY and t39's oracle verifies the loop.
+    * This is the curation pattern s09 (decontamination) established,
+    * applied to the quality cascade: verdicts are final at admission
+    * time, admitted documents are never rescanned, the engine state
+    * store carries nothing, and per-batch cost is t39-of-batch-size.
+    */
+  def replayQualityGate(spark: SparkSession, dir: String): DataFrame =
+    replayQualityGateWithStats(spark, dir)._1
+
+  /** s18 plus the engine state-store row total (must be 0) for the
+    * StreamingSpec assertion.
+    */
+  def replayQualityGateWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 4): (DataFrame, Long) = {
+    import graft.queries.TextOps
+    val work = java.nio.file.Files.createTempDirectory("graft-s18")
+      .toFile
+    try {
+      val base = work.getAbsolutePath
+      val srcDir = s"$base/incoming"
+      new java.io.File(srcDir).mkdirs()
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType)))
+      val all = graft.Tables.documents(spark, dir)
+        .select("doc_id", "text", "lang")
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      (0 until nBatches).foreach { i =>
+        val stage = s"$base/stage$i"
+        all.filter(pmod(col("doc_id"), lit(nBatches)) === i)
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      val verdicts = scala.collection.mutable.ListBuffer[String]()
+      val q = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$srcDir/b*.parquet")
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          if (!batch.isEmpty) {
+            val path = s"$base/verdicts/b$batchId"
+            TextOps.filterCascadeOf(batch).write.parquet(path)
+            verdicts += path
+          }
+          ()
+        }
+        .start()
+      val stateRows =
+        try {
+          q.awaitTermination()
+          Option(q.lastProgress).toSeq
+            .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        } finally q.stop()
+      val fin = spark.read.parquet(verdicts.toSeq: _*)
+        .orderBy("doc_id")
+      // materialize BEFORE the temp verdict dirs are deleted
+      val rows = fin.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fin.schema), stateRows)
+    } finally deleteRecursively(work)
+  }
+
   /** Scale-safe declared streaming dedup (s02): the streaming twin of
     * the exact-dedup batch operators (t04/q10) and the ingest-side
     * counterpart of the t15 incremental dedup — first sight of a

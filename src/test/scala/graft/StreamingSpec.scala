@@ -350,6 +350,20 @@ class StreamingSpec extends SparkSpec {
         s"$stateRows")
   }
 
+  test("streaming quality gate (declared s18) equals batch t39 and " +
+      "carries no engine state") {
+    val (df, stateRows) =
+      EventStreams.replayQualityGateWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = graft.queries.TextOps.t39FilterCascade(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(stateRows === 0L,
+      s"per-batch admission must be stateless, got $stateRows")
+  }
+
   test("stream-stream interval join (declared s14) emits exactly the " +
       "batch interval-join pair set") {
     import org.apache.spark.sql.functions._
