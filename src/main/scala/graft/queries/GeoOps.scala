@@ -221,7 +221,45 @@ object GeoOps {
           StructField("area_deg2", DoubleType))))
     }
 
+  /** g09 — GRID-LOCAL SPATIAL kNN JOIN (the geo member of the
+    * cell-local kNN family next to v20's embedding graph): every
+    * point's 3 nearest 30°-grid-cell-mates under exact squared degree
+    * distance — the "nearest facilities" join a service-area analysis
+    * runs, answered without an all-pairs join. Candidates come from
+    * the (cell_x, cell_y) self equi-join — at 100 TB the grid is the
+    * spatial index, cell width tuned so cells stay constant-size as
+    * density grows — and the per-point top-k is a WindowGroupLimit
+    * prune. Coordinates are integer+0.5 by construction, so every
+    * squared distance is an exact integer and the (d², neighbor) rank
+    * hash-matches the oracle bit-for-bit.
+    */
+  val g09KnnJoin: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val c = points(s, d).select(
+      col("c_custkey"), col("lon"), col("lat"),
+      floor((col("lon") + 180) / 30).cast("int").as("cx"),
+      floor((col("lat") + 90) / 30).cast("int").as("cy"))
+    val a = c.select(col("cx"), col("cy"), col("c_custkey"),
+      col("lon"), col("lat"))
+    val b = c.select(col("cx"), col("cy"),
+      col("c_custkey").as("neighbor_id"),
+      col("lon").as("n_lon"), col("lat").as("n_lat"))
+    val w = Window.partitionBy("c_custkey")
+      .orderBy(col("d2"), col("neighbor_id"))
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("c_custkey") =!= col("neighbor_id"))
+      .withColumn("d2",
+        ((col("lon") - col("n_lon")) * (col("lon") - col("n_lon")) +
+          (col("lat") - col("n_lat")) * (col("lat") - col("n_lat")))
+          .cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("c_custkey", "rank", "neighbor_id", "d2")
+      .orderBy("c_custkey", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "g09_knn_join" -> g09KnnJoin,
     "g08_area_extremes" -> g08AreaExtremes,
     "g07_zorder_scan" -> g07ZOrderScan,
     "g06_alaska_cleaned_replay" -> g06AlaskaReplay,
@@ -282,5 +320,28 @@ object GeoOps {
          |  CAST(floor((lat + 90) / 60) AS INT) AS cell_y,
          |  count(*) AS n_points
          |FROM p GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin,
+    // g09: cell-mate pairs + exact integer squared degree distance +
+    // the per-point (d2, neighbor) rank, re-derived flat
+    "g09_knn_join" ->
+      s"""WITH p AS ($pointsSql),
+         |c AS (
+         |  SELECT c_custkey, lon, lat,
+         |    CAST(floor((lon + 180) / 30) AS INT) AS cx,
+         |    CAST(floor((lat + 90) / 30) AS INT) AS cy
+         |  FROM p),
+         |pr AS (
+         |  SELECT a.c_custkey, b.c_custkey AS neighbor_id,
+         |    CAST((a.lon - b.lon) * (a.lon - b.lon)
+         |      + (a.lat - b.lat) * (a.lat - b.lat) AS BIGINT) AS d2
+         |  FROM c a JOIN c b
+         |    ON a.cx = b.cx AND a.cy = b.cy
+         |   AND a.c_custkey <> b.c_custkey),
+         |rk AS (
+         |  SELECT c_custkey, neighbor_id, d2, row_number() OVER (
+         |    PARTITION BY c_custkey ORDER BY d2, neighbor_id) AS rank
+         |  FROM pr)
+         |SELECT c_custkey, CAST(rank AS INT) AS rank, neighbor_id, d2
+         |FROM rk WHERE rank <= 3
+         |ORDER BY c_custkey, rank""".stripMargin,
   )
 }

@@ -762,6 +762,19 @@ class PlanSpec extends SparkSpec {
       s"salted join degenerated to an unkeyed join:\n$p")
   }
 
+  test("g09: spatial kNN candidates come from the grid-cell " +
+      "equi-join with a map-side per-point rank prune — no " +
+      "all-pairs join") {
+    val p = plan("g09_knn_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in spatial knn:\n$p")
+    assert(p.contains("cx") && p.contains("cy"),
+      s"candidate join not keyed on the grid cell:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-point top-k must prune map-side:\n$p")
+  }
+
   test("whole-stage codegen covers the q02 agg pipeline") {
     // AQE hides codegen markers until the final plan materializes —
     // execute first, then inspect; codegen'd stages render as "*(n)"
