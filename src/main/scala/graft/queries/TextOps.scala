@@ -841,6 +841,33 @@ object TextOps {
     }
   }
 
+  /** t40 — LEAKAGE-SAFE train/val/test SPLIT (the contamination-aware
+    * split every serious eval protocol requires): documents are
+    * assigned to splits by the portable bucket of their near-dup
+    * GROUP id, not their own id — so an entire duplicate cluster
+    * lands in ONE split and a test document can never have a near-dup
+    * twin in train (the leakage t20's per-doc split would permit).
+    * Groups come from the PERSISTED cluster map
+    * ([[ensureDedupGroups]], warmed with the other stored artifacts);
+    * ungrouped documents are their own singleton group. Serve cost:
+    * one doc_id-keyed join of two narrow tables + a map-side hash —
+    * the O(diameter) label propagation is priced by its t19 rebuild
+    * twin, exactly the t15/t27 stored-artifact contract. The oracle
+    * independently recomputes the transitive closure (recursive CTE)
+    * and the same md5-bucket arithmetic on group ids.
+    */
+  val t40LeakageSafeSplit: Q = (s, d) => {
+    val groups = ensureDedupGroups(s, d)
+    val bucket = graft.operators.Sampling.portableBucket(col("group_id"))
+    Tables.documents(s, d).select("doc_id")
+      .join(groups, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 800000, 0).when(bucket < 900000, 1).otherwise(2))
+      .select("doc_id", "group_id", "split")
+      .orderBy("doc_id")
+  }
+
   /** t27 — near-dup cluster RESOLUTION keeping the highest-quality
     * member (the production decision: t04/t19 keep the lowest id,
     * which is arbitrary — a real curation run keeps the best document
@@ -2225,6 +2252,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t40_leakage_safe_split" -> t40LeakageSafeSplit,
     "t39_filter_cascade" -> t39FilterCascade,
     "t38_merge_pairs" -> t38MergePairs,
     "t37_source_overlap" -> t37SourceOverlap,
@@ -2804,6 +2832,34 @@ object TextOps {
            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
            |SELECT a AS doc_id, least(a, min(b)) AS group_id
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      // t40: t19's recursive closure, singletons coalesced to their
+      // own id, then the t20 md5-bucket split arithmetic on GROUP ids
+      // — whole-cluster split assignment recomputed from scratch
+      "t40_leakage_safe_split" ->
+        s"""WITH RECURSIVE ${minHashCtes(
+              "SELECT doc_id, text FROM documents", 0.5)},
+           |edges AS (
+           |  SELECT d1 AS a, d2 AS b FROM pairs
+           |  UNION SELECT d2, d1 FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |grp AS (
+           |  SELECT a AS doc_id, least(a, min(b)) AS gid
+           |  FROM reach GROUP BY a),
+           |asg AS (
+           |  SELECT d.doc_id, coalesce(g.gid, d.doc_id) AS group_id
+           |  FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id),
+           |bk AS (
+           |  SELECT doc_id, group_id,
+           |    CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 12)
+           |      AS BIGINT) % 1000000 AS bucket
+           |  FROM asg)
+           |SELECT doc_id, group_id,
+           |  CASE WHEN bucket < 800000 THEN 0
+           |       WHEN bucket < 900000 THEN 1 ELSE 2 END AS split
+           |FROM bk ORDER BY doc_id""".stripMargin,
       // t27: t19's recursive closure + t02's quality expression + the
       // per-group argmax — the oracle recomputes the whole resolution
       "t27_cluster_keep_best" ->

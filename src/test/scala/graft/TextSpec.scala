@@ -789,6 +789,40 @@ class TextSpec extends SparkSpec {
     assert(cascade.values.map(_._2).toSet.size >= 3)
   }
 
+  test("t40 leakage-safe split: every near-dup group lands in ONE " +
+      "split, and the per-doc split would have leaked") {
+    val rows = TextOps.t40LeakageSafeSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // the leakage invariant: one split per group
+    rows.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"group $g spans splits ${members.map(_._3).distinct.toSeq}")
+    }
+    // non-degenerate: real multi-doc groups exist and all three
+    // splits are populated
+    val multi = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "no multi-doc groups — dedup map empty?")
+    assert(rows.map(_._3).distinct.sorted.toSeq === Seq(0, 1, 2))
+    // the whole-group rule matters: at least one multi-doc group
+    // contains members whose PER-DOC buckets straddle a split
+    // boundary — the leak the group split prevents
+    val bucketOf = (id: Long) => {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    def docSplit(id: Long): Int = {
+      val b = bucketOf(id)
+      if (b < 800000) 0 else if (b < 900000) 1 else 2
+    }
+    val wouldLeak = multi.values.exists(ms =>
+      ms.map(m => docSplit(m._1)).distinct.length > 1)
+    assert(wouldLeak,
+      "no group straddles a per-doc split boundary — invariant untested")
+  }
+
   test("t22 repetition scores are exact on a constructed document") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
