@@ -889,6 +889,51 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q50 — ACTIVITY-GAP DETECTION over events (the telemetry downtime
+    * audit, the reference's monitoring flavor generalized): for each
+    * user, the hours between their first and last activity with NO
+    * events — span/active/gap counts plus the gap-run structure
+    * (number of outages, longest outage) via the same gaps-and-islands
+    * rank trick m16 uses on audio frames. Scale shape: the hour
+    * calendar comes from an in-row `sequence` explode bounded by each
+    * user's own span (never a global calendar cross-join), observed
+    * hours partial-aggregate before the anti-join, and the islands
+    * window runs per user over gap rows only.
+    */
+  val q50ActivityGaps: Q = (s, d) => {
+    val hours = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+    val spans = hours.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+    val cal = spans.select(col("user_id"), col("h0"), col("h1"),
+      explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val observed = hours.distinct()
+    val gaps = cal.join(observed, Seq("user_id", "h"), "left_anti")
+      .withColumn("idx",
+        (unix_timestamp(col("h")) - unix_timestamp(col("h0"))) / 3600)
+    val w = Window.partitionBy("user_id").orderBy("idx")
+    val runs = gaps
+      .withColumn("grp", col("idx") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gap_runs"),
+        max("run_len").as("longest_gap"))
+    spans
+      .withColumn("span_hours",
+        ((unix_timestamp(col("h1")) - unix_timestamp(col("h0"))) / 3600
+          + 1).cast("long"))
+      .join(observed.groupBy("user_id")
+        .agg(count(lit(1)).as("active_hours")), Seq("user_id"))
+      .join(runs, Seq("user_id"), "left")
+      .na.fill(0L, Seq("n_gap_runs", "longest_gap"))
+      .select(col("user_id"), col("span_hours"), col("active_hours"),
+        (col("span_hours") - col("active_hours")).as("gap_hours"),
+        col("n_gap_runs"), col("longest_gap"))
+      .orderBy("user_id")
+  }
+
   /** q29 — exact interpolated percentiles (both engines implement the
     * same linear-interpolation definition: Spark `percentile`, DuckDB
     * `quantile_cont`). At 100 TB you'd switch to `approx_percentile`
@@ -1178,6 +1223,7 @@ object Relational {
     "q35_salted_agg" -> q35SaltedAgg,
     "q48_salted_join" -> q48SaltedJoin,
     "q49_map_profile" -> q49MapProfile,
+    "q50_activity_gaps" -> q50ActivityGaps,
     "q33_hll_sketch_union" -> q33HllSketchUnion,
     "q32_ranking_windows" -> q32RankingWindows,
     "q31_asof_join" -> q31AsofJoin,
@@ -1381,6 +1427,52 @@ object Relational {
         |ORDER BY o_orderstatus""".stripMargin,
     // the salted two-phase plan must equal the PLAIN group-by — that
     // equality is the point, so the plain form is the oracle
+    // q50: per-user hour calendar via generate_series, missing hours
+    // by anti-join, the same idx − row_number islands, and the same
+    // span/active/gap arithmetic — every outage recomputed
+    "q50_activity_gaps" ->
+      """WITH hours AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h FROM events),
+        |obs AS (SELECT DISTINCT user_id, h FROM hours),
+        |spans AS (
+        |  SELECT user_id, min(h) AS h0, max(h) AS h1
+        |  FROM hours GROUP BY 1),
+        |cal AS (
+        |  SELECT s.user_id, s.h0,
+        |    unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+        |  FROM spans s),
+        |gaps AS (
+        |  SELECT c.user_id,
+        |    CAST(date_diff('hour', c.h0, c.h) AS BIGINT) AS idx
+        |  FROM cal c LEFT JOIN obs o
+        |    ON o.user_id = c.user_id AND o.h = c.h
+        |  WHERE o.h IS NULL),
+        |runs AS (
+        |  SELECT user_id,
+        |    idx - row_number() OVER (PARTITION BY user_id
+        |      ORDER BY idx) AS grp
+        |  FROM gaps),
+        |rr AS (
+        |  SELECT user_id, grp, count(*) AS run_len
+        |  FROM runs GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gap_runs,
+        |    CAST(max(run_len) AS BIGINT) AS longest_gap
+        |  FROM rr GROUP BY 1),
+        |act AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS active_hours
+        |  FROM obs GROUP BY 1)
+        |SELECT s.user_id,
+        |  CAST(date_diff('hour', s.h0, s.h1) + 1 AS BIGINT)
+        |    AS span_hours,
+        |  act.active_hours,
+        |  CAST(date_diff('hour', s.h0, s.h1) + 1 - act.active_hours
+        |    AS BIGINT) AS gap_hours,
+        |  CAST(coalesce(rs.n_gap_runs, 0) AS BIGINT) AS n_gap_runs,
+        |  CAST(coalesce(rs.longest_gap, 0) AS BIGINT) AS longest_gap
+        |FROM spans s JOIN act ON act.user_id = s.user_id
+        |LEFT JOIN rs ON rs.user_id = s.user_id
+        |ORDER BY s.user_id""".stripMargin,
     // q49: the flat re-derivation — per-(user, type) counts, per-user
     // profile width, per-type rollup; the engine's map round-trip
     // must land on exactly these numbers
