@@ -121,9 +121,15 @@ object ScaleCheck {
         (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
         expr(s"transform(qv, (x, i) -> CASE WHEN i = 0 " +
           s"THEN x + ${r}L * 50000000L ELSE x END)").as("qv"))
-    // warmup: JIT the edge-build plan once
-    graft.queries.VectorOps.knnGraphRankedOf(vreplica(0).limit(200), 4, 2)
-      ._1.count()
+    // warmup: JIT the edge-build plan once (and release its persisted
+    // cell-assignment frame so no cached partitions linger into the
+    // timed probes)
+    locally {
+      val (out, asg) = graft.queries.VectorOps
+        .knnGraphRankedOf(vreplica(0).limit(200), 4, 2)
+      out.count()
+      asg.unpersist()
+    }
     vks.foreach { k =>
       val fe = (0 until k).map(vreplica).reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)

@@ -53,8 +53,17 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** q03 — 3-way join + agg (J2). orders⋈lineitem shuffles on orderkey;
-    * customer (dim) broadcasts. Revenue per market segment.
+  /** q03 — 3-way join + agg (J2). orders⋈lineitem shuffles on orderkey.
+    * customer is SF-proportional (150k rows × SF), so it carries NO
+    * broadcast hint: a static hint bypasses
+    * `autoBroadcastJoinThreshold` and would OOM the executors once the
+    * table outgrows them at a real SF. Size-based selection (and AQE's
+    * runtime re-plan) still picks a broadcast join at any SF where
+    * customer actually fits, and degrades to a shuffle join when it
+    * doesn't. The engine's hint rule: fixed-cardinality dims (nation
+    * 25 / region 5) may hint; SF-scaled tables never do —
+    * PlanSpec proves the hint is absent by disabling the threshold
+    * and asserting the join degrades.
     */
   val q03JoinAgg: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
@@ -62,7 +71,7 @@ object Relational {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -71,20 +80,28 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
-  /** q04 — broadcast hash join against a small dimension (J1): `part` is
-    * tiny relative to the fact table at any SF, so it broadcasts and the
-    * fact side never shuffles.
+  /** q04 — size-chosen broadcast hash join (J1): `part` is small
+    * RELATIVE to lineitem but still SF-proportional (200k rows × SF),
+    * so the broadcast must come from the size estimate / AQE, never a
+    * static hint (see q03's hint rule). At bench SFs Spark still
+    * broadcasts part and the fact side never shuffles; at a 100 TB SF
+    * the same plan degrades safely to a shuffle join.
     */
   val q04BroadcastJoin: Q = (s, d) =>
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)),
+      .join(Tables.part(s, d),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
       .orderBy("p_brand")
 
-  /** q05 — 5-way star join (flagship): region⋈nation⋈customer are chained
-    * broadcasts; only orders⋈lineitem shuffles. Revenue by region/nation.
+  /** q05 — 5-way star join (flagship). nation (25 rows) and region
+    * (5 rows) are FIXED-cardinality dims at every SF, so they carry
+    * explicit broadcast hints; customer is SF-proportional and is
+    * left to the size estimate / AQE (q03's hint rule). At bench SFs
+    * all three dimension joins broadcast and only orders⋈lineitem
+    * shuffles; at 100 TB the customer join degrades to a shuffle
+    * join instead of OOMing the executors.
     */
   val q05StarJoin: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
@@ -93,7 +110,7 @@ object Relational {
     val n  = Tables.nation(s, d)
     val r  = Tables.region(s, d)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -336,13 +353,20 @@ object Relational {
         max(struct(col("ts"), col("event_id"), col("event_type"),
           col("value"))).as("last"),
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("lifetime_value"))
+        // value is 2-decimal by construction, so the lifetime sum is
+        // carried as exact BIGINT cents: associative/commutative under
+        // ANY re-association, which is what lets s16's incremental
+        // MERGE loop (different batch slicing → different summation
+        // order) equal this batch result EXACTLY instead of to within
+        // double-rounding luck (ADVICE r11)
+        sum(round(col("value") * 100).cast("long")).as("cents"))
       .select(col("user_id"),
         date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
         col("last.event_id").as("last_event_id"),
         col("last.event_type").as("last_type"),
         round(col("last.value"), 2).as("last_value"),
-        col("n_events"), col("lifetime_value"))
+        col("n_events"),
+        round(col("cents") / 100.0, 2).as("lifetime_value"))
       .orderBy("user_id")
 
   /** q47 — UNPIVOT / MELT (wide → long reshaping, the R
@@ -1695,7 +1719,8 @@ object Relational {
     // q46: latest-wins replicated as a deterministic row_number over
     // (ts DESC, event_id DESC) — the same winner the struct-max picks
     // (event_id is unique, so the struct comparison never reaches the
-    // payload fields)
+    // payload fields). The lifetime sum goes through exact BIGINT
+    // cents, mirroring the engine (order-independent — see q46's doc).
     "q46_changelog_compact" ->
       """WITH last AS (
         |  SELECT user_id, ts, event_id, event_type, value,
@@ -1704,7 +1729,8 @@ object Relational {
         |  FROM events),
         |agg AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |    round(sum(value), 2) AS lifetime_value
+        |    round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+        |      AS lifetime_value
         |  FROM events GROUP BY 1)
         |SELECT a.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
         |  l.event_id AS last_event_id, l.event_type AS last_type,

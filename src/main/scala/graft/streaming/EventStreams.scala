@@ -460,17 +460,23 @@ object EventStreams {
       val srcDir = stagedEventBatches(spark, dir, nBatches)
       // the per-slice compaction aggregate — applied to each batch AND
       // to (state ∪ batch-agg), which is what makes the merge exact
+      // the value sum rides through the loop as exact BIGINT cents
+      // (value is 2-decimal by construction): integer addition is
+      // associative, so the artifact equals batch q46 EXACTLY under
+      // any batch slicing — not merely to within double-rounding
+      // (ADVICE r11: a double carried here could flip round(...,2)
+      // at a .005 boundary because the merge re-associates the sum)
       def compact(df: DataFrame): DataFrame =
         df.groupBy(col("user_id"))
           .agg(max(col("last")).as("last"),
             sum(col("n_events")).as("n_events"),
-            sum(col("sum_value")).as("sum_value"))
+            sum(col("cents")).as("cents"))
       def preAgg(df: DataFrame): DataFrame =
         df.groupBy(col("user_id"))
           .agg(max(struct(col("ts"), col("event_id"),
             col("event_type"), col("value"))).as("last"),
             count(lit(1)).as("n_events"),
-            sum(col("value")).as("sum_value"))
+            sum(round(col("value") * 100).cast("long")).as("cents"))
       val states = scala.collection.mutable.ListBuffer[String]()
       val stateDir = s"${work.getAbsolutePath}/state"
       val q = spark.readStream.schema(stagedEventSchema)
@@ -510,7 +516,7 @@ object EventStreams {
           col("last.event_type").as("last_type"),
           round(col("last.value"), 2).as("last_value"),
           col("n_events"),
-          round(col("sum_value"), 2).as("lifetime_value"))
+          round(col("cents") / 100.0, 2).as("lifetime_value"))
         .select("user_id", "last_ts", "last_event_id", "last_type",
           "last_value", "n_events", "lifetime_value")
         .orderBy("user_id")

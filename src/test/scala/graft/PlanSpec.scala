@@ -208,11 +208,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_discount"), s"scan reads unused columns:\n$p")
   }
 
-  test("q05: star joins broadcast the dimension sides") {
+  test("q05: star joins broadcast the dimension sides at bench SFs") {
     val p = plan("q05_star_join")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
     assert(broadcasts >= 3,
       s"expected >=3 broadcast joins (customer/nation/region):\n$p")
+  }
+
+  test("q03/q04/q05: SF-proportional tables carry no broadcast HINT — " +
+      "with the size threshold disabled their joins degrade to shuffle " +
+      "joins while the fixed-cardinality nation/region hints survive") {
+    // A static broadcast() hint bypasses autoBroadcastJoinThreshold, so
+    // disabling the threshold is the detector: any join that STAYS a
+    // BroadcastHashJoin under threshold=-1 is hint-forced. customer
+    // (150k×SF) and part (200k×SF) must degrade; q05's nation (25) and
+    // region (5) are fixed-cardinality and deliberately hinted.
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p3 = plan("q03_join_agg")
+      assert(!p3.contains("BroadcastHashJoin"),
+        s"q03: customer join is hint-forced broadcast:\n$p3")
+      val p4 = plan("q04_broadcast_join")
+      assert(!p4.contains("BroadcastHashJoin"),
+        s"q04: part join is hint-forced broadcast:\n$p4")
+      val p5 = plan("q05_star_join")
+      val b5 = "BroadcastHashJoin".r.findAllIn(p5).length
+      assert(b5 == 2,
+        s"q05: expected exactly the 2 hinted fixed-cardinality dim " +
+          s"broadcasts (nation/region), got $b5:\n$p5")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("q02: partial aggregation before the shuffle") {
