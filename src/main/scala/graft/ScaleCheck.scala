@@ -150,6 +150,41 @@ object ScaleCheck {
       fe.unpersist()
       ()
     }
+
+    // claim 4: g09's spatial-grid kNN join stays ~linear when the
+    // grid refines with density (gridCols' derived width) vs the
+    // quadratic cell self-join of the old FIXED 30° grid. Replica r
+    // shifts the point lattice by (7r, 11r), so each replica adds a
+    // full corpus-density layer into the same lon/lat window —
+    // exactly the densification regime the derived width absorbs by
+    // halving the cell.
+    def gpts(r: Int): org.apache.spark.sql.DataFrame =
+      Tables.customer(spark, sfDir).select(
+        (col("c_custkey") + lit(r * 10000000L)).as("c_custkey"),
+        (((col("c_custkey") * 37 + r * 7) % 360) - 180 + lit(0.5))
+          .cast("double").as("lon"),
+        (((col("c_custkey") * 53 + r * 11) % 180) - 90 + lit(0.5))
+          .cast("double").as("lat"))
+    // warmup: JIT the cell-join plan once
+    graft.queries.GeoOps.knnJoinCellRanked(gpts(0).limit(200), 12)
+      .count()
+    vks.foreach { k =>
+      val pts = (0 until k).map(gpts).reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+      val nPts = pts.count()
+      val kDerived = graft.queries.GeoOps.gridCols(nPts)
+      val (eProp, tProp) = timed {
+        graft.queries.GeoOps.knnJoinCellRanked(pts, kDerived).count()
+      }
+      val (eFix, tFix) = timed {
+        graft.queries.GeoOps.knnJoinCellRanked(pts, 12).count()
+      }
+      println(
+        f"""{"probe":"spatial_grid","k":$k,"n_pts":$nPts,"cols_derived":$kDerived,"edges_derived":$eProp,"sec_derived":$tProp%.2f,"cols_fixed":12,"edges_fixed":$eFix,"sec_fixed":$tFix%.2f}""")
+      pts.unpersist()
+      ()
+    }
     spark.stop()
   }
 }

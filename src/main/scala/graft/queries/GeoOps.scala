@@ -221,24 +221,44 @@ object GeoOps {
           StructField("area_deg2", DoubleType))))
     }
 
-  /** g09 — GRID-LOCAL SPATIAL kNN JOIN (the geo member of the
-    * cell-local kNN family next to v20's embedding graph): every
-    * point's 3 nearest 30°-grid-cell-mates under exact squared degree
-    * distance — the "nearest facilities" join a service-area analysis
-    * runs, answered without an all-pairs join. Candidates come from
-    * the (cell_x, cell_y) self equi-join — at 100 TB the grid is the
-    * spatial index, cell width tuned so cells stay constant-size as
-    * density grows — and the per-point top-k is a WindowGroupLimit
-    * prune. Coordinates are integer+0.5 by construction, so every
-    * squared distance is an exact integer and the (d², neighbor) rank
-    * hash-matches the oracle bit-for-bit.
+  /** Per-cell population target for the g09 grid. 32 keeps the
+    * current SFs on the historical 30° grid (k=12) while any larger
+    * corpus refines the grid instead of letting cells grow.
     */
-  val g09KnnJoin: Q = (s, d) => {
+  private[graft] val GridTargetPerCell = 32L
+
+  /** Grid columns for the density-derived g09 cell width: the
+    * smallest k in the doubling chain 12, 24, 48, … whose k × k/2
+    * square-cell grid holds the corpus at ≤ [[GridTargetPerCell]]
+    * mean points per cell (integer comparison 2·n ≤ target·k², the
+    * exact rule the oracle's CASE chain mirrors). This is the v20
+    * nlist ∝ N rule applied to the spatial grid: per-cell population
+    * — and with it the cell self-join's quadratic term — stays
+    * ~constant as density grows, instead of growing linearly the way
+    * a fixed 30° literal would (the superlinear regime ScaleCheck
+    * pins for pinned nlist).
+    */
+  private[graft] def gridCols(n: Long): Int = {
+    var k = 12
+    while (2L * n > GridTargetPerCell * k.toLong * k.toLong) k *= 2
+    k
+  }
+
+  /** The g09 core over an arbitrary (c_custkey, lon, lat) points
+    * frame with a k-column grid (square cells of 360/k degrees) —
+    * shared with ScaleCheck's spatial-grid density probe. Cell ids
+    * are exact: lon/lat are integer+0.5, so 2·lon+360 is an exact
+    * integer-valued double and floor((2·lon+360)·k/720) is the same
+    * in both engines (k=12 reduces to the historical
+    * floor((lon+180)/30)).
+    */
+  private[graft] def knnJoinCellRanked(pts: DataFrame, k: Int)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = points(s, d).select(
+    val c = pts.select(
       col("c_custkey"), col("lon"), col("lat"),
-      floor((col("lon") + 180) / 30).cast("int").as("cx"),
-      floor((col("lat") + 90) / 30).cast("int").as("cy"))
+      floor((col("lon") * 2 + 360) * k / 720).cast("int").as("cx"),
+      floor((col("lat") * 2 + 180) * k / 720).cast("int").as("cy"))
     val a = c.select(col("cx"), col("cy"), col("c_custkey"),
       col("lon"), col("lat"))
     val b = c.select(col("cx"), col("cy"),
@@ -256,6 +276,27 @@ object GeoOps {
       .filter(col("rank") <= 3)
       .select("c_custkey", "rank", "neighbor_id", "d2")
       .orderBy("c_custkey", "rank")
+  }
+
+  /** g09 — GRID-LOCAL SPATIAL kNN JOIN (the geo member of the
+    * cell-local kNN family next to v20's embedding graph): every
+    * point's 3 nearest grid-cell-mates under exact squared degree
+    * distance — the "nearest facilities" join a service-area analysis
+    * runs, answered without an all-pairs join. Candidates come from
+    * the (cell_x, cell_y) self equi-join — at 100 TB the grid is the
+    * spatial index, and the cell width is DERIVED from corpus density
+    * ([[gridCols]]: grid refines as N grows, per-cell population held
+    * ~constant — r11 VERDICT: the prior hard-coded 30° made the cell
+    * self-join quadratic in density). The corpus count feeding the
+    * width is a parquet-footer count (metadata-only at scale), a
+    * model parameter like v20's nlist. Per-point top-k is a
+    * WindowGroupLimit prune. Coordinates are integer+0.5 by
+    * construction, so every squared distance is an exact integer and
+    * the (d², neighbor) rank hash-matches the oracle bit-for-bit.
+    */
+  val g09KnnJoin: Q = (s, d) => {
+    val pts = points(s, d)
+    knnJoinCellRanked(pts, gridCols(pts.count()))
   }
 
   val queries: Map[String, Q] = Map(
@@ -321,14 +362,25 @@ object GeoOps {
          |  count(*) AS n_points
          |FROM p GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin,
     // g09: cell-mate pairs + exact integer squared degree distance +
-    // the per-point (d2, neighbor) rank, re-derived flat
+    // the per-point (d2, neighbor) rank, re-derived flat. The CASE
+    // chain mirrors gridCols' doubling rule (2·n ≤ 32·k²) — extend a
+    // row per doubling if the oracle ever runs above ~2.3M points.
     "g09_knn_join" ->
       s"""WITH p AS ($pointsSql),
+         |k AS (
+         |  SELECT CASE
+         |    WHEN 2 * count(*) <= 32 * 144    THEN 12
+         |    WHEN 2 * count(*) <= 32 * 576    THEN 24
+         |    WHEN 2 * count(*) <= 32 * 2304   THEN 48
+         |    WHEN 2 * count(*) <= 32 * 9216   THEN 96
+         |    WHEN 2 * count(*) <= 32 * 36864  THEN 192
+         |    ELSE 384 END AS k
+         |  FROM p),
          |c AS (
          |  SELECT c_custkey, lon, lat,
-         |    CAST(floor((lon + 180) / 30) AS INT) AS cx,
-         |    CAST(floor((lat + 90) / 30) AS INT) AS cy
-         |  FROM p),
+         |    CAST(floor((lon * 2 + 360) * k.k / 720) AS INT) AS cx,
+         |    CAST(floor((lat * 2 + 180) * k.k / 720) AS INT) AS cy
+         |  FROM p, k),
          |pr AS (
          |  SELECT a.c_custkey, b.c_custkey AS neighbor_id,
          |    CAST((a.lon - b.lon) * (a.lon - b.lon)

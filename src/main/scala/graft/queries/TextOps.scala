@@ -967,6 +967,153 @@ object TextOps {
       .orderBy(desc("n_pairs"), asc("a"), asc("b"))
       .limit(50)
 
+  /** Merge-list depth for t41 — bounded so the DuckDB oracle is a
+    * fixed-depth CTE chain (one 3-window layer per merge rule).
+    */
+  private[graft] val BpeApplyDepth = 8
+
+  /** t41 — BPE TOKENIZER APPLICATION (the serving half of t38's
+    * mine→apply pair, r11 VERDICT gap #1): encode every document with
+    * the learned merge list — the loader-visible artifact a training
+    * pipeline materializes. The merge list is t38's top-
+    * [[BpeApplyDepth]] pairs under the deterministic
+    * (count DESC, a, b) total order; each rule is applied as one
+    * left-to-right pass over the token sequence merging
+    * non-overlapping occurrences (the standard BPE application order
+    * — a run of consecutive matches, possible only when a rule's two
+    * sides are equal, merges at run offsets 0, 2, 4…, which the
+    * oracle replicates with gaps-and-islands run parity). Token ids
+    * are content-addressed through the portable md5-48 family — no
+    * corpus-wide vocabulary shuffle or broadcast, the 100 TB-safe id
+    * scheme — and the emitted per-doc checksum Σ pos·(id mod 1000003)
+    * pins the exact id SEQUENCE against the oracle.
+    *
+    * Scale shape: the merge list is a driver-side model artifact
+    * (t38's TakeOrderedAndProject → 8 collected rows, like the IVF
+    * centroids); the encode itself is one corpus scan, entirely
+    * map-side (PlanSpec gates the single presentation-sort exchange).
+    * The per-row merge loop is genuinely imperative (sequential
+    * consume semantics), so it is a Scala UDF over the token array —
+    * the documented exception to the no-UDF rule.
+    */
+  /** t41's per-row merge kernel: apply the ordered rule list, one
+    * left-to-right non-overlapping pass per rule (sequential consume —
+    * a matched pair's second token cannot start another match in the
+    * same pass, which for a self-pair rule yields run-parity merging).
+    * Pure so TextSpec can pin the semantics directly.
+    */
+  private[graft] def bpeApplyRules(toks: Array[String],
+      rules: Seq[(String, String)]): Array[String] = {
+    var cur = toks
+    rules.foreach { case (a, b) =>
+      val out = new scala.collection.mutable.ArrayBuffer[String](
+        cur.length)
+      var i = 0
+      while (i < cur.length) {
+        if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+          out += cur(i) + " " + cur(i + 1); i += 2
+        } else { out += cur(i); i += 1 }
+      }
+      cur = out.toArray
+    }
+    cur
+  }
+
+  val t41BpeEncode: Q = (s, d) => {
+    graft.functions.Md5Hash48.registerAll(s)
+    val rules: Array[(String, String)] =
+      t38MergePairs(s, d).limit(BpeApplyDepth).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+    val bcRules = s.sparkContext.broadcast(rules)
+    val enc = udf { (toks: Seq[String]) =>
+      bpeApplyRules(toks.toArray, bcRules.value.toSeq)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("enc", enc(col("w")))
+      .select(col("doc_id"),
+        size(col("w")).as("n_raw"),
+        size(col("enc")).as("n_tokens"),
+        (size(col("w")) - size(col("enc"))).as("n_merges"),
+        expr("""CAST(aggregate(zip_with(enc, sequence(1, size(enc)),
+          |  (t, i) -> i * (md5_hash48(t) % 1000003)),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)
+          |""".stripMargin).as("ids_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** t41's oracle: the t38 mining SQL ranked to the top-
+    * [[BpeApplyDepth]] rules, then one generated CTE layer per rule
+    * replaying the left-to-right non-overlapping merge pass —
+    * match flags via lead(), run parity via gaps-and-islands
+    * (consecutive matches only arise for a self-pair rule), consumed
+    * successors dropped via lag(), positions renumbered. Fixed depth
+    * is what keeps this a plain (non-recursive) CTE chain.
+    */
+  private def bpeEncodeOracle: String = {
+    val passes = (1 to BpeApplyDepth).map { i =>
+      s"""m$i AS (
+         |  SELECT s.doc_id, s.pos, s.tok,
+         |    CASE WHEN s.tok = ru.a AND lead(s.tok) OVER (
+         |      PARTITION BY s.doc_id ORDER BY s.pos) = ru.b
+         |    THEN 1 ELSE 0 END AS m
+         |  FROM s${i - 1} s, (SELECT a, b FROM rules WHERE r = $i) ru),
+         |i$i AS (
+         |  SELECT doc_id, pos, tok, m,
+         |    pos - row_number() OVER (
+         |      PARTITION BY doc_id, m ORDER BY pos) AS isl
+         |  FROM m$i),
+         |e$i AS (
+         |  SELECT doc_id, pos, tok, m,
+         |    CASE WHEN m = 1 AND (row_number() OVER (
+         |      PARTITION BY doc_id, m, isl ORDER BY pos)) % 2 = 1
+         |    THEN 1 ELSE 0 END AS do_merge
+         |  FROM i$i),
+         |s$i AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS pos,
+         |    CASE WHEN do_merge = 1 THEN tok || ' ' || nxt
+         |      ELSE tok END AS tok
+         |  FROM (
+         |    SELECT doc_id, pos, tok, do_merge,
+         |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+         |        AS nxt,
+         |      lag(do_merge) OVER (PARTITION BY doc_id ORDER BY pos)
+         |        AS prev_merge
+         |    FROM e$i)
+         |  WHERE prev_merge IS NULL OR prev_merge = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM documents),
+       |rules AS (
+       |  SELECT a, b,
+       |    row_number() OVER (ORDER BY n_pairs DESC, a, b) AS r
+       |  FROM (
+       |    SELECT l[i] AS a, l[i + 1] AS b,
+       |      count(*) AS n_pairs
+       |    FROM (SELECT l, unnest(range(1, len(l))) AS i FROM toks
+       |          WHERE len(l) > 1)
+       |    GROUP BY 1, 2
+       |    ORDER BY n_pairs DESC, a, b LIMIT $BpeApplyDepth)),
+       |s0 AS (
+       |  SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos,
+       |    unnest(l) AS tok
+       |  FROM toks),
+       |$passes,
+       |fin AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |    CAST(sum(pos * (${h48Sql("tok")} % 1000003)) AS BIGINT)
+       |      AS ids_checksum
+       |  FROM s$BpeApplyDepth GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.l) AS INT) AS n_raw, f.n_tokens,
+       |  CAST(len(t.l) - f.n_tokens AS INT) AS n_merges,
+       |  f.ids_checksum
+       |FROM toks t JOIN fin f ON t.doc_id = f.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** t39 — QUALITY-FILTER CASCADE with reason codes (the C4/RefinedWeb
     * composed keep/drop decision a production pipeline actually
     * ships): each document runs the ordered rule chain — too_short
@@ -2252,6 +2399,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t41_bpe_encode" -> t41BpeEncode,
     "t40_leakage_safe_split" -> t40LeakageSafeSplit,
     "t39_filter_cascade" -> t39FilterCascade,
     "t38_merge_pairs" -> t38MergePairs,
@@ -2792,6 +2940,9 @@ object TextOps {
            |SELECT doc_id,
            |  CAST(reason = 'kept' AS INT) AS keep, reason
            |FROM dec ORDER BY doc_id""".stripMargin,
+      // t41: generated fixed-depth merge-pass chain (see
+      // bpeEncodeOracle's doc)
+      "t41_bpe_encode" -> bpeEncodeOracle,
       // t38: 1-based list indexing over the same \s+ tokenization —
       // range(1, len) stops at len-1, so (l[i], l[i+1]) enumerates
       // exactly the engine's zip_with-against-tail pairs; the LIMIT

@@ -395,4 +395,26 @@ class GeoSpec extends SparkSpec {
       .fromWkb(r.getAs[Array[Byte]](2)).getArea).sorted
     assert(areas.sameElements(Array(1.0, 1.0, 4.0)))
   }
+
+  test("g09 gridCols: density-derived width doubles the grid on the " +
+      "exact 2n = 32k² boundaries and k=12 reproduces the historical " +
+      "30° cells") {
+    import graft.queries.GeoOps.gridCols
+    assert(gridCols(1500L) === 12)   // sf0.01 stays on the 30° grid
+    assert(gridCols(2304L) === 12)   // boundary: 2n = 32·144 exactly
+    assert(gridCols(2305L) === 24)
+    assert(gridCols(9216L) === 24)   // 2n = 32·576
+    assert(gridCols(15000L) === 48)  // sf0.1 refines twice
+    assert(gridCols(36864L) === 48)  // 2n = 32·2304
+    assert(gridCols(36865L) === 96)
+    // mean per-cell population is bounded by the target from above
+    // and by target/4 from below (each doubling quadruples cells)
+    Seq(100L, 5000L, 123456L, 9999999L).foreach { n =>
+      val k = gridCols(n)
+      val cells = k.toLong * k / 2
+      assert(n <= 32L * cells, s"n=$n k=$k over target")
+      assert(k == 12 || 4L * n > 32L * cells,
+        s"n=$n k=$k grid refined more than one doubling early")
+    }
+  }
 }

@@ -187,6 +187,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs here:\n$p")
   }
 
+  test("t41: encode is one map-side corpus pass — the merge list is " +
+      "a driver-side model artifact, so the plan has no join and " +
+      "only the presentation-sort exchange") {
+    val p = plan("t41_bpe_encode")
+    assert(!p.contains("Join"), s"encode must not join:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"sole exchange must be the presentation sort:\n$p")
+  }
+
   test("m02: feature rollup partial-aggregates map-side and shuffles " +
       "only the (lang, bin) counts") {
     val p = plan("m02_media_features")

@@ -862,4 +862,40 @@ class TextSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("dup_docs") > 0),
       "the planted duplicates must surface in at least one source")
   }
+
+  test("t41 merge kernel: ordered passes, non-overlap run parity, " +
+      "merged tokens inert in later rules") {
+    import graft.queries.TextOps.bpeApplyRules
+    // self-pair rule merges a run at alternate positions (parity)
+    assert(bpeApplyRules("x x x x x".split(" "), Seq(("x", "x")))
+      .toSeq === Seq("x x", "x x", "x"))
+    // plain pair, two separate occurrences
+    assert(bpeApplyRules("a b c a b".split(" "), Seq(("a", "b")))
+      .toSeq === Seq("a b", "c", "a b"))
+    // rule order matters: (b,c) first consumes the b that (a,b)
+    // would have taken
+    assert(bpeApplyRules("a b c".split(" "),
+      Seq(("b", "c"), ("a", "b"))).toSeq === Seq("a", "b c"))
+    // a merged token (contains a space) never re-matches a
+    // single-word rule side
+    assert(bpeApplyRules("a b b".split(" "),
+      Seq(("a", "b"), ("a b", "b"))).toSeq === Seq("a b b"))
+    assert(bpeApplyRules(Array("solo"), Seq(("a", "b")))
+      .toSeq === Seq("solo"))
+  }
+
+  test("t41 encodes with t38's learned rules and the merges do " +
+      "non-trivial work") {
+    val rows = TextOps.t41BpeEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nRaw = r.getAs[Int]("n_raw")
+      val nTok = r.getAs[Int]("n_tokens")
+      assert(nTok <= nRaw && nTok >= (nRaw + 1) / 2,
+        "each merge consumes exactly two tokens")
+      assert(r.getAs[Int]("n_merges") === nRaw - nTok)
+    }
+    assert(rows.map(_.getAs[Int]("n_merges").toLong).sum > 0,
+      "the top-8 mined pairs must actually occur in the corpus")
+  }
 }
