@@ -837,9 +837,67 @@ object Multimodal {
       .orderBy("d1", "d2")
   }
 
+  /** m18's per-blob image facts (decoded from the container bytes —
+    * the caption side never touches the blob).
+    */
+  case class PairImage(width: Int, height: Int, sum_rgb: Long)
+
+  /** m18 — CROSS-MODAL PAIR CURATION (r11 VERDICT gap #2: the
+    * CLIP-filter shape at integer-proxy fidelity): the image table's
+    * per-blob features joined with the caption side's text-quality
+    * metrics on the pairing key, then an ordered keep/drop rule chain
+    * with FIRST-FAIL reason codes (t39's audit-trail shape applied
+    * across modalities) —
+    * image_too_small (pixel floor) → caption_too_short (word floor) →
+    * low_caption_diversity (t02's lexical-diversity bar) →
+    * pair_mismatch (the genuinely cross-modal rule: underexposed
+    * image — mean channel below the corpus-typical 127 — paired with
+    * a thin caption; both factors integer-exact:
+    * sum_rgb < 381·npx ∧ n_words < 32).
+    *
+    * Scale shape: each side reduces map-side to a few integer columns
+    * (blob decode per-blob, caption metrics per-row), and ONLY those
+    * narrow frames meet in a doc_id-keyed equi-join — no broadcast
+    * hint (both sides are corpus-sized at 100 TB; q03's hint rule),
+    * no blob ever crosses the exchange. PlanSpec proves the join
+    * degrades to a shuffle join with the size threshold disabled.
+    */
+  val m18PairCuration: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Bmp.decodeMeta(blob)
+      val st = Bmp.stats(Bmp.pixels(blob))
+      PairImage(m.width, m.height, st.sumR + st.sumG + st.sumB)
+    }
+    val img = imageTable(s, d)
+      .withColumn("i", dec(col("blob")))
+      .select(col("doc_id"), col("i.width"), col("i.height"),
+        col("i.sum_rgb"))
+    val cap = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_words"),
+        size(array_distinct(split(trim(col("text")), "\\s+")))
+          .as("n_distinct"))
+    img.join(cap, "doc_id")
+      .withColumn("npx", col("width").cast("long") * col("height"))
+      .withColumn("reason",
+        when(col("npx") < 64, "image_too_small")
+          .when(col("n_words") < 16, "caption_too_short")
+          .when(col("n_distinct") * 2 < col("n_words"),
+            "low_caption_diversity")
+          .when(col("sum_rgb") < lit(381L) * col("npx") &&
+            col("n_words") < 32, "pair_mismatch")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_words"),
+        (col("reason") === "kept").cast("int").as("keep"),
+        col("reason"))
+      .orderBy("doc_id")
+  }
+
   // --- driver-contract queries ---
 
   val queries: Map[String, Q] = Map(
+    "m18_pair_curation" -> m18PairCuration,
     "m13_image_neardup" -> m13ImageNeardup,
     "m12_normalize_peak" -> m12NormalizePeak,
     "m11_video_trim" -> m11VideoTrim,
@@ -864,6 +922,41 @@ object Multimodal {
   // HUGEINT, hence the BIGINT casts); the Spark side reads the same
   // facts back out of the container bytes instead.
   val oracles: Map[String, String] = Map(
+    // m18: image facts from the synthesis formulas, caption metrics
+    // from the text, the same ordered CASE chain (all comparisons
+    // integer-exact)
+    "m18_pair_curation" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(4 + n_chars % 29 AS INT) AS width,
+        |    CAST(3 + doc_id % 13 AS INT) AS height,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |      AS n_words,
+        |    CAST(len(list_distinct(
+        |      string_split_regex(trim(text), '\s+'))) AS INT)
+        |      AS n_distinct
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    CAST(sum((doc_id * 13 + i * 19) % 256
+        |      + (doc_id * 11 + i * 17) % 256
+        |      + (doc_id * 7 + i * 13) % 256) AS BIGINT) AS sum_rgb
+        |  FROM (SELECT doc_id, unnest(range(0, width * height)) AS i
+        |        FROM p)
+        |  GROUP BY doc_id),
+        |dec AS (
+        |  SELECT p.doc_id, width, height, n_words,
+        |    CASE
+        |      WHEN width * height < 64 THEN 'image_too_small'
+        |      WHEN n_words < 16 THEN 'caption_too_short'
+        |      WHEN n_distinct * 2 < n_words THEN 'low_caption_diversity'
+        |      WHEN sum_rgb < 381 * width * height AND n_words < 32
+        |        THEN 'pair_mismatch'
+        |      ELSE 'kept' END AS reason
+        |  FROM p JOIN px ON p.doc_id = px.doc_id)
+        |SELECT doc_id, width, height, n_words,
+        |  CAST(reason = 'kept' AS INT) AS keep, reason
+        |FROM dec ORDER BY doc_id""".stripMargin,
     // m17: m15's transition deltas recomputed, then frame 0 plus one
     // row per cut transition, shot id = 1 + cuts through that frame
     "m17_keyframes" ->

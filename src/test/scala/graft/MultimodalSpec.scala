@@ -658,4 +658,27 @@ class MultimodalSpec extends SparkSpec {
       assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32))
     }
   }
+
+  test("m18 pair curation: every rule in the cascade fires on the " +
+      "corpus and keep mirrors the reason") {
+    val rows = Multimodal.m18PairCuration(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert((r.getAs[Int]("keep") == 1) ===
+        (r.getAs[String]("reason") == "kept"))
+    }
+    val reasons = rows.map(_.getAs[String]("reason")).toSet
+    Seq("image_too_small", "caption_too_short",
+        "low_caption_diversity", "pair_mismatch", "kept")
+      .foreach { want =>
+        assert(reasons.contains(want),
+          s"rule '$want' never fires — the cascade is not exercised")
+      }
+    // first-fail ordering: a doc failing the pixel floor reports
+    // image_too_small even if its caption is also thin
+    rows.filter(r => r.getAs[Int]("width") *
+        r.getAs[Int]("height") < 64)
+      .foreach(r =>
+        assert(r.getAs[String]("reason") === "image_too_small"))
+  }
 }

@@ -198,6 +198,26 @@ class PlanSpec extends SparkSpec {
       s"sole exchange must be the presentation sort:\n$p")
   }
 
+  test("m18: cross-modal pair join is doc_id-keyed with no broadcast " +
+      "hint — narrow decoded frames meet, never the blobs") {
+    val p = plan("m18_pair_curation")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join must be the keyed equi-join:\n$p")
+    assert(p.contains("doc_id"), s"join not keyed on doc_id:\n$p")
+    // both sides are corpus-sized at 100 TB: disabling the size
+    // threshold must degrade the join to a shuffle join (a surviving
+    // BroadcastHashJoin would mean a forced per-blob-table hint)
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pNoB = plan("m18_pair_curation")
+      assert(!pNoB.contains("BroadcastHashJoin"),
+        s"pair join is hint-forced broadcast:\n$pNoB")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("m02: feature rollup partial-aggregates map-side and shuffles " +
       "only the (lang, bin) counts") {
     val p = plan("m02_media_features")
