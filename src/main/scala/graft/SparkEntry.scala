@@ -61,7 +61,11 @@ object SparkEntry {
         "s17_stream_knn_graph" -> ((s, d) =>
           VectorStreams.replayKnnGraphIngest(s, d)),
         "s18_stream_quality_gate" -> ((s, d) =>
-          EventStreams.replayQualityGate(s, d)))
+          EventStreams.replayQualityGate(s, d)),
+        "s19_stream_bpe_encode" -> ((s, d) =>
+          EventStreams.replayBpeEncode(s, d)),
+        "s20_stream_pair_gate" -> ((s, d) =>
+          EventStreams.replayPairGate(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -248,5 +252,15 @@ object SparkEntry {
         // so the union of per-batch verdicts ≡ batch t39 — t39's
         // oracle verifies the streaming admission loop
         "s18_stream_quality_gate" ->
-          TextOps.oracles("t39_filter_cascade"))
+          TextOps.oracles("t39_filter_cascade"),
+        // the merge list is a fixed pre-trained artifact and encoding
+        // is per-document, so the union of per-batch encodes ≡ batch
+        // t41 — t41's oracle verifies the ingest-time tokenizer
+        "s19_stream_bpe_encode" ->
+          TextOps.oracles("t41_bpe_encode"),
+        // every pair rule is per-pair (media+caption arrive together),
+        // so the union of per-batch verdicts ≡ batch m18 — m18's
+        // oracle verifies the cross-modal admission loop
+        "s20_stream_pair_gate" ->
+          graft.multimodal.Multimodal.oracles("m18_pair_curation"))
 }

@@ -862,17 +862,32 @@ object Multimodal {
     * no blob ever crosses the exchange. PlanSpec proves the join
     * degrades to a shuffle join with the size threshold disabled.
     */
-  val m18PairCuration: Q = (s, d) => {
+  val m18PairCuration: Q = (s, d) =>
+    pairCurationOf(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** m18's pair gate over an arbitrary (doc_id, text, n_chars, ...)
+    * frame — the media blob is re-derived per row (paired ingest:
+    * media and caption arrive together), every rule is per-pair, so
+    * the per-batch union equals the batch run (shared with s20's
+    * streaming cross-modal admission gate). Unsorted; callers order.
+    */
+  private[graft] def pairCurationOf(docs: DataFrame): DataFrame = {
+    val mk = udf { (docId: Long, nChars: Long) =>
+      val w = 4 + (nChars % 29).toInt
+      val h = 3 + (docId % 13).toInt
+      Bmp.encode24(w, h, synthPixels(docId, w * h))
+    }
     val dec = udf { (blob: Array[Byte]) =>
       val m = Bmp.decodeMeta(blob)
       val st = Bmp.stats(Bmp.pixels(blob))
       PairImage(m.width, m.height, st.sumR + st.sumG + st.sumB)
     }
-    val img = imageTable(s, d)
+    val img = docs
+      .select(col("doc_id"), mk(col("doc_id"), col("n_chars")).as("blob"))
       .withColumn("i", dec(col("blob")))
       .select(col("doc_id"), col("i.width"), col("i.height"),
         col("i.sum_rgb"))
-    val cap = Tables.documents(s, d)
+    val cap = docs
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("n_words"),
         size(array_distinct(split(trim(col("text")), "\\s+")))
@@ -891,7 +906,6 @@ object Multimodal {
         col("n_words"),
         (col("reason") === "kept").cast("int").as("keep"),
         col("reason"))
-      .orderBy("doc_id")
   }
 
   // --- driver-contract queries ---

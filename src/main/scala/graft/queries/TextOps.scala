@@ -1019,16 +1019,28 @@ object TextOps {
     cur
   }
 
-  val t41BpeEncode: Q = (s, d) => {
+  /** t41's learned merge list — t38's top-[[BpeApplyDepth]] pairs,
+    * collected as the driver-side model artifact a production
+    * pipeline ships with its tokenizer (the IVF-centroid pattern).
+    */
+  private[graft] def bpeMergeRules(s: SparkSession, d: String)
+      : Array[(String, String)] =
+    t38MergePairs(s, d).limit(BpeApplyDepth).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+
+  /** t41's encode pipeline over an arbitrary (doc_id, text, ...)
+    * frame with a fixed merge list — per-document and map-side, so
+    * the per-batch union equals the batch run (shared with s19's
+    * streaming ingest-time encode). Unsorted; callers order.
+    */
+  private[graft] def bpeEncodeOf(s: SparkSession, docs: DataFrame,
+      rules: Array[(String, String)]): DataFrame = {
     graft.functions.Md5Hash48.registerAll(s)
-    val rules: Array[(String, String)] =
-      t38MergePairs(s, d).limit(BpeApplyDepth).collect()
-        .map(r => (r.getString(0), r.getString(1)))
     val bcRules = s.sparkContext.broadcast(rules)
     val enc = udf { (toks: Seq[String]) =>
       bpeApplyRules(toks.toArray, bcRules.value.toSeq)
     }
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .withColumn("enc", enc(col("w")))
       .select(col("doc_id"),
@@ -1039,8 +1051,11 @@ object TextOps {
           |  (t, i) -> i * (md5_hash48(t) % 1000003)),
           |  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)
           |""".stripMargin).as("ids_checksum"))
-      .orderBy("doc_id")
   }
+
+  val t41BpeEncode: Q = (s, d) =>
+    bpeEncodeOf(s, Tables.documents(s, d), bpeMergeRules(s, d))
+      .orderBy("doc_id")
 
   /** t41's oracle: the t38 mining SQL ranked to the top-
     * [[BpeApplyDepth]] rules, then one generated CTE layer per rule

@@ -546,20 +546,86 @@ object EventStreams {
     * StreamingSpec assertion.
     */
   def replayQualityGateWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 4): (DataFrame, Long) =
+    replayDocGate(spark, dir, "s18",
+      Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType), nBatches)(
+      graft.queries.TextOps.filterCascadeOf)
+
+  /** s19 — STREAMING TOKENIZER ENCODE AT INGEST (the streaming twin
+    * of batch t41, extending the admission-gate family s09/s18 to the
+    * serving half of the tokenizer pair): the merge list is trained
+    * batch-side ONCE (t38's mining — the shipped model artifact,
+    * exactly how a production ingest pipeline deploys a tokenizer),
+    * then every ingest micro-batch encodes its documents map-side
+    * with the fixed rules. Encoding is per-document pure, so the
+    * union over batches equals batch t41 EXACTLY and t41's oracle
+    * verifies the loop; the engine state store carries nothing and
+    * per-batch cost is encode-of-batch-size (the token-id artifact a
+    * loader reads is current after every batch, never recomputed).
+    */
+  def replayBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    replayBpeEncodeWithStats(spark, dir)._1
+
+  /** s19 plus the engine state-store row total (must be 0) for the
+    * StreamingSpec assertion.
+    */
+  def replayBpeEncodeWithStats(spark: SparkSession, dir: String,
       nBatches: Int = 4): (DataFrame, Long) = {
     import graft.queries.TextOps
-    val work = java.nio.file.Files.createTempDirectory("graft-s18")
+    // model artifact: trained before the stream starts, fixed across
+    // all ingest batches
+    val rules = TextOps.bpeMergeRules(spark, dir)
+    replayDocGate(spark, dir, "s19",
+      Seq("doc_id" -> LongType, "text" -> StringType), nBatches)(
+      b => TextOps.bpeEncodeOf(b.sparkSession, b, rules))
+  }
+
+  /** s20 — STREAMING CROSS-MODAL ADMISSION GATE (the streaming twin
+    * of batch m18, completing the admission family across
+    * modalities: s09 decontamination, s18 text quality, s20 paired
+    * media+caption): media and caption arrive together in each
+    * ingest micro-batch (the paired-ingest shape), the per-pair rule
+    * chain runs inside the batch — blob features decoded map-side,
+    * caption metrics map-side, doc_id-keyed join batch-local — and
+    * verdicts are final at admission. Every rule is per-pair, so the
+    * union over batches equals batch m18 EXACTLY and m18's oracle
+    * verifies the loop; engine state store carries nothing.
+    */
+  def replayPairGate(spark: SparkSession, dir: String): DataFrame =
+    replayPairGateWithStats(spark, dir)._1
+
+  /** s20 plus the engine state-store row total (must be 0) for the
+    * StreamingSpec assertion.
+    */
+  def replayPairGateWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 4): (DataFrame, Long) =
+    replayDocGate(spark, dir, "s20",
+      Seq("doc_id" -> LongType, "text" -> StringType,
+        "n_chars" -> LongType), nBatches)(
+      graft.multimodal.Multimodal.pairCurationOf)
+
+  /** Shared replay harness for the per-document admission gates
+    * (s18/s19/s20): stage the documents table as `nBatches` ingest
+    * parquet files, run `gate` inside each foreachBatch over the
+    * stateless file stream, union the per-batch verdict artifacts.
+    * The gate must be per-document (per-pair) pure — that is exactly
+    * what makes the union equal the batch twin, and what the trio's
+    * StreamingSpec assertions certify.
+    */
+  private def replayDocGate(spark: SparkSession, dir: String,
+      tag: String, cols: Seq[(String, DataType)], nBatches: Int)(
+      gate: DataFrame => DataFrame): (DataFrame, Long) = {
+    val work = java.nio.file.Files.createTempDirectory(s"graft-$tag")
       .toFile
     try {
       val base = work.getAbsolutePath
       val srcDir = s"$base/incoming"
       new java.io.File(srcDir).mkdirs()
-      val docSchema = StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("text", StringType),
-        StructField("lang", StringType)))
+      val docSchema = StructType(
+        cols.map { case (n, t) => StructField(n, t) })
       val all = graft.Tables.documents(spark, dir)
-        .select("doc_id", "text", "lang")
+        .select(cols.map(c => col(c._1)): _*)
       val t0 = System.currentTimeMillis() - 3600L * 1000
       (0 until nBatches).foreach { i =>
         val stage = s"$base/stage$i"
@@ -585,7 +651,7 @@ object EventStreams {
             batchId: Long) =>
           if (!batch.isEmpty) {
             val path = s"$base/verdicts/b$batchId"
-            TextOps.filterCascadeOf(batch).write.parquet(path)
+            gate(batch.toDF()).write.parquet(path)
             verdicts += path
           }
           ()

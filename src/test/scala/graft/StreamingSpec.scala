@@ -364,6 +364,34 @@ class StreamingSpec extends SparkSpec {
       s"per-batch admission must be stateless, got $stateRows")
   }
 
+  test("streaming ingest-time tokenizer (declared s19) equals batch " +
+      "t41 and carries no engine state") {
+    val (df, stateRows) =
+      EventStreams.replayBpeEncodeWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = graft.queries.TextOps.t41BpeEncode(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(stateRows === 0L,
+      s"fixed-model encode must be stateless, got $stateRows")
+  }
+
+  test("streaming cross-modal admission (declared s20) equals batch " +
+      "m18 and carries no engine state") {
+    val (df, stateRows) =
+      EventStreams.replayPairGateWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = graft.multimodal.Multimodal.m18PairCuration(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(stateRows === 0L,
+      s"per-pair admission must be stateless, got $stateRows")
+  }
+
   test("stream-stream interval join (declared s14) emits exactly the " +
       "batch interval-join pair set") {
     import org.apache.spark.sql.functions._
