@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GeoFunctions
@@ -299,7 +299,69 @@ object GeoOps {
     knnJoinCellRanked(pts, gridCols(pts.count()))
   }
 
+  /** g10 — GRID-INDEXED POINT-IN-POLYGON JOIN (the many-many spatial
+    * join the reference's client runs one-polygon-at-a-time,
+    * J7 generalized to a distributed join): which points fall inside
+    * WHICH of a set of polygons, without a points × polygons
+    * nested-loop. The classic tile-index scheme: each polygon is
+    * replicated to the grid cells its bbox covers (an in-row
+    * generator over the cell ranges — polygons × covered cells rows,
+    * the small side); each point hashes to exactly ONE cell (so no
+    * pair is ever produced twice and no dedup pass is needed); the
+    * (cx, cy) equi-join prunes candidates to cell-mates and the
+    * exact strict-interior test (three cross-product signs — integer
+    * vertices × half-integer points keep every product exact in
+    * double) filters them. Cell width is the SAME density-derived
+    * [[gridCols]] grid as g09 — per-cell point population stays
+    * bounded as the corpus grows. No broadcast hint: at bench SFs
+    * the size estimate broadcasts the small polygon-cell side; a
+    * polygon set too large to fit degrades to a shuffle join on the
+    * cell key (q03's hint rule).
+    *
+    * The 25 test polygons are triangles derived from the nation key
+    * (CCW by construction: base (w, 0), apex (w/2, h), w·h > 0);
+    * the oracle verifies by brute-force all-pairs with the same
+    * strict test — the grid must change WHAT is computed not at all,
+    * only how many candidates are examined.
+    */
+  val g10PipJoin: Q = (s, d) => {
+    val pts = points(s, d)
+    val k = gridCols(pts.count())
+    val tri = Tables.nation(s, d).select(
+      col("n_nationkey").cast("int").as("polygon_id"),
+      ((col("n_nationkey") * 29 % 280) - 170).cast("double").as("ax"),
+      ((col("n_nationkey") * 17 % 120) - 80).cast("double").as("ay"),
+      (lit(60) + (col("n_nationkey") % 5) * 20).cast("double").as("w"),
+      (lit(50) + (col("n_nationkey") % 7) * 10).cast("double").as("h"))
+      .select(col("polygon_id"), col("ax"), col("ay"),
+        (col("ax") + col("w")).as("bx"), col("ay").as("by"),
+        (col("ax") + col("w") / 2).as("cx_"),
+        (col("ay") + col("h")).as("cy_"))
+    def cellX(c: Column) = floor((c * 2 + 360) * k / 720).cast("int")
+    def cellY(c: Column) = floor((c * 2 + 180) * k / 720).cast("int")
+    val triCells = tri
+      .withColumn("gx", explode(sequence(cellX(col("ax")),
+        cellX(col("bx")))))
+      .withColumn("gy", explode(sequence(cellY(col("ay")),
+        cellY(col("cy_")))))
+    val ptCells = pts.select(col("c_custkey"), col("lon"), col("lat"),
+      cellX(col("lon")).as("gx"), cellY(col("lat")).as("gy"))
+    ptCells.join(triCells, Seq("gx", "gy"))
+      .filter(
+        (col("bx") - col("ax")) * (col("lat") - col("ay")) -
+          (col("by") - col("ay")) * (col("lon") - col("ax")) > 0 &&
+        (col("cx_") - col("bx")) * (col("lat") - col("by")) -
+          (col("cy_") - col("by")) * (col("lon") - col("bx")) > 0 &&
+        (col("ax") - col("cx_")) * (col("lat") - col("cy_")) -
+          (col("ay") - col("cy_")) * (col("lon") - col("cx_")) > 0)
+      .groupBy("polygon_id")
+      .agg(count(lit(1)).as("n_points"),
+        sum("c_custkey").as("ids_checksum"))
+      .orderBy("polygon_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "g10_pip_join" -> g10PipJoin,
     "g09_knn_join" -> g09KnnJoin,
     "g08_area_extremes" -> g08AreaExtremes,
     "g07_zorder_scan" -> g07ZOrderScan,
@@ -361,6 +423,28 @@ object GeoOps {
          |  CAST(floor((lat + 90) / 60) AS INT) AS cell_y,
          |  count(*) AS n_points
          |FROM p GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin,
+    // g10: brute-force all-pairs with the same strict-interior test —
+    // the grid prunes candidates, it must never change the result
+    "g10_pip_join" ->
+      s"""WITH p AS ($pointsSql),
+         |t AS (
+         |  SELECT CAST(n_nationkey AS INT) AS polygon_id,
+         |    CAST((n_nationkey * 29 % 280) - 170 AS DOUBLE) AS ax,
+         |    CAST((n_nationkey * 17 % 120) - 80 AS DOUBLE) AS ay,
+         |    CAST(60 + (n_nationkey % 5) * 20 AS DOUBLE) AS w,
+         |    CAST(50 + (n_nationkey % 7) * 10 AS DOUBLE) AS h
+         |  FROM nation),
+         |tt AS (
+         |  SELECT polygon_id, ax, ay, ax + w AS bx, ay AS by_,
+         |    ax + w / 2 AS cx_, ay + h AS cy_
+         |  FROM t)
+         |SELECT polygon_id, CAST(count(*) AS BIGINT) AS n_points,
+         |  CAST(sum(c_custkey) AS BIGINT) AS ids_checksum
+         |FROM tt JOIN p ON
+         |  (bx - ax) * (lat - ay) - (by_ - ay) * (lon - ax) > 0 AND
+         |  (cx_ - bx) * (lat - by_) - (cy_ - by_) * (lon - bx) > 0 AND
+         |  (ax - cx_) * (lat - cy_) - (ay - cy_) * (lon - cx_) > 0
+         |GROUP BY polygon_id ORDER BY polygon_id""".stripMargin,
     // g09: cell-mate pairs + exact integer squared degree distance +
     // the per-point (d2, neighbor) rank, re-derived flat. The CASE
     // chain mirrors gridCols' doubling rule (2·n ≤ 32·k²) — extend a

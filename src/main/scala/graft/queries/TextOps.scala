@@ -1057,6 +1057,48 @@ object TextOps {
     bpeEncodeOf(s, Tables.documents(s, d), bpeMergeRules(s, d))
       .orderBy("doc_id")
 
+  /** Vocabulary cap for t42 — the top-N cut every production
+    * tokenizer build applies. Far above this corpus' vocabulary, so
+    * it never binds at test scale; at 100 TB it is the mechanism
+    * that keeps the id-assignment frame bounded.
+    */
+  private[graft] val VocabCap = 32768
+
+  /** t42 — TOKENIZER VOCABULARY BUILD (the third artifact of the
+    * tokenizer triple: t38 mines the merges, t42 materializes the
+    * vocab.json, t41/s19 encode with it): the distinct post-merge
+    * tokens with corpus totals and dense ids under the deterministic
+    * (count DESC, token) total order. Scale shape: the count rollup
+    * is ONE token-keyed partial-aggregated shuffle (n_docs rides the
+    * same shuffle — doc_ids within a token group count-distinct in
+    * the agg); the top-[[VocabCap]] cut is TakeOrderedAndProject
+    * (per-partition heaps, never a full vocab sort); only the final
+    * id assignment runs a single-partition window, over the ≤cap
+    * frame the cut already bounded — the q27 pattern, vocab-sized by
+    * construction, never corpus-sized.
+    */
+  val t42VocabBuild: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val rules = bpeMergeRules(s, d)
+    val bcRules = s.sparkContext.broadcast(rules)
+    val enc = udf { (toks: Seq[String]) =>
+      bpeApplyRules(toks.toArray, bcRules.value.toSeq)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(enc(col("w"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("token"))
+      .limit(VocabCap)
+      .withColumn("token_id", row_number().over(
+        Window.orderBy(desc("n_occurrences"), asc("token")))
+        .cast("int"))
+      .select("token_id", "token", "n_occurrences", "n_docs")
+      .orderBy("token_id")
+  }
+
   /** t41's oracle: the t38 mining SQL ranked to the top-
     * [[BpeApplyDepth]] rules, then one generated CTE layer per rule
     * replaying the left-to-right non-overlapping merge pass —
@@ -1065,7 +1107,11 @@ object TextOps {
     * successors dropped via lag(), positions renumbered. Fixed depth
     * is what keeps this a plain (non-recursive) CTE chain.
     */
-  private def bpeEncodeOracle: String = {
+  /** The shared CTE prefix of the t41/t42 oracles: tokenize, mine and
+    * rank the merge rules, replay the [[BpeApplyDepth]] merge passes —
+    * s$BpeApplyDepth is the final (doc_id, pos, tok) token stream.
+    */
+  private def bpePassCtes: String = {
     val passes = (1 to BpeApplyDepth).map { i =>
       s"""m$i AS (
          |  SELECT s.doc_id, s.pos, s.tok,
@@ -1099,7 +1145,7 @@ object TextOps {
          |    FROM e$i)
          |  WHERE prev_merge IS NULL OR prev_merge = 0)""".stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
        |  FROM documents),
        |rules AS (
@@ -1116,7 +1162,11 @@ object TextOps {
        |  SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos,
        |    unnest(l) AS tok
        |  FROM toks),
-       |$passes,
+       |$passes""".stripMargin
+  }
+
+  private def bpeEncodeOracle: String =
+    s"""WITH $bpePassCtes,
        |fin AS (
        |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
        |    CAST(sum(pos * (${h48Sql("tok")} % 1000003)) AS BIGINT)
@@ -1127,7 +1177,23 @@ object TextOps {
        |  f.ids_checksum
        |FROM toks t JOIN fin f ON t.doc_id = f.doc_id
        |ORDER BY t.doc_id""".stripMargin
-  }
+
+  /** t42's oracle: the same pass chain, then the vocabulary rollup —
+    * per-token totals, the deterministic (count DESC, token) rank as
+    * the dense id, capped at [[VocabCap]].
+    */
+  private def vocabBuildOracle: String =
+    s"""WITH $bpePassCtes,
+       |v AS (
+       |  SELECT tok AS token,
+       |    CAST(count(*) AS BIGINT) AS n_occurrences,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM s$BpeApplyDepth GROUP BY tok
+       |  ORDER BY n_occurrences DESC, token LIMIT $VocabCap)
+       |SELECT CAST(row_number() OVER (
+       |    ORDER BY n_occurrences DESC, token) AS INT) AS token_id,
+       |  token, n_occurrences, n_docs
+       |FROM v ORDER BY token_id""".stripMargin
 
   /** t39 — QUALITY-FILTER CASCADE with reason codes (the C4/RefinedWeb
     * composed keep/drop decision a production pipeline actually
@@ -2414,6 +2480,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t42_vocab_build" -> t42VocabBuild,
     "t41_bpe_encode" -> t41BpeEncode,
     "t40_leakage_safe_split" -> t40LeakageSafeSplit,
     "t39_filter_cascade" -> t39FilterCascade,
@@ -2958,6 +3025,8 @@ object TextOps {
       // t41: generated fixed-depth merge-pass chain (see
       // bpeEncodeOracle's doc)
       "t41_bpe_encode" -> bpeEncodeOracle,
+      // t42: the same pass chain + vocabulary rollup
+      "t42_vocab_build" -> vocabBuildOracle,
       // t38: 1-based list indexing over the same \s+ tokenization —
       // range(1, len) stops at len-1, so (l[i], l[i+1]) enumerates
       // exactly the engine's zip_with-against-tail pairs; the LIMIT

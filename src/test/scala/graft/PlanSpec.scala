@@ -198,6 +198,29 @@ class PlanSpec extends SparkSpec {
       s"sole exchange must be the presentation sort:\n$p")
   }
 
+  test("t42: vocab cut is TakeOrderedAndProject over the token-keyed " +
+      "aggregate — id assignment never sees a corpus-sized frame") {
+    val p = plan("t42_vocab_build")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cap must be a per-partition heap cut, not a full sort:\n$p")
+    assert(p.contains("partial"),
+      s"token counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
+
+  test("g10: PIP join candidates come from the (gx, gy) cell " +
+      "equi-join — polygons replicate to covered cells in-row, " +
+      "never a nested loop over points × polygons") {
+    val p = plan("g10_pip_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in PIP join:\n$p")
+    assert(p.contains("gx") && p.contains("gy"),
+      s"candidate join not keyed on the grid cell:\n$p")
+    assert(p.contains("Generate"),
+      s"polygon cell-cover must be the in-row generator:\n$p")
+  }
+
   test("m18: cross-modal pair join is doc_id-keyed with no broadcast " +
       "hint — narrow decoded frames meet, never the blobs") {
     val p = plan("m18_pair_curation")
