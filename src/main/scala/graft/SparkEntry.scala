@@ -65,7 +65,9 @@ object SparkEntry {
         "s19_stream_bpe_encode" -> ((s, d) =>
           EventStreams.replayBpeEncode(s, d)),
         "s20_stream_pair_gate" -> ((s, d) =>
-          EventStreams.replayPairGate(s, d)))
+          EventStreams.replayPairGate(s, d)),
+        "s21_stream_vocab_maintain" -> ((s, d) =>
+          EventStreams.replayVocabMaintain(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -262,5 +264,10 @@ object SparkEntry {
         // so the union of per-batch verdicts ≡ batch m18 — m18's
         // oracle verifies the cross-modal admission loop
         "s20_stream_pair_gate" ->
-          graft.multimodal.Multimodal.oracles("m18_pair_curation"))
+          graft.multimodal.Multimodal.oracles("m18_pair_curation"),
+        // token-keyed integer sums commute across any batch slicing
+        // and each doc lives in exactly one batch, so the maintained
+        // vocab artifact ≡ batch t42 — t42's oracle verifies the loop
+        "s21_stream_vocab_maintain" ->
+          TextOps.oracles("t42_vocab_build"))
 }

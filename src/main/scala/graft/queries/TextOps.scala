@@ -1099,6 +1099,68 @@ object TextOps {
       .orderBy("token_id")
   }
 
+  /** Budget-capped vocabulary size for t43's audit — small enough to
+    * BIND on this corpus (vocab is 39 tokens, so ranks 21–39 are
+    * out-of-vocabulary), the regime a production token budget
+    * creates.
+    */
+  private[graft] val VocabAuditCap = 20
+
+  /** OOV budget for t43's keep verdict: a document passes if at most
+    * 3 in 10 of its encoded tokens fall outside the capped vocab —
+    * sited at the corpus' median OOV rate (~33% under the cap of 20),
+    * so the verdict genuinely splits the corpus (~32% kept at sf0.1)
+    * instead of rubber-stamping one side.
+    */
+  private[graft] val OovBudgetNum = 3
+  private[graft] val OovBudgetDenom = 10
+
+  /** t43 — VOCABULARY COVERAGE / OOV AUDIT (the fourth artifact of
+    * the tokenizer lifecycle: t38 mines, t42 builds the vocab,
+    * t41/s19 encode, t43 audits what the encoder will mangle): every
+    * document encoded with the fixed merge rules, its post-merge
+    * tokens checked against the budget-capped top-[[VocabAuditCap]]
+    * vocabulary, reporting token count, OOV count, and the
+    * ≤[[OovBudgetNum]]/[[OovBudgetDenom]] OOV keep verdict — the
+    * audit a pipeline runs before pointing a tokenizer at new data.
+    *
+    * Scale shape: BOTH model artifacts are driver-side and bounded —
+    * the merge list (8 rules) and the capped vocab (≤[[VocabCap]]
+    * strings, here 20) — so the whole audit is ONE map-side corpus
+    * pass: encode in-row, count membership against the broadcast
+    * vocab set in-row, no explode, no join, no aggregation shuffle
+    * (PlanSpec gates the single presentation-sort exchange). The
+    * t21 eval-gram broadcast pattern applied to the vocabulary.
+    */
+  val t43OovAudit: Q = (s, d) => {
+    val rules = bpeMergeRules(s, d)
+    val vocab: Array[String] =
+      t42VocabBuild(s, d).limit(VocabAuditCap).collect()
+        .map(_.getAs[String]("token"))
+    val bcRules = s.sparkContext.broadcast(rules)
+    val bcVocab = s.sparkContext.broadcast(vocab.toSet)
+    val audit = udf { (toks: Seq[String]) =>
+      val enc = bpeApplyRules(toks.toArray, bcRules.value.toSeq)
+      val inVocab = bcVocab.value
+      var oov = 0
+      var i = 0
+      while (i < enc.length) {
+        if (!inVocab.contains(enc(i))) oov += 1
+        i += 1
+      }
+      (enc.length, oov)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        audit(split(trim(col("text")), "\\s+")).as("a"))
+      .select(col("doc_id"),
+        col("a._1").as("n_tokens"),
+        col("a._2").as("n_oov"),
+        (col("a._2") * OovBudgetDenom <=
+          col("a._1") * OovBudgetNum).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** t41's oracle: the t38 mining SQL ranked to the top-
     * [[BpeApplyDepth]] rules, then one generated CTE layer per rule
     * replaying the left-to-right non-overlapping merge pass —
@@ -1182,6 +1244,27 @@ object TextOps {
     * per-token totals, the deterministic (count DESC, token) rank as
     * the dense id, capped at [[VocabCap]].
     */
+  /** t43's oracle: the same pass chain, the budget-capped vocab, and
+    * the per-doc membership rollup via a left join (the engine's
+    * broadcast-set lookup, re-derived relationally).
+    */
+  private def oovAuditOracle: String =
+    s"""WITH $bpePassCtes,
+       |v AS (
+       |  SELECT tok AS token FROM s$BpeApplyDepth
+       |  GROUP BY tok
+       |  ORDER BY count(*) DESC, tok LIMIT $VocabAuditCap),
+       |a AS (
+       |  SELECT s.doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |    CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+       |      AS INT) AS n_oov
+       |  FROM s$BpeApplyDepth s LEFT JOIN v ON s.tok = v.token
+       |  GROUP BY s.doc_id)
+       |SELECT doc_id, n_tokens, n_oov,
+       |  CAST(n_oov * $OovBudgetDenom <= n_tokens * $OovBudgetNum
+       |    AS INT) AS keep
+       |FROM a ORDER BY doc_id""".stripMargin
+
   private def vocabBuildOracle: String =
     s"""WITH $bpePassCtes,
        |v AS (
@@ -2480,6 +2563,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t43_oov_audit" -> t43OovAudit,
     "t42_vocab_build" -> t42VocabBuild,
     "t41_bpe_encode" -> t41BpeEncode,
     "t40_leakage_safe_split" -> t40LeakageSafeSplit,
@@ -3027,6 +3111,8 @@ object TextOps {
       "t41_bpe_encode" -> bpeEncodeOracle,
       // t42: the same pass chain + vocabulary rollup
       "t42_vocab_build" -> vocabBuildOracle,
+      // t43: the same pass chain + capped vocab + membership rollup
+      "t43_oov_audit" -> oovAuditOracle,
       // t38: 1-based list indexing over the same \s+ tokenization —
       // range(1, len) stops at len-1, so (l[i], l[i+1]) enumerates
       // exactly the engine's zip_with-against-tail pairs; the LIMIT

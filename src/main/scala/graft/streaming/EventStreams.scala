@@ -605,6 +605,117 @@ object EventStreams {
         "n_chars" -> LongType), nBatches)(
       graft.multimodal.Multimodal.pairCurationOf)
 
+  /** s21 — STREAMING VOCABULARY MAINTENANCE (the streaming twin of
+    * batch t42, fourth member of the artifact-maintenance symmetry:
+    * t15/s05 band index, v09/s12 vector codes, v20/s17 neighbor
+    * graph, t42/s21 tokenizer vocab): each ingest micro-batch encodes
+    * its documents with the FIXED pre-trained merge rules, aggregates
+    * its own (token, n_occurrences, n_docs) counts, and merges them
+    * into the persisted vocabulary artifact by token-keyed integer
+    * sums — commutative/associative, and each document lives in
+    * exactly one batch so the per-batch distinct-doc counts add
+    * exactly. Reading the artifact back out (rank, cap, dense ids)
+    * therefore equals batch t42 EXACTLY and t42's oracle verifies the
+    * loop. The engine state store carries nothing (stateless
+    * foreachBatch — the artifact IS the state, vocab-sized no matter
+    * how much corpus flows through); per-batch cost is
+    * O(|vocab| + |batch|).
+    */
+  def replayVocabMaintain(spark: SparkSession, dir: String): DataFrame =
+    replayVocabMaintainWithStats(spark, dir)._1
+
+  /** s21 plus the engine state-store row total (must be 0) for the
+    * StreamingSpec assertion.
+    */
+  def replayVocabMaintainWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 4): (DataFrame, Long) = {
+    import graft.queries.TextOps
+    val rules = TextOps.bpeMergeRules(spark, dir)
+    val work = java.nio.file.Files.createTempDirectory("graft-s21")
+      .toFile
+    try {
+      val base = work.getAbsolutePath
+      val srcDir = s"$base/incoming"
+      new java.io.File(srcDir).mkdirs()
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val all = graft.Tables.documents(spark, dir)
+        .select("doc_id", "text")
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      (0 until nBatches).foreach { i =>
+        val stage = s"$base/stage$i"
+        all.filter(pmod(col("doc_id"), lit(nBatches)) === i)
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      val states = scala.collection.mutable.ListBuffer[String]()
+      val stateDir = s"$base/state"
+      val q = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$srcDir/b*.parquet")
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          if (!batch.isEmpty) {
+            val s = batch.sparkSession
+            val bcRules = s.sparkContext.broadcast(rules)
+            val enc = udf { (toks: Seq[String]) =>
+              TextOps.bpeApplyRules(toks.toArray, bcRules.value.toSeq)
+            }
+            val batchAgg = batch.toDF()
+              .select(col("doc_id"),
+                split(trim(col("text")), "\\s+").as("w"))
+              .select(col("doc_id"), explode(enc(col("w"))).as("token"))
+              .groupBy("token")
+              .agg(count(lit(1)).as("n_occurrences"),
+                countDistinct("doc_id").as("n_docs"))
+            val merged = states.lastOption match {
+              case Some(prev) =>
+                s.read.parquet(prev).unionByName(batchAgg)
+                  .groupBy("token")
+                  .agg(sum("n_occurrences").as("n_occurrences"),
+                    sum("n_docs").as("n_docs"))
+              case None => batchAgg
+            }
+            val path = s"$stateDir/b$batchId"
+            merged.write.parquet(path)
+            states += path
+          }
+          ()
+        }
+        .start()
+      val stateRows =
+        try {
+          q.awaitTermination()
+          Option(q.lastProgress).toSeq
+            .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        } finally q.stop()
+      import org.apache.spark.sql.expressions.Window
+      val fin = spark.read.parquet(states.last)
+        .orderBy(desc("n_occurrences"), asc("token"))
+        .limit(TextOps.VocabCap)
+        .withColumn("token_id", row_number().over(
+          Window.orderBy(desc("n_occurrences"), asc("token")))
+          .cast("int"))
+        .select("token_id", "token", "n_occurrences", "n_docs")
+        .orderBy("token_id")
+      // materialize BEFORE the temp state dir is deleted
+      val rows = fin.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fin.schema), stateRows)
+    } finally deleteRecursively(work)
+  }
+
   /** Shared replay harness for the per-document admission gates
     * (s18/s19/s20): stage the documents table as `nBatches` ingest
     * parquet files, run `gate` inside each foreachBatch over the

@@ -208,6 +208,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs here:\n$p")
   }
 
+  test("t43: OOV audit is one map-side corpus pass — both model " +
+      "artifacts (rules + capped vocab) are driver-side, so no " +
+      "join, no explode, only the presentation sort") {
+    val p = plan("t43_oov_audit")
+    assert(!p.contains("Join"), s"audit must not join:\n$p")
+    assert(!p.contains("Generate"),
+      s"membership must be counted in-row, not exploded:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
   test("g10: PIP join candidates come from the (gx, gy) cell " +
       "equi-join — polygons replicate to covered cells in-row, " +
       "never a nested loop over points × polygons") {

@@ -378,6 +378,21 @@ class StreamingSpec extends SparkSpec {
       s"fixed-model encode must be stateless, got $stateRows")
   }
 
+  test("streaming vocab maintenance (declared s21) equals batch t42 " +
+      "and carries no engine state") {
+    val (df, stateRows) =
+      EventStreams.replayVocabMaintainWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = graft.queries.TextOps.t42VocabBuild(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(stateRows === 0L,
+      s"the artifact is the state — engine store must be empty, " +
+        s"got $stateRows")
+  }
+
   test("streaming cross-modal admission (declared s20) equals batch " +
       "m18 and carries no engine state") {
     val (df, stateRows) =

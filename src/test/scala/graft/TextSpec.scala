@@ -898,4 +898,38 @@ class TextSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("n_merges").toLong).sum > 0,
       "the top-8 mined pairs must actually occur in the corpus")
   }
+
+  test("t42 vocab: merged tokens materialize with dense gap-free ids " +
+      "in (count, token) order") {
+    val rows = TextOps.t42VocabBuild(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("token_id")).toSeq ===
+      (1 to rows.length), "ids must be dense from 1")
+    // strictly ranked: counts non-increasing, token ascending on ties
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (ca, cb) = (a.getAs[Long]("n_occurrences"),
+        b.getAs[Long]("n_occurrences"))
+      assert(ca > cb || (ca == cb &&
+        a.getAs[String]("token") < b.getAs[String]("token")))
+    case _ => ()
+    }
+    assert(rows.exists(_.getAs[String]("token").contains(" ")),
+      "at least one MERGED token (contains a space) must enter the vocab")
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") <=
+      r.getAs[Long]("n_occurrences")))
+  }
+
+  test("t43 OOV audit: counts are consistent with a direct re-encode " +
+      "and the verdict splits the corpus") {
+    val rows = TextOps.t43OovAudit(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (n, oov) = (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_oov"))
+      assert(oov >= 0 && oov <= n)
+      assert((r.getAs[Int]("keep") == 1) === (oov * 10 <= 3 * n))
+    }
+    val kept = rows.count(_.getAs[Int]("keep") == 1)
+    assert(kept > 0 && kept < rows.length,
+      s"budget must discriminate, kept=$kept")
+  }
 }
