@@ -360,7 +360,77 @@ object GeoOps {
       .orderBy("polygon_id")
   }
 
+  /** g11 — SERVICE-AREA OVERLAP JOIN (the reference README's first
+    * motivating question — "do service areas overlap?" — generalized
+    * from 108 Alaska polygons to a corpus-sized distributed
+    * spatial self-join): every customer point owns a square service
+    * area (half-width 1.5/2.5/3.5° by key), and the join reports each
+    * area's overlap degree and partner checksum. The PBSM
+    * (partition-based spatial merge) scheme end-to-end:
+    *
+    *  - candidates from the same density-derived [[gridCols]] grid —
+    *    each box replicates in-row to the cells its bbox covers, the
+    *    (gx, gy) self equi-join meets cell-mates only;
+    *  - the exact test is strict interval overlap on both axes
+    *    (|Δx| < hₐ+h_b ∧ |Δy| < hₐ+h_b — centers are half-integers
+    *    and half-widths half-integers, so every difference and sum is
+    *    an exact integer-valued double in both engines);
+    *  - a pair found in SEVERAL shared cells is deduplicated WITHOUT
+    *    a distinct shuffle by the classic reference-point rule: the
+    *    intersection box's min corner (max of left edges, max of
+    *    bottom edges — integer-valued here) lies in exactly one grid
+    *    cell, in both boxes' covers, so only the candidate generated
+    *    in THAT cell survives the in-row filter;
+    *  - each surviving a<b pair fans to both directions in-row
+    *    (array+explode) and aggregates to per-area degree.
+    *
+    * The oracle is the brute-force all-pairs self-join with the same
+    * strict test — the grid + reference point must only prune and
+    * dedup, never change the relation. No broadcast hint anywhere:
+    * both sides are the corpus.
+    */
+  val g11OverlapJoin: Q = (s, d) => {
+    val pts = points(s, d)
+    val k = gridCols(pts.count())
+    def cellX(c: Column) = floor((c * 2 + 360) * k / 720).cast("int")
+    def cellY(c: Column) = floor((c * 2 + 180) * k / 720).cast("int")
+    val boxes = pts.select(
+      col("c_custkey"), col("lon").as("x"), col("lat").as("y"),
+      (lit(1.5) + (col("c_custkey") % 3)).as("h"))
+    val cells = boxes
+      .withColumn("gx", explode(sequence(cellX(col("x") - col("h")),
+        cellX(col("x") + col("h")))))
+      .withColumn("gy", explode(sequence(cellY(col("y") - col("h")),
+        cellY(col("y") + col("h")))))
+    val a = cells.select(col("gx"), col("gy"),
+      col("c_custkey").as("ka"), col("x").as("xa"), col("y").as("ya"),
+      col("h").as("ha"))
+    val b = cells.select(col("gx"), col("gy"),
+      col("c_custkey").as("kb"), col("x").as("xb"), col("y").as("yb"),
+      col("h").as("hb"))
+    val pairs = a.join(b, Seq("gx", "gy"))
+      .filter(col("ka") < col("kb"))
+      .filter(abs(col("xa") - col("xb")) < col("ha") + col("hb") &&
+        abs(col("ya") - col("yb")) < col("ha") + col("hb"))
+      // reference-point dedup: only the cell holding the intersection
+      // min corner reports the pair
+      .filter(col("gx") === cellX(greatest(col("xa") - col("ha"),
+          col("xb") - col("hb"))) &&
+        col("gy") === cellY(greatest(col("ya") - col("ha"),
+          col("yb") - col("hb"))))
+    pairs
+      .select(explode(array(
+        struct(col("ka").as("c_custkey"), col("kb").as("partner")),
+        struct(col("kb").as("c_custkey"), col("ka").as("partner"))))
+        .as("e"))
+      .groupBy(col("e.c_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum("e.partner").as("partner_checksum"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "g11_overlap_join" -> g11OverlapJoin,
     "g10_pip_join" -> g10PipJoin,
     "g09_knn_join" -> g09KnnJoin,
     "g08_area_extremes" -> g08AreaExtremes,
@@ -423,6 +493,27 @@ object GeoOps {
          |  CAST(floor((lat + 90) / 60) AS INT) AS cell_y,
          |  count(*) AS n_points
          |FROM p GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin,
+    // g11: brute-force all-pairs strict interval-overlap self-join,
+    // fanned to both directions — grid + reference-point dedup must
+    // only prune and dedup, never change the relation
+    "g11_overlap_join" ->
+      s"""WITH p AS ($pointsSql),
+         |bx AS (
+         |  SELECT c_custkey, lon AS x, lat AS y,
+         |    1.5 + (c_custkey % 3) AS h
+         |  FROM p),
+         |pr AS (
+         |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+         |  FROM bx a JOIN bx b ON a.c_custkey < b.c_custkey
+         |   AND abs(a.x - b.x) < a.h + b.h
+         |   AND abs(a.y - b.y) < a.h + b.h),
+         |e AS (
+         |  SELECT ka AS c_custkey, kb AS partner FROM pr
+         |  UNION ALL
+         |  SELECT kb, ka FROM pr)
+         |SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_overlaps,
+         |  CAST(sum(partner) AS BIGINT) AS partner_checksum
+         |FROM e GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     // g10: brute-force all-pairs with the same strict-interior test —
     // the grid prunes candidates, it must never change the result
     "g10_pip_join" ->

@@ -232,6 +232,24 @@ class PlanSpec extends SparkSpec {
       s"polygon cell-cover must be the in-row generator:\n$p")
   }
 
+  test("g11: overlap join is the cell-keyed self equi-join with " +
+      "in-row reference-point dedup — no nested loop, no distinct " +
+      "shuffle") {
+    val p = plan("g11_overlap_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in overlap join:\n$p")
+    assert(p.contains("gx") && p.contains("gy"),
+      s"candidate join not keyed on the grid cell:\n$p")
+    assert(p.contains("Generate"),
+      s"bbox cell-cover must be the in-row generator:\n$p")
+    // the reference-point rule dedups as a FILTER; a Deduplicate /
+    // distinct aggregate over the pair set would be the extra
+    // pair-keyed shuffle the rule exists to avoid
+    assert(!p.contains("Deduplicate"),
+      s"pair dedup must be the reference-point filter:\n$p")
+  }
+
   test("m18: cross-modal pair join is doc_id-keyed with no broadcast " +
       "hint — narrow decoded frames meet, never the blobs") {
     val p = plan("m18_pair_curation")
