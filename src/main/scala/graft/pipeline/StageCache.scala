@@ -29,7 +29,8 @@ class StageCache(spark: SparkSession, dir: String) {
     h.digest().take(8).map("%02x".format(_)).mkString
   }
 
-  def stage(name: String, codeVersion: String, inputs: Seq[String])(
+  def stage(name: String, codeVersion: String, inputs: Seq[String],
+      partitionCols: Seq[String] = Nil)(
       compute: => DataFrame): DataFrame = {
     val key = s"$name-$codeVersion-${StageCache.fingerprint(inputs)}"
     val path = s"$dir/$key"
@@ -38,7 +39,9 @@ class StageCache(spark: SparkSession, dir: String) {
     } else {
       computeCount += 1
       val df = compute
-      df.write.mode("overwrite").parquet(path)
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+       else w).parquet(path)
       spark.read.parquet(path)
     }
   }

@@ -1240,7 +1240,38 @@ object Relational {
     "q29b_percentiles_approx" -> q29bPercentilesApprox,
   )
 
+  /** q51 — HIVE-PARTITIONED LAYOUT + PARTITION-PRUNED SCAN (the
+    * lakehouse layout primitive next to g07's z-order clustering and
+    * q36's bucketing): the events log written once as a
+    * dt-partitioned dataset (StageCache-memoized, like g07's
+    * clustered copy), then a 10-day window query over it. The date
+    * predicate resolves against the PARTITION DIRECTORIES at plan
+    * time — `PartitionFilters` in the scan, PlanSpec-gated — so the
+    * query reads 10 of 30 partitions and never opens the rest: at
+    * 100 TB of time-partitioned log this is the difference between
+    * scanning a third of the lake and scanning a day list. The
+    * aggregate itself is one keyed partial-agg'd shuffle per day.
+    */
+  val q51PartitionPruned: Q = (s, d) => {
+    val cache = new graft.pipeline.StageCache(s,
+      graft.pipeline.StageCache.indexRoot)
+    val parted = cache.stage("events_by_dt",
+      cache.versionHash(Seq("events_by_dt", "v1")),
+      Seq(s"$d/events.parquet"), partitionCols = Seq("dt")) {
+      Tables.events(s, d).withColumn("dt", to_date(col("ts")))
+    }
+    parted
+      .filter(col("dt") >= lit("2024-01-10").cast("date") &&
+        col("dt") <= lit("2024-01-19").cast("date"))
+      .groupBy("dt")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("day_value"))
+      .orderBy("dt")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q51_partition_pruned" -> q51PartitionPruned,
     "q39_portable_hist_quantiles" -> q39PortableHistQuantiles,
     "q40_portable_hist_merge" -> q40PortableHistMerge,
     "q36_bucketed_join" -> q36BucketedJoin,
@@ -1325,6 +1356,17 @@ object Relational {
     * timestamps are cast to DATE or formatted as strings.
     */
   val oracles: Map[String, String] = Map(
+    // q51: the layout must not change the relation — same window over
+    // the raw unpartitioned log
+    "q51_partition_pruned" ->
+      """SELECT CAST(ts AS DATE) AS dt,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  round(sum(value), 2) AS day_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+        |  AND CAST(ts AS DATE) <= DATE '2024-01-19'
+        |GROUP BY 1 ORDER BY dt""".stripMargin,
     // q39/q40: the oracle recomputes the integer histogram and the
     // cumulative quantile walk — pure BIGINT throughout. q40 merges
     // two independently-built half-histograms by bin addition, which

@@ -324,6 +324,28 @@ class PlanSpec extends SparkSpec {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q51: the date window resolves as PartitionFilters — the scan " +
+      "reads the 10 matching dt directories, not the whole log") {
+    val df = SparkEntry.queries("q51_partition_pruned")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") &&
+      p.contains("isnotnull(dt"),
+      s"date window not applied at the partition level:\n$p")
+    // the pruned scan must report exactly the selected partition
+    // count (unwrap AQE — the file scan lives in the input plan)
+    val inner = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val pruned = inner.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(pruned.contains(10),
+      s"expected 10 of 30 partitions read, got $pruned:\n$p")
+  }
+
   test("q02: partial aggregation before the shuffle") {
     val p = plan("q02_agg_pushdown")
     assert(p.contains("partial_sum") || p.contains("partial"),
