@@ -1465,6 +1465,122 @@ object VectorOps {
     (out, assigned)
   }
 
+  /** Power-iteration count for v22 — bounded so the oracle is a
+    * generated fixed-depth CTE chain (the t41 pattern on graphs).
+    */
+  private val CentralityIters = 3
+
+  /** v22 — GRAPH CENTRALITY over the kNN graph (PageRank-style power
+    * iteration — the fourth consumer of the trained integer
+    * quantizer, and the engine's iterative-graph-computation shape:
+    * the importance scores graph-based curation uses to pick corpus
+    * exemplars, computed on v20's neighbor edges). Each of the
+    * [[CentralityIters]] supersteps is ONE edge-keyed join (push
+    * rank/out_degree along every edge, Spark `DIV` = DuckDB `//`
+    * truncation) plus one node-keyed sum, then the damped update
+    * 150000 + (85·mass)//100 on the fixed 10⁶ integer scale — the
+    * Pregel superstep expressed as DataFrame joins, all-integer so
+    * every rank hash-matches the oracle's generated CTE chain.
+    * Dangling mass (nodes alone in their cell emit no edges) is
+    * dropped, the standard simplification.
+    *
+    * Scale shape: the edge list is built once (v20's cell-local
+    * plan, lineage cut by localCheckpoint) and each superstep
+    * shuffles only (edge endpoints × 8-byte ranks) — never
+    * re-derives the graph; iterations are bounded, and at 100 TB
+    * each superstep is the same two keyed exchanges regardless of
+    * iteration count.
+    */
+  val v22GraphCentrality: Q = (s, d) => {
+    val (edges0, assigned) = knnGraphRanked(s, d)
+    val edges = edges0.select("vec_id", "neighbor_id")
+      .localCheckpoint()
+    assigned.unpersist()
+    val nodes = fixedEmb(s, d).select("vec_id")
+    val deg = edges.groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "vec_id")
+    var rank = nodes.withColumn("rank", lit(1000000L))
+    (1 to CentralityIters).foreach { _ =>
+      val contrib = edgesDeg.join(rank, "vec_id")
+        .select(col("neighbor_id").as("vec_id"),
+          expr("rank DIV deg").as("c"))
+        .groupBy("vec_id").agg(sum("c").as("m"))
+      rank = nodes.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(150000L) +
+            expr("(85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100"))
+            .as("rank"))
+    }
+    val indeg = edges.groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    rank.join(indeg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("rank"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .orderBy("vec_id")
+  }
+
+  /** The kNN-graph edge CTEs shared by the v20 and v22 oracles:
+    * cell-mate pairs, exact distances, the (d², neighbor) rank, and
+    * the top-[[KnnGraphK]] edge list `g`.
+    */
+  private def knnGraphEdgeCtes: String =
+    s"""pr AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id
+       |  FROM asg a JOIN asg b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |dd AS (
+       |  SELECT p.vec_id, p.neighbor_id,
+       |    CAST(sum((fa.qx - fb.qx) * (fa.qx - fb.qx)) AS BIGINT)
+       |      AS d2
+       |  FROM pr p
+       |  JOIN fx fa ON fa.vec_id = p.vec_id
+       |  JOIN fx fb ON fb.vec_id = p.neighbor_id AND fb.i = fa.i
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT vec_id, neighbor_id, d2, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY d2, neighbor_id) AS rank
+       |  FROM dd),
+       |g AS (
+       |  SELECT vec_id, neighbor_id FROM rk
+       |  WHERE rank <= $KnnGraphK)""".stripMargin
+
+  /** v22's oracle: shared edge CTEs + one generated (contrib, rank)
+    * CTE pair per power iteration.
+    */
+  private def graphCentralityOracle: String = {
+    val iters = (1 to CentralityIters).map { i =>
+      s"""cm$i AS (
+         |  SELECT g.neighbor_id AS vec_id,
+         |    CAST(sum(r.rank // d.deg) AS BIGINT) AS m
+         |  FROM g JOIN rr${i - 1} r ON r.vec_id = g.vec_id
+         |  JOIN deg d ON d.vec_id = g.vec_id
+         |  GROUP BY 1),
+         |rr$i AS (
+         |  SELECT n.vec_id,
+         |    CAST(150000 + (85 * coalesce(c.m, 0)) // 100 AS BIGINT)
+         |      AS rank
+         |  FROM nodes n LEFT JOIN cm$i c ON c.vec_id = n.vec_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$ivfIntCoreCtes,
+       |$knnGraphEdgeCtes,
+       |nodes AS (SELECT vec_id FROM asg),
+       |deg AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM g GROUP BY 1),
+       |rr0 AS (
+       |  SELECT vec_id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |$iters,
+       |ind AS (
+       |  SELECT neighbor_id AS vec_id,
+       |    CAST(count(*) AS BIGINT) AS in_degree
+       |  FROM g GROUP BY 1)
+       |SELECT r.vec_id, r.rank,
+       |  CAST(coalesce(i.in_degree, 0) AS BIGINT) AS in_degree
+       |FROM rr$CentralityIters r LEFT JOIN ind i ON i.vec_id = r.vec_id
+       |ORDER BY r.vec_id""".stripMargin
+  }
+
   /** v04 — vector norm statistics per label (corpus sanity check every
     * embedding pipeline runs before indexing).
     */
@@ -1586,6 +1702,7 @@ object VectorOps {
     "v14_ann_ivfpq_int" -> v14AnnIvfPqInt,
     "v16_semdedup" -> v16Semdedup,
     "v20_knn_graph" -> v20KnnGraph,
+    "v22_graph_centrality" -> v22GraphCentrality,
     "v21_ann_recall" -> v21AnnRecall,
   )
 
@@ -2118,25 +2235,14 @@ object VectorOps {
     // (d2, neighbor) rank — every edge of the graph recomputed
     "v20_knn_graph" ->
       s"""$ivfIntCoreCtes,
-        |pr AS (
-        |  SELECT a.vec_id, b.vec_id AS neighbor_id
-        |  FROM asg a JOIN asg b
-        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-        |dd AS (
-        |  SELECT p.vec_id, p.neighbor_id,
-        |    CAST(sum((fa.qx - fb.qx) * (fa.qx - fb.qx)) AS BIGINT)
-        |      AS d2
-        |  FROM pr p
-        |  JOIN fx fa ON fa.vec_id = p.vec_id
-        |  JOIN fx fb ON fb.vec_id = p.neighbor_id AND fb.i = fa.i
-        |  GROUP BY 1, 2),
-        |rk AS (
-        |  SELECT vec_id, neighbor_id, d2, row_number() OVER (
-        |    PARTITION BY vec_id ORDER BY d2, neighbor_id) AS rank
-        |  FROM dd)
+        |$knnGraphEdgeCtes
         |SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id, d2
         |FROM rk WHERE rank <= $KnnGraphK
         |ORDER BY vec_id, rank""".stripMargin,
+    // v22: the shared edge CTEs, then the generated fixed-iteration
+    // power-iteration layers — all-integer arithmetic (// truncation
+    // pairs with Spark's DIV), recomputed from scratch
+    "v22_graph_centrality" -> graphCentralityOracle,
     // v21: v12's candidate/rank CTEs widened to top-10, an exact
     // brute top-10 per query, and the (qid, vec_id)-keyed hit count —
     // recall recomputed bit-for-bit

@@ -471,4 +471,26 @@ class VectorSpec extends SparkSpec {
     // the dedup is non-trivial at sf0.001: some multi-member groups
     assert(rows.count(_.getAs[Int]("kept") == 0) > 0)
   }
+
+  test("v22 centrality: base-rank floor, zero-in-degree nodes sit " +
+      "exactly on it, and the metric discriminates") {
+    val rows = graft.queries.VectorOps.v22GraphCentrality(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rank = r.getAs[Long]("rank")
+      assert(rank >= 150000L, "damping floor violated")
+      if (r.getAs[Long]("in_degree") == 0L)
+        assert(rank === 150000L,
+          "a node nobody links to must hold exactly the base rank")
+    }
+    val distinct = rows.map(_.getAs[Long]("rank")).distinct
+    assert(distinct.length > 10,
+      s"power iteration must spread ranks, got ${distinct.length} " +
+        "distinct values")
+    // total mass stays below the undamped total (damping + dangling
+    // drop only remove mass, never add)
+    val total = rows.map(_.getAs[Long]("rank")).sum
+    assert(total <= 1000000L * rows.length)
+  }
 }
