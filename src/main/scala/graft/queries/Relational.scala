@@ -1252,15 +1252,8 @@ object Relational {
     * scanning a third of the lake and scanning a day list. The
     * aggregate itself is one keyed partial-agg'd shuffle per day.
     */
-  val q51PartitionPruned: Q = (s, d) => {
-    val cache = new graft.pipeline.StageCache(s,
-      graft.pipeline.StageCache.indexRoot)
-    val parted = cache.stage("events_by_dt",
-      cache.versionHash(Seq("events_by_dt", "v1")),
-      Seq(s"$d/events.parquet"), partitionCols = Seq("dt")) {
-      Tables.events(s, d).withColumn("dt", to_date(col("ts")))
-    }
-    parted
+  val q51PartitionPruned: Q = (s, d) =>
+    eventsByDt(s, d)
       .filter(col("dt") >= lit("2024-01-10").cast("date") &&
         col("dt") <= lit("2024-01-19").cast("date"))
       .groupBy("dt")
@@ -1268,9 +1261,55 @@ object Relational {
         countDistinct("user_id").as("n_users"),
         round(sum("value"), 2).as("day_value"))
       .orderBy("dt")
+
+  /** The q51/q52 dt-partitioned staging of the events log (shared —
+    * StageCache serves the second caller from the artifact).
+    */
+  private def eventsByDt(s: SparkSession, d: String): DataFrame = {
+    val cache = new graft.pipeline.StageCache(s,
+      graft.pipeline.StageCache.indexRoot)
+    cache.stage("events_by_dt",
+      cache.versionHash(Seq("events_by_dt", "v1")),
+      Seq(s"$d/events.parquet"), partitionCols = Seq("dt")) {
+      Tables.events(s, d).withColumn("dt", to_date(col("ts")))
+    }
+  }
+
+  /** q52 — DYNAMIC PARTITION PRUNING (runtime partition pruning
+    * through a join, q51's static sibling): the dt-partitioned log
+    * joined to a small calendar dimension filtered on a
+    * NON-partition attribute (day-number mod 3 — deliberately
+    * opaque to static pruning). Catalyst inserts a
+    * DynamicPruningSubquery on the scan: the dim side's broadcast
+    * result prunes the fact scan's partition list AT RUNTIME, so the
+    * query reads the 10 matching day directories even though no
+    * static date predicate exists — at 100 TB the fact-side saving
+    * of every star join whose dimension carries the selective
+    * filter. PlanSpec asserts the dynamicpruning expression lands in
+    * the scan's PartitionFilters.
+    */
+  val q52DynamicPruning: Q = (s, d) => {
+    val parted = eventsByDt(s, d)
+    val cache = new graft.pipeline.StageCache(s,
+      graft.pipeline.StageCache.indexRoot)
+    val dim = cache.stage("dates_dim",
+      cache.versionHash(Seq("dates_dim", "v1")),
+      Seq(s"$d/events.parquet")) {
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("dt")).distinct()
+        .withColumn("day_bucket",
+          pmod(dayofmonth(col("dt")), lit(3)))
+    }
+    parted
+      .join(dim.filter(col("day_bucket") === 1), "dt")
+      .groupBy("dt")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("day_value"))
+      .orderBy("dt")
   }
 
   val queries: Map[String, Q] = Map(
+    "q52_dynamic_pruning" -> q52DynamicPruning,
     "q51_partition_pruned" -> q51PartitionPruned,
     "q39_portable_hist_quantiles" -> q39PortableHistQuantiles,
     "q40_portable_hist_merge" -> q40PortableHistMerge,
@@ -1366,6 +1405,15 @@ object Relational {
         |FROM events
         |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
         |  AND CAST(ts AS DATE) <= DATE '2024-01-19'
+        |GROUP BY 1 ORDER BY dt""".stripMargin,
+    // q52: the dim filter re-derived directly on the raw log —
+    // day-of-month mod 3 is engine-neutral arithmetic
+    "q52_dynamic_pruning" ->
+      """SELECT CAST(ts AS DATE) AS dt,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS day_value
+        |FROM events
+        |WHERE day(CAST(ts AS DATE)) % 3 = 1
         |GROUP BY 1 ORDER BY dt""".stripMargin,
     // q39/q40: the oracle recomputes the integer histogram and the
     // cumulative quantile walk — pure BIGINT throughout. q40 merges

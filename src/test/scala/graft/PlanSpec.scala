@@ -346,6 +346,15 @@ class PlanSpec extends SparkSpec {
       s"expected 10 of 30 partitions read, got $pruned:\n$p")
   }
 
+  test("q52: the dim filter prunes the fact scan's partitions AT " +
+      "RUNTIME — dynamicpruningexpression in PartitionFilters") {
+    val df = SparkEntry.queries("q52_dynamic_pruning")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unkeyed join:\n$p")
+  }
+
   test("q02: partial aggregation before the shuffle") {
     val p = plan("q02_agg_pushdown")
     assert(p.contains("partial_sum") || p.contains("partial"),
