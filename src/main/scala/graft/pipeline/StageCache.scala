@@ -32,7 +32,13 @@ class StageCache(spark: SparkSession, dir: String) {
   def stage(name: String, codeVersion: String, inputs: Seq[String],
       partitionCols: Seq[String] = Nil)(
       compute: => DataFrame): DataFrame = {
-    val key = s"$name-$codeVersion-${StageCache.fingerprint(inputs)}"
+    // the partition layout is part of the artifact's identity: a
+    // layout change must rebuild, not serve the old directories
+    val layout =
+      if (partitionCols.isEmpty) ""
+      else s"-p${partitionCols.mkString("_")}"
+    val key =
+      s"$name-$codeVersion-${StageCache.fingerprint(inputs)}$layout"
     val path = s"$dir/$key"
     if (Files.exists(Paths.get(path, "_SUCCESS"))) {
       spark.read.parquet(path)

@@ -244,6 +244,35 @@ object GeoOps {
     k
   }
 
+  /** The gridCols rule as a SQL CASE chain, GENERATED from the same
+    * doubling loop so oracle and engine cannot drift (review r12: a
+    * hand-written 6-row chain silently clamped above ~2.36M points).
+    * `depth` doublings cover 2n ≤ 32·(12·2^depth)² ≈ 9.7e9 points at
+    * the default — far past any oracle scale; extend by passing a
+    * larger depth if that ever binds.
+    */
+  private def gridColsSqlCase(countExpr: String,
+      depth: Int = 12): String = {
+    val whens = (0 until depth).map { j =>
+      val k = 12L << j
+      s"WHEN 2 * $countExpr <= $GridTargetPerCell * ${k * k} THEN $k"
+    }.mkString("\n    ", "\n    ", "")
+    s"CASE$whens\n    ELSE ${12L << depth} END"
+  }
+
+  /** The shared density-derived grid-cell ids (g09/g10/g11 — one
+    * definition so cross-operator grid consistency holds by
+    * construction, not by textual duplication): square cells of
+    * 360/k degrees; 2·lon+360 is an exact integer-valued double for
+    * the corpus' half-integer coordinates, so the floor matches the
+    * oracle bit-for-bit, and k=12 reproduces the historical
+    * floor((lon+180)/30).
+    */
+  private[graft] def cellX(c: Column, k: Int): Column =
+    floor((c * 2 + 360) * k / 720).cast("int")
+  private[graft] def cellY(c: Column, k: Int): Column =
+    floor((c * 2 + 180) * k / 720).cast("int")
+
   /** The g09 core over an arbitrary (c_custkey, lon, lat) points
     * frame with a k-column grid (square cells of 360/k degrees) —
     * shared with ScaleCheck's spatial-grid density probe. Cell ids
@@ -257,8 +286,7 @@ object GeoOps {
     import org.apache.spark.sql.expressions.Window
     val c = pts.select(
       col("c_custkey"), col("lon"), col("lat"),
-      floor((col("lon") * 2 + 360) * k / 720).cast("int").as("cx"),
-      floor((col("lat") * 2 + 180) * k / 720).cast("int").as("cy"))
+      cellX(col("lon"), k).as("cx"), cellY(col("lat"), k).as("cy"))
     val a = c.select(col("cx"), col("cy"), col("c_custkey"),
       col("lon"), col("lat"))
     val b = c.select(col("cx"), col("cy"),
@@ -337,15 +365,13 @@ object GeoOps {
         (col("ax") + col("w")).as("bx"), col("ay").as("by"),
         (col("ax") + col("w") / 2).as("cx_"),
         (col("ay") + col("h")).as("cy_"))
-    def cellX(c: Column) = floor((c * 2 + 360) * k / 720).cast("int")
-    def cellY(c: Column) = floor((c * 2 + 180) * k / 720).cast("int")
     val triCells = tri
-      .withColumn("gx", explode(sequence(cellX(col("ax")),
-        cellX(col("bx")))))
-      .withColumn("gy", explode(sequence(cellY(col("ay")),
-        cellY(col("cy_")))))
+      .withColumn("gx", explode(sequence(cellX(col("ax"), k),
+        cellX(col("bx"), k))))
+      .withColumn("gy", explode(sequence(cellY(col("ay"), k),
+        cellY(col("cy_"), k))))
     val ptCells = pts.select(col("c_custkey"), col("lon"), col("lat"),
-      cellX(col("lon")).as("gx"), cellY(col("lat")).as("gy"))
+      cellX(col("lon"), k).as("gx"), cellY(col("lat"), k).as("gy"))
     ptCells.join(triCells, Seq("gx", "gy"))
       .filter(
         (col("bx") - col("ax")) * (col("lat") - col("ay")) -
@@ -392,16 +418,14 @@ object GeoOps {
   val g11OverlapJoin: Q = (s, d) => {
     val pts = points(s, d)
     val k = gridCols(pts.count())
-    def cellX(c: Column) = floor((c * 2 + 360) * k / 720).cast("int")
-    def cellY(c: Column) = floor((c * 2 + 180) * k / 720).cast("int")
     val boxes = pts.select(
       col("c_custkey"), col("lon").as("x"), col("lat").as("y"),
       (lit(1.5) + (col("c_custkey") % 3)).as("h"))
     val cells = boxes
-      .withColumn("gx", explode(sequence(cellX(col("x") - col("h")),
-        cellX(col("x") + col("h")))))
-      .withColumn("gy", explode(sequence(cellY(col("y") - col("h")),
-        cellY(col("y") + col("h")))))
+      .withColumn("gx", explode(sequence(cellX(col("x") - col("h"), k),
+        cellX(col("x") + col("h"), k))))
+      .withColumn("gy", explode(sequence(cellY(col("y") - col("h"), k),
+        cellY(col("y") + col("h"), k))))
     val a = cells.select(col("gx"), col("gy"),
       col("c_custkey").as("ka"), col("x").as("xa"), col("y").as("ya"),
       col("h").as("ha"))
@@ -415,9 +439,9 @@ object GeoOps {
       // reference-point dedup: only the cell holding the intersection
       // min corner reports the pair
       .filter(col("gx") === cellX(greatest(col("xa") - col("ha"),
-          col("xb") - col("hb"))) &&
+          col("xb") - col("hb")), k) &&
         col("gy") === cellY(greatest(col("ya") - col("ha"),
-          col("yb") - col("hb"))))
+          col("yb") - col("hb")), k))
     pairs
       .select(explode(array(
         struct(col("ka").as("c_custkey"), col("kb").as("partner")),
@@ -537,19 +561,13 @@ object GeoOps {
          |  (ax - cx_) * (lat - cy_) - (ay - cy_) * (lon - cx_) > 0
          |GROUP BY polygon_id ORDER BY polygon_id""".stripMargin,
     // g09: cell-mate pairs + exact integer squared degree distance +
-    // the per-point (d2, neighbor) rank, re-derived flat. The CASE
-    // chain mirrors gridCols' doubling rule (2·n ≤ 32·k²) — extend a
-    // row per doubling if the oracle ever runs above ~2.3M points.
+    // the per-point (d2, neighbor) rank, re-derived flat. The width
+    // CASE chain is GENERATED from gridCols' own doubling rule
+    // (gridColsSqlCase) so engine and oracle cannot drift.
     "g09_knn_join" ->
       s"""WITH p AS ($pointsSql),
          |k AS (
-         |  SELECT CASE
-         |    WHEN 2 * count(*) <= 32 * 144    THEN 12
-         |    WHEN 2 * count(*) <= 32 * 576    THEN 24
-         |    WHEN 2 * count(*) <= 32 * 2304   THEN 48
-         |    WHEN 2 * count(*) <= 32 * 9216   THEN 96
-         |    WHEN 2 * count(*) <= 32 * 36864  THEN 192
-         |    ELSE 384 END AS k
+         |  SELECT ${gridColsSqlCase("count(*)")} AS k
          |  FROM p),
          |c AS (
          |  SELECT c_custkey, lon, lat,

@@ -1077,27 +1077,45 @@ object TextOps {
     * frame the cut already bounded — the q27 pattern, vocab-sized by
     * construction, never corpus-sized.
     */
-  val t42VocabBuild: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val rules = bpeMergeRules(s, d)
+  /** The (token, n_occurrences, n_docs) rollup of the post-merge
+    * token stream over an arbitrary (doc_id, text) frame with a
+    * fixed rule list — the encode+count stage shared by t42, t43's
+    * vocab derivation, and s21's per-batch aggregation.
+    */
+  private[graft] def vocabCountsOf(s: SparkSession, docs: DataFrame,
+      rules: Array[(String, String)]): DataFrame = {
     val bcRules = s.sparkContext.broadcast(rules)
     val enc = udf { (toks: Seq[String]) =>
       bpeApplyRules(toks.toArray, bcRules.value.toSeq)
     }
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), explode(enc(col("w"))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct("doc_id").as("n_docs"))
+  }
+
+  /** The rank/cap/id-assignment read-out of a vocabulary count frame
+    * — shared by t42 and s21's artifact read-out so the s21 ≡ t42
+    * equivalence holds by construction, not by duplicated code.
+    * Unsorted; callers order by token_id.
+    */
+  private[graft] def vocabRankOf(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
       .orderBy(desc("n_occurrences"), asc("token"))
       .limit(VocabCap)
       .withColumn("token_id", row_number().over(
         Window.orderBy(desc("n_occurrences"), asc("token")))
         .cast("int"))
       .select("token_id", "token", "n_occurrences", "n_docs")
-      .orderBy("token_id")
   }
+
+  val t42VocabBuild: Q = (s, d) =>
+    vocabRankOf(
+      vocabCountsOf(s, Tables.documents(s, d), bpeMergeRules(s, d)))
+      .orderBy("token_id")
 
   /** Budget-capped vocabulary size for t43's audit — small enough to
     * BIND on this corpus (vocab is 39 tokens, so ranks 21–39 are
@@ -1133,9 +1151,12 @@ object TextOps {
     * t21 eval-gram broadcast pattern applied to the vocabulary.
     */
   val t43OovAudit: Q = (s, d) => {
+    // rules mined ONCE and shared with the vocab derivation (review
+    // r12: routing through t42VocabBuild re-mined them a second time)
     val rules = bpeMergeRules(s, d)
     val vocab: Array[String] =
-      t42VocabBuild(s, d).limit(VocabAuditCap).collect()
+      vocabRankOf(vocabCountsOf(s, Tables.documents(s, d), rules))
+        .orderBy("token_id").limit(VocabAuditCap).collect()
         .map(_.getAs[String]("token"))
     val bcRules = s.sparkContext.broadcast(rules)
     val bcVocab = s.sparkContext.broadcast(vocab.toSet)

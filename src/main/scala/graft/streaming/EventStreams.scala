@@ -635,27 +635,11 @@ object EventStreams {
       .toFile
     try {
       val base = work.getAbsolutePath
-      val srcDir = s"$base/incoming"
-      new java.io.File(srcDir).mkdirs()
-      val docSchema = StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("text", StringType)))
-      val all = graft.Tables.documents(spark, dir)
-        .select("doc_id", "text")
-      val t0 = System.currentTimeMillis() - 3600L * 1000
-      (0 until nBatches).foreach { i =>
-        val stage = s"$base/stage$i"
-        all.filter(pmod(col("doc_id"), lit(nBatches)) === i)
-          .coalesce(1).write.parquet(stage)
-        new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).headOption
-          .foreach { f =>
-            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
-            java.nio.file.Files.move(f.toPath, dst.toPath)
-            dst.setLastModified(t0 + i * 60000L)
-            ()
-          }
-      }
+      val cols = Seq("doc_id" -> (LongType: DataType),
+        "text" -> (StringType: DataType))
+      val srcDir = stageDocBatches(spark, dir, base, cols, nBatches)
+      val docSchema = StructType(
+        cols.map { case (n, t) => StructField(n, t) })
       val states = scala.collection.mutable.ListBuffer[String]()
       val stateDir = s"$base/state"
       val q = spark.readStream.schema(docSchema)
@@ -668,17 +652,10 @@ object EventStreams {
             batchId: Long) =>
           if (!batch.isEmpty) {
             val s = batch.sparkSession
-            val bcRules = s.sparkContext.broadcast(rules)
-            val enc = udf { (toks: Seq[String]) =>
-              TextOps.bpeApplyRules(toks.toArray, bcRules.value.toSeq)
-            }
-            val batchAgg = batch.toDF()
-              .select(col("doc_id"),
-                split(trim(col("text")), "\\s+").as("w"))
-              .select(col("doc_id"), explode(enc(col("w"))).as("token"))
-              .groupBy("token")
-              .agg(count(lit(1)).as("n_occurrences"),
-                countDistinct("doc_id").as("n_docs"))
+            // the same encode+count stage as batch t42 over the
+            // batch slice (per-batch counts sum exactly — each doc
+            // lives in one batch)
+            val batchAgg = TextOps.vocabCountsOf(s, batch.toDF(), rules)
             val merged = states.lastOption match {
               case Some(prev) =>
                 s.read.parquet(prev).unionByName(batchAgg)
@@ -700,14 +677,9 @@ object EventStreams {
           Option(q.lastProgress).toSeq
             .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
         } finally q.stop()
-      import org.apache.spark.sql.expressions.Window
-      val fin = spark.read.parquet(states.last)
-        .orderBy(desc("n_occurrences"), asc("token"))
-        .limit(TextOps.VocabCap)
-        .withColumn("token_id", row_number().over(
-          Window.orderBy(desc("n_occurrences"), asc("token")))
-          .cast("int"))
-        .select("token_id", "token", "n_occurrences", "n_docs")
+      // t42's OWN rank/cap/id read-out over the artifact — s21 ≡ t42
+      // by shared code, not by a duplicated ranking block
+      val fin = TextOps.vocabRankOf(spark.read.parquet(states.last))
         .orderBy("token_id")
       // materialize BEFORE the temp state dir is deleted
       val rows = fin.collect()
@@ -724,6 +696,36 @@ object EventStreams {
     * what makes the union equal the batch twin, and what the trio's
     * StreamingSpec assertions certify.
     */
+  /** Stage the documents table as `nBatches` time-spaced ingest
+    * parquet files under `base/incoming` (doc_id mod nBatches split)
+    * — the shared batching convention of every document-stream
+    * replay (s18/s19/s20's gate harness and s21's merge loop).
+    * Returns the incoming dir.
+    */
+  private def stageDocBatches(spark: SparkSession, dir: String,
+      base: String, cols: Seq[(String, DataType)],
+      nBatches: Int): String = {
+    val srcDir = s"$base/incoming"
+    new java.io.File(srcDir).mkdirs()
+    val all = graft.Tables.documents(spark, dir)
+      .select(cols.map(c => col(c._1)): _*)
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    (0 until nBatches).foreach { i =>
+      val stage = s"$base/stage$i"
+      all.filter(pmod(col("doc_id"), lit(nBatches)) === i)
+        .coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).headOption
+        .foreach { f =>
+          val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(t0 + i * 60000L)
+          ()
+        }
+    }
+    srcDir
+  }
+
   private def replayDocGate(spark: SparkSession, dir: String,
       tag: String, cols: Seq[(String, DataType)], nBatches: Int)(
       gate: DataFrame => DataFrame): (DataFrame, Long) = {
@@ -731,26 +733,9 @@ object EventStreams {
       .toFile
     try {
       val base = work.getAbsolutePath
-      val srcDir = s"$base/incoming"
-      new java.io.File(srcDir).mkdirs()
+      val srcDir = stageDocBatches(spark, dir, base, cols, nBatches)
       val docSchema = StructType(
         cols.map { case (n, t) => StructField(n, t) })
-      val all = graft.Tables.documents(spark, dir)
-        .select(cols.map(c => col(c._1)): _*)
-      val t0 = System.currentTimeMillis() - 3600L * 1000
-      (0 until nBatches).foreach { i =>
-        val stage = s"$base/stage$i"
-        all.filter(pmod(col("doc_id"), lit(nBatches)) === i)
-          .coalesce(1).write.parquet(stage)
-        new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).headOption
-          .foreach { f =>
-            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
-            java.nio.file.Files.move(f.toPath, dst.toPath)
-            dst.setLastModified(t0 + i * 60000L)
-            ()
-          }
-      }
       val verdicts = scala.collection.mutable.ListBuffer[String]()
       val q = spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", 1)
