@@ -67,7 +67,9 @@ object SparkEntry {
         "s20_stream_pair_gate" -> ((s, d) =>
           EventStreams.replayPairGate(s, d)),
         "s21_stream_vocab_maintain" -> ((s, d) =>
-          EventStreams.replayVocabMaintain(s, d)))
+          EventStreams.replayVocabMaintain(s, d)),
+        "s22_stream_partitioned_ingest" -> ((s, d) =>
+          EventStreams.replayPartitionedIngest(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -269,5 +271,10 @@ object SparkEntry {
         // and each doc lives in exactly one batch, so the maintained
         // vocab artifact ≡ batch t42 — t42's oracle verifies the loop
         "s21_stream_vocab_maintain" ->
-          TextOps.oracles("t42_vocab_build"))
+          TextOps.oracles("t42_vocab_build"),
+        // every row lands in exactly one micro-batch and the file
+        // sink only appends, so the streamed dt layout's content ≡
+        // the batch-staged table — q51's oracle verifies the loop
+        "s22_stream_partitioned_ingest" ->
+          Relational.oracles("q51_partition_pruned"))
 }

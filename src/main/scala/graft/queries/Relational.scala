@@ -1308,7 +1308,35 @@ object Relational {
       .orderBy("dt")
   }
 
+  /** q53 — CORRELATED SCALAR SUBQUERY, decorrelated by Catalyst (the
+    * reference's J5 "latest per key" lookup expressed the way an
+    * analyst actually writes it — a per-row correlated aggregate —
+    * instead of the hand-decorrelated join q17 demonstrates): which
+    * customers sit exactly at their segment's maximum balance,
+    * written as SQL with `c_acctbal = (SELECT max(..) WHERE
+    * c2.c_mktsegment = c.c_mktsegment)`. Catalyst's
+    * RewriteCorrelatedScalarSubquery turns the per-row subquery into
+    * ONE segment-keyed aggregate joined back — the plan PlanSpec
+    * asserts: a per-row subplan would be a 100 TB disaster, the
+    * rewrite makes it two scans and a broadcast-sized join. The
+    * correlated aggregate is max (order-independent), so the exact
+    * double equality is safe in both engines.
+    */
+  val q53CorrelatedSubquery: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("q53_customer")
+    s.sql(
+      """SELECT c.c_mktsegment, count(*) AS n_at_max,
+        |  round(max(c.c_acctbal), 2) AS seg_max
+        |FROM q53_customer c
+        |WHERE c.c_acctbal = (
+        |  SELECT max(c2.c_acctbal) FROM q53_customer c2
+        |  WHERE c2.c_mktsegment = c.c_mktsegment)
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q53_correlated_subquery" -> q53CorrelatedSubquery,
     "q52_dynamic_pruning" -> q52DynamicPruning,
     "q51_partition_pruned" -> q51PartitionPruned,
     "q39_portable_hist_quantiles" -> q39PortableHistQuantiles,
@@ -1406,6 +1434,17 @@ object Relational {
         |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
         |  AND CAST(ts AS DATE) <= DATE '2024-01-19'
         |GROUP BY 1 ORDER BY dt""".stripMargin,
+    // q53: the same correlated form runs verbatim in DuckDB (its
+    // optimizer performs the equivalent decorrelation)
+    "q53_correlated_subquery" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_at_max,
+        |  round(max(c.c_acctbal), 2) AS seg_max
+        |FROM customer c
+        |WHERE c.c_acctbal = (
+        |  SELECT max(c2.c_acctbal) FROM customer c2
+        |  WHERE c2.c_mktsegment = c.c_mktsegment)
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
     // q52: the dim filter re-derived directly on the raw log —
     // day-of-month mod 3 is engine-neutral arithmetic
     "q52_dynamic_pruning" ->

@@ -696,6 +696,67 @@ object EventStreams {
     * what makes the union equal the batch twin, and what the trio's
     * StreamingSpec assertions certify.
     */
+  /** s22 — STREAMING PARTITIONED INGEST (the streaming twin of q51's
+    * layout primitive, and the engine's exercise of the streaming
+    * FILE SINK's commit protocol): the events log replayed as
+    * time-ordered micro-batches through
+    * `writeStream.partitionBy(dt).parquet` — each batch's rows land
+    * in their dt= directories under the sink's exactly-once manifest
+    * (the _spark_metadata commit log, which is what makes a restart
+    * re-emit nothing) — and q51's 10-day window query then runs over
+    * the streamed layout. Every row lands in exactly one batch and
+    * the sink only appends files, so the layout's content equals the
+    * batch-staged table and q51's own oracle verifies the whole
+    * loop; the engine state store carries nothing (stateless
+    * projection), and partition pruning over the streamed directories
+    * works exactly as over q51's batch staging.
+    */
+  def replayPartitionedIngest(spark: SparkSession, dir: String)
+      : DataFrame = replayPartitionedIngestWithStats(spark, dir)._1
+
+  /** s22 plus the engine state-store row total (must be 0) for the
+    * StreamingSpec assertion.
+    */
+  def replayPartitionedIngestWithStats(spark: SparkSession,
+      dir: String, nBatches: Int = 10): (DataFrame, Long) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s22")
+      .toFile
+    try {
+      val base = work.getAbsolutePath
+      val srcDir = stagedEventBatches(spark, dir, nBatches)
+      val outDir = s"$base/by_dt"
+      val q = spark.readStream.schema(stagedEventSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$srcDir/b*.parquet")
+        .withColumn("dt", to_date(col("ts")))
+        .writeStream.format("parquet")
+        .outputMode(OutputMode.Append())
+        .option("path", outDir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .partitionBy("dt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val stateRows =
+        try {
+          q.awaitTermination()
+          Option(q.lastProgress).toSeq
+            .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        } finally q.stop()
+      val fin = spark.read.parquet(outDir)
+        .filter(col("dt") >= lit("2024-01-10").cast("date") &&
+          col("dt") <= lit("2024-01-19").cast("date"))
+        .groupBy("dt")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          round(sum("value"), 2).as("day_value"))
+        .orderBy("dt")
+      // materialize BEFORE the temp sink dir is deleted
+      val rows = fin.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fin.schema), stateRows)
+    } finally deleteRecursively(work)
+  }
+
   /** Stage the documents table as `nBatches` time-spaced ingest
     * parquet files under `base/incoming` (doc_id mod nBatches split)
     * — the shared batching convention of every document-stream

@@ -355,6 +355,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unkeyed join:\n$p")
   }
 
+  test("q53: the correlated scalar subquery DECORRELATES — one " +
+      "keyed aggregate joined back, no per-row subplan") {
+    val p = plan("q53_correlated_subquery")
+    assert(!p.toLowerCase.contains("subquery"),
+      s"per-row subquery survived the rewrite:\n$p")
+    assert(p.contains("Join"),
+      s"decorrelation must produce the agg-joined-back shape:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelated join must stay keyed:\n$p")
+  }
+
   test("q02: partial aggregation before the shuffle") {
     val p = plan("q02_agg_pushdown")
     assert(p.contains("partial_sum") || p.contains("partial"),

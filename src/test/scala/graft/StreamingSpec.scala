@@ -393,6 +393,20 @@ class StreamingSpec extends SparkSpec {
         s"got $stateRows")
   }
 
+  test("streaming partitioned ingest (declared s22) lands every row " +
+      "exactly once in its dt directory and carries no engine state") {
+    val (df, stateRows) =
+      EventStreams.replayPartitionedIngestWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = Relational.q51PartitionPruned(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(stateRows === 0L,
+      s"file-sink ingest must be stateless, got $stateRows")
+  }
+
   test("streaming cross-modal admission (declared s20) equals batch " +
       "m18 and carries no engine state") {
     val (df, stateRows) =
