@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.Relational
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Physical-plan quality gates (builder prompt: "explain the plan and
   * iterate until it's the plan you'd want"). These assert the
@@ -365,6 +366,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"decorrelated join must stay keyed:\n$p")
+  }
+
+  test("runtime bloom-filter join: in the shuffle-join regime (the " +
+      "100 TB case where the filtered dim no longer broadcasts) " +
+      "Catalyst injects might_contain on the fact side") {
+    // q52 demonstrated runtime PARTITION pruning; this is its
+    // row-level sibling: the selective dim side builds a bloom
+    // filter that prunes fact rows before the join shuffle. At bench
+    // scale the dim broadcasts (no bloom needed — row pruning
+    // happens in the hash join itself), so the gate pins the
+    // shuffle-join regime explicitly.
+    val conf = spark.conf
+    val kScan = "spark.sql.optimizer.runtime.bloomFilter" +
+      ".applicationSideScanSizeThreshold"
+    val kBjt = "spark.sql.autoBroadcastJoinThreshold"
+    val (savedScan, savedBjt) = (conf.get(kScan), conf.get(kBjt))
+    conf.set(kScan, "0") // fact side is tiny at test scale
+    conf.set(kBjt, "-1") // force the shuffle-join regime
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 400000)
+        .select("o_orderkey")
+      val p = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n$p")
+      assert(p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"),
+        s"gate must pin the shuffle-join regime:\n$p")
+    } finally { conf.set(kScan, savedScan); conf.set(kBjt, savedBjt) }
   }
 
   test("q02: partial aggregation before the shuffle") {
