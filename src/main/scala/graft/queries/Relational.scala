@@ -1253,7 +1253,14 @@ object Relational {
     * aggregate itself is one keyed partial-agg'd shuffle per day.
     */
   val q51PartitionPruned: Q = (s, d) =>
-    eventsByDt(s, d)
+    dayWindowAggOf(eventsByDt(s, d))
+
+  /** q51's 10-day window aggregate over a dt-bearing events frame —
+    * one definition shared with s22's streamed layout so the pair
+    * (which share one oracle) cannot drift apart (review r12).
+    */
+  private[graft] def dayWindowAggOf(parted: DataFrame): DataFrame =
+    parted
       .filter(col("dt") >= lit("2024-01-10").cast("date") &&
         col("dt") <= lit("2024-01-19").cast("date"))
       .groupBy("dt")

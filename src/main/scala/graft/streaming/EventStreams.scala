@@ -688,14 +688,6 @@ object EventStreams {
     } finally deleteRecursively(work)
   }
 
-  /** Shared replay harness for the per-document admission gates
-    * (s18/s19/s20): stage the documents table as `nBatches` ingest
-    * parquet files, run `gate` inside each foreachBatch over the
-    * stateless file stream, union the per-batch verdict artifacts.
-    * The gate must be per-document (per-pair) pure — that is exactly
-    * what makes the union equal the batch twin, and what the trio's
-    * StreamingSpec assertions certify.
-    */
   /** s22 — STREAMING PARTITIONED INGEST (the streaming twin of q51's
     * layout primitive, and the engine's exercise of the streaming
     * FILE SINK's commit protocol): the events log replayed as
@@ -742,14 +734,10 @@ object EventStreams {
           Option(q.lastProgress).toSeq
             .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
         } finally q.stop()
-      val fin = spark.read.parquet(outDir)
-        .filter(col("dt") >= lit("2024-01-10").cast("date") &&
-          col("dt") <= lit("2024-01-19").cast("date"))
-        .groupBy("dt")
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct("user_id").as("n_users"),
-          round(sum("value"), 2).as("day_value"))
-        .orderBy("dt")
+      // q51's OWN window aggregate over the streamed layout — the
+      // pair shares one oracle, so it shares one definition
+      val fin = graft.queries.Relational
+        .dayWindowAggOf(spark.read.parquet(outDir))
       // materialize BEFORE the temp sink dir is deleted
       val rows = fin.collect()
       (spark.createDataFrame(
@@ -787,6 +775,14 @@ object EventStreams {
     srcDir
   }
 
+  /** Shared replay harness for the per-document admission gates
+    * (s18/s19/s20): stage the documents table as `nBatches` ingest
+    * parquet files, run `gate` inside each foreachBatch over the
+    * stateless file stream, union the per-batch verdict artifacts.
+    * The gate must be per-document (per-pair) pure — that is exactly
+    * what makes the union equal the batch twin, and what the trio's
+    * StreamingSpec assertions certify.
+    */
   private def replayDocGate(spark: SparkSession, dir: String,
       tag: String, cols: Seq[(String, DataType)], nBatches: Int)(
       gate: DataFrame => DataFrame): (DataFrame, Long) = {

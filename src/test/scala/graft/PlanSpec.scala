@@ -381,9 +381,12 @@ class PlanSpec extends SparkSpec {
     val kScan = "spark.sql.optimizer.runtime.bloomFilter" +
       ".applicationSideScanSizeThreshold"
     val kBjt = "spark.sql.autoBroadcastJoinThreshold"
+    val kOn = "spark.sql.optimizer.runtime.bloomFilter.enabled"
     val (savedScan, savedBjt) = (conf.get(kScan), conf.get(kBjt))
+    val savedOn = conf.get(kOn)
     conf.set(kScan, "0") // fact side is tiny at test scale
     conf.set(kBjt, "-1") // force the shuffle-join regime
+    conf.set(kOn, "true") // self-contained: don't rely on defaults
     try {
       val li = Tables.lineitem(spark, sf)
       val o = Tables.orders(spark, sf)
@@ -398,7 +401,11 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin") ||
         p.contains("ShuffledHashJoin"),
         s"gate must pin the shuffle-join regime:\n$p")
-    } finally { conf.set(kScan, savedScan); conf.set(kBjt, savedBjt) }
+    } finally {
+      conf.set(kScan, savedScan)
+      conf.set(kBjt, savedBjt)
+      conf.set(kOn, savedOn)
+    }
   }
 
   test("q02: partial aggregation before the shuffle") {
