@@ -453,7 +453,62 @@ object GeoOps {
       .orderBy("c_custkey")
   }
 
+  /** g12's radius (degrees; d² compared against r² = 16 exactly) and
+    * core-point bar (DBSCAN minPts).
+    */
+  private[graft] val RadiusJoinR = 4
+  private[graft] val RadiusJoinMinPts = 3
+
+  /** g12 — ε-NEIGHBORHOOD RADIUS JOIN (the DBSCAN primitive, and the
+    * third candidate-generation scheme in the spatial-join family:
+    * g09 replicates nothing and joins cell-mates, g10/g11 replicate
+    * bbox covers, g12 replicates each point to its 3×3 NEIGHBOR
+    * cells): every point's count of neighbors within distance r,
+    * plus the core-point verdict (≥ minPts). Cell width is held ≥ r
+    * (k capped at 360/r) so the 3×3 neighborhood is sufficient; the
+    * probe side explodes to the 9 cells, the build side stays in its
+    * home cell, and because a point's home cell is unique every
+    * ORDERED pair is generated exactly once — per-point counts need
+    * both directions, so no dedup pass exists to pay for. Distances
+    * are exact integers (half-integer coordinates), the count join
+    * is (gx, gy)-keyed, and zero-neighbor points re-enter via a
+    * final keyed left join. Oracle: brute-force all-pairs with the
+    * same strict d² < r² test.
+    */
+  val g12RadiusJoin: Q = (s, d) => {
+    val pts = points(s, d)
+    val k = math.min(gridCols(pts.count()), 360 / RadiusJoinR)
+    val home = pts.select(col("c_custkey"), col("lon"), col("lat"),
+      cellX(col("lon"), k).as("gx"), cellY(col("lat"), k).as("gy"))
+    val probe = home
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select(col("c_custkey").as("ka"), col("lon").as("xa"),
+        col("lat").as("ya"),
+        (col("gx") + col("dx")).as("gx"),
+        (col("gy") + col("dy")).as("gy"))
+    val build = home.select(col("gx"), col("gy"),
+      col("c_custkey").as("kb"), col("lon").as("xb"),
+      col("lat").as("yb"))
+    val counts = probe.join(build, Seq("gx", "gy"))
+      .filter(col("ka") =!= col("kb"))
+      .filter(
+        ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+          .cast("long") < lit(RadiusJoinR.toLong * RadiusJoinR))
+      .groupBy(col("ka").as("c_custkey"))
+      .agg(count(lit(1)).as("n_within_r"))
+    pts.select("c_custkey")
+      .join(counts, Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_within_r"), lit(0L)).as("n_within_r"))
+      .withColumn("is_core",
+        (col("n_within_r") >= RadiusJoinMinPts).cast("int"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "g12_radius_join" -> g12RadiusJoin,
     "g11_overlap_join" -> g11OverlapJoin,
     "g10_pip_join" -> g10PipJoin,
     "g09_knn_join" -> g09KnnJoin,
@@ -517,6 +572,24 @@ object GeoOps {
          |  CAST(floor((lat + 90) / 60) AS INT) AS cell_y,
          |  count(*) AS n_points
          |FROM p GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin,
+    // g12: brute-force all-pairs neighbor counts with the same strict
+    // d² < r² test, zeros kept via the left join
+    "g12_radius_join" ->
+      s"""WITH p AS ($pointsSql),
+         |cnt AS (
+         |  SELECT a.c_custkey,
+         |    CAST(count(*) AS BIGINT) AS n_within_r
+         |  FROM p a JOIN p b ON a.c_custkey <> b.c_custkey
+         |   AND (a.lon - b.lon) * (a.lon - b.lon)
+         |     + (a.lat - b.lat) * (a.lat - b.lat)
+         |     < ${RadiusJoinR * RadiusJoinR}
+         |  GROUP BY 1)
+         |SELECT p.c_custkey,
+         |  CAST(coalesce(c.n_within_r, 0) AS BIGINT) AS n_within_r,
+         |  CAST(coalesce(c.n_within_r, 0) >= $RadiusJoinMinPts AS INT)
+         |    AS is_core
+         |FROM p LEFT JOIN cnt c ON c.c_custkey = p.c_custkey
+         |ORDER BY p.c_custkey""".stripMargin,
     // g11: brute-force all-pairs strict interval-overlap self-join,
     // fanned to both directions — grid + reference-point dedup must
     // only prune and dedup, never change the relation

@@ -251,6 +251,22 @@ class PlanSpec extends SparkSpec {
       s"pair dedup must be the reference-point filter:\n$p")
   }
 
+  test("g12: radius-join candidates come from the 3x3 neighbor-cell " +
+      "equi-join — probe side explodes in-row, no nested loop, no " +
+      "pair dedup pass") {
+    val p = plan("g12_radius_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in radius join:\n$p")
+    assert(p.contains("gx") && p.contains("gy"),
+      s"candidate join not keyed on the grid cell:\n$p")
+    assert(p.contains("Generate"),
+      s"neighbor-cell replication must be the in-row generator:\n$p")
+    assert(!p.contains("Deduplicate"),
+      s"ordered pairs are unique by construction — no dedup " +
+        s"belongs here:\n$p")
+  }
+
   test("m18: cross-modal pair join is doc_id-keyed with no broadcast " +
       "hint — narrow decoded frames meet, never the blobs") {
     val p = plan("m18_pair_curation")
