@@ -407,6 +407,76 @@ class StreamingSpec extends SparkSpec {
       s"file-sink ingest must be stateless, got $stateRows")
   }
 
+  test("partitioned file-sink ingest is exactly-once ACROSS A " +
+      "RESTART: resume from the checkpoint picks up only new files, " +
+      "and an idle third run re-emits nothing") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-restart").toFile
+    try {
+      val base = work.getAbsolutePath
+      val incoming = new java.io.File(s"$base/incoming")
+      incoming.mkdirs()
+      val outDir = s"$base/by_dt"
+      val ckpt = s"$base/ckpt"
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      // the s22 staging, materialized once; files fed in two waves
+      val staged = new java.io.File(
+        EventStreams.stagedEventBatches(spark, sf, 10))
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      def feed(files: Seq[java.io.File]): Unit = files.foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(incoming, f.getName).toPath)
+        ()
+      }
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"${incoming.getAbsolutePath}/b*.parquet")
+          .withColumn("dt", to_date(col("ts")))
+          .writeStream.format("parquet")
+          .outputMode(OutputMode.Append())
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .partitionBy("dt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      feed(staged.take(5))
+      runOnce() // first run drains wave 1, then "crashes" (stops)
+      val afterFirst = spark.read.parquet(outDir).count()
+      feed(staged.drop(5))
+      runOnce() // restart from the SAME checkpoint: only wave 2
+      val streamed = graft.queries.Relational
+        .dayWindowAggOf(spark.read.parquet(outDir))
+        .collect().map(_.toSeq)
+      val batch = Relational.q51PartitionPruned(spark, sf)
+        .collect().map(_.toSeq)
+      assert(streamed.length === batch.length)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+      val total = spark.read.parquet(outDir).count()
+      assert(afterFirst > 0 && afterFirst < total,
+        "both waves must contribute rows")
+      runOnce() // idle restart: no new files
+      assert(spark.read.parquet(outDir).count() === total,
+        "an idle restart re-emitted rows — exactly-once violated")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(work)
+    }
+  }
+
   test("streaming cross-modal admission (declared s20) equals batch " +
       "m18 and carries no engine state") {
     val (df, stateRows) =
