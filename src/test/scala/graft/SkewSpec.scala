@@ -55,4 +55,50 @@ class SkewSpec extends SparkSpec {
     assert(plain.getLong(0) === salted.getLong(0))
     assert(plain.getLong(1) === salted.getLong(1))
   }
+
+  test("AQE splits a skewed shuffle-join partition at runtime — the " +
+      "dynamic remedy next to the static salting, demonstrated on a " +
+      "hot-key join with representative thresholds") {
+    // `Skew.saltedJoin` is the STATIC remedy (plan-time, works for
+    // any join type); this pins the engine's DYNAMIC one: with a hot
+    // key holding ~90% of the left side and the size thresholds at
+    // laptop-scale equivalents of the defaults, AQE re-plans the
+    // sort-merge join mid-query, splitting the oversized partition
+    // (SortMergeJoin(skew=true) + an AQEShuffleRead marked skewed)
+    // while leaving results identical.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    conf.set(keys(0), "-1")    // shuffle-join regime
+    conf.set(keys(1), "64KB")  // scale the 256MB default to test data
+    conf.set(keys(2), "32KB")
+    conf.set(keys(3), "2")
+    try {
+      val left = spark.range(300000)
+        .select(when(col("id") % 10 < 9, 1L).otherwise(col("id"))
+          .as("k"),
+          concat(lit("payload-payload-payload-"), col("id"))
+            .as("pay"))
+      val right = spark.range(1000)
+        .select(col("id").as("k"), col("id").as("tag"))
+      val df = left.join(right, "k").groupBy("tag")
+        .agg(count(lit(1)).as("n"))
+      val rows = df.collect()
+      // correctness unchanged by the split: hot key 1 joins tag 1,
+      // remaining distinct left keys < 1000 join their own tag
+      assert(rows.map(_.getAs[Long]("n")).sum ===
+        270000L + rows.length - 1)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$p")
+      assert(p.contains("skewed"),
+        s"no skewed AQEShuffleRead in the final plan:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
