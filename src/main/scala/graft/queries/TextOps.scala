@@ -1003,7 +1003,8 @@ object TextOps {
     * Pure so TextSpec can pin the semantics directly.
     */
   private[graft] def bpeApplyRules(toks: Array[String],
-      rules: Seq[(String, String)]): Array[String] = {
+      rules: Seq[(String, String)], sep: String = " ")
+      : Array[String] = {
     var cur = toks
     rules.foreach { case (a, b) =>
       val out = new scala.collection.mutable.ArrayBuffer[String](
@@ -1011,7 +1012,7 @@ object TextOps {
       var i = 0
       while (i < cur.length) {
         if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
-          out += cur(i) + " " + cur(i + 1); i += 2
+          out += cur(i) + sep + cur(i + 1); i += 2
         } else { out += cur(i); i += 1 }
       }
       cur = out.toArray
@@ -1056,6 +1057,126 @@ object TextOps {
   val t41BpeEncode: Q = (s, d) =>
     bpeEncodeOf(s, Tables.documents(s, d), bpeMergeRules(s, d))
       .orderBy("doc_id")
+
+  /** t44's char-pair mining (t38's statistic at CHARACTER level —
+    * the pair counts real byte/char-level BPE training starts from):
+    * corpus-wide adjacent-char pair frequencies WITHIN words, top-
+    * [[BpeApplyDepth]] under the (count DESC, a, b) total order,
+    * collected as the driver-side model artifact. Pair generation is
+    * in-row (zip_with of the char array against its own tail).
+    */
+  private[graft] def bpeCharRules(s: SparkSession, d: String)
+      : Array[(String, String)] =
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        """filter(zip_with(
+          |  transform(sequence(1, length(w)),
+          |    i -> substring(w, i, 1)),
+          |  slice(transform(sequence(1, length(w)),
+          |    i -> substring(w, i, 1)), 2, length(w)),
+          |  (a, b) -> named_struct('a', a, 'b', b)),
+          |  p -> p.b IS NOT NULL)""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(desc("n_pairs"), asc("a"), asc("b"))
+      .limit(BpeApplyDepth)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+
+  /** t44 — CHARACTER-LEVEL BPE ENCODE (the authentic BPE shape next
+    * to t41's word-pair variant: real byte/char-level tokenizer
+    * training starts from characters, and merges never cross word
+    * boundaries): every word is split into characters, the mined
+    * top-[[BpeApplyDepth]] char-pair rules apply in order with the
+    * same left-to-right non-overlap pass semantics (shared
+    * [[bpeApplyRules]] kernel, empty separator — merged tokens are
+    * plain concatenations, inert to later single-char rules exactly
+    * as t41's space-joined words are), and the per-doc output pins
+    * the resulting subword stream: char count, token count, merge
+    * count, and the position-weighted md5-48 id checksum over the
+    * word-by-word token sequence. One map-side corpus pass after the
+    * driver-side mining; the oracle replays the merge passes
+    * partitioned by (doc_id, word index) so word boundaries are
+    * structural, through the same generated CTE template as t41.
+    */
+  val t44BpeCharEncode: Q = (s, d) => {
+    graft.functions.Md5Hash48.registerAll(s)
+    val rules = bpeCharRules(s, d)
+    val bcRules = s.sparkContext.broadcast(rules)
+    val enc = udf { (words: Seq[String]) =>
+      val rs = bcRules.value.toSeq
+      words.iterator.flatMap { w =>
+        bpeApplyRules(w.toCharArray.map(_.toString), rs, "")
+      }.toArray
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .withColumn("enc", enc(col("ws")))
+      .select(col("doc_id"),
+        expr("""CAST(aggregate(ws, 0, (acc, w) -> acc + length(w))
+          | AS INT)""".stripMargin).as("n_chars"),
+        size(col("enc")).as("n_tokens"),
+        expr("""CAST(aggregate(zip_with(enc, sequence(1, size(enc)),
+          |  (t, i) -> i * (md5_hash48(t) % 1000003)),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)
+          |""".stripMargin).as("ids_checksum"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        (col("n_chars") - col("n_tokens")).as("n_merges"),
+        col("ids_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** t44's oracle: char-level rules mining, per-(doc, word) char
+    * stream, the shared merge-pass template partitioned by
+    * (doc_id, widx) with concatenating merges, then the global
+    * per-doc rollup in (widx, pos) order.
+    */
+  private def bpeCharEncodeOracle: String = {
+    val passes =
+      bpeMergePassCtes(Seq("doc_id", "widx"), "tok || nxt")
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, unnest(range(1, len(l) + 1)) AS widx,
+       |    unnest(l) AS w
+       |  FROM tk),
+       |rules AS (
+       |  SELECT a, b,
+       |    row_number() OVER (ORDER BY n_pairs DESC, a, b) AS r
+       |  FROM (
+       |    SELECT cl[i] AS a, cl[i + 1] AS b, count(*) AS n_pairs
+       |    FROM (SELECT string_split(w, '') AS cl,
+       |            unnest(range(1, length(w))) AS i
+       |          FROM w WHERE length(w) > 1)
+       |    GROUP BY 1, 2
+       |    ORDER BY n_pairs DESC, a, b LIMIT $BpeApplyDepth)),
+       |s0 AS (
+       |  SELECT doc_id, widx,
+       |    unnest(range(1, length(w) + 1)) AS pos,
+       |    unnest(string_split(w, '')) AS tok
+       |  FROM w),
+       |$passes,
+       |g AS (
+       |  SELECT doc_id, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY widx, pos) AS gpos, tok
+       |  FROM s$BpeApplyDepth),
+       |fin AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |    CAST(sum(gpos * (${h48Sql("tok")} % 1000003)) AS BIGINT)
+       |      AS ids_checksum
+       |  FROM g GROUP BY doc_id),
+       |nc AS (
+       |  SELECT doc_id, CAST(sum(length(w)) AS INT) AS n_chars
+       |  FROM w GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_chars, f.n_tokens,
+       |  CAST(n.n_chars - f.n_tokens AS INT) AS n_merges,
+       |  f.ids_checksum
+       |FROM nc n JOIN fin f ON f.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+  }
 
   /** Vocabulary cap for t42 — the top-N cut every production
     * tokenizer build applies. Far above this corpus' vocabulary, so
@@ -1194,40 +1315,55 @@ object TextOps {
     * rank the merge rules, replay the [[BpeApplyDepth]] merge passes —
     * s$BpeApplyDepth is the final (doc_id, pos, tok) token stream.
     */
-  private def bpePassCtes: String = {
-    val passes = (1 to BpeApplyDepth).map { i =>
+  /** The generated merge-pass layers shared by the word-level (t41,
+    * partitioned by doc_id, space-joined merges) and char-level (t44,
+    * partitioned by doc_id+widx so merges never cross word
+    * boundaries, concatenated merges) oracles: s0 in → s`depth` out,
+    * one match/parity/renumber block per rule.
+    */
+  private def bpeMergePassCtes(partCols: Seq[String],
+      merged: String): String = {
+    val part = partCols.mkString(", ")
+    val partS = partCols.map("s." + _).mkString(", ")
+    (1 to BpeApplyDepth).map { i =>
       s"""m$i AS (
-         |  SELECT s.doc_id, s.pos, s.tok,
+         |  SELECT s.*,
          |    CASE WHEN s.tok = ru.a AND lead(s.tok) OVER (
-         |      PARTITION BY s.doc_id ORDER BY s.pos) = ru.b
+         |      PARTITION BY $partS ORDER BY s.pos) = ru.b
          |    THEN 1 ELSE 0 END AS m
          |  FROM s${i - 1} s, (SELECT a, b FROM rules WHERE r = $i) ru),
          |i$i AS (
-         |  SELECT doc_id, pos, tok, m,
+         |  SELECT *,
          |    pos - row_number() OVER (
-         |      PARTITION BY doc_id, m ORDER BY pos) AS isl
+         |      PARTITION BY $part, m ORDER BY pos) AS isl
          |  FROM m$i),
          |e$i AS (
-         |  SELECT doc_id, pos, tok, m,
+         |  SELECT *,
          |    CASE WHEN m = 1 AND (row_number() OVER (
-         |      PARTITION BY doc_id, m, isl ORDER BY pos)) % 2 = 1
+         |      PARTITION BY $part, m, isl ORDER BY pos)) % 2 = 1
          |    THEN 1 ELSE 0 END AS do_merge
          |  FROM i$i),
          |s$i AS (
-         |  SELECT doc_id,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |  SELECT * EXCLUDE (pos, tok, m, isl, do_merge, nxt,
+         |      prev_merge),
+         |    row_number() OVER (PARTITION BY $part ORDER BY pos)
          |      AS pos,
-         |    CASE WHEN do_merge = 1 THEN tok || ' ' || nxt
+         |    CASE WHEN do_merge = 1 THEN $merged
          |      ELSE tok END AS tok
          |  FROM (
-         |    SELECT doc_id, pos, tok, do_merge,
-         |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+         |    SELECT *,
+         |      lead(tok) OVER (PARTITION BY $part ORDER BY pos)
          |        AS nxt,
-         |      lag(do_merge) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      lag(do_merge) OVER (PARTITION BY $part ORDER BY pos)
          |        AS prev_merge
          |    FROM e$i)
          |  WHERE prev_merge IS NULL OR prev_merge = 0)""".stripMargin
     }.mkString(",\n")
+  }
+
+  private def bpePassCtes: String = {
+    val passes =
+      bpeMergePassCtes(Seq("doc_id"), "tok || ' ' || nxt")
     s"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
        |  FROM documents),
@@ -2584,6 +2720,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t44_bpe_char_encode" -> t44BpeCharEncode,
     "t43_oov_audit" -> t43OovAudit,
     "t42_vocab_build" -> t42VocabBuild,
     "t41_bpe_encode" -> t41BpeEncode,
@@ -3134,6 +3271,9 @@ object TextOps {
       "t42_vocab_build" -> vocabBuildOracle,
       // t43: the same pass chain + capped vocab + membership rollup
       "t43_oov_audit" -> oovAuditOracle,
+      // t44: char-level rules + the shared pass template partitioned
+      // by (doc_id, widx)
+      "t44_bpe_char_encode" -> bpeCharEncodeOracle,
       // t38: 1-based list indexing over the same \s+ tokenization —
       // range(1, len) stops at len-1, so (l[i], l[i+1]) enumerates
       // exactly the engine's zip_with-against-tail pairs; the LIMIT

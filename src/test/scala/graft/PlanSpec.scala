@@ -188,15 +188,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs here:\n$p")
   }
 
-  test("t41: encode is one map-side corpus pass — the merge list is " +
-      "a driver-side model artifact, so the plan has no join and " +
+  test("t41/t44: encode is one map-side corpus pass — the merge list " +
+      "is a driver-side model artifact, so the plan has no join and " +
       "only the presentation-sort exchange") {
-    val p = plan("t41_bpe_encode")
-    assert(!p.contains("Join"), s"encode must not join:\n$p")
-    val exchanges = "Exchange ".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
-    assert(p.contains("Exchange rangepartitioning"),
-      s"sole exchange must be the presentation sort:\n$p")
+    Seq("t41_bpe_encode", "t44_bpe_char_encode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: encode must not join:\n$p")
+      val exchanges = "Exchange ".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"$q: expected 1 exchange, got $exchanges:\n$p")
+      assert(p.contains("Exchange rangepartitioning"),
+        s"$q: sole exchange must be the presentation sort:\n$p")
+    }
   }
 
   test("t42: vocab cut is TakeOrderedAndProject over the token-keyed " +

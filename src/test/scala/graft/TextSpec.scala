@@ -899,6 +899,40 @@ class TextSpec extends SparkSpec {
       "the top-8 mined pairs must actually occur in the corpus")
   }
 
+  test("t44 char-level kernel: empty separator concatenates merges, " +
+      "run parity holds, and subwords splice back to the word") {
+    import graft.queries.TextOps.bpeApplyRules
+    def chars(w: String) = w.toCharArray.map(_.toString)
+    assert(bpeApplyRules(chars("aaaa"), Seq(("a", "a")), "")
+      .toSeq === Seq("aa", "aa"))
+    assert(bpeApplyRules(chars("banana"), Seq(("a", "n")), "")
+      .toSeq === Seq("b", "an", "an", "a"))
+    // cascading is impossible: merged "an" never re-matches the
+    // single-char rule sides
+    assert(bpeApplyRules(chars("banana"),
+      Seq(("a", "n"), ("a", "n")), "")
+      .toSeq === Seq("b", "an", "an", "a"))
+    // subwords always splice back to the original word
+    Seq("mississippi", "xyzzy", "a").foreach { w =>
+      val out = bpeApplyRules(chars(w),
+        Seq(("s", "s"), ("i", "s"), ("p", "i")), "")
+      assert(out.mkString === w)
+    }
+  }
+
+  test("t44 encodes the corpus into subwords: counts bounded, " +
+      "merges non-trivial") {
+    val rows = TextOps.t44BpeCharEncode(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (nc, nt) = (r.getAs[Int]("n_chars"), r.getAs[Int]("n_tokens"))
+      assert(nt <= nc && 2 * nt >= nc)
+      assert(r.getAs[Int]("n_merges") === nc - nt)
+    }
+    assert(rows.map(_.getAs[Int]("n_merges").toLong).sum > 0,
+      "the mined char pairs must actually occur")
+  }
+
   test("t42 vocab: merged tokens materialize with dense gap-free ids " +
       "in (count, token) order") {
     val rows = TextOps.t42VocabBuild(spark, sf).collect()
