@@ -1118,10 +1118,16 @@ object TextOps {
         expr("""CAST(aggregate(ws, 0, (acc, w) -> acc + length(w))
           | AS INT)""".stripMargin).as("n_chars"),
         size(col("enc")).as("n_tokens"),
-        expr("""CAST(aggregate(zip_with(enc, sequence(1, size(enc)),
+        // the empty guard matters twice: an all-whitespace doc has
+        // enc = [] (its one "" word holds zero chars), and Spark's
+        // sequence(1, 0) would DESCEND to [1, 0] rather than be
+        // empty — the checksum of an empty stream is 0, matching the
+        // oracle's left-join coalesce (review r12)
+        expr("""CASE WHEN size(enc) = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(aggregate(zip_with(enc, sequence(1, size(enc)),
           |  (t, i) -> i * (md5_hash48(t) % 1000003)),
           |  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)
-          |""".stripMargin).as("ids_checksum"))
+          |END""".stripMargin).as("ids_checksum"))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         (col("n_chars") - col("n_tokens")).as("n_merges"),
         col("ids_checksum"))
@@ -1171,10 +1177,11 @@ object TextOps {
        |nc AS (
        |  SELECT doc_id, CAST(sum(length(w)) AS INT) AS n_chars
        |  FROM w GROUP BY doc_id)
-       |SELECT n.doc_id, n.n_chars, f.n_tokens,
-       |  CAST(n.n_chars - f.n_tokens AS INT) AS n_merges,
-       |  f.ids_checksum
-       |FROM nc n JOIN fin f ON f.doc_id = n.doc_id
+       |SELECT n.doc_id, n.n_chars,
+       |  CAST(coalesce(f.n_tokens, 0) AS INT) AS n_tokens,
+       |  CAST(n.n_chars - coalesce(f.n_tokens, 0) AS INT) AS n_merges,
+       |  CAST(coalesce(f.ids_checksum, 0) AS BIGINT) AS ids_checksum
+       |FROM nc n LEFT JOIN fin f ON f.doc_id = n.doc_id
        |ORDER BY n.doc_id""".stripMargin
   }
 

@@ -323,7 +323,7 @@ object EventStreams {
     })
 
   /** The staged batches' on-disk schema ([[stagedEventBatches]]). */
-  private val stagedEventSchema = StructType(Seq(
+  private[graft] val stagedEventSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
     StructField("user_id", LongType),
@@ -1058,7 +1058,7 @@ object EventStreams {
     spark.table(qn).distinct().orderBy("d1", "d2")
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty)
       .foreach(deleteRecursively)
     f.delete(); ()

@@ -265,9 +265,14 @@ class PlanSpec extends SparkSpec {
       s"candidate join not keyed on the grid cell:\n$p")
     assert(p.contains("Generate"),
       s"neighbor-cell replication must be the in-row generator:\n$p")
-    assert(!p.contains("Deduplicate"),
-      s"ordered pairs are unique by construction — no dedup " +
-        s"belongs here:\n$p")
+    // ordered pairs are unique by construction, so the ONLY
+    // aggregation is the per-point count (partial + final = 2
+    // HashAggregate nodes); a dropDuplicates/distinct pass over the
+    // pair set would add its own aggregate pair here
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs == 2,
+      s"expected exactly the count agg pair, got $aggs aggregates " +
+        s"(a pair-dedup pass crept in?):\n$p")
   }
 
   test("m18: cross-modal pair join is doc_id-keyed with no broadcast " +

@@ -411,7 +411,6 @@ class StreamingSpec extends SparkSpec {
       "RESTART: resume from the checkpoint picks up only new files, " +
       "and an idle third run re-emits nothing") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    import org.apache.spark.sql.types._
     val work = java.nio.file.Files
       .createTempDirectory("graft-restart").toFile
     try {
@@ -420,12 +419,7 @@ class StreamingSpec extends SparkSpec {
       incoming.mkdirs()
       val outDir = s"$base/by_dt"
       val ckpt = s"$base/ckpt"
-      val schema = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("ts", TimestampType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType)))
+      val schema = EventStreams.stagedEventSchema
       // the s22 staging, materialized once; files fed in two waves
       val staged = new java.io.File(
         EventStreams.stagedEventBatches(spark, sf, 10))
@@ -468,13 +462,7 @@ class StreamingSpec extends SparkSpec {
       runOnce() // idle restart: no new files
       assert(spark.read.parquet(outDir).count() === total,
         "an idle restart re-emitted rows — exactly-once violated")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(work)
-    }
+    } finally EventStreams.deleteRecursively(work)
   }
 
   test("streaming cross-modal admission (declared s20) equals batch " +

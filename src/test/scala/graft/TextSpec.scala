@@ -920,6 +920,35 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("t44 emits a zeroed row (not NULL, not a dropped doc) for an " +
+      "empty/whitespace-only document") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-t44-edge").toFile
+    try {
+      import spark.implicits._
+      Seq((1L, "alpha beta alpha beta", "en", "web", 21L),
+        (2L, "   ", "en", "web", 3L),
+        (3L, "", "en", "web", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"${dir.getAbsolutePath}/documents.parquet")
+      val rows = TextOps.t44BpeCharEncode(spark, dir.getAbsolutePath)
+        .collect()
+      assert(rows.length === 3, "no document may be dropped")
+      Seq(2L, 3L).foreach { id =>
+        val r = rows.find(_.getLong(0) == id).get
+        assert(r.getAs[Int]("n_chars") === 0)
+        assert(r.getAs[Int]("n_tokens") === 0)
+        assert(r.getAs[Int]("n_merges") === 0)
+        assert(!r.isNullAt(r.fieldIndex("ids_checksum")),
+          "empty stream checksum must be 0, not NULL")
+        assert(r.getAs[Long]("ids_checksum") === 0L)
+      }
+      assert(rows.find(_.getLong(0) == 1L).get
+        .getAs[Int]("n_chars") === 18)
+    } finally graft.streaming.EventStreams.deleteRecursively(dir)
+  }
+
   test("t44 encodes the corpus into subwords: counts bounded, " +
       "merges non-trivial") {
     val rows = TextOps.t44BpeCharEncode(spark, sf).collect()
