@@ -1257,7 +1257,12 @@ object Relational {
 
   /** q51's 10-day window aggregate over a dt-bearing events frame —
     * one definition shared with s22's streamed layout so the pair
-    * (which share one oracle) cannot drift apart (review r12).
+    * (which share one oracle) cannot drift apart (review r12). The
+    * value sum goes through exact BIGINT cents like q46's: s22's
+    * micro-batched layout sums in a different order than the batch
+    * staging and than DuckDB, and integer addition is the only way
+    * the three are equal by construction rather than to within
+    * double re-association luck.
     */
   private[graft] def dayWindowAggOf(parted: DataFrame): DataFrame =
     parted
@@ -1266,7 +1271,9 @@ object Relational {
       .groupBy("dt")
       .agg(count(lit(1)).as("n_events"),
         countDistinct("user_id").as("n_users"),
-        round(sum("value"), 2).as("day_value"))
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("dt"), col("n_events"), col("n_users"),
+        round(col("cents") / 100.0, 2).as("day_value"))
       .orderBy("dt")
 
   /** The q51/q52 dt-partitioned staging of the events log (shared —
@@ -1436,7 +1443,8 @@ object Relational {
       """SELECT CAST(ts AS DATE) AS dt,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-        |  round(sum(value), 2) AS day_value
+        |  round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+        |    AS day_value
         |FROM events
         |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
         |  AND CAST(ts AS DATE) <= DATE '2024-01-19'

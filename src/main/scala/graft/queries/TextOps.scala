@@ -1333,12 +1333,18 @@ object TextOps {
     val part = partCols.mkString(", ")
     val partS = partCols.map("s." + _).mkString(", ")
     (1 to BpeApplyDepth).map { i =>
+      // LEFT JOIN ON TRUE, not a cross join: on a corpus mining fewer
+      // than BpeApplyDepth rules the missing rule must be a NO-OP
+      // pass (the engine simply applies a shorter list) — a cross
+      // join with an empty 1-row frame would annihilate the whole
+      // token stream instead (review r12)
       s"""m$i AS (
          |  SELECT s.*,
          |    CASE WHEN s.tok = ru.a AND lead(s.tok) OVER (
          |      PARTITION BY $partS ORDER BY s.pos) = ru.b
          |    THEN 1 ELSE 0 END AS m
-         |  FROM s${i - 1} s, (SELECT a, b FROM rules WHERE r = $i) ru),
+         |  FROM s${i - 1} s LEFT JOIN
+         |    (SELECT a, b FROM rules WHERE r = $i) ru ON TRUE),
          |i$i AS (
          |  SELECT *,
          |    pos - row_number() OVER (

@@ -322,6 +322,17 @@ object EventStreams {
       srcDir
     })
 
+  /** An empty frame with the staged-events schema — the readout
+    * fallback when a replay drains zero non-empty batches (an empty
+    * source must yield an empty result, not a NoSuchElementException
+    * on a missing artifact — review r12).
+    */
+  private def emptyStagedFrame(spark: SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      stagedEventSchema)
+
   /** The staged batches' on-disk schema ([[stagedEventBatches]]). */
   private[graft] val stagedEventSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -508,7 +519,11 @@ object EventStreams {
           Option(q.lastProgress).toSeq
             .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
         } finally q.stop()
-      val fin = spark.read.parquet(states.last)
+      // empty-source fallback: the compaction of zero batches is the
+      // compaction of an empty log
+      val fin = states.lastOption
+        .map(spark.read.parquet(_))
+        .getOrElse(preAgg(emptyStagedFrame(spark)))
         .select(col("user_id"),
           date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss")
             .as("last_ts"),
@@ -678,8 +693,15 @@ object EventStreams {
             .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
         } finally q.stop()
       // t42's OWN rank/cap/id read-out over the artifact — s21 ≡ t42
-      // by shared code, not by a duplicated ranking block
-      val fin = TextOps.vocabRankOf(spark.read.parquet(states.last))
+      // by shared code; an empty
+      // source yields the empty vocabulary, not a crash
+      val fin = TextOps.vocabRankOf(states.lastOption
+          .map(spark.read.parquet(_))
+          .getOrElse(TextOps.vocabCountsOf(spark,
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("doc_id", LongType),
+                StructField("text", StringType)))), rules)))
         .orderBy("token_id")
       // materialize BEFORE the temp state dir is deleted
       val rows = fin.collect()
@@ -735,9 +757,18 @@ object EventStreams {
             .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
         } finally q.stop()
       // q51's OWN window aggregate over the streamed layout — the
-      // pair shares one oracle, so it shares one definition
-      val fin = graft.queries.Relational
-        .dayWindowAggOf(spark.read.parquet(outDir))
+      // pair shares one oracle, so it shares one definition. The
+      // explicit schema (staged columns + the dt partition column)
+      // keeps an empty sink readable instead of failing inference.
+      val sinkSchema = StructType(
+        stagedEventSchema.fields :+ StructField("dt", DateType))
+      val raw =
+        if (new java.io.File(outDir).exists())
+          spark.read.schema(sinkSchema).parquet(outDir)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          sinkSchema)
+      val fin = graft.queries.Relational.dayWindowAggOf(raw)
       // materialize BEFORE the temp sink dir is deleted
       val rows = fin.collect()
       (spark.createDataFrame(
@@ -816,7 +847,13 @@ object EventStreams {
           Option(q.lastProgress).toSeq
             .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
         } finally q.stop()
-      val fin = spark.read.parquet(verdicts.toSeq: _*)
+      // empty-source fallback: the gate over an empty typed frame
+      // carries the correct output schema with zero rows
+      val fin = (if (verdicts.isEmpty)
+          gate(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            docSchema))
+        else spark.read.parquet(verdicts.toSeq: _*))
         .orderBy("doc_id")
       // materialize BEFORE the temp verdict dirs are deleted
       val rows = fin.collect()

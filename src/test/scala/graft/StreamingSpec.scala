@@ -465,6 +465,28 @@ class StreamingSpec extends SparkSpec {
     } finally EventStreams.deleteRecursively(work)
   }
 
+  test("gate and merge-loop replays return empty frames (not " +
+      "crashes) on an empty source") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-empty-src").toFile
+    try {
+      import spark.implicits._
+      Seq.empty[(Long, String, String, String, Long)]
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"${dir.getAbsolutePath}/documents.parquet")
+      val (gateDf, _) = EventStreams
+        .replayQualityGateWithStats(spark, dir.getAbsolutePath)
+      assert(gateDf.count() === 0L)
+      assert(gateDf.columns.contains("reason"),
+        "empty gate readout must keep the verdict schema")
+      val (vocabDf, _) = EventStreams
+        .replayVocabMaintainWithStats(spark, dir.getAbsolutePath)
+      assert(vocabDf.count() === 0L)
+      assert(vocabDf.columns.toSeq ===
+        Seq("token_id", "token", "n_occurrences", "n_docs"))
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
   test("streaming cross-modal admission (declared s20) equals batch " +
       "m18 and carries no engine state") {
     val (df, stateRows) =
