@@ -488,41 +488,13 @@ object EventStreams {
             col("event_type"), col("value"))).as("last"),
             count(lit(1)).as("n_events"),
             sum(round(col("value") * 100).cast("long")).as("cents"))
-      val states = scala.collection.mutable.ListBuffer[String]()
-      val stateDir = s"${work.getAbsolutePath}/state"
-      val q = spark.readStream.schema(stagedEventSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$srcDir/b*.parquet")
-        .writeStream.outputMode(OutputMode.Append())
-        .option("checkpointLocation", s"${work.getAbsolutePath}/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
-            batchId: Long) =>
-          if (!batch.isEmpty) {
-            val s = batch.sparkSession
-            val batchAgg = preAgg(batch)
-            val merged = states.lastOption match {
-              case Some(prev) =>
-                compact(s.read.parquet(prev).unionByName(batchAgg))
-              case None => batchAgg
-            }
-            val path = s"$stateDir/b$batchId"
-            merged.write.parquet(path)
-            states += path
-          }
-          ()
-        }
-        .start()
-      val stateRows =
-        try {
-          q.awaitTermination()
-          Option(q.lastProgress).toSeq
-            .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
-        } finally q.stop()
+      val (artifact, stateRows) = runArtifactMergeLoop(spark,
+        work.getAbsolutePath, srcDir, stagedEventSchema)(
+        preAgg,
+        (prev, batchAgg) => compact(prev.unionByName(batchAgg)))
       // empty-source fallback: the compaction of zero batches is the
       // compaction of an empty log
-      val fin = states.lastOption
-        .map(spark.read.parquet(_))
+      val fin = artifact
         .getOrElse(preAgg(emptyStagedFrame(spark)))
         .select(col("user_id"),
           date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss")
@@ -655,53 +627,23 @@ object EventStreams {
       val srcDir = stageDocBatches(spark, dir, base, cols, nBatches)
       val docSchema = StructType(
         cols.map { case (n, t) => StructField(n, t) })
-      val states = scala.collection.mutable.ListBuffer[String]()
-      val stateDir = s"$base/state"
-      val q = spark.readStream.schema(docSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$srcDir/b*.parquet")
-        .writeStream.outputMode(OutputMode.Append())
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
-            batchId: Long) =>
-          if (!batch.isEmpty) {
-            val s = batch.sparkSession
-            // the same encode+count stage as batch t42 over the
-            // batch slice (per-batch counts sum exactly — each doc
-            // lives in one batch)
-            val batchAgg = TextOps.vocabCountsOf(s, batch.toDF(), rules)
-            val merged = states.lastOption match {
-              case Some(prev) =>
-                s.read.parquet(prev).unionByName(batchAgg)
-                  .groupBy("token")
-                  .agg(sum("n_occurrences").as("n_occurrences"),
-                    sum("n_docs").as("n_docs"))
-              case None => batchAgg
-            }
-            val path = s"$stateDir/b$batchId"
-            merged.write.parquet(path)
-            states += path
-          }
-          ()
-        }
-        .start()
-      val stateRows =
-        try {
-          q.awaitTermination()
-          Option(q.lastProgress).toSeq
-            .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
-        } finally q.stop()
+      val (artifact, stateRows) = runArtifactMergeLoop(spark, base,
+        srcDir, docSchema)(
+        // the same encode+count stage as batch t42 over the batch
+        // slice (per-batch counts sum exactly — each doc lives in
+        // one batch)
+        b => TextOps.vocabCountsOf(b.sparkSession, b, rules),
+        (prev, batchAgg) => prev.unionByName(batchAgg)
+          .groupBy("token")
+          .agg(sum("n_occurrences").as("n_occurrences"),
+            sum("n_docs").as("n_docs")))
       // t42's OWN rank/cap/id read-out over the artifact — s21 ≡ t42
-      // by shared code; an empty
-      // source yields the empty vocabulary, not a crash
-      val fin = TextOps.vocabRankOf(states.lastOption
-          .map(spark.read.parquet(_))
+      // by shared code; an empty source yields the empty vocabulary
+      val fin = TextOps.vocabRankOf(artifact
           .getOrElse(TextOps.vocabCountsOf(spark,
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(StructField("doc_id", LongType),
-                StructField("text", StringType)))), rules)))
+              docSchema), rules)))
         .orderBy("token_id")
       // materialize BEFORE the temp state dir is deleted
       val rows = fin.collect()
@@ -774,6 +716,53 @@ object EventStreams {
       (spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), fin.schema), stateRows)
     } finally deleteRecursively(work)
+  }
+
+  /** The shared incremental-MERGE replay scaffold (s16's changelog
+    * compaction and s21's vocab maintenance): drive the staged files
+    * through a stateless AvailableNow file stream, aggregate each
+    * non-empty micro-batch with `batchAgg`, fold it into the chained
+    * parquet artifact with `merge`, and return (last artifact if any
+    * batch arrived, engine state-store rows — always 0, the artifact
+    * IS the state). One copy of the drain/stateRows boilerplate to
+    * keep in sync instead of one per loop (review r12).
+    */
+  private def runArtifactMergeLoop(spark: SparkSession, base: String,
+      srcDir: String, schema: StructType)(
+      batchAgg: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame)
+      : (Option[DataFrame], Long) = {
+    val states = scala.collection.mutable.ListBuffer[String]()
+    val stateDir = s"$base/state"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*.parquet")
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val agg = batchAgg(batch.toDF())
+          val merged = states.lastOption match {
+            case Some(prev) => merge(s.read.parquet(prev), agg)
+            case None => agg
+          }
+          val path = s"$stateDir/b$batchId"
+          merged.write.parquet(path)
+          states += path
+        }
+        ()
+      }
+      .start()
+    val stateRows =
+      try {
+        q.awaitTermination()
+        Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      } finally q.stop()
+    (states.lastOption.map(spark.read.parquet(_)), stateRows)
   }
 
   /** Stage the documents table as `nBatches` time-spaced ingest
