@@ -185,6 +185,23 @@ object ScaleCheck {
       pts.unpersist()
       ()
     }
+
+    // claim 5: s17's cell-partitioned incremental merge rewrites only
+    // the TOUCHED cells per batch, not the whole graph artifact.
+    // Under cell-grouped arrival (batch i = cell-group i) the touched
+    // sets are disjoint, so per-batch rewritten rows must stay ~flat
+    // while the cumulative graph grows ~linearly — a full-artifact
+    // rewrite would instead grow rewrittenRows with graphRowsTotal.
+    locally {
+      val (_, _, stats) = graft.streaming.VectorStreams
+        .replayKnnGraphIngestInstrumented(spark, sfDir,
+          nBatches = 4, cellGrouped = true, collectStats = true)
+      val rw = stats.map(_.rewrittenRows)
+      val tot = stats.map(_.graphRowsTotal)
+      val tc = stats.map(_.touchedCells)
+      println(
+        s"""{"probe":"knn_graph_incr","batches":${stats.length},"touched_cells":[${tc.mkString(",")}],"rewritten_rows":[${rw.mkString(",")}],"graph_rows_total":[${tot.mkString(",")}]}""")
+    }
     spark.stop()
   }
 }

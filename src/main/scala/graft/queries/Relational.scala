@@ -1318,7 +1318,12 @@ object Relational {
       .join(dim.filter(col("day_bucket") === 1), "dt")
       .groupBy("dt")
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("day_value"))
+        // exact BIGINT cents (the q46/q51/s16 pattern): value is
+        // 2-decimal by construction, and a double sum re-associated
+        // differently across engines can flip round(...,2) at a
+        // half-cent boundary (ADVICE r12)
+        round(sum(round(col("value") * 100).cast("long")) / 100.0, 2)
+          .as("day_value"))
       .orderBy("dt")
   }
 
@@ -1465,7 +1470,8 @@ object Relational {
     "q52_dynamic_pruning" ->
       """SELECT CAST(ts AS DATE) AS dt,
         |  CAST(count(*) AS BIGINT) AS n_events,
-        |  round(sum(value), 2) AS day_value
+        |  round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+        |    AS day_value
         |FROM events
         |WHERE day(CAST(ts AS DATE)) % 3 = 1
         |GROUP BY 1 ORDER BY dt""".stripMargin,

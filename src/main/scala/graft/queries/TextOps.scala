@@ -1134,6 +1134,147 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Merge budget for t45's iterative trainer — bounded so the
+    * DuckDB oracle is a fixed-depth CTE chain (one count/select/merge
+    * layer per step).
+    */
+  private[graft] val BpeTrainDepth = 6
+
+  /** t45's trainer core over an arbitrary (doc_id, text, ...) frame —
+    * exposed so TextSpec can pin the greedy semantics on a fixture
+    * where iterative and static rankings provably diverge.
+    */
+  private[graft] def bpeTrainOf(s: SparkSession, docs: DataFrame,
+      depth: Int): DataFrame = {
+    // start state: t44's char stream — one row per (doc, word) with
+    // the word's character array; single-char words can never host a
+    // pair and merges never grow a word's token count, so they are
+    // dropped once here and pruned again after every merge pass
+    var state = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("toks"))
+      .localCheckpoint(true)
+    val selected =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (!exhausted && step <= depth) {
+      // re-count: adjacent-pair frequencies of the CURRENT state —
+      // in-row zip_with (no positional self-join), map-side partial
+      // agg, top-1 via TakeOrderedAndProject; the 1-row selection is
+      // a driver-side model artifact (the IVF-centroid pattern)
+      val top = state
+        .select(explode(expr(
+          """filter(zip_with(toks, slice(toks, 2, size(toks)),
+            |  (a, b) -> named_struct('a', a, 'b', b)),
+            |  p -> p.b IS NOT NULL)""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("a"), asc("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        selected += ((step, a, b, n))
+        // merge: ONE map-side left-to-right non-overlap pass of the
+        // selected rule (the shared t41/t44 kernel, concatenating);
+        // localCheckpoint cuts the lineage so step i+1's scan reads
+        // materialized state, never a depth-i re-derivation (the
+        // v22/Components bounded-iteration pattern)
+        val applyOne = udf { (toks: Seq[String]) =>
+          bpeApplyRules(toks.toArray, Seq((a, b)), "")
+        }
+        state = state
+          .withColumn("toks", applyOne(col("toks")))
+          .filter(size(col("toks")) >= 2)
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    import s.implicits._
+    selected.toSeq.toDF("step", "a", "b", "n_pairs").orderBy("step")
+  }
+
+  /** t45 — ITERATIVE GREEDY BPE TRAINER (the authentic
+    * mine→merge→RE-COUNT loop t38/t44 start but never iterate —
+    * r12 VERDICT gap #1): starting from t44's char-level state (one
+    * token array per word, merges never cross word boundaries), each
+    * of the [[BpeTrainDepth]] rounds re-counts the adjacent-pair
+    * frequencies of the CURRENT corpus, selects the top pair under
+    * the deterministic (count DESC, a, b) total order, and merges it
+    * everywhere with the shared left-to-right non-overlap kernel —
+    * exactly the greedy training loop of real BPE, where round i+1's
+    * statistics see round i's merges (the counts in the emitted
+    * merge list are the re-counted ones, which diverge from t38/t44's
+    * single-pass static ranking as soon as a merge creates or
+    * consumes pairs). Output: the ordered merge list
+    * (step, a, b, n_pairs-at-selection) — the model artifact whose
+    * rows feed the existing t41/t44 encoders unchanged.
+    *
+    * Scale shape: each round is ONE corpus scan (in-row pair
+    * generation, map-side partial aggregation, TakeOrderedAndProject
+    * top-1 — never a full pair-vocabulary sort), one 2-string
+    * broadcast, and ONE map-side merge pass; the state is
+    * localCheckpoint'd per round so lineage depth stays 1 and
+    * single-token words are pruned as they appear. The loop is
+    * driver-ITERATED but never driver-SIZED: nothing corpus-bound is
+    * ever collected. The oracle replays the identical loop as a
+    * generated fixed-depth CTE chain — each layer re-derives pair
+    * counts from the previous state, takes the same top-1, and
+    * applies the same run-parity merge pass.
+    */
+  val t45BpeTrain: Q = (s, d) =>
+    bpeTrainOf(s, Tables.documents(s, d), BpeTrainDepth)
+
+  /** t45's oracle: s0 is t44's per-(doc, word) char stream; layer i
+    * re-counts adjacent pairs of s(i-1) via lead(), selects the
+    * (count DESC, a, b) top-1, and replays the merge pass with the
+    * shared template; the final select unions the per-step
+    * selections. An exhausted corpus yields empty r-layers (no row,
+    * no-op passes) — matching the engine's early stop.
+    */
+  private def bpeTrainOracle: String = {
+    val layers = (1 to BpeTrainDepth).map { i =>
+      s"""p$i AS (
+         |  SELECT a, b, count(*) AS n FROM (
+         |    SELECT tok AS a, lead(tok) OVER (
+         |      PARTITION BY doc_id, widx ORDER BY pos) AS b
+         |    FROM s${i - 1}) q
+         |  WHERE b IS NOT NULL GROUP BY 1, 2),
+         |r$i AS (
+         |  SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+         |""".stripMargin +
+        bpeMergePassCte(i, Seq("doc_id", "widx"), "tok || nxt",
+          s"SELECT a, b FROM r$i")
+    }.mkString(",\n")
+    val sel = (1 to BpeTrainDepth).map(i =>
+      s"SELECT CAST($i AS INT) AS step, a, b, " +
+        s"CAST(n AS BIGINT) AS n_pairs FROM r$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, unnest(range(1, len(l) + 1)) AS widx,
+       |    unnest(l) AS w
+       |  FROM tk),
+       |s0 AS (
+       |  SELECT doc_id, widx,
+       |    unnest(range(1, length(w) + 1)) AS pos,
+       |    unnest(string_split(w, '')) AS tok
+       |  FROM w WHERE length(w) >= 2),
+       |$layers
+       |SELECT * FROM ($sel) u
+       |ORDER BY step""".stripMargin
+  }
+
   /** t44's oracle: char-level rules mining, per-(doc, word) char
     * stream, the shared merge-pass template partitioned by
     * (doc_id, widx) with concatenating merges, then the global
@@ -1329,22 +1470,30 @@ object TextOps {
     * one match/parity/renumber block per rule.
     */
   private def bpeMergePassCtes(partCols: Seq[String],
-      merged: String): String = {
+      merged: String): String =
+    (1 to BpeApplyDepth).map(i => bpeMergePassCte(i, partCols,
+      merged, s"SELECT a, b FROM rules WHERE r = $i")).mkString(",\n")
+
+  /** One merge-pass CTE block (s${i-1} → s$i) with the rule supplied
+    * by an arbitrary 0-or-1-row subquery — the static `rules` table
+    * for t41/t42/t44, the per-step re-counted top-1 for t45.
+    */
+  private def bpeMergePassCte(i: Int, partCols: Seq[String],
+      merged: String, ruleSql: String): String = {
     val part = partCols.mkString(", ")
     val partS = partCols.map("s." + _).mkString(", ")
-    (1 to BpeApplyDepth).map { i =>
       // LEFT JOIN ON TRUE, not a cross join: on a corpus mining fewer
-      // than BpeApplyDepth rules the missing rule must be a NO-OP
-      // pass (the engine simply applies a shorter list) — a cross
-      // join with an empty 1-row frame would annihilate the whole
-      // token stream instead (review r12)
+      // than `depth` rules the missing rule must be a NO-OP pass (the
+      // engine simply applies a shorter list) — a cross join with an
+      // empty 1-row frame would annihilate the whole token stream
+      // instead (review r12)
       s"""m$i AS (
          |  SELECT s.*,
          |    CASE WHEN s.tok = ru.a AND lead(s.tok) OVER (
          |      PARTITION BY $partS ORDER BY s.pos) = ru.b
          |    THEN 1 ELSE 0 END AS m
          |  FROM s${i - 1} s LEFT JOIN
-         |    (SELECT a, b FROM rules WHERE r = $i) ru ON TRUE),
+         |    ($ruleSql) ru ON TRUE),
          |i$i AS (
          |  SELECT *,
          |    pos - row_number() OVER (
@@ -1371,7 +1520,6 @@ object TextOps {
          |        AS prev_merge
          |    FROM e$i)
          |  WHERE prev_merge IS NULL OR prev_merge = 0)""".stripMargin
-    }.mkString(",\n")
   }
 
   private def bpePassCtes: String = {
@@ -2733,6 +2881,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t45_bpe_train" -> t45BpeTrain,
     "t44_bpe_char_encode" -> t44BpeCharEncode,
     "t43_oov_audit" -> t43OovAudit,
     "t42_vocab_build" -> t42VocabBuild,
@@ -3286,6 +3435,7 @@ object TextOps {
       "t43_oov_audit" -> oovAuditOracle,
       // t44: char-level rules + the shared pass template partitioned
       // by (doc_id, widx)
+      "t45_bpe_train" -> bpeTrainOracle,
       "t44_bpe_char_encode" -> bpeCharEncodeOracle,
       // t38: 1-based list indexing over the same \s+ tokenization —
       // range(1, len) stops at len-1, so (l[i], l[i+1]) enumerates

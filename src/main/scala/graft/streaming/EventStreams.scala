@@ -440,12 +440,15 @@ object EventStreams {
     * current-state artifact — each batch is aggregated to one
     * candidate row per touched key (struct-max latest + counters),
     * then merged with the previous state by the SAME commutative
-    * aggregation, and the result replaces the artifact. This is the
-    * lakehouse `MERGE INTO` maintenance shape: per-batch cost is
-    * O(|state| + |batch|) with a keyed shuffle only — the log is
-    * never re-read, no window sort ever happens, and the artifact
-    * stays key-cardinality-sized no matter how much log flows
-    * through. The streaming engine's own state store carries NOTHING
+    * aggregation, and the result replaces the TOUCHED user-bucket
+    * partitions of the artifact (dynamic partition overwrite over a
+    * bucket-partitioned state — see runArtifactMergeLoop's bucketKey
+    * path). This is the lakehouse `MERGE INTO` maintenance shape:
+    * per-batch cost is O(|batch| + state[touched buckets]) with a
+    * keyed shuffle only — the log is never re-read, no window sort
+    * ever happens, untouched users are never read or rewritten, and
+    * the artifact stays key-cardinality-sized no matter how much log
+    * flows through. The streaming engine's own state store carries NOTHING
     * (stateless foreachBatch) — the artifact IS the state, which is
     * what makes the loop restartable from the last committed batch.
     * Struct-max + count + sum all commute across any batch slicing,
@@ -488,8 +491,13 @@ object EventStreams {
             col("event_type"), col("value"))).as("last"),
             count(lit(1)).as("n_events"),
             sum(round(col("value") * 100).cast("long")).as("cents"))
+      // bucket-partitioned merge (the s17 treatment): user cardinality
+      // grows with the corpus, a batch touches only its own users, and
+      // the compaction is key-local — so each batch rewrites only the
+      // touched user-buckets of the artifact, never the whole state
       val (artifact, stateRows) = runArtifactMergeLoop(spark,
-        work.getAbsolutePath, srcDir, stagedEventSchema)(
+        work.getAbsolutePath, srcDir, stagedEventSchema,
+        bucketKey = Some("user_id"))(
         preAgg,
         (prev, batchAgg) => compact(prev.unionByName(batchAgg)))
       // empty-source fallback: the compaction of zero batches is the
@@ -606,7 +614,12 @@ object EventStreams {
     * loop. The engine state store carries nothing (stateless
     * foreachBatch — the artifact IS the state, vocab-sized no matter
     * how much corpus flows through); per-batch cost is
-    * O(|vocab| + |batch|).
+    * O(|vocab| + |batch|). The full-artifact rewrite is INHERENT
+    * here, not an s17-style pruning miss: the vocabulary is bounded
+    * by construction (the token universe, further capped at read-out)
+    * and token frequencies are zipfian, so every batch touches
+    * nearly every high-frequency token — a bucket-partitioned merge
+    * would mark all buckets touched and prune nothing.
     */
   def replayVocabMaintain(spark: SparkSession, dir: String): DataFrame =
     replayVocabMaintainWithStats(spark, dir)._1
@@ -721,14 +734,41 @@ object EventStreams {
   /** The shared incremental-MERGE replay scaffold (s16's changelog
     * compaction and s21's vocab maintenance): drive the staged files
     * through a stateless AvailableNow file stream, aggregate each
-    * non-empty micro-batch with `batchAgg`, fold it into the chained
-    * parquet artifact with `merge`, and return (last artifact if any
-    * batch arrived, engine state-store rows — always 0, the artifact
-    * IS the state). One copy of the drain/stateRows boilerplate to
-    * keep in sync instead of one per loop (review r12).
+    * non-empty micro-batch with `batchAgg`, fold it into the parquet
+    * artifact with `merge`, and return (artifact if any batch
+    * arrived, engine state-store rows — always 0, the artifact IS
+    * the state). One copy of the drain/stateRows boilerplate to keep
+    * in sync instead of one per loop (review r12).
+    *
+    * CONTRACT: the returned DataFrame is a LAZY read over parquet
+    * files living under the caller's `base` temp dir — callers MUST
+    * materialize (collect + createDataFrame, as both do) before the
+    * enclosing `finally` deletes `base`, or the first action after
+    * cleanup fails with FileNotFoundException (ADVICE r12).
+    *
+    * `bucketKey = Some(col)` turns on the CELL-PARTITIONED merge
+    * (s17's treatment, for artifacts whose key cardinality grows
+    * with the corpus — s16's per-user state): the artifact is
+    * partitioned by `bkt = pmod(xxhash64(key), nBuckets)`; each
+    * batch computes its TOUCHED bucket set (≤ nBuckets, a bounded
+    * driver value), reads ONLY those partitions of the prior
+    * artifact (partition-pruned; localCheckpoint'd so the dynamic
+    * overwrite below never overwrites files its own plan still
+    * reads), merges them with the batch aggregate — valid because
+    * every `merge` in this family is KEY-LOCAL (latest-per-key,
+    * per-key sums), so rows in untouched buckets cannot change —
+    * and rewrites only the touched partitions via dynamic partition
+    * overwrite. Per-batch cost is O(|batch| + artifact[touched
+    * buckets]), never O(|artifact|). `bucketKey = None` keeps the
+    * full chained rewrite for artifacts that are BOUNDED by
+    * construction and touched almost entirely by every batch (s21's
+    * vocabulary: zipfian tokens mean every batch carries most of the
+    * vocab, so pruning buys nothing and the artifact is vocab-sized
+    * regardless of corpus).
     */
   private def runArtifactMergeLoop(spark: SparkSession, base: String,
-      srcDir: String, schema: StructType)(
+      srcDir: String, schema: StructType,
+      bucketKey: Option[String] = None, nBuckets: Int = 32)(
       batchAgg: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame)
       : (Option[DataFrame], Long) = {
@@ -745,13 +785,37 @@ object EventStreams {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val agg = batchAgg(batch.toDF())
-          val merged = states.lastOption match {
-            case Some(prev) => merge(s.read.parquet(prev), agg)
-            case None => agg
+          bucketKey match {
+            case Some(key) =>
+              val keyed = agg.withColumn("bkt",
+                pmod(xxhash64(col(key)), lit(nBuckets)).cast("int"))
+              val touched = keyed.select("bkt").distinct()
+                .collect().map(_.getInt(0)).sorted
+              val prev =
+                if (new java.io.File(stateDir).exists())
+                  Some(s.read.parquet(stateDir)
+                    .filter(col("bkt").isin(touched.map(lit(_)): _*))
+                    .drop("bkt")
+                    .localCheckpoint(true))
+                else None
+              val merged = prev
+                .map(p => merge(p, keyed.drop("bkt")))
+                .getOrElse(keyed.drop("bkt"))
+              merged.withColumn("bkt",
+                  pmod(xxhash64(col(key)), lit(nBuckets)).cast("int"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bkt").parquet(stateDir)
+              if (states.isEmpty) states += stateDir
+            case None =>
+              val merged = states.lastOption match {
+                case Some(prev) => merge(s.read.parquet(prev), agg)
+                case None => agg
+              }
+              val path = s"$stateDir/b$batchId"
+              merged.write.parquet(path)
+              states += path
           }
-          val path = s"$stateDir/b$batchId"
-          merged.write.parquet(path)
-          states += path
         }
         ()
       }
@@ -762,7 +826,8 @@ object EventStreams {
         Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
       } finally q.stop()
-    (states.lastOption.map(spark.read.parquet(_)), stateRows)
+    (states.lastOption.map(p =>
+      spark.read.parquet(p).drop("bkt")), stateRows)
   }
 
   /** Stage the documents table as `nBatches` time-spaced ingest

@@ -98,8 +98,29 @@ object VectorStreams {
     * deterministic total order, so after the replay the artifact
     * equals batch v20 EXACTLY — v20's oracle verifies the whole loop.
     * The engine state store carries nothing (stateless foreachBatch;
-    * the artifact is the state) and per-batch cost is
-    * O(batch × cell-mates + |graph|), never a corpus re-pair.
+    * the artifact is the state).
+    *
+    * SCALE SHAPE — both persistent artifacts are CELL-PARTITIONED so
+    * per-batch work tracks the batch's TOUCHED CELLS, never the whole
+    * corpus or graph:
+    *   - the accumulated snapped-vector store is ONE append-mode
+    *     dataset partitioned by cell (no per-batch directory union —
+    *     a trigger lists one dataset, and the cell-mate join reads
+    *     only the batch's touched-cell partitions via partition
+    *     pruning);
+    *   - the graph artifact is partitioned by cell and merged with
+    *     DYNAMIC partition overwrite: edges are intra-cell by
+    *     construction, so only nodes in cells the batch touched can
+    *     change their top-k — the merge reads exactly those
+    *     partitions (pruned), re-ranks them against the fresh edges,
+    *     and rewrites ONLY those partitions; untouched cells are
+    *     never read or written.
+    * Per-batch cost is O(batch × cell-mates + graph[touched cells]);
+    * at 100 TB (nlist ∝ corpus, batch touches ≤ |batch| of them) the
+    * artifact rewrite no longer scales with corpus size. The
+    * ScaleCheck `knn_graph_incr` probe measures this: under
+    * cell-grouped arrival the per-batch rewritten-row count stays
+    * flat while the cumulative graph grows linearly.
     */
   def replayKnnGraphIngest(spark: SparkSession, dir: String)
       : DataFrame = replayKnnGraphIngestWithStats(spark, dir)._1
@@ -109,6 +130,29 @@ object VectorStreams {
     */
   def replayKnnGraphIngestWithStats(spark: SparkSession, dir: String,
       nBatches: Int = 4): (DataFrame, Long) = {
+    val (df, stateRows, _) =
+      replayKnnGraphIngestInstrumented(spark, dir, nBatches)
+    (df, stateRows)
+  }
+
+  /** Per-batch instrumentation row for the ScaleCheck incremental-
+    * merge probe: cells the batch touched, graph rows rewritten for
+    * them, and the cumulative graph size after the merge.
+    */
+  private[graft] final case class KnnBatchStat(
+    batchId: Long, touchedCells: Int, rewrittenRows: Long,
+    graphRowsTotal: Long)
+
+  /** s17 core. `cellGrouped=true` stages arrival so batch i carries
+    * the vectors of cell-group i (the ScaleCheck probe shape — makes
+    * the touched-cell set per batch small and disjoint);
+    * `collectStats=true` counts per-batch rewrite work (extra actions
+    * — probe only, never on the bench path).
+    */
+  private[graft] def replayKnnGraphIngestInstrumented(
+      spark: SparkSession, dir: String, nBatches: Int = 4,
+      cellGrouped: Boolean = false, collectStats: Boolean = false)
+      : (DataFrame, Long, Seq[KnnBatchStat]) = {
     import graft.queries.VectorOps
     val work = java.nio.file.Files.createTempDirectory("graft-s17")
       .toFile
@@ -117,17 +161,34 @@ object VectorStreams {
       val k = VectorOps.knnGraphDegree
       val srcDir = s"${work.getAbsolutePath}/incoming"
       new java.io.File(srcDir).mkdirs()
-      // ascending vec_id spans: batch i carries ids in
-      // [i·span, (i+1)·span) — the append-only ingest shape
       val all = spark.read.schema(embSchema)
         .parquet(s"$dir/embeddings.parquet")
-      val maxId = all.agg(max("vec_id")).head().getLong(0)
-      val span = maxId / nBatches + 1
+      // arrival shape: ascending vec_id spans (the append-only ingest
+      // default), or cell-grouped spans for the incremental-merge
+      // probe (batch i = cells [i·g, (i+1)·g) under the fixed model)
+      val batchKeyed =
+        if (cellGrouped) {
+          val asgAll = VectorOps.assignIntCells(
+            all.select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double"))
+                .as("v")), cents)
+            .select(col("vec_id"), col("cell"))
+          val g = (cents.length + nBatches - 1) / nBatches
+          all.join(asgAll, Seq("vec_id"))
+            .withColumn("bkey", floor(col("cell") / g).cast("int"))
+            .select(col("vec_id"), col("embedding"), col("label"),
+              col("bkey"))
+        } else {
+          val maxId = all.agg(max("vec_id")).head().getLong(0)
+          val span = maxId / nBatches + 1
+          all.withColumn("bkey",
+            floor(col("vec_id") / span).cast("int"))
+        }
       val t0 = System.currentTimeMillis() - 3600L * 1000
       (0 until nBatches).foreach { i =>
         val stage = s"${work.getAbsolutePath}/stage$i"
-        all.filter(col("vec_id") >= i * span &&
-            col("vec_id") < (i + 1) * span)
+        batchKeyed.filter(col("bkey") === i)
+          .drop("bkey")
           .coalesce(1).write.parquet(stage)
         new java.io.File(stage).listFiles()
           .filter(_.getName.endsWith(".parquet")).headOption
@@ -138,9 +199,10 @@ object VectorStreams {
             ()
           }
       }
-      val asgDirs = scala.collection.mutable.ListBuffer[String]()
-      val graphDirs = scala.collection.mutable.ListBuffer[String]()
       val base = work.getAbsolutePath
+      val asgPath = s"$base/asg"
+      val gPath = s"$base/graph"
+      val stats = scala.collection.mutable.ListBuffer[KnnBatchStat]()
       val q = spark.readStream.schema(embSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$srcDir/b*.parquet")
@@ -157,15 +219,28 @@ object VectorStreams {
                 transform(col("embedding"), x => x.cast("double"))
                   .as("v")), cents)
               .persist()
-            val store = asgDirs.map(s.read.parquet(_))
-              .reduceOption(_ unionByName _)
+            // touched-cell set: bounded by min(|batch|, nlist) — a
+            // model-sized driver artifact, the partition-pruning key
+            // for both cell-partitioned stores
+            val touched = asgB.select("cell").distinct()
+              .collect().map(_.getInt(0)).sorted
+            val touchedCol = touched.map(lit(_))
+            // accumulated store: ONE append-mode cell-partitioned
+            // dataset; the join needs only the touched cells, so the
+            // read is partition-pruned to them
+            val store =
+              if (new java.io.File(asgPath).exists())
+                Some(s.read.parquet(asgPath)
+                  .filter(col("cell").isin(touchedCol: _*))
+                  .select(col("vec_id"), col("qv"), col("cell")))
+              else None
             def edges(a: DataFrame, b: DataFrame): DataFrame =
               a.select(col("cell"), col("vec_id"), col("qv").as("x1"))
                 .join(b.select(col("cell"),
                   col("vec_id").as("neighbor_id"),
                   col("qv").as("x2")), Seq("cell"))
                 .filter(col("vec_id") =!= col("neighbor_id"))
-                .select(col("vec_id"), col("neighbor_id"),
+                .select(col("cell"), col("vec_id"), col("neighbor_id"),
                   VectorOps.intD2Udf(col("x1"), col("x2")).as("d2"))
             val fresh = store match {
               case Some(st) =>
@@ -174,23 +249,42 @@ object VectorStreams {
                   .unionByName(edges(st, asgB))
               case None => edges(asgB, asgB)
             }
-            val merged = graphDirs.lastOption
-              .map(p => s.read.parquet(p).unionByName(fresh))
-              .getOrElse(fresh)
+            // prior graph slice: ONLY the touched-cell partitions
+            // (pruned read); localCheckpoint cuts the file lineage so
+            // the dynamic-overwrite write below never overwrites a
+            // path its own plan is still reading
+            val prev =
+              if (new java.io.File(gPath).exists())
+                Some(s.read.parquet(gPath)
+                  .filter(col("cell").isin(touchedCol: _*))
+                  .select(col("cell"), col("vec_id"),
+                    col("neighbor_id"), col("d2"))
+                  .localCheckpoint(true))
+              else None
+            val merged = prev.map(_.unionByName(fresh)).getOrElse(fresh)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("vec_id").orderBy(col("d2"),
                 col("neighbor_id"))
             val pruned = merged
               .withColumn("rk", row_number().over(w))
               .filter(col("rk") <= k)
-              .select("vec_id", "neighbor_id", "d2")
-            val gPath = s"$base/graph/b$batchId"
-            pruned.write.parquet(gPath)
-            graphDirs += gPath
-            val aPath = s"$base/asg/b$batchId"
-            asgB.write.parquet(aPath)
+              .select("cell", "vec_id", "neighbor_id", "d2")
+            // dynamic partition overwrite: only the cell partitions
+            // present in `pruned` (= the touched cells) are replaced;
+            // untouched cells keep their files verbatim
+            pruned.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("cell").parquet(gPath)
+            asgB.write.mode("append").partitionBy("cell")
+              .parquet(asgPath)
+            if (collectStats) {
+              stats += KnnBatchStat(batchId, touched.length,
+                s.read.parquet(gPath)
+                  .filter(col("cell").isin(touchedCol: _*)).count(),
+                s.read.parquet(gPath).count())
+            }
             asgB.unpersist()
-            asgDirs += aPath
+            ()
           }
           ()
         }
@@ -203,14 +297,15 @@ object VectorStreams {
         } finally q.stop()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("d2"), col("neighbor_id"))
-      val fin = spark.read.parquet(graphDirs.last)
+      val fin = spark.read.parquet(gPath)
         .withColumn("rank", row_number().over(w))
         .select("vec_id", "rank", "neighbor_id", "d2")
         .orderBy("vec_id", "rank")
       // materialize BEFORE the temp graph dir is deleted
       val rows = fin.collect()
       (spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), fin.schema), stateRows)
+        java.util.Arrays.asList(rows: _*), fin.schema), stateRows,
+        stats.toList)
     } finally deleteRecursively(work)
   }
 
