@@ -93,7 +93,13 @@ object SparkEntry {
         // set is identical (StreamingSpec proves it) — this prices
         // the deployment shape
         "s14b_stream_attr_tight" -> ((s, d) =>
-          EventStreams.replayAttributionPairsTight(s, d)))
+          EventStreams.replayAttributionPairsTight(s, d)),
+        // the full-scale cleaned-layer GEOMETRY build (the declared
+        // g06 through round 12, now property-oracled): keeps the
+        // engine-vs-reference flagship comparison (BASELINE.md
+        // 1.259 s) measured; correctness is FullReplaySpec's goldens
+        "g06b_cleaned_geometry" -> ((s, d) =>
+          graft.queries.GeoOps.g06bCleanedGeometry(s, d)))
 
   /** Build-or-refresh the persisted stored-index artifacts for `dir`
     * (t15/t16/s05 band index, v09 IVF+PQ model + codes). Bench calls

@@ -34,6 +34,25 @@ object AlaskaReplay {
   def available: Boolean =
     java.nio.file.Files.isReadable(java.nio.file.Paths.get(RawPath))
 
+  /** The active-certificate metadata slice of the scraped CSV — the
+    * filter/exclusion half shared by the geometry build and the
+    * property pipeline.
+    */
+  private def activeCertsOf(spark: SparkSession): DataFrame = {
+    // explicit schema: inferSchema would cost a second full pass
+    val csv = spark.read.option("header", "true")
+      .schema("certificate_number DOUBLE, certificate_type STRING, " +
+        "entity STRING, certificate_name STRING, utility_type STRING, " +
+        "certificate_status STRING, cpcn_url STRING, entity_url STRING")
+      .csv(CsvPath)
+    csv
+      .select(col("certificate_number").cast("double"), col("entity"),
+        col("certificate_name"), col("certificate_status"))
+      .filter(col("certificate_status") === "Active" &&
+        !col("certificate_number").isin(operatorIds.map(_.toDouble): _*) &&
+        !col("certificate_number").isin(inactiveIds.map(_.toDouble): _*))
+  }
+
   /** The cleaned layer, rebuilt through engine operators: geometry from
     * raw + PLSS patch fixtures, merges unioned on the geometry set,
     * then the active-utility metadata join.
@@ -45,12 +64,6 @@ object AlaskaReplay {
     val raw = GeoJson.readFields(spark, RawPath, Seq("certificate_number"))
       .withColumn("certificate_number",
         col("certificate_number").cast("double"))
-    // explicit schema: inferSchema would cost a second full pass
-    val csv = spark.read.option("header", "true")
-      .schema("certificate_number DOUBLE, certificate_type STRING, " +
-        "entity STRING, certificate_name STRING, utility_type STRING, " +
-        "certificate_status STRING, cpcn_url STRING, entity_url STRING")
-      .csv(CsvPath)
 
     // PLSS patch fixture (stands in for the reference's ArcGIS fetch)
     val plssGeoms = GeoJson
@@ -74,13 +87,51 @@ object AlaskaReplay {
       .groupBy(col("target").as("certificate_number"))
       .agg(st_union_agg(col("geometry")).as("geometry"))
 
-    val activeCerts = csv
-      .select(col("certificate_number").cast("double"), col("entity"),
-        col("certificate_name"), col("certificate_status"))
-      .filter(col("certificate_status") === "Active" &&
-        !col("certificate_number").isin(operatorIds.map(_.toDouble): _*) &&
-        !col("certificate_number").isin(inactiveIds.map(_.toDouble): _*))
-    merged.join(broadcast(activeCerts), Seq("certificate_number"))
+    merged.join(broadcast(activeCertsOf(spark)),
+      Seq("certificate_number"))
+  }
+
+  /** The cleaned layer's PROPERTY pipeline without the geometry union
+    * (r12 VERDICT item 5 — the SQL-expressible half): the final
+    * certificate set (raw minus PLSS-patched, plus the PLSS
+    * substitutions, merge-mapped to their targets), the per-target
+    * count of source features folded in, and the active-certificate
+    * metadata join. Every step is relational over the same committed
+    * inputs (raw/golden GeoJSON feature lists + the scraped CSV +
+    * the _targets.R config literals), so the driver's DuckDB oracle
+    * replays it independently via read_json/read_csv — hash-verifying
+    * the merge/exclusion/join logic the geometry build rides on.
+    * Geometry itself stays golden-pinned: FullReplaySpec byte-compares
+    * the published file, GoldenReplaySpec pins the g08 area rows.
+    */
+  def cleanedProperties(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def certsOf(path: String) =
+      GeoJson.readFields(spark, path, Seq("certificate_number"))
+        .select(col("certificate_number").cast("double")
+          .as("certificate_number"))
+    val sources = certsOf(RawPath)
+      .filter(!col("certificate_number")
+        .isin(plssCerts.map(_.toDouble): _*))
+      .unionByName(certsOf(GoldenPath)
+        .filter(col("certificate_number")
+          .isin(plssCerts.map(_.toDouble): _*)))
+    val mapping = merges.map { case (to, from) =>
+      (from.toDouble, to.toDouble)
+    }.toDF("from_cert", "to_cert")
+    sources
+      .join(broadcast(mapping),
+        col("certificate_number") === col("from_cert"), "left")
+      .select(coalesce(col("to_cert"), col("certificate_number"))
+        .as("certificate_number"))
+      .groupBy("certificate_number")
+      .agg(count(lit(1)).as("n_source_features"))
+      .join(broadcast(activeCertsOf(spark)), Seq("certificate_number"))
+      .select(
+        col("certificate_number").cast("int").as("certificate_number"),
+        col("entity"), col("certificate_name"),
+        col("n_source_features"))
+      .orderBy("certificate_number")
   }
 
   /** Deterministic scalar projection of the layer for the driver's

@@ -126,13 +126,35 @@ object GeoOps {
       .agg(count(lit(1)).as("n_points"))
       .orderBy("cell_x", "cell_y")
 
-  /** g06 — the reference's flagship cleaned-layer build at FULL scale
-    * (BASELINE.md: 1.259 s in single-threaded R → the direct
-    * engine-vs-reference throughput comparison each round). Rows-only:
-    * deterministic scalars derived from the rebuilt geometries; golden
-    * equality is asserted in FullReplaySpec.
+  /** g06 — the cleaned-layer replay's PROPERTY TABLE, now fully
+    * DuckDB-oracled (r12 VERDICT item 5): certificate set, merge
+    * fold-in counts, and metadata join re-derived by the oracle over
+    * the same committed inputs (read_json on the feature lists,
+    * read_csv on the scraped CSV, the config as VALUES literals). The
+    * geometry half keeps its golden pinning — FullReplaySpec
+    * byte-compares the published file (106/108, the two s2-rounding
+    * unions enumerated), GoldenReplaySpec pins the g08 area rows —
+    * and the full-scale geometry BUILD keeps its bench flagship slot
+    * as the bench-only twin g06b_cleaned_geometry (BASELINE.md:
+    * 1.259 s single-threaded R).
     */
   val g06AlaskaReplay: Q = (s, _) =>
+    if (graft.pipeline.AlaskaReplay.available)
+      graft.pipeline.AlaskaReplay.cleanedProperties(s)
+    else
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq.empty))
+
+  /** g06b (bench-only) — the full-scale geometry build + scalar
+    * summary that was the declared g06 through round 12: rebuilds the
+    * cleaned layer's geometries (KML-derived raw + PLSS substitution,
+    * st_union_agg merges) and reduces them to deterministic scalars.
+    * Not declared: the areas are geometry-derived (no SQL oracle);
+    * correctness is FullReplaySpec's byte/topology goldens. Kept in
+    * BENCH so the engine-vs-reference flagship number (BASELINE.md
+    * 1.259 s) stays measured every round.
+    */
+  val g06bCleanedGeometry: Q = (s, _) =>
     if (graft.pipeline.AlaskaReplay.available)
       graft.pipeline.AlaskaReplay.cleanedSummary(s)
     else
@@ -523,6 +545,56 @@ object GeoOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // g06: the property pipeline replayed relationally over the SAME
+    // committed inputs — feature lists via read_json, the scraped CSV
+    // via read_csv, the _targets.R config as VALUES literals
+    "g06_alaska_cleaned_replay" -> {
+      import graft.pipeline.AlaskaReplay._
+      val plssList = plssCerts.mkString(", ")
+      val mergeVals = merges
+        .map { case (to, from) => s"($from, $to)" }.mkString(", ")
+      val operatorList = operatorIds.mkString(", ")
+      val inactiveList = inactiveIds.mkString(", ")
+      s"""WITH rawf AS (
+         |  SELECT CAST(j.f.properties.certificate_number AS DOUBLE)
+         |    AS cert
+         |  FROM (SELECT unnest(features) AS f
+         |        FROM read_json('$RawPath')) j
+         |  WHERE CAST(j.f.properties.certificate_number AS INT)
+         |    NOT IN ($plssList)),
+         |plss AS (
+         |  SELECT CAST(j.f.properties.certificate_number AS DOUBLE)
+         |    AS cert
+         |  FROM (SELECT unnest(features) AS f
+         |        FROM read_json('$GoldenPath')) j
+         |  WHERE CAST(j.f.properties.certificate_number AS INT)
+         |    IN ($plssList)),
+         |src AS (
+         |  SELECT cert FROM rawf UNION ALL SELECT cert FROM plss),
+         |map AS (
+         |  SELECT CAST(from_cert AS DOUBLE) AS from_cert,
+         |    CAST(to_cert AS DOUBLE) AS to_cert
+         |  FROM (VALUES $mergeVals) m(from_cert, to_cert)),
+         |tgt AS (
+         |  SELECT coalesce(m.to_cert, s.cert) AS cert,
+         |    count(*) AS n_source_features
+         |  FROM src s LEFT JOIN map m ON s.cert = m.from_cert
+         |  GROUP BY 1),
+         |act AS (
+         |  SELECT CAST(certificate_number AS DOUBLE) AS cert, entity,
+         |    certificate_name
+         |  FROM read_csv('$CsvPath')
+         |  WHERE certificate_status = 'Active'
+         |    AND CAST(certificate_number AS INT)
+         |      NOT IN ($operatorList)
+         |    AND CAST(certificate_number AS INT)
+         |      NOT IN ($inactiveList))
+         |SELECT CAST(t.cert AS INT) AS certificate_number, a.entity,
+         |  a.certificate_name,
+         |  CAST(t.n_source_features AS BIGINT) AS n_source_features
+         |FROM tgt t JOIN act a ON t.cert = a.cert
+         |ORDER BY certificate_number""".stripMargin
+    },
     // the z-ordered rewrite must preserve content exactly: same bbox
     // over the unclustered source
     "g07_zorder_scan" ->

@@ -1327,6 +1327,67 @@ object Relational {
       .orderBy("dt")
   }
 
+  /** q54's shuffle seed and shard count — part of the artifact's
+    * identity (the StageCache version key), so changing either
+    * rebuilds the layout instead of serving stale shards.
+    */
+  private[graft] val Q54Seed = 13
+  private[graft] val Q54Shards = 8
+
+  /** The q54 shard layout plan over an arbitrary (doc_id, text, ...)
+    * frame — exposed for PlanSpec's single-exchange assertion.
+    */
+  private[graft] def shardLayoutOf(docs: DataFrame): DataFrame = {
+    graft.functions.Md5Hash48.registerAll(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("text"))
+      .withColumn("h", expr(
+        s"md5_hash48('$Q54Seed:' || CAST(doc_id AS STRING))"))
+      .withColumn("shard",
+        pmod(col("h"), lit(Q54Shards)).cast("int"))
+      .repartition(Q54Shards, col("shard"))
+      .sortWithinPartitions("shard", "h", "doc_id")
+  }
+
+  /** q54 — DETERMINISTIC SHUFFLE-TO-SHARDS WRITER (the final
+    * training-data step after the pipeline curates t14/t39, packs
+    * t28, mixes t29/t35, and splits t40 — r12 VERDICT gap #2): a
+    * SEEDED, reproducible global shuffle of the corpus materialized
+    * as [[Q54Shards]] shard files plus a manifest row per shard. The
+    * shuffle order is the portable hash h = md5-48(seed ':' doc_id)
+    * — content-addressed, so any engine (and the DuckDB oracle)
+    * derives the identical permutation; the shard is the portable
+    * bucket h mod [[Q54Shards]]; rows land in their shard file sorted
+    * by (h, doc_id). One `repartition(shards, shard)` exchange + an
+    * in-partition sort is the WHOLE physical plan (PlanSpec gates a
+    * single exchange, no driver materialization — every row moves at
+    * most once, the 100 TB shuffle-write shape), and the
+    * StageCache-memoized write doubles as the reproducibility claim:
+    * same seed, same corpus, same shards byte-for-byte. The returned
+    * manifest audits the artifact per shard — row count, content
+    * byte size, and the position-weighted order checksum
+    * Σ pos·(h mod 1000003) that pins the exact within-shard sequence
+    * a loader will stream.
+    */
+  val q54ShardShuffle: Q = (s, d) => {
+    val cache = new graft.pipeline.StageCache(s,
+      graft.pipeline.StageCache.indexRoot)
+    val shards = cache.stage("q54_shards",
+      cache.versionHash(Seq("q54_shards", "v1", Q54Seed.toString,
+        Q54Shards.toString)),
+      Seq(s"$d/documents.parquet"), partitionCols = Seq("shard")) {
+      shardLayoutOf(Tables.documents(s, d))
+    }
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    shards
+      .withColumn("pos", row_number().over(w))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"),
+        sum(col("pos") * (col("h") % 1000003)).as("order_checksum"))
+      .orderBy("shard")
+  }
+
   /** q53 — CORRELATED SCALAR SUBQUERY, decorrelated by Catalyst (the
     * reference's J5 "latest per key" lookup expressed the way an
     * analyst actually writes it — a per-row correlated aggregate —
@@ -1355,6 +1416,7 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "q54_shard_shuffle" -> q54ShardShuffle,
     "q53_correlated_subquery" -> q53CorrelatedSubquery,
     "q52_dynamic_pruning" -> q52DynamicPruning,
     "q51_partition_pruned" -> q51PartitionPruned,
@@ -1465,6 +1527,24 @@ object Relational {
         |  WHERE c2.c_mktsegment = c.c_mktsegment)
         |GROUP BY c.c_mktsegment
         |ORDER BY c.c_mktsegment""".stripMargin,
+    // q54: the same content-addressed permutation re-derived from the
+    // raw table — identical md5-48 hash, bucket, order, and per-shard
+    // aggregates (strlen = UTF-8 byte length, Spark's octet_length)
+    "q54_shard_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |    CAST('0x' || substr(md5('$Q54Seed:' ||
+         |      CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+         |  FROM documents),
+         |sh AS (
+         |  SELECT *, CAST(h % $Q54Shards AS INT) AS shard,
+         |    row_number() OVER (PARTITION BY h % $Q54Shards
+         |      ORDER BY h, doc_id) AS pos
+         |  FROM h)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+         |  CAST(sum(pos * (h % 1000003)) AS BIGINT) AS order_checksum
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     // q52: the dim filter re-derived directly on the raw log —
     // day-of-month mod 3 is engine-neutral arithmetic
     "q52_dynamic_pruning" ->

@@ -1403,8 +1403,9 @@ object TextOps {
   private[graft] val OovBudgetDenom = 10
 
   /** t43 — VOCABULARY COVERAGE / OOV AUDIT (the fourth artifact of
-    * the tokenizer lifecycle: t38 mines, t42 builds the vocab,
-    * t41/s19 encode, t43 audits what the encoder will mangle): every
+    * the tokenizer lifecycle: t38/t44 mine statically, t45 trains the
+    * merges ITERATIVELY, t42 builds the vocab, t41/s19 encode, t43
+    * audits what the encoder will mangle): every
     * document encoded with the fixed merge rules, its post-merge
     * tokens checked against the budget-capped top-[[VocabAuditCap]]
     * vocabulary, reporting token count, OOV count, and the

@@ -38,6 +38,20 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q54: the shard layout is ONE hash exchange on the shard key " +
+      "plus an in-partition sort — every row moves at most once, " +
+      "nothing materializes on the driver") {
+    val df = Relational.shardLayoutOf(Tables.documents(spark, sf))
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the sole exchange must partition by the shard key:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"the sort must stay within partitions (no global sort):\n$p")
+  }
+
   test("v12: integer IVF probes via a broadcast cell join, prunes " +
       "top-1 before the qid shuffle, and pushes the query-set filter " +
       "into the scan") {

@@ -282,4 +282,20 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected BroadcastHashJoin in plan:\n$plan")
   }
+
+  test("q54 shards are exhaustive, disjoint, and reproducible: " +
+      "counts add up to the corpus and a re-run serves the identical " +
+      "manifest from the memoized artifact") {
+    val m1 = Relational.q54ShardShuffle(spark, sf).collect()
+    assert(m1.map(_.getInt(0)).toSeq === (0 until Relational.Q54Shards),
+      "every shard must be present exactly once")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(m1.map(_.getLong(1)).sum === nDocs,
+      "shard counts must partition the corpus")
+    // reproducibility: the second run hits the StageCache artifact
+    // (same seed + same inputs → same key) and must yield the same
+    // manifest byte-for-byte
+    val m2 = Relational.q54ShardShuffle(spark, sf).collect()
+    assert(m1.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq)
+  }
 }

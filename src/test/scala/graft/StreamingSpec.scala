@@ -724,4 +724,41 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(streamedCounts === batch)
   }
+
+  test("a mixed-encoding events drop (raw nanos long + native " +
+      "timestamp under one glob) fails LOUDLY at readEvents' footer " +
+      "probe instead of silently mis-shimming either file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mixed-enc").toFile
+    try {
+      val base = dir.getAbsolutePath
+      // file A: the round-<=8 legacy encoding — ts as a raw INT64
+      // nanos column
+      Seq((1L, 1704067200000000000L, 10L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .write.parquet(s"$base/events_a.parquet")
+      // file B: the round-9+ encoding — ts as a native timestamp
+      Seq((2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"),
+          11L, "view", 2.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .write.parquet(s"$base/events_b.parquet")
+      val e = intercept[Exception] {
+        EventStreams.readEvents(spark, base)
+      }
+      // pin the failure surface: the merged-footer probe must name
+      // the incompatible merge (and thereby the offending column),
+      // not return a schema that would shim only one of the files
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage)
+          .getOrElse("")).mkString("\n")
+      assert(chain.toLowerCase.contains("merge"),
+        s"expected a loud schema-merge failure, got:\n$chain")
+      assert(chain.contains("LongType") ||
+        chain.toLowerCase.contains("timestamp") || chain.contains("ts"),
+        s"the failure must identify the conflicting ts types:\n$chain")
+    } finally EventStreams.deleteRecursively(dir)
+  }
 }

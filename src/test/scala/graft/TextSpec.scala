@@ -949,6 +949,40 @@ class TextSpec extends SparkSpec {
     } finally graft.streaming.EventStreams.deleteRecursively(dir)
   }
 
+  test("t45 greedy trainer re-counts after each merge: on xyxyxy the " +
+      "iterative list diverges from the static ranking") {
+    import spark.implicits._
+    // static char-pair ranking of "xyxyxy" is (x,y):3 then (y,x):2;
+    // the GREEDY loop instead merges (x,y) first, and the re-count
+    // then sees [xy,xy,xy] — so step 2 selects (xy,xy):2, a pair that
+    // does not even exist before the first merge, and step 3 merges
+    // the resulting [xyxy, xy]. Pinning this list pins the re-count.
+    val docs = Seq((1L, "xyxyxy")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrainOf(spark, docs, 6)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1, "x", "y", 3L),
+      (2, "xy", "xy", 2L),
+      (3, "xyxy", "xy", 1L)),
+      "exhaustion after step 3 must stop the loop early")
+  }
+
+  test("t45 on the corpus: full depth reached, step 1 equals the " +
+      "static top pair, selection counts never increase") {
+    val rows = TextOps.t45BpeTrain(spark, sf).collect()
+    assert(rows.length === TextOps.BpeTrainDepth)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length))
+    // before any merge the greedy top-1 IS the static top-1
+    val static = TextOps.bpeCharRules(spark, sf).head
+    assert((rows.head.getString(1), rows.head.getString(2)) === static)
+    // each merge can only shrink existing pair counts, and every new
+    // pair it creates occurs at most once per merged occurrence — so
+    // the greedy selection counts are non-increasing
+    val ns = rows.map(_.getLong(3)).toSeq
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, ns)
+  }
+
   test("t44 encodes the corpus into subwords: counts bounded, " +
       "merges non-trivial") {
     val rows = TextOps.t44BpeCharEncode(spark, sf).collect()
