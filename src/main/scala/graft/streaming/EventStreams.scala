@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -497,7 +497,7 @@ object EventStreams {
       // touched user-buckets of the artifact, never the whole state
       val (artifact, stateRows) = runArtifactMergeLoop(spark,
         work.getAbsolutePath, srcDir, stagedEventSchema,
-        bucketKey = Some("user_id"))(
+        bucketKey = Some("user_id"), nBuckets = 8)(
         preAgg,
         (prev, batchAgg) => compact(prev.unionByName(batchAgg)))
       // empty-source fallback: the compaction of zero batches is the
@@ -787,25 +787,42 @@ object EventStreams {
           val agg = batchAgg(batch.toDF())
           bucketKey match {
             case Some(key) =>
-              val keyed = agg.withColumn("bkt",
-                pmod(xxhash64(col(key)), lit(nBuckets)).cast("int"))
-              val touched = keyed.select("bkt").distinct()
-                .collect().map(_.getInt(0)).sorted
+              def bktOf(c: Column) =
+                pmod(xxhash64(c), lit(nBuckets)).cast("int")
+              val keyed = agg.withColumn("bkt", bktOf(col(key)))
+              // prune the prior artifact to the batch's TOUCHED
+              // buckets with a broadcast semi-join on the partition
+              // column — collect-free (no driver roundtrip, no extra
+              // job; at catalog scale this is exactly the q52 dynamic
+              // partition pruning shape). The touched set derives
+              // from the RAW batch (same keys as the aggregate, since
+              // batchAgg groups by them) so the broadcast branch is a
+              // plain scan, not a second run of the merge aggregate.
+              val touchedDf = batch.toDF()
+                .select(bktOf(col(key)).as("bkt")).distinct()
               val prev =
                 if (new java.io.File(stateDir).exists())
                   Some(s.read.parquet(stateDir)
-                    .filter(col("bkt").isin(touched.map(lit(_)): _*))
-                    .drop("bkt")
-                    .localCheckpoint(true))
+                    .join(broadcast(touchedDf), Seq("bkt"), "left_semi")
+                    .drop("bkt"))
                 else None
               val merged = prev
                 .map(p => merge(p, keyed.drop("bkt")))
                 .getOrElse(keyed.drop("bkt"))
-              merged.withColumn("bkt",
-                  pmod(xxhash64(col(key)), lit(nBuckets)).cast("int"))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("bkt").parquet(stateDir)
+                .withColumn("bkt", bktOf(col(key)))
+              // ONE job per batch: write the touched buckets to a
+              // staging dir (reads prev from the live artifact — a
+              // different path, so no read-overwrite hazard and no
+              // extra checkpoint materialization), then swap the
+              // partition dirs in on the driver — the same commit a
+              // dynamic partition overwrite performs, minus its
+              // second job. The repartition makes one file per
+              // touched bucket instead of tasks × buckets.
+              merged
+                .repartition(col("bkt"))
+                .write.partitionBy("bkt")
+                .parquet(s"$stateDir-stage")
+              swapPartitionDirs(s"$stateDir-stage", stateDir)
               if (states.isEmpty) states += stateDir
             case None =>
               val merged = states.lastOption match {
@@ -1147,6 +1164,30 @@ object EventStreams {
       deleteRecursively(new java.io.File(work))
     }
     spark.table(qn).distinct().orderBy("d1", "d2")
+  }
+
+  /** Driver-side partition-swap commit for the bucket/cell-partitioned
+    * artifact loops: move every `<col>=<v>` partition dir from the
+    * staging write into the live artifact (replacing the prior
+    * version of exactly those partitions), then drop the staging dir.
+    * Equivalent to dynamic partition overwrite's commit, without the
+    * extra materialization job the same-path overwrite would need to
+    * break its read-write cycle.
+    */
+  private[graft] def swapPartitionDirs(stageDir: String,
+      liveDir: String): Unit = {
+    val live = new java.io.File(liveDir)
+    java.nio.file.Files.createDirectories(live.toPath)
+    Option(new java.io.File(stageDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.contains("="))
+      .foreach { d =>
+        val dst = new java.io.File(live, d.getName)
+        deleteRecursively(dst)
+        java.nio.file.Files.move(d.toPath, dst.toPath)
+        ()
+      }
+    deleteRecursively(new java.io.File(stageDir))
   }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {

@@ -219,19 +219,19 @@ object VectorStreams {
                 transform(col("embedding"), x => x.cast("double"))
                   .as("v")), cents)
               .persist()
-            // touched-cell set: bounded by min(|batch|, nlist) — a
-            // model-sized driver artifact, the partition-pruning key
-            // for both cell-partitioned stores
-            val touched = asgB.select("cell").distinct()
-              .collect().map(_.getInt(0)).sorted
-            val touchedCol = touched.map(lit(_))
+            // touched-cell set: bounded by min(|batch|, nlist). The
+            // prunes below consume it as a broadcast semi-join on the
+            // partition column — collect-free (no driver roundtrip;
+            // at catalog scale this is the q52 dynamic-partition-
+            // pruning shape)
+            val touchedDf = asgB.select("cell").distinct()
+            def pruneTouched(df: DataFrame): DataFrame =
+              df.join(broadcast(touchedDf), Seq("cell"), "left_semi")
             // accumulated store: ONE append-mode cell-partitioned
-            // dataset; the join needs only the touched cells, so the
-            // read is partition-pruned to them
+            // dataset; the join needs only the touched cells
             val store =
               if (new java.io.File(asgPath).exists())
-                Some(s.read.parquet(asgPath)
-                  .filter(col("cell").isin(touchedCol: _*))
+                Some(pruneTouched(s.read.parquet(asgPath))
                   .select(col("vec_id"), col("qv"), col("cell")))
               else None
             def edges(a: DataFrame, b: DataFrame): DataFrame =
@@ -250,16 +250,11 @@ object VectorStreams {
               case None => edges(asgB, asgB)
             }
             // prior graph slice: ONLY the touched-cell partitions
-            // (pruned read); localCheckpoint cuts the file lineage so
-            // the dynamic-overwrite write below never overwrites a
-            // path its own plan is still reading
             val prev =
               if (new java.io.File(gPath).exists())
-                Some(s.read.parquet(gPath)
-                  .filter(col("cell").isin(touchedCol: _*))
+                Some(pruneTouched(s.read.parquet(gPath))
                   .select(col("cell"), col("vec_id"),
-                    col("neighbor_id"), col("d2"))
-                  .localCheckpoint(true))
+                    col("neighbor_id"), col("d2")))
               else None
             val merged = prev.map(_.unionByName(fresh)).getOrElse(fresh)
             val w = org.apache.spark.sql.expressions.Window
@@ -269,18 +264,28 @@ object VectorStreams {
               .withColumn("rk", row_number().over(w))
               .filter(col("rk") <= k)
               .select("cell", "vec_id", "neighbor_id", "d2")
-            // dynamic partition overwrite: only the cell partitions
-            // present in `pruned` (= the touched cells) are replaced;
-            // untouched cells keep their files verbatim
-            pruned.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("cell").parquet(gPath)
-            asgB.write.mode("append").partitionBy("cell")
+            // ONE job per batch for the graph merge: write the
+            // touched cells to a staging dir (reads the prior slice
+            // from the live artifact — different path, no
+            // read-overwrite hazard), then swap the partition dirs in
+            // on the driver (the dynamic-overwrite commit minus its
+            // extra materialization job). Only touched cells are
+            // replaced; untouched cells keep their files verbatim.
+            // The repartition makes one file per touched cell instead
+            // of tasks × cells.
+            pruned.repartition(col("cell"))
+              .write.partitionBy("cell")
+              .parquet(s"$gPath-stage")
+            EventStreams.swapPartitionDirs(s"$gPath-stage", gPath)
+            asgB.repartition(col("cell"))
+              .write.mode("append").partitionBy("cell")
               .parquet(asgPath)
             if (collectStats) {
+              val touched = touchedDf.collect().map(_.getInt(0))
               stats += KnnBatchStat(batchId, touched.length,
                 s.read.parquet(gPath)
-                  .filter(col("cell").isin(touchedCol: _*)).count(),
+                  .filter(col("cell").isin(touched.map(lit(_)): _*))
+                  .count(),
                 s.read.parquet(gPath).count())
             }
             asgB.unpersist()
