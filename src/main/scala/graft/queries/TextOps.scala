@@ -1146,35 +1146,43 @@ object TextOps {
     */
   private[graft] def bpeTrainOf(s: SparkSession, docs: DataFrame,
       depth: Int): DataFrame = {
-    // start state: t44's char stream — one row per (doc, word) with
-    // the word's character array; single-char words can never host a
-    // pair and merges never grow a word's token count, so they are
-    // dropped once here and pruned again after every merge pass
+    // start state: the DISTINCT-WORD frequency table, not the
+    // exploded corpus (r13 VERDICT item 1) — merges never cross word
+    // boundaries, so the pair count over all occurrences equals the
+    // n_occurrences-weighted pair count over distinct words, and
+    // under Zipf the vocab is orders of magnitude smaller than the
+    // corpus. ONE corpus aggregation here; every later round scans
+    // only this vocab-sized frame. Single-char words can never host
+    // a pair and merges never grow a word's token count, so they are
+    // dropped once here and pruned again after every merge pass.
     var state = docs
-      .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) >= 2)
-      .select(col("doc_id"), expr(
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"))
+      .select(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        .as("toks"))
+        .as("toks"), col("n"))
       .localCheckpoint(true)
     val selected =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 1
     var exhausted = false
     while (!exhausted && step <= depth) {
-      // re-count: adjacent-pair frequencies of the CURRENT state —
-      // in-row zip_with (no positional self-join), map-side partial
-      // agg, top-1 via TakeOrderedAndProject; the 1-row selection is
-      // a driver-side model artifact (the IVF-centroid pattern)
+      // re-count: adjacent-pair frequencies of the CURRENT state,
+      // weighted by each word's corpus occurrence count — in-row
+      // zip_with (no positional self-join), map-side partial agg,
+      // top-1 via TakeOrderedAndProject; the 1-row selection is a
+      // driver-side model artifact (the IVF-centroid pattern)
       val top = state
         .select(explode(expr(
           """filter(zip_with(toks, slice(toks, 2, size(toks)),
             |  (a, b) -> named_struct('a', a, 'b', b)),
-            |  p -> p.b IS NOT NULL)""".stripMargin)).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
+            |  p -> p.b IS NOT NULL)""".stripMargin)).as("p"),
+          col("n"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("n"))
         .groupBy("a", "b")
-        .agg(count(lit(1)).as("n"))
+        .agg(sum("n").as("n"))
         .orderBy(desc("n"), asc("a"), asc("b"))
         .limit(1)
         .collect()
@@ -1184,10 +1192,14 @@ object TextOps {
           top.head.getLong(2))
         selected += ((step, a, b, n))
         // merge: ONE map-side left-to-right non-overlap pass of the
-        // selected rule (the shared t41/t44 kernel, concatenating);
-        // localCheckpoint cuts the lineage so step i+1's scan reads
-        // materialized state, never a depth-i re-derivation (the
-        // v22/Components bounded-iteration pattern)
+        // selected rule (the shared t41/t44 kernel, concatenating)
+        // over the vocab-sized state; no re-grouping is needed —
+        // concat(toks) always recovers the original word, so two
+        // distinct rows can never merge into one (the map stays
+        // injective). localCheckpoint cuts the lineage so step i+1's
+        // scan reads materialized state, never a depth-i
+        // re-derivation (the v22/Components bounded-iteration
+        // pattern)
         val applyOne = udf { (toks: Seq[String]) =>
           bpeApplyRules(toks.toArray, Seq((a, b)), "")
         }
@@ -1218,17 +1230,26 @@ object TextOps {
     * (step, a, b, n_pairs-at-selection) — the model artifact whose
     * rows feed the existing t41/t44 encoders unchanged.
     *
-    * Scale shape: each round is ONE corpus scan (in-row pair
-    * generation, map-side partial aggregation, TakeOrderedAndProject
-    * top-1 — never a full pair-vocabulary sort), one 2-string
-    * broadcast, and ONE map-side merge pass; the state is
-    * localCheckpoint'd per round so lineage depth stays 1 and
-    * single-token words are pruned as they appear. The loop is
-    * driver-ITERATED but never driver-SIZED: nothing corpus-bound is
-    * ever collected. The oracle replays the identical loop as a
-    * generated fixed-depth CTE chain — each layer re-derives pair
-    * counts from the previous state, takes the same top-1, and
-    * applies the same run-parity merge pass.
+    * Scale shape: the corpus is scanned ONCE — the first aggregation
+    * collapses it to the distinct-word frequency table (toks, n),
+    * which under Zipf is orders of magnitude smaller than the corpus
+    * (how real BPE trainers iterate). Each round then scans only the
+    * vocab-sized state (in-row pair generation, n-weighted map-side
+    * partial aggregation, TakeOrderedAndProject top-1 — never a full
+    * pair-vocabulary sort), broadcasts one 2-string rule, and runs
+    * ONE map-side merge pass; because concat(toks) always recovers
+    * the word, the merge map is injective and the state needs no
+    * per-round re-grouping. The state is localCheckpoint'd per round
+    * so lineage depth stays 1 and single-token words are pruned as
+    * they appear. The loop is driver-ITERATED but never
+    * driver-SIZED: nothing corpus- or vocab-bound is ever collected.
+    * The oracle deliberately stays at the OCCURRENCE level — a
+    * generated fixed-depth CTE chain whose layer i re-derives plain
+    * per-occurrence pair counts from the previous state, takes the
+    * same top-1, and applies the same run-parity merge pass — so the
+    * hash-match proves the n-weighted vocab loop equals the
+    * occurrence-level definition rather than mirroring the engine's
+    * own collapse.
     */
   val t45BpeTrain: Q = (s, d) =>
     bpeTrainOf(s, Tables.documents(s, d), BpeTrainDepth)
