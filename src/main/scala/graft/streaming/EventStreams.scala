@@ -441,9 +441,10 @@ object EventStreams {
     * candidate row per touched key (struct-max latest + counters),
     * then merged with the previous state by the SAME commutative
     * aggregation, and the result replaces the TOUCHED user-bucket
-    * partitions of the artifact (dynamic partition overwrite over a
-    * bucket-partitioned state — see runArtifactMergeLoop's bucketKey
-    * path). This is the lakehouse `MERGE INTO` maintenance shape:
+    * partitions of the artifact (staged write + manifest-journaled
+    * partition swap over a bucket-partitioned state — see
+    * runArtifactMergeLoop's bucketKey path).
+    * This is the lakehouse `MERGE INTO` maintenance shape:
     * per-batch cost is O(|batch| + state[touched buckets]) with a
     * keyed shuffle only — the log is never re-read, no window sort
     * ever happens, untouched users are never read or rewritten, and
@@ -494,7 +495,14 @@ object EventStreams {
       // bucket-partitioned merge (the s17 treatment): user cardinality
       // grows with the corpus, a batch touches only its own users, and
       // the compaction is key-local — so each batch rewrites only the
-      // touched user-buckets of the artifact, never the whole state
+      // touched user-buckets of the artifact, never the whole state.
+      // NOTE (r13 VERDICT item 7): at sf0.1 this costs MORE than the
+      // chained full rewrite it replaced (~6.3 s vs ~3.7 s min-of-3) —
+      // 8 buckets over ~150 users is pure partitioning overhead at toy
+      // scale. That trade is deliberate: the ScaleCheck probes show
+      // per-batch cost tracking touched buckets, which is the shape
+      // that survives key cardinality growing with the corpus. Do not
+      // "optimize" this back to the full rewrite on bench numbers.
       val (artifact, stateRows) = runArtifactMergeLoop(spark,
         work.getAbsolutePath, srcDir, stagedEventSchema,
         bucketKey = Some("user_id"), nBuckets = 8)(
@@ -750,15 +758,18 @@ object EventStreams {
     * (s17's treatment, for artifacts whose key cardinality grows
     * with the corpus — s16's per-user state): the artifact is
     * partitioned by `bkt = pmod(xxhash64(key), nBuckets)`; each
-    * batch computes its TOUCHED bucket set (≤ nBuckets, a bounded
+    * batch collects its TOUCHED bucket set (≤ nBuckets, a bounded
     * driver value), reads ONLY those partitions of the prior
-    * artifact (partition-pruned; localCheckpoint'd so the dynamic
-    * overwrite below never overwrites files its own plan still
-    * reads), merges them with the batch aggregate — valid because
-    * every `merge` in this family is KEY-LOCAL (latest-per-key,
-    * per-key sums), so rows in untouched buckets cannot change —
-    * and rewrites only the touched partitions via dynamic partition
-    * overwrite. Per-batch cost is O(|batch| + artifact[touched
+    * artifact via a static `bkt IN (...)` partition filter
+    * ([[pruneToPartitions]] — plan-gated in PlanSpec), merges them
+    * with the batch aggregate — valid because every `merge` in this
+    * family is KEY-LOCAL (latest-per-key, per-key sums), so rows in
+    * untouched buckets cannot change — writes the merged touched
+    * buckets to a sibling staging dir in ONE job (the stage reads
+    * the prior slice from the LIVE path, so there is no
+    * read-overwrite hazard and no extra materialization), and
+    * commits them with [[swapPartitionDirs]]'s manifest-journaled
+    * partition swap. Per-batch cost is O(|batch| + artifact[touched
     * buckets]), never O(|artifact|). `bucketKey = None` keeps the
     * full chained rewrite for artifacts that are BOUNDED by
     * construction and touched almost entirely by every batch (s21's
@@ -774,6 +785,9 @@ object EventStreams {
       : (Option[DataFrame], Long) = {
     val states = scala.collection.mutable.ListBuffer[String]()
     val stateDir = s"$base/state"
+    // heal a torn partition-swap commit from a crashed prior run
+    // BEFORE any batch stages new files at the same path
+    recoverTornSwap(stateDir)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$srcDir/b*.parquet")
@@ -789,40 +803,44 @@ object EventStreams {
             case Some(key) =>
               def bktOf(c: Column) =
                 pmod(xxhash64(c), lit(nBuckets)).cast("int")
-              val keyed = agg.withColumn("bkt", bktOf(col(key)))
-              // prune the prior artifact to the batch's TOUCHED
-              // buckets with a broadcast semi-join on the partition
-              // column — collect-free (no driver roundtrip, no extra
-              // job; at catalog scale this is exactly the q52 dynamic
-              // partition pruning shape). The touched set derives
-              // from the RAW batch (same keys as the aggregate, since
-              // batchAgg groups by them) so the broadcast branch is a
-              // plain scan, not a second run of the merge aggregate.
-              val touchedDf = batch.toDF()
+              // the batch's TOUCHED bucket set, collected to the
+              // driver — BOUNDED by nBuckets (a config constant),
+              // never corpus-sized. The bounded collect is what buys
+              // STATIC partition pruning on the artifact read below:
+              // the collect-free broadcast-semi-join alternative was
+              // measured (r14) to leave the scan with
+              // PartitionFilters=[isnotnull(bkt)] — DPP does not fire
+              // when the build side carries no selective filter — so
+              // the "pruned" read was a full artifact scan per batch.
+              // The set derives from the RAW batch (same keys as the
+              // aggregate, since batchAgg groups by them), so this is
+              // one tiny batch-sized job, not a second merge run.
+              val touched = batch.toDF()
                 .select(bktOf(col(key)).as("bkt")).distinct()
+                .collect().map(_.getInt(0)).sorted.toSeq
               val prev =
                 if (new java.io.File(stateDir).exists())
-                  Some(s.read.parquet(stateDir)
-                    .join(broadcast(touchedDf), Seq("bkt"), "left_semi")
+                  Some(pruneToPartitions(
+                    s.read.parquet(stateDir), "bkt", touched)
                     .drop("bkt"))
                 else None
               val merged = prev
-                .map(p => merge(p, keyed.drop("bkt")))
-                .getOrElse(keyed.drop("bkt"))
+                .map(p => merge(p, agg))
+                .getOrElse(agg)
                 .withColumn("bkt", bktOf(col(key)))
               // ONE job per batch: write the touched buckets to a
               // staging dir (reads prev from the live artifact — a
               // different path, so no read-overwrite hazard and no
-              // extra checkpoint materialization), then swap the
-              // partition dirs in on the driver — the same commit a
-              // dynamic partition overwrite performs, minus its
-              // second job. The repartition makes one file per
-              // touched bucket instead of tasks × buckets.
+              // extra checkpoint materialization), then commit with
+              // the manifest-journaled partition swap. The
+              // repartition makes one file per touched bucket
+              // instead of tasks × buckets.
               merged
                 .repartition(col("bkt"))
                 .write.partitionBy("bkt")
                 .parquet(s"$stateDir-stage")
-              swapPartitionDirs(s"$stateDir-stage", stateDir)
+              swapPartitionDirs(s"$stateDir-stage", stateDir,
+                touched.map(v => s"bkt=$v"))
               if (states.isEmpty) states += stateDir
             case None =>
               val merged = states.lastOption match {
@@ -1166,27 +1184,148 @@ object EventStreams {
     spark.table(qn).distinct().orderBy("d1", "d2")
   }
 
+  /** Prune a `part`-partitioned parquet artifact read to an explicit
+    * bounded partition-value list. The literal IN lands in the scan's
+    * PartitionFilters at PLANNING time (gated in PlanSpec), so only
+    * the listed directories are listed/read — unlike the broadcast
+    * left-semi-join shape, which was measured (r14) NOT to trigger
+    * dynamic partition pruning (no selective filter on the build
+    * side) and therefore scanned every partition. Callers pass a
+    * DRIVER-BOUNDED list (bucket counts, model cell ids) — never a
+    * corpus-derived one.
+    */
+  private[graft] def pruneToPartitions(df: DataFrame, part: String,
+      values: Seq[Int]): DataFrame =
+    if (values.isEmpty) df.filter(lit(false))
+    else df.filter(col(part).isin(values: _*))
+
+  /** Name of the swap-commit journal, written INSIDE the live
+    * artifact dir. The underscore prefix keeps it invisible to
+    * Spark's file index (same convention as _SUCCESS).
+    */
+  private[graft] val SwapManifestName = "_swap_manifest"
+
   /** Driver-side partition-swap commit for the bucket/cell-partitioned
-    * artifact loops: move every `<col>=<v>` partition dir from the
-    * staging write into the live artifact (replacing the prior
-    * version of exactly those partitions), then drop the staging dir.
-    * Equivalent to dynamic partition overwrite's commit, without the
-    * extra materialization job the same-path overwrite would need to
-    * break its read-write cycle.
+    * artifact loops: replace the live version of every TOUCHED
+    * `<col>=<v>` partition with its staged counterpart, journaled so
+    * a crash at any point leaves a repairable artifact. Equivalent to
+    * dynamic partition overwrite's commit, without the extra
+    * materialization job the same-path overwrite would need to break
+    * its read-write cycle.
+    *
+    * Protocol (all moves are same-filesystem, hence atomic):
+    *  1. PREPARE — atomically publish `live/_swap_manifest` naming
+    *     the stage dir and, per touched partition, whether a staged
+    *     replacement exists and its staged byte size. A crash before
+    *     this point leaves the live artifact untouched (a stray
+    *     `.tmp` is discarded on recovery).
+    *  2. APPLY — for each touched partition: delete the live dir,
+    *     then move the staged dir in IF one exists. Deleting the
+    *     full `touched` set (not just the staged names) is what
+    *     makes evicting/filtering merges safe: a merge whose result
+    *     for a touched bucket is EMPTY stages no dir, and the stale
+    *     prior partition must still go (ADVICE r13).
+    *  3. COMMIT — delete the manifest, then the stage dir.
+    *
+    * A crash mid-APPLY is healed by [[recoverTornSwap]] (call it at
+    * loop start, before staging anything new): the manifest
+    * distinguishes already-applied partitions (staged dir gone →
+    * live dir IS the new version) from pending ones (staged dir
+    * still present → delete+move is replayed; both steps are
+    * idempotent). `touched` may be empty for legacy callers — the
+    * staged partition list is always unioned in.
+    *
+    * `onPartitionApplied` is a test seam (StreamingSpec's torn-swap
+    * case injects a crash between partition applies); production
+    * callers leave the default no-op.
     */
   private[graft] def swapPartitionDirs(stageDir: String,
-      liveDir: String): Unit = {
+      liveDir: String, touched: Seq[String] = Seq.empty,
+      onPartitionApplied: String => Unit = _ => ()): Unit = {
     val live = new java.io.File(liveDir)
     java.nio.file.Files.createDirectories(live.toPath)
-    Option(new java.io.File(stageDir).listFiles())
+    val staged = Option(new java.io.File(stageDir).listFiles())
       .getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.contains("="))
-      .foreach { d =>
-        val dst = new java.io.File(live, d.getName)
-        deleteRecursively(dst)
-        java.nio.file.Files.move(d.toPath, dst.toPath)
-        ()
-      }
+      .map(_.getName).toSeq
+    val all = (touched ++ staged).distinct.sorted
+    // PREPARE: journal the commit's full intent before any mutation
+    val manifest = new java.io.File(live, SwapManifestName)
+    val tmp = new java.io.File(live, SwapManifestName + ".tmp")
+    val body = (s"stage=$stageDir" +: all.map { n =>
+      val sd = new java.io.File(stageDir, n)
+      val bytes =
+        if (sd.isDirectory)
+          Option(sd.listFiles()).getOrElse(Array.empty)
+            .map(_.length()).sum
+        else -1L // touched but nothing staged: bare delete
+      s"part=$n\tbytes=$bytes"
+    }).mkString("\n")
+    java.nio.file.Files.write(tmp.toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, manifest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // APPLY
+    all.foreach { n =>
+      applyPartitionSwap(stageDir, liveDir, n)
+      onPartitionApplied(n)
+    }
+    // COMMIT
+    java.nio.file.Files.deleteIfExists(manifest.toPath)
+    deleteRecursively(new java.io.File(stageDir))
+  }
+
+  /** One idempotent partition apply: drop the live version, move the
+    * staged version in if one exists.
+    */
+  private def applyPartitionSwap(stageDir: String, liveDir: String,
+      name: String): Unit = {
+    val src = new java.io.File(stageDir, name)
+    val dst = new java.io.File(liveDir, name)
+    deleteRecursively(dst)
+    if (src.isDirectory) {
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+      ()
+    }
+  }
+
+  /** Detect and repair a torn [[swapPartitionDirs]] commit. Run at
+    * loop start, BEFORE staging anything new at the artifact's stage
+    * path (running it concurrently with a fresh staging write would
+    * misread the new stage as the journaled one). No manifest → the
+    * live artifact is consistent; any leftover `<liveDir>-stage` dir
+    * (a crash between the COMMIT phase's two deletes, or a crashed
+    * staging write that never reached PREPARE) is discarded.
+    */
+  private[graft] def recoverTornSwap(liveDir: String): Unit = {
+    val live = new java.io.File(liveDir)
+    // a torn PREPARE (only the .tmp exists) never started mutating —
+    // the live artifact is the prior consistent version
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(live, SwapManifestName + ".tmp").toPath)
+    val manifest = new java.io.File(live, SwapManifestName)
+    if (!manifest.isFile) {
+      deleteRecursively(new java.io.File(liveDir + "-stage"))
+      return
+    }
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(manifest.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    val stageDir = lines.head.stripPrefix("stage=")
+    lines.tail.foreach { l =>
+      val cols = l.split("\t")
+      val name = cols(0).stripPrefix("part=")
+      val stagedBytes = cols(1).stripPrefix("bytes=").toLong
+      val src = new java.io.File(stageDir, name)
+      if (src.isDirectory || stagedBytes < 0L)
+        // not yet applied (staged dir still present), or a bare
+        // delete — replaying delete(+move) is idempotent either way
+        applyPartitionSwap(stageDir, liveDir, name)
+      // else: staged dir consumed → the atomic move completed and
+      // the live dir already IS the new version — keep it
+    }
+    java.nio.file.Files.deleteIfExists(manifest.toPath)
     deleteRecursively(new java.io.File(stageDir))
   }
 

@@ -202,6 +202,9 @@ object VectorStreams {
       val base = work.getAbsolutePath
       val asgPath = s"$base/asg"
       val gPath = s"$base/graph"
+      // heal a torn partition-swap commit from a crashed prior run
+      // BEFORE any batch stages new files at the same path
+      EventStreams.recoverTornSwap(gPath)
       val stats = scala.collection.mutable.ListBuffer[KnnBatchStat]()
       val q = spark.readStream.schema(embSchema)
         .option("maxFilesPerTrigger", 1)
@@ -219,14 +222,18 @@ object VectorStreams {
                 transform(col("embedding"), x => x.cast("double"))
                   .as("v")), cents)
               .persist()
-            // touched-cell set: bounded by min(|batch|, nlist). The
-            // prunes below consume it as a broadcast semi-join on the
-            // partition column — collect-free (no driver roundtrip;
-            // at catalog scale this is the q52 dynamic-partition-
-            // pruning shape)
-            val touchedDf = asgB.select("cell").distinct()
+            // touched-cell set, collected to the driver: BOUNDED by
+            // min(|batch|, nlist) — nlist is the fixed coarse-model
+            // size, never corpus-scale. The bounded collect buys
+            // STATIC `cell IN (...)` partition pruning on both
+            // artifact reads below (plan-gated in PlanSpec): the
+            // collect-free broadcast-semi-join alternative was
+            // measured (r14) to scan EVERY partition — DPP does not
+            // fire when the build side has no selective filter.
+            val touched = asgB.select("cell").distinct()
+              .collect().map(_.getInt(0)).sorted.toSeq
             def pruneTouched(df: DataFrame): DataFrame =
-              df.join(broadcast(touchedDf), Seq("cell"), "left_semi")
+              EventStreams.pruneToPartitions(df, "cell", touched)
             // accumulated store: ONE append-mode cell-partitioned
             // dataset; the join needs only the touched cells
             val store =
@@ -267,24 +274,23 @@ object VectorStreams {
             // ONE job per batch for the graph merge: write the
             // touched cells to a staging dir (reads the prior slice
             // from the live artifact — different path, no
-            // read-overwrite hazard), then swap the partition dirs in
-            // on the driver (the dynamic-overwrite commit minus its
-            // extra materialization job). Only touched cells are
-            // replaced; untouched cells keep their files verbatim.
-            // The repartition makes one file per touched cell instead
-            // of tasks × cells.
+            // read-overwrite hazard), then commit with the
+            // manifest-journaled partition swap. Only touched cells
+            // are replaced; untouched cells keep their files
+            // verbatim. The repartition makes one file per touched
+            // cell instead of tasks × cells.
             pruned.repartition(col("cell"))
               .write.partitionBy("cell")
               .parquet(s"$gPath-stage")
-            EventStreams.swapPartitionDirs(s"$gPath-stage", gPath)
+            EventStreams.swapPartitionDirs(s"$gPath-stage", gPath,
+              touched.map(v => s"cell=$v"))
             asgB.repartition(col("cell"))
               .write.mode("append").partitionBy("cell")
               .parquet(asgPath)
             if (collectStats) {
-              val touched = touchedDf.collect().map(_.getInt(0))
               stats += KnnBatchStat(batchId, touched.length,
                 s.read.parquet(gPath)
-                  .filter(col("cell").isin(touched.map(lit(_)): _*))
+                  .filter(col("cell").isin(touched: _*))
                   .count(),
                 s.read.parquet(gPath).count())
             }

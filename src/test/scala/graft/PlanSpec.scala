@@ -1006,6 +1006,53 @@ class PlanSpec extends SparkSpec {
       s"per-point top-k must prune map-side:\n$p")
   }
 
+  test("incremental-merge read-side pruning: pruneToPartitions " +
+      "lands as a static IN PartitionFilter and the scan reads " +
+      "ONLY the touched partition dirs (r13 VERDICT item 2)") {
+    // the exact read shape of runArtifactMergeLoop's bucketKey path
+    // and s17's graph/assignment slices: a bkt/cell-partitioned
+    // parquet artifact pruned to the batch's bounded touched set.
+    // The previous broadcast-left-semi shape passed row-level tests
+    // while scanning EVERY partition (DPP never fires without a
+    // selective build-side filter) — at 100 TB that is a full
+    // artifact scan per micro-batch, so the pruned READ is gated
+    // here as a plan property, not an intention.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prune").toFile
+    try {
+      val art = s"${dir.getAbsolutePath}/state"
+      (0 until 1024).map(i => (i.toLong, i % 16))
+        .toDF("k", "bkt")
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(art)
+      val touched = Seq(3, 7, 11)
+      val pruned = graft.streaming.EventStreams.pruneToPartitions(
+        spark.read.parquet(art), "bkt", touched)
+      pruned.write.format("noop").mode("overwrite").save()
+      val p = pruned.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [") && p.contains(" IN ("),
+        s"touched set not applied as a partition filter:\n$p")
+      val inner = pruned.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val partCount = inner.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+      assert(partCount.contains(touched.size),
+        s"expected ${touched.size} of 16 partitions read, got " +
+          s"$partCount:\n$p")
+      // the empty-batch guard must also prune to zero, not scan
+      val none = graft.streaming.EventStreams.pruneToPartitions(
+        spark.read.parquet(art), "bkt", Seq.empty)
+      assert(none.count() === 0L)
+    } finally
+      graft.streaming.EventStreams.deleteRecursively(dir)
+  }
+
   test("whole-stage codegen covers the q02 agg pipeline") {
     // AQE hides codegen markers until the final plan materializes —
     // execute first, then inspect; codegen'd stages render as "*(n)"

@@ -761,4 +761,81 @@ class StreamingSpec extends SparkSpec {
         s"the failure must identify the conflicting ts types:\n$chain")
     } finally EventStreams.deleteRecursively(dir)
   }
+
+  test("swapPartitionDirs: the full touched set is replaced — a " +
+      "touched bucket whose merge result is EMPTY stages no dir and " +
+      "its stale live partition must still go (ADVICE r13)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-swap").toFile
+    try {
+      val live = s"${dir.getAbsolutePath}/state"
+      val stage = s"$live-stage"
+      // live v1: buckets 0, 1, 2
+      Seq((10L, 0), (11L, 1), (12L, 2)).toDF("k", "bkt")
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(live)
+      // merge of a batch touching {0, 1, 2}: bucket 2's result is
+      // empty (an evicting merge), so the stage holds only 0 and 1
+      Seq((20L, 0), (21L, 1)).toDF("k", "bkt")
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(stage)
+      EventStreams.swapPartitionDirs(stage, live,
+        Seq("bkt=0", "bkt=1", "bkt=2"))
+      val got = spark.read.parquet(live)
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(got === Seq(20L, 21L),
+        "stale bkt=2 must be deleted even with nothing staged")
+      assert(!new java.io.File(stage).exists(), "stage dir committed")
+      assert(!new java.io.File(live,
+        EventStreams.SwapManifestName).exists(), "manifest committed")
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
+  test("swapPartitionDirs: a crash between partition applies leaves " +
+      "a journaled torn commit that recoverTornSwap rolls FORWARD " +
+      "to the new consistent version (r13 VERDICT item 3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-torn").toFile
+    try {
+      val live = s"${dir.getAbsolutePath}/state"
+      val stage = s"$live-stage"
+      Seq((10L, 0), (11L, 1), (12L, 2)).toDF("k", "bkt")
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(live)
+      Seq((20L, 0), (21L, 1)).toDF("k", "bkt")
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(stage)
+      // inject the crash AFTER the first applied partition: bkt=0 is
+      // swapped, bkt=1 still staged, bkt=2's bare delete pending —
+      // exactly the mixed-version artifact the manifest exists for
+      val boom = intercept[RuntimeException] {
+        EventStreams.swapPartitionDirs(stage, live,
+          Seq("bkt=0", "bkt=1", "bkt=2"),
+          onPartitionApplied =
+            n => if (n == "bkt=1") throw new RuntimeException("torn"))
+      }
+      assert(boom.getMessage === "torn")
+      // torn state is DETECTABLE: the journal is still in place
+      assert(new java.io.File(live,
+        EventStreams.SwapManifestName).isFile,
+        "manifest must survive a mid-apply crash")
+      // loop start heals it: replay is idempotent per partition
+      EventStreams.recoverTornSwap(live)
+      val got = spark.read.parquet(live)
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(got === Seq(20L, 21L),
+        "recovery must complete the commit (new versions + eviction)")
+      assert(!new java.io.File(stage).exists())
+      assert(!new java.io.File(live,
+        EventStreams.SwapManifestName).exists())
+      // recovery is also safe when nothing is torn, and clears a
+      // stray stage leftover from a crash between COMMIT's deletes
+      new java.io.File(stage).mkdirs()
+      EventStreams.recoverTornSwap(live)
+      assert(!new java.io.File(stage).exists())
+      assert(spark.read.parquet(live).count() === 2L)
+    } finally EventStreams.deleteRecursively(dir)
+  }
 }
