@@ -132,25 +132,25 @@ object Bench {
       val key = if (prefixCounts(p) == 1) p else k // collision → full name
       "\"" + key + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
-    // Streaming-family iteration spreads → the stdout line too
-    // (VERDICT r12 item 7): the s-family dominates the sweep and has
-    // shown 2× swings on identical code, so the driver-recorded line
-    // carries min AND spread for its slowest entries — a wide spread
-    // reads as noise, a uniformly shifted one as a real regression.
-    // Bounded to the 6 slowest so the line stays inside the
-    // launcher's 2000-char tail window.
-    val sSpread = results
-      .filter { case (k, ts) =>
-        k.startsWith("s") && !ts.min.isInfinite }
+    // Iteration spreads for the slowest entries OVERALL → the stdout
+    // line too (VERDICT r12 item 7, widened per r13 item 6: the
+    // round-13 contention cluster hit the t-family and was only
+    // diagnosable by opening bench_out.json). The driver-recorded
+    // line carries min AND spread for the slowest entries from ANY
+    // family — a wide spread reads as machine noise, a uniformly
+    // shifted one as a real regression. Bounded to the 8 slowest so
+    // the line stays inside the launcher's 2000-char tail window.
+    val spread = results
+      .filter { case (_, ts) => !ts.min.isInfinite }
       .sortBy { case (_, ts) => -ts.min }
-      .take(6)
+      .take(8)
       .map { case (k, ts) =>
         val p = k.takeWhile(_ != '_')
         val key = if (prefixCounts.getOrElse(p, 2) == 1) p else k
         "\"" + key + "\":" + ts.map(fmt(_, 1)).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     val lineShort =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsShort,"s_spread":$sSpread,"index_warm":$warmSec%.2f$failedJson$onlyJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsShort,"spread":$spread,"index_warm":$warmSec%.2f$failedJson$onlyJson,"sf":"$sfDir"}"""
     println(lineShort)
     spark.stop()
   }

@@ -97,9 +97,10 @@ object AlaskaReplay {
     * substitutions, merge-mapped to their targets), the per-target
     * count of source features folded in, and the active-certificate
     * metadata join. Every step is relational over the same committed
-    * inputs (raw/golden GeoJSON feature lists + the scraped CSV +
-    * the _targets.R config literals), so the driver's DuckDB oracle
-    * replays it independently via read_json/read_csv — hash-verifying
+    * inputs (the raw GeoJSON feature list + the scraped CSV + the
+    * _targets.R config literals — the PLSS slice is config-derived,
+    * never a golden read), so the driver's DuckDB oracle replays it
+    * independently via read_json/read_csv — hash-verifying
     * the merge/exclusion/join logic the geometry build rides on.
     * Geometry itself stays golden-pinned: FullReplaySpec byte-compares
     * the published file, GoldenReplaySpec pins the g08 area rows.
@@ -110,12 +111,21 @@ object AlaskaReplay {
       GeoJson.readFields(spark, path, Seq("certificate_number"))
         .select(col("certificate_number").cast("double")
           .as("certificate_number"))
+    // PLSS slice, derived from the patch stage's own contract rather
+    // than the published golden file (r13 VERDICT finding 3 — reading
+    // the golden here made the oracle verify consistency-with-golden
+    // for these rows instead of independent derivation): savePatch
+    // dissolves each patched certificate's PLSS query response into
+    // exactly ONE feature ({cert}-servicearea-plss-fix.kml, pinned by
+    // PlssPatchSpec), and the KML scan's grouped patch-dedup filter
+    // (P9) keeps only that feature for the cert — so the property
+    // pipeline sees one source feature per configured PLSS cert.
+    val plssSlice = plssCerts.map(_.toDouble)
+      .toDF("certificate_number")
     val sources = certsOf(RawPath)
       .filter(!col("certificate_number")
         .isin(plssCerts.map(_.toDouble): _*))
-      .unionByName(certsOf(GoldenPath)
-        .filter(col("certificate_number")
-          .isin(plssCerts.map(_.toDouble): _*)))
+      .unionByName(plssSlice)
     val mapping = merges.map { case (to, from) =>
       (from.toDouble, to.toDouble)
     }.toDF("from_cert", "to_cert")
@@ -127,8 +137,14 @@ object AlaskaReplay {
       .groupBy("certificate_number")
       .agg(count(lit(1)).as("n_source_features"))
       .join(broadcast(activeCertsOf(spark)), Seq("certificate_number"))
+      // floor-then-cast on BOTH sides (oracle: CAST(floor(..) AS INT)):
+      // Spark's bare cast("int") truncates while DuckDB's rounds, so a
+      // fractional cert number would diverge silently (ADVICE r13) —
+      // floor agrees everywhere and is the identity on the integral
+      // values the data actually carries
       .select(
-        col("certificate_number").cast("int").as("certificate_number"),
+        floor(col("certificate_number")).cast("int")
+          .as("certificate_number"),
         col("entity"), col("certificate_name"),
         col("n_source_features"))
       .orderBy("certificate_number")

@@ -560,15 +560,14 @@ object GeoOps {
          |    AS cert
          |  FROM (SELECT unnest(features) AS f
          |        FROM read_json('$RawPath')) j
-         |  WHERE CAST(j.f.properties.certificate_number AS INT)
+         |  WHERE CAST(j.f.properties.certificate_number AS DOUBLE)
          |    NOT IN ($plssList)),
          |plss AS (
-         |  SELECT CAST(j.f.properties.certificate_number AS DOUBLE)
-         |    AS cert
-         |  FROM (SELECT unnest(features) AS f
-         |        FROM read_json('$GoldenPath')) j
-         |  WHERE CAST(j.f.properties.certificate_number AS INT)
-         |    IN ($plssList)),
+         |  -- one dissolved patch feature per configured PLSS cert
+         |  -- (the patch stage's contract), NOT a golden-file read
+         |  SELECT CAST(cert AS DOUBLE) AS cert
+         |  FROM (VALUES ${plssCerts.map(c => s"($c)").mkString(", ")})
+         |    p(cert)),
          |src AS (
          |  SELECT cert FROM rawf UNION ALL SELECT cert FROM plss),
          |map AS (
@@ -585,11 +584,12 @@ object GeoOps {
          |    certificate_name
          |  FROM read_csv('$CsvPath')
          |  WHERE certificate_status = 'Active'
-         |    AND CAST(certificate_number AS INT)
+         |    AND CAST(certificate_number AS DOUBLE)
          |      NOT IN ($operatorList)
-         |    AND CAST(certificate_number AS INT)
+         |    AND CAST(certificate_number AS DOUBLE)
          |      NOT IN ($inactiveList))
-         |SELECT CAST(t.cert AS INT) AS certificate_number, a.entity,
+         |SELECT CAST(floor(t.cert) AS INT) AS certificate_number,
+         |  a.entity,
          |  a.certificate_name,
          |  CAST(t.n_source_features AS BIGINT) AS n_source_features
          |FROM tgt t JOIN act a ON t.cert = a.cert
