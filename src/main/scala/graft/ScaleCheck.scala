@@ -199,8 +199,13 @@ object ScaleCheck {
       val rw = stats.map(_.rewrittenRows)
       val tot = stats.map(_.graphRowsTotal)
       val tc = stats.map(_.touchedCells)
+      // READ-side twin (r14): the pruned prior-graph scan must select
+      // only the touched partitions — partitions_read tracks
+      // touched_cells while partitions_total grows with the corpus
+      val pr = stats.map(_.partitionsRead)
+      val pt = stats.map(_.partitionsTotal)
       println(
-        s"""{"probe":"knn_graph_incr","batches":${stats.length},"touched_cells":[${tc.mkString(",")}],"rewritten_rows":[${rw.mkString(",")}],"graph_rows_total":[${tot.mkString(",")}]}""")
+        s"""{"probe":"knn_graph_incr","batches":${stats.length},"touched_cells":[${tc.mkString(",")}],"rewritten_rows":[${rw.mkString(",")}],"graph_rows_total":[${tot.mkString(",")}],"partitions_read":[${pr.mkString(",")}],"partitions_total":[${pt.mkString(",")}]}""")
     }
     spark.stop()
   }

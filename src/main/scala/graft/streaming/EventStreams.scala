@@ -1199,6 +1199,25 @@ object EventStreams {
     if (values.isEmpty) df.filter(lit(false))
     else df.filter(col(part).isin(values: _*))
 
+  /** Partition count the plan's file scan would actually read —
+    * the probe behind the "reads only touched partitions" claim
+    * (selectedPartitions applies the scan's PartitionFilters during
+    * driver-side listing; no job runs). None when the plan has no
+    * file scan leaf.
+    */
+  private[graft] def scannedPartitionCount(df: DataFrame)
+      : Option[Int] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    plan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+  }
+
   /** Name of the swap-commit journal, written INSIDE the live
     * artifact dir. The underscore prefix keeps it invisible to
     * Spark's file index (same convention as _SUCCESS).

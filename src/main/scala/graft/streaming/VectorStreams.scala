@@ -108,13 +108,14 @@ object VectorStreams {
     *     a trigger lists one dataset, and the cell-mate join reads
     *     only the batch's touched-cell partitions via partition
     *     pruning);
-    *   - the graph artifact is partitioned by cell and merged with
-    *     DYNAMIC partition overwrite: edges are intra-cell by
-    *     construction, so only nodes in cells the batch touched can
-    *     change their top-k — the merge reads exactly those
-    *     partitions (pruned), re-ranks them against the fresh edges,
-    *     and rewrites ONLY those partitions; untouched cells are
-    *     never read or written.
+    *   - the graph artifact is partitioned by cell and merged via a
+    *     staged write + manifest-journaled partition swap: edges are
+    *     intra-cell by construction, so only nodes in cells the
+    *     batch touched can change their top-k — the merge reads
+    *     exactly those partitions (a static `cell IN (...)`
+    *     partition filter from the bounded touched set), re-ranks
+    *     them against the fresh edges, and rewrites ONLY those
+    *     partitions; untouched cells are never read or written.
     * Per-batch cost is O(batch × cell-mates + graph[touched cells]);
     * at 100 TB (nlist ∝ corpus, batch touches ≤ |batch| of them) the
     * artifact rewrite no longer scales with corpus size. The
@@ -137,11 +138,14 @@ object VectorStreams {
 
   /** Per-batch instrumentation row for the ScaleCheck incremental-
     * merge probe: cells the batch touched, graph rows rewritten for
-    * them, and the cumulative graph size after the merge.
+    * them, the cumulative graph size after the merge, and — the
+    * READ-side twin of rewrittenRows (r13 VERDICT item 2) — how many
+    * partitions of the prior graph artifact the merge's scan
+    * actually selected vs how many existed.
     */
   private[graft] final case class KnnBatchStat(
     batchId: Long, touchedCells: Int, rewrittenRows: Long,
-    graphRowsTotal: Long)
+    graphRowsTotal: Long, partitionsRead: Int, partitionsTotal: Int)
 
   /** s17 core. `cellGrouped=true` stages arrival so batch i carries
     * the vectors of cell-group i (the ScaleCheck probe shape — makes
@@ -263,6 +267,19 @@ object VectorStreams {
                   .select(col("cell"), col("vec_id"),
                     col("neighbor_id"), col("d2")))
               else None
+            // probe-only READ-side counters (r13 item 2): partitions
+            // the pruned prior-graph scan SELECTS (driver listing
+            // with the partition filters applied — no job) vs how
+            // many exist before this batch's swap
+            val (partsRead, partsTotal) =
+              if (collectStats)
+                (prev.flatMap(EventStreams.scannedPartitionCount)
+                  .getOrElse(0),
+                  Option(new java.io.File(gPath).listFiles())
+                    .getOrElse(Array.empty)
+                    .count(d => d.isDirectory &&
+                      d.getName.startsWith("cell=")))
+              else (0, 0)
             val merged = prev.map(_.unionByName(fresh)).getOrElse(fresh)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("vec_id").orderBy(col("d2"),
@@ -292,7 +309,8 @@ object VectorStreams {
                 s.read.parquet(gPath)
                   .filter(col("cell").isin(touched: _*))
                   .count(),
-                s.read.parquet(gPath).count())
+                s.read.parquet(gPath).count(),
+                partsRead, partsTotal)
             }
             asgB.unpersist()
             ()

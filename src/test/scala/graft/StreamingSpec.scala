@@ -350,6 +350,32 @@ class StreamingSpec extends SparkSpec {
         s"$stateRows")
   }
 
+  test("s17 read-side pruning: under cell-grouped arrival the " +
+      "pruned prior-graph scan SELECTS only the touched partitions " +
+      "(r13 VERDICT item 2 — a plan property, not an intention)") {
+    val (_, _, stats) = graft.streaming.VectorStreams
+      .replayKnnGraphIngestInstrumented(spark, sf, nBatches = 4,
+        cellGrouped = true, collectStats = true)
+    assert(stats.length === 4)
+    // batch i carries exactly cell-group i (floor(cell/g) — strictly
+    // disjoint), so the prior graph NEVER holds a touched cell and
+    // the pruned scan must select exactly ZERO of its partitions; a
+    // filter that fell off the scan would select partitionsTotal
+    // (> 0 from batch 1 on), making the regression unmissable
+    stats.foreach { st =>
+      assert(st.partitionsRead === 0,
+        s"batch ${st.batchId}: scan selected ${st.partitionsRead} of " +
+          s"${st.partitionsTotal} prior partitions for disjoint " +
+          s"touched cells — pruning fell off")
+    }
+    // the probe is not vacuous: the artifact accumulates cell dirs,
+    // so from batch 1 on there ARE partitions a full scan would read
+    stats.drop(1).foreach { st =>
+      assert(st.partitionsTotal > 0,
+        s"batch ${st.batchId}: no prior partitions — probe is vacuous")
+    }
+  }
+
   test("streaming quality gate (declared s18) equals batch t39 and " +
       "carries no engine state") {
     val (df, stateRows) =
