@@ -752,7 +752,15 @@ object EventStreams {
     * files living under the caller's `base` temp dir — callers MUST
     * materialize (collect + createDataFrame, as both do) before the
     * enclosing `finally` deletes `base`, or the first action after
-    * cleanup fails with FileNotFoundException (ADVICE r12).
+    * cleanup fails with FileNotFoundException (ADVICE r12). `base`
+    * is the deployment's PERSISTENT root (checkpoint + artifact): a
+    * crashed run resumes by re-invoking with the same `base` — the
+    * loop heals any torn swap at start, the engine replays the
+    * uncheckpointed batch, and the batch marker makes that replay a
+    * no-op (StreamingSpec's crash-replay case drives this end to
+    * end). The replay harnesses pass a per-call temp dir because
+    * each CALL is a fresh deployment; that is the harness's
+    * lifecycle choice, not the loop's.
     *
     * `bucketKey = Some(col)` turns on the CELL-PARTITIONED merge
     * (s17's treatment, for artifacts whose key cardinality grows
@@ -769,17 +777,28 @@ object EventStreams {
     * the prior slice from the LIVE path, so there is no
     * read-overwrite hazard and no extra materialization), and
     * commits them with [[swapPartitionDirs]]'s manifest-journaled
-    * partition swap. Per-batch cost is O(|batch| + artifact[touched
+    * partition swap. The swap journals its batchId, and a batch
+    * at-or-below the artifact's committed mark is SKIPPED: Structured
+    * Streaming replays a batch whose foreachBatch never returned, so
+    * after a crash inside/after the swap the replay would otherwise
+    * merge the same batch twice (doubling every sum in it) —
+    * exactly-once across restarts is the marker + skip, proven
+    * end-to-end by StreamingSpec's crash-replay case. Per-batch cost
+    * is O(|batch| + artifact[touched
     * buckets]), never O(|artifact|). `bucketKey = None` keeps the
     * full chained rewrite for artifacts that are BOUNDED by
     * construction and touched almost entirely by every batch (s21's
     * vocabulary: zipfian tokens mean every batch carries most of the
     * vocab, so pruning buys nothing and the artifact is vocab-sized
-    * regardless of corpus).
+    * regardless of corpus). Chained mode restarts cleanly too: the
+    * version chain re-seeds from the latest _SUCCESS-complete
+    * artifact, a torn per-batch write is redone, and a replayed
+    * completed write is registered rather than re-merged.
     */
-  private def runArtifactMergeLoop(spark: SparkSession, base: String,
-      srcDir: String, schema: StructType,
-      bucketKey: Option[String] = None, nBuckets: Int = 32)(
+  private[graft] def runArtifactMergeLoop(spark: SparkSession,
+      base: String, srcDir: String, schema: StructType,
+      bucketKey: Option[String] = None, nBuckets: Int = 32,
+      onSwapApply: (Long, String) => Unit = (_, _) => ())(
       batchAgg: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame)
       : (Option[DataFrame], Long) = {
@@ -788,6 +807,16 @@ object EventStreams {
     // heal a torn partition-swap commit from a crashed prior run
     // BEFORE any batch stages new files at the same path
     recoverTornSwap(stateDir)
+    // chained-mode resume: seed the version chain with the latest
+    // COMPLETE prior artifact (a b<N> dir with _SUCCESS — a torn
+    // write has none and is redone by the replay)
+    if (bucketKey.isEmpty)
+      Option(new java.io.File(stateDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("b") &&
+          new java.io.File(d, "_SUCCESS").isFile)
+        .sortBy(_.getName.stripPrefix("b").toLong)
+        .lastOption.foreach(d => states += d.getAbsolutePath)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$srcDir/b*.parquet")
@@ -800,6 +829,13 @@ object EventStreams {
           val s = batch.sparkSession
           val agg = batchAgg(batch.toDF())
           bucketKey match {
+            case Some(_)
+                if batchId <= lastCommittedBatch(stateDir) =>
+              // REPLAY of a batch whose swap already committed (a
+              // crash landed after the swap's COMMIT but before the
+              // engine checkpointed the batch): the merge is already
+              // in the artifact — merging again would double-count
+              if (states.isEmpty) states += stateDir
             case Some(key) =>
               def bktOf(c: Column) =
                 pmod(xxhash64(c), lit(nBuckets)).cast("int")
@@ -838,18 +874,30 @@ object EventStreams {
               merged
                 .repartition(col("bkt"))
                 .write.partitionBy("bkt")
-                .parquet(s"$stateDir-stage")
-              swapPartitionDirs(s"$stateDir-stage", stateDir,
-                touched.map(v => s"bkt=$v"))
+                .parquet(stageDirFor(stateDir))
+              swapPartitionDirs(stageDirFor(stateDir), stateDir,
+                touched.map(v => s"bkt=$v"), batchId,
+                onPartitionApplied = n => onSwapApply(batchId, n))
               if (states.isEmpty) states += stateDir
             case None =>
-              val merged = states.lastOption match {
-                case Some(prev) => merge(s.read.parquet(prev), agg)
-                case None => agg
-              }
               val path = s"$stateDir/b$batchId"
-              merged.write.parquet(path)
-              states += path
+              val pf = new java.io.File(path)
+              if (pf.isDirectory &&
+                  new java.io.File(pf, "_SUCCESS").isFile) {
+                // REPLAY of a batch whose chained write completed
+                // before the crash: the version exists — register it,
+                // don't merge again
+                if (!states.contains(path)) states += path
+              } else {
+                // a dir without _SUCCESS is a torn write — redo it
+                if (pf.isDirectory) deleteRecursively(pf)
+                val merged = states.lastOption match {
+                  case Some(prev) => merge(s.read.parquet(prev), agg)
+                  case None => agg
+                }
+                merged.write.parquet(path)
+                states += path
+              }
           }
         }
         ()
@@ -1224,6 +1272,49 @@ object EventStreams {
     */
   private[graft] val SwapManifestName = "_swap_manifest"
 
+  /** Name of the batch-commit marker, written INSIDE the live
+    * artifact dir as the COMMIT step of [[swapPartitionDirs]]: holds
+    * the highest streaming batchId whose swap has committed. The
+    * replay guard of the merge loops — Structured Streaming commits
+    * a batch to its checkpoint only AFTER foreachBatch returns, so a
+    * crash inside/after the swap makes the engine REPLAY that batch
+    * on restart; without the marker the replay would merge it a
+    * second time (double-counting every sum-based artifact).
+    */
+  private[graft] val CommitMarkerName = "_last_committed_batch"
+
+  /** The staging-dir convention of the partition-swap commit, single-
+    * sourced: writers stage here, [[recoverTornSwap]]'s no-manifest
+    * cleanup discards exactly this path.
+    */
+  private[graft] def stageDirFor(liveDir: String): String =
+    liveDir + "-stage"
+
+  /** Highest batchId whose swap committed into `liveDir` (−1 when
+    * none has). foreachBatch skips a batch at-or-below this mark: its
+    * merge is already in the artifact and re-merging would
+    * double-count.
+    */
+  private[graft] def lastCommittedBatch(liveDir: String): Long = {
+    val f = new java.io.File(liveDir, CommitMarkerName)
+    if (f.isFile)
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else -1L
+  }
+
+  private def writeCommitMarker(liveDir: String, batchId: Long)
+      : Unit = {
+    val tmp = new java.io.File(liveDir, CommitMarkerName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(liveDir, CommitMarkerName).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** Driver-side partition-swap commit for the bucket/cell-partitioned
     * artifact loops: replace the live version of every TOUCHED
     * `<col>=<v>` partition with its staged counterpart, journaled so
@@ -1234,32 +1325,41 @@ object EventStreams {
     *
     * Protocol (all moves are same-filesystem, hence atomic):
     *  1. PREPARE — atomically publish `live/_swap_manifest` naming
-    *     the stage dir and, per touched partition, whether a staged
-    *     replacement exists and its staged byte size. A crash before
-    *     this point leaves the live artifact untouched (a stray
-    *     `.tmp` is discarded on recovery).
+    *     the stage dir, the streaming `batchId` the swap belongs to,
+    *     and, per touched partition, whether a staged replacement
+    *     exists. A crash before this point leaves the live artifact
+    *     untouched (a stray `.tmp` is discarded on recovery).
     *  2. APPLY — for each touched partition: delete the live dir,
     *     then move the staged dir in IF one exists. Deleting the
     *     full `touched` set (not just the staged names) is what
     *     makes evicting/filtering merges safe: a merge whose result
     *     for a touched bucket is EMPTY stages no dir, and the stale
     *     prior partition must still go (ADVICE r13).
-    *  3. COMMIT — delete the manifest, then the stage dir.
+    *  3. COMMIT — record `batchId` in the [[CommitMarkerName]]
+    *     marker (atomic replace), then delete the manifest, then the
+    *     stage dir.
     *
     * A crash mid-APPLY is healed by [[recoverTornSwap]] (call it at
     * loop start, before staging anything new): the manifest
     * distinguishes already-applied partitions (staged dir gone →
     * live dir IS the new version) from pending ones (staged dir
     * still present → delete+move is replayed; both steps are
-    * idempotent). `touched` may be empty for legacy callers — the
-    * staged partition list is always unioned in.
+    * idempotent), and recovery finishes the COMMIT — including the
+    * marker — so the engine's REPLAY of the never-checkpointed batch
+    * (Structured Streaming commits a batch only after foreachBatch
+    * returns) sees `batchId ≤ lastCommittedBatch` and skips the
+    * re-merge instead of double-counting it. `touched` may be empty
+    * for legacy callers — the staged partition list is always
+    * unioned in; `batchId = -1` (non-streaming callers) writes no
+    * marker.
     *
     * `onPartitionApplied` is a test seam (StreamingSpec's torn-swap
-    * case injects a crash between partition applies); production
+    * cases inject a crash between partition applies); production
     * callers leave the default no-op.
     */
   private[graft] def swapPartitionDirs(stageDir: String,
       liveDir: String, touched: Seq[String] = Seq.empty,
+      batchId: Long = -1L,
       onPartitionApplied: String => Unit = _ => ()): Unit = {
     val live = new java.io.File(liveDir)
     java.nio.file.Files.createDirectories(live.toPath)
@@ -1271,15 +1371,12 @@ object EventStreams {
     // PREPARE: journal the commit's full intent before any mutation
     val manifest = new java.io.File(live, SwapManifestName)
     val tmp = new java.io.File(live, SwapManifestName + ".tmp")
-    val body = (s"stage=$stageDir" +: all.map { n =>
-      val sd = new java.io.File(stageDir, n)
-      val bytes =
-        if (sd.isDirectory)
-          Option(sd.listFiles()).getOrElse(Array.empty)
-            .map(_.length()).sum
-        else -1L // touched but nothing staged: bare delete
-      s"part=$n\tbytes=$bytes"
-    }).mkString("\n")
+    val body = (Seq(s"stage=$stageDir", s"batch=$batchId") ++
+      all.map { n =>
+        val hasStage = new java.io.File(stageDir, n).isDirectory
+        // staged=0: touched but nothing staged — a bare delete
+        s"part=$n\tstaged=${if (hasStage) 1 else 0}"
+      }).mkString("\n")
     java.nio.file.Files.write(tmp.toPath,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp.toPath, manifest.toPath,
@@ -1291,6 +1388,7 @@ object EventStreams {
       onPartitionApplied(n)
     }
     // COMMIT
+    if (batchId >= 0L) writeCommitMarker(liveDir, batchId)
     java.nio.file.Files.deleteIfExists(manifest.toPath)
     deleteRecursively(new java.io.File(stageDir))
   }
@@ -1325,25 +1423,32 @@ object EventStreams {
       new java.io.File(live, SwapManifestName + ".tmp").toPath)
     val manifest = new java.io.File(live, SwapManifestName)
     if (!manifest.isFile) {
-      deleteRecursively(new java.io.File(liveDir + "-stage"))
+      deleteRecursively(new java.io.File(stageDirFor(liveDir)))
       return
     }
     val lines = new String(
       java.nio.file.Files.readAllBytes(manifest.toPath),
       java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
     val stageDir = lines.head.stripPrefix("stage=")
-    lines.tail.foreach { l =>
+    val batchId = lines
+      .find(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+      .getOrElse(-1L)
+    lines.filter(_.startsWith("part=")).foreach { l =>
       val cols = l.split("\t")
       val name = cols(0).stripPrefix("part=")
-      val stagedBytes = cols(1).stripPrefix("bytes=").toLong
+      val hasStage = cols(1).stripPrefix("staged=") == "1"
       val src = new java.io.File(stageDir, name)
-      if (src.isDirectory || stagedBytes < 0L)
+      if (src.isDirectory || !hasStage)
         // not yet applied (staged dir still present), or a bare
         // delete — replaying delete(+move) is idempotent either way
         applyPartitionSwap(stageDir, liveDir, name)
       // else: staged dir consumed → the atomic move completed and
       // the live dir already IS the new version — keep it
     }
+    // finish the torn COMMIT, marker included: the engine will
+    // replay this batch (its checkpoint commit never happened), and
+    // the marker is what turns that replay into a no-op
+    if (batchId >= 0L) writeCommitMarker(liveDir, batchId)
     java.nio.file.Files.deleteIfExists(manifest.toPath)
     deleteRecursively(new java.io.File(stageDir))
   }

@@ -115,7 +115,11 @@ object VectorStreams {
     *     exactly those partitions (a static `cell IN (...)`
     *     partition filter from the bounded touched set), re-ranks
     *     them against the fresh edges, and rewrites ONLY those
-    *     partitions; untouched cells are never read or written.
+    *     partitions; untouched cells are never read or written. The
+    *     assignment store takes the same journaled merge-swap, and
+    *     both swaps record their batchId, so a crash at ANY point
+    *     replays exactly-once: graph commits before store, and a
+    *     replayed batch skips whichever swaps already committed.
     * Per-batch cost is O(batch × cell-mates + graph[touched cells]);
     * at 100 TB (nlist ∝ corpus, batch touches ≤ |batch| of them) the
     * artifact rewrite no longer scales with corpus size. The
@@ -207,8 +211,10 @@ object VectorStreams {
       val asgPath = s"$base/asg"
       val gPath = s"$base/graph"
       // heal a torn partition-swap commit from a crashed prior run
-      // BEFORE any batch stages new files at the same path
+      // BEFORE any batch stages new files at the same path — both
+      // swapped artifacts have their own journal
       EventStreams.recoverTornSwap(gPath)
+      EventStreams.recoverTornSwap(asgPath)
       val stats = scala.collection.mutable.ListBuffer[KnnBatchStat]()
       val q = spark.readStream.schema(embSchema)
         .option("maxFilesPerTrigger", 1)
@@ -296,14 +302,39 @@ object VectorStreams {
             // are replaced; untouched cells keep their files
             // verbatim. The repartition makes one file per touched
             // cell instead of tasks × cells.
-            pruned.repartition(col("cell"))
-              .write.partitionBy("cell")
-              .parquet(s"$gPath-stage")
-            EventStreams.swapPartitionDirs(s"$gPath-stage", gPath,
-              touched.map(v => s"cell=$v"))
-            asgB.repartition(col("cell"))
-              .write.mode("append").partitionBy("cell")
-              .parquet(asgPath)
+            //
+            // Exactly-once across restarts (review r14): each swap
+            // journals its batchId, and a REPLAYED batch (crash
+            // after a commit but before the engine checkpointed the
+            // batch) skips any swap already at-or-below the
+            // artifact's committed mark. The graph commits FIRST:
+            // a replay that skips it recomputes nothing against an
+            // assignment store that cannot yet contain this batch
+            // (the store commits after), so `fresh` would be
+            // identical either way — while the old order would have
+            // recomputed edges against a store already holding the
+            // batch, duplicating every intra-batch pair.
+            if (batchId > EventStreams.lastCommittedBatch(gPath)) {
+              pruned.repartition(col("cell"))
+                .write.partitionBy("cell")
+                .parquet(EventStreams.stageDirFor(gPath))
+              EventStreams.swapPartitionDirs(
+                EventStreams.stageDirFor(gPath), gPath,
+                touched.map(v => s"cell=$v"), batchId)
+            }
+            // the assignment store takes the SAME journaled
+            // merge-swap (an append is not replay-idempotent): the
+            // touched cells' prior rows ∪ the batch's assignments,
+            // staged and swapped under its own batch marker
+            if (batchId > EventStreams.lastCommittedBatch(asgPath)) {
+              store.map(_.unionByName(asgB)).getOrElse(asgB.toDF())
+                .repartition(col("cell"))
+                .write.partitionBy("cell")
+                .parquet(EventStreams.stageDirFor(asgPath))
+              EventStreams.swapPartitionDirs(
+                EventStreams.stageDirFor(asgPath), asgPath,
+                touched.map(v => s"cell=$v"), batchId)
+            }
             if (collectStats) {
               stats += KnnBatchStat(batchId, touched.length,
                 s.read.parquet(gPath)

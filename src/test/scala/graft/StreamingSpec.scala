@@ -864,4 +864,123 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(live).count() === 2L)
     } finally EventStreams.deleteRecursively(dir)
   }
+
+  test("merge-loop exactly-once: a crash mid-swap is replayed ONCE — " +
+      "recovery rolls the torn commit forward, the journaled batch " +
+      "id turns the engine's replay of the uncheckpointed batch into " +
+      "a no-op, and the restarted loop converges to the clean sums") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-e2e-torn").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val srcDir = s"$base/incoming"
+      new java.io.File(srcDir).mkdirs()
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType)))
+      // 4 batches over the same 8 keys: per-key sums are double-count
+      // SENSITIVE — a replayed merge inflates every key in the batch
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      (0 until 4).foreach { i =>
+        val stage = s"$base/in$i"
+        (0L until 8L).map(k => (k, k * 10 + i + 1)).toDF("k", "v")
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(sum("v").as("v"))
+      def merge(p: DataFrame, a: DataFrame): DataFrame =
+        agg(p.unionByName(a))
+      // run 1: crash inside batch 2's swap AFTER one partition has
+      // been applied — a mixed-version artifact with the journal and
+      // batch 2's offsets on disk, but no checkpoint commit for it
+      val applied = new java.util.concurrent.atomic.AtomicInteger(0)
+      val boom = intercept[Exception] {
+        EventStreams.runArtifactMergeLoop(spark, base, srcDir, schema,
+          bucketKey = Some("k"), nBuckets = 4,
+          onSwapApply = (bid, _) =>
+            if (bid == 2L && applied.incrementAndGet() == 2)
+              throw new RuntimeException("crash mid-swap"))(agg, merge)
+      }
+      def causes(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      assert(causes(boom).exists(_.contains("crash mid-swap")),
+        s"unexpected failure: ${causes(boom).mkString(" <- ")}")
+      assert(new java.io.File(s"$base/state",
+        EventStreams.SwapManifestName).isFile,
+        "the torn commit must leave its journal behind")
+      // run 2, same base: recovery completes batch 2's commit, the
+      // engine replays batch 2 (never checkpointed) as a marker-
+      // gated no-op, batch 3 proceeds — sums come out exact. Without
+      // the batch marker the replay re-merges batch 2 and every key
+      // doubles its batch-2 contribution.
+      val (artifact, _) = EventStreams.runArtifactMergeLoop(spark,
+        base, srcDir, schema, bucketKey = Some("k"), nBuckets = 4)(
+        agg, merge)
+      val got = artifact.get.orderBy("k")
+        .as[(Long, Long)].collect().toSeq
+      val want = (0L until 8L).map(k => (k, 40 * k + 10))
+      assert(got === want,
+        "replayed batch must contribute exactly once")
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
+  test("merge-loop chained-mode resume: a second invocation on the " +
+      "same base continues the version chain from the latest " +
+      "complete artifact instead of restarting the merge at zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-chain-resume").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val srcDir = s"$base/incoming"
+      new java.io.File(srcDir).mkdirs()
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType)))
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      def stageBatch(i: Int): Unit = {
+        val stage = s"$base/in$i"
+        (0L until 8L).map(k => (k, k * 10 + i + 1)).toDF("k", "v")
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(sum("v").as("v"))
+      def merge(p: DataFrame, a: DataFrame): DataFrame =
+        agg(p.unionByName(a))
+      (0 until 2).foreach(stageBatch)
+      val (a1, _) = EventStreams.runArtifactMergeLoop(spark, base,
+        srcDir, schema)(agg, merge)
+      assert(a1.get.orderBy("k").as[(Long, Long)].collect().toSeq ===
+        (0L until 8L).map(k => (k, 20 * k + 3)))
+      // two more files arrive; the re-invoked loop must pick up the
+      // b1 artifact as its merge base (without the chain re-seed it
+      // would silently restart the state at batch 2's aggregate)
+      (2 until 4).foreach(stageBatch)
+      val (a2, _) = EventStreams.runArtifactMergeLoop(spark, base,
+        srcDir, schema)(agg, merge)
+      assert(a2.get.orderBy("k").as[(Long, Long)].collect().toSeq ===
+        (0L until 8L).map(k => (k, 40 * k + 10)),
+        "resumed chain must carry the first run's merges")
+    } finally EventStreams.deleteRecursively(dir)
+  }
 }
