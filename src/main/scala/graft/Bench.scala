@@ -132,25 +132,98 @@ object Bench {
       val key = if (prefixCounts(p) == 1) p else k // collision → full name
       "\"" + key + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
+    def shortKey(k: String): String = {
+      val p = k.takeWhile(_ != '_')
+      if (prefixCounts.getOrElse(p, 2) == 1) p else k
+    }
+    // Previous-round mins, for regression flagging (VERDICT r14 item
+    // 4): a sub-second entry that blows up 4× never reaches the
+    // slowest-8 spread, so its noise-vs-regression signature was
+    // invisible two rounds running (t24 in r13, t07 in r14).
+    // SPARK_GRAFT_BENCH_PREV names the prior compact line; default is
+    // the latest driver-recorded BENCH_r*.json in the repo. The
+    // driver wraps the line as an escaped JSON string, so unescape
+    // before the regex scan.
+    val prevMins: Map[String, Double] = {
+      val path = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+        Option(new java.io.File("/root/repo").listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName.stripPrefix("BENCH_r")
+            .stripSuffix(".json").toInt)
+          .lastOption.map(_.getAbsolutePath)
+      }
+      path.flatMap { p =>
+        try {
+          val raw = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .replace("\\\"", "\"")
+          // The driver records only the LAST ~2000 stdout chars, so
+          // the '"queries":{' anchor itself may be truncated away —
+          // scan all "key":number pairs up to the spread/regressed
+          // sections (whose ratio values are not seconds) and drop
+          // the known scalar metadata keys instead of anchoring.
+          val cut = Seq(raw.indexOf("\"spread\":"),
+            raw.indexOf("\"regressed\":"))
+            .filter(_ >= 0).sorted.headOption.getOrElse(raw.length)
+          val meta = Set("n", "rc", "cpus", "sf", "value", "n_ok",
+            "index_warm")
+          val re = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+          Some(re.findAllMatchIn(raw.substring(0, cut))
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filterNot(kv => meta.contains(kv._1)).toMap)
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] could not parse prev bench $p: ${e.getMessage}")
+            None
+        }
+      }.getOrElse(Map.empty)
+    }
+    // Entries whose min regressed >2× vs the previous round — these
+    // get a spread (and a ratio) on the stdout line REGARDLESS of
+    // absolute rank, making a sub-second 4× outlier self-evident in
+    // the driver record instead of needing bench_out.json forensics.
+    // Capped at the 12 worst ratios: an across-the-board contention
+    // round must not push the compact line past the launcher's
+    // 2000-char tail window (the full per-query record is in
+    // bench_out.json regardless).
+    val regressedEntries = results
+      .filter { case (_, ts) => !ts.min.isInfinite }
+      .flatMap { case (k, ts) =>
+        prevMins.get(shortKey(k)).collect {
+          case prev if prev > 0 && ts.min > 2 * prev =>
+            (k, ts, ts.min / prev)
+        }
+      }
+      .sortBy(-_._3).take(12)
     // Iteration spreads for the slowest entries OVERALL → the stdout
     // line too (VERDICT r12 item 7, widened per r13 item 6: the
     // round-13 contention cluster hit the t-family and was only
     // diagnosable by opening bench_out.json). The driver-recorded
     // line carries min AND spread for the slowest entries from ANY
     // family — a wide spread reads as machine noise, a uniformly
-    // shifted one as a real regression. Bounded to the 8 slowest so
-    // the line stays inside the launcher's 2000-char tail window.
-    val spread = results
+    // shifted one as a real regression. Bounded to the 8 slowest
+    // plus the >2×-regressed set so the line stays inside the
+    // launcher's 2000-char tail window.
+    val spreadEntries = (results
       .filter { case (_, ts) => !ts.min.isInfinite }
       .sortBy { case (_, ts) => -ts.min }
-      .take(8)
+      .take(8) ++ regressedEntries.map(r => (r._1, r._2)))
+      .distinctBy(_._1)
+    val spread = spreadEntries
       .map { case (k, ts) =>
-        val p = k.takeWhile(_ != '_')
-        val key = if (prefixCounts.getOrElse(p, 2) == 1) p else k
-        "\"" + key + "\":" + ts.map(fmt(_, 1)).mkString("[", ",", "]")
+        "\"" + shortKey(k) + "\":" +
+          ts.map(fmt(_, 1)).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    val regressedJson =
+      if (regressedEntries.isEmpty) ""
+      else regressedEntries.sortBy(-_._3).map { case (k, _, r) =>
+        "\"" + shortKey(k) + "\":" + fmt(r, 1)
+      }.mkString(""","regressed":{""", ",", "}")
     val lineShort =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsShort,"spread":$spread,"index_warm":$warmSec%.2f$failedJson$onlyJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsShort,"spread":$spread$regressedJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"sf":"$sfDir"}"""
     println(lineShort)
     spark.stop()
   }

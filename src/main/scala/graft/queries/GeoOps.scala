@@ -564,7 +564,13 @@ object GeoOps {
          |    NOT IN ($plssList)),
          |plss AS (
          |  -- one dissolved patch feature per configured PLSS cert
-         |  -- (the patch stage's contract), NOT a golden-file read
+         |  -- (the patch stage's contract), NOT a golden-file read.
+         |  -- NOTE (review r14): both sides derive this slice from
+         |  -- the SAME plssCerts config literal, so the hash-match is
+         |  -- tautological FOR THESE ROWS — the one-dissolved-feature
+         |  -- contract itself is verified by PlssPatchSpec (pinned to
+         |  -- the reference's st_union savePatch), not by this
+         |  -- replay. A contract change there must update both.
          |  SELECT CAST(cert AS DOUBLE) AS cert
          |  FROM (VALUES ${plssCerts.map(c => s"($c)").mkString(", ")})
          |    p(cert)),

@@ -226,6 +226,24 @@ object VectorStreams {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
           if (!batch.isEmpty) {
+            // lifecycle guard (parity with runArtifactMergeLoop): a
+            // checkpoint reset against stale artifacts would replay
+            // every batch at-or-below the stale marks as a silent
+            // no-op. A genuine replay of batch 0 can only see marks
+            // of exactly 0, so mark > 0 at batchId 0 is always the
+            // mismatch. (This harness creates a fresh base per call,
+            // so the guard protects the deployment shape, not the
+            // replay.)
+            if (batchId == 0L) {
+              val mark = math.max(
+                EventStreams.lastCommittedBatch(gPath),
+                EventStreams.lastCommittedBatch(asgPath))
+              if (mark > 0L) throw new IllegalStateException(
+                s"artifact base $base has committed through batch " +
+                  s"$mark but the stream restarted at batch 0: the " +
+                  "checkpoint was reset against a stale artifact " +
+                  "base — delete the base and checkpoint together")
+            }
             val s = batch.sparkSession
             val asgB = VectorOps.assignIntCells(
               batch.select(col("vec_id"),
@@ -314,7 +332,9 @@ object VectorStreams {
             // identical either way — while the old order would have
             // recomputed edges against a store already holding the
             // batch, duplicating every intra-batch pair.
-            if (batchId > EventStreams.lastCommittedBatch(gPath)) {
+            val graphSwapRan =
+              batchId > EventStreams.lastCommittedBatch(gPath)
+            if (graphSwapRan) {
               pruned.repartition(col("cell"))
                 .write.partitionBy("cell")
                 .parquet(EventStreams.stageDirFor(gPath))
@@ -326,7 +346,9 @@ object VectorStreams {
             // merge-swap (an append is not replay-idempotent): the
             // touched cells' prior rows ∪ the batch's assignments,
             // staged and swapped under its own batch marker
-            if (batchId > EventStreams.lastCommittedBatch(asgPath)) {
+            val storeSwapRan =
+              batchId > EventStreams.lastCommittedBatch(asgPath)
+            if (storeSwapRan) {
               store.map(_.unionByName(asgB)).getOrElse(asgB.toDF())
                 .repartition(col("cell"))
                 .write.partitionBy("cell")
@@ -335,7 +357,14 @@ object VectorStreams {
                 EventStreams.stageDirFor(asgPath), asgPath,
                 touched.map(v => s"cell=$v"), batchId)
             }
-            if (collectStats) {
+            // A fully replay-skipped batch (crash after BOTH swaps
+            // committed, before the engine checkpointed) appends no
+            // stat row: every counter here would be re-derived
+            // against the already-merged artifact (partitionsRead
+            // would report the batch's cells as prior partitions,
+            // rewrittenRows the post-merge state), misreporting the
+            // incremental shape to ScaleCheck (review r14).
+            if (collectStats && (graphSwapRan || storeSwapRan)) {
               stats += KnnBatchStat(batchId, touched.length,
                 s.read.parquet(gPath)
                   .filter(col("cell").isin(touched: _*))
@@ -361,7 +390,12 @@ object VectorStreams {
         .withColumn("rank", row_number().over(w))
         .select("vec_id", "rank", "neighbor_id", "d2")
         .orderBy("vec_id", "rank")
-      // materialize BEFORE the temp graph dir is deleted
+      // materialize BEFORE the temp graph dir is deleted — a
+      // HARNESS-bounded collect, not the loop's scale shape: each
+      // replay CALL is a fresh deployment whose artifacts live in a
+      // per-call temp dir, so the final read must outlive it. A real
+      // deployment keeps `gPath` and serves from the artifact
+      // directly (the loop itself never collects corpus-sized data).
       val rows = fin.collect()
       (spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), fin.schema), stateRows,

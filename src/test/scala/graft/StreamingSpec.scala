@@ -972,15 +972,188 @@ class StreamingSpec extends SparkSpec {
         srcDir, schema)(agg, merge)
       assert(a1.get.orderBy("k").as[(Long, Long)].collect().toSeq ===
         (0L until 8L).map(k => (k, 20 * k + 3)))
+      // version retention (VERDICT r14 item 2): a completed batch
+      // supersedes every earlier complete version, so after the run
+      // exactly ONE b<N> dir remains — the chain's head — instead of
+      // one artifact per deployment batch
+      def versions(): Seq[String] =
+        Option(new java.io.File(s"$base/state").listFiles())
+          .getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.getName.startsWith("b"))
+          .map(_.getName).sorted.toSeq
+      assert(versions() === Seq("b1"),
+        s"retention must keep only the latest version, got ${versions()}")
       // two more files arrive; the re-invoked loop must pick up the
       // b1 artifact as its merge base (without the chain re-seed it
-      // would silently restart the state at batch 2's aggregate)
+      // would silently restart the state at batch 2's aggregate) —
+      // and seeding must still work when retention already deleted
+      // the earlier versions
       (2 until 4).foreach(stageBatch)
       val (a2, _) = EventStreams.runArtifactMergeLoop(spark, base,
         srcDir, schema)(agg, merge)
       assert(a2.get.orderBy("k").as[(Long, Long)].collect().toSeq ===
         (0L until 8L).map(k => (k, 40 * k + 10)),
         "resumed chain must carry the first run's merges")
+      assert(versions() === Seq("b3"),
+        "retention must also collect the resumed run's predecessors")
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
+  test("merge-loop single-writer guard: a second loop on a base " +
+      "whose writer lock is held refuses to start, and the lock " +
+      "releases cleanly for the next run (VERDICT r14 item 3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-writer-lock").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val srcDir = s"$base/incoming"
+      new java.io.File(srcDir).mkdirs()
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType)))
+      val stage = s"$base/in0"
+      (0L until 4L).map(k => (k, k + 1)).toDF("k", "v")
+        .coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).headOption
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(srcDir, "b00.parquet").toPath)
+          ()
+        }
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(sum("v").as("v"))
+      def merge(p: DataFrame, a: DataFrame): DataFrame =
+        agg(p.unionByName(a))
+      // another loop owns the base: this one must fail FAST (before
+      // recovery, staging, or any stream start) with a message that
+      // names the conflict
+      val held = EventStreams.acquireWriterLock(base)
+      val boom = intercept[IllegalStateException] {
+        EventStreams.runArtifactMergeLoop(spark, base, srcDir,
+          schema)(agg, merge)
+      }
+      assert(boom.getMessage.contains("single-writer"),
+        s"unexpected message: ${boom.getMessage}")
+      assert(Option(new java.io.File(s"$base/state").listFiles())
+        .getOrElse(Array.empty).isEmpty,
+        "the refused loop must not have touched the artifact")
+      held.close()
+      // with the lock released, the same call runs to completion —
+      // i.e. a finished (or crashed — the OS drops a dead process's
+      // lock) run never blocks its successor
+      val (artifact, _) = EventStreams.runArtifactMergeLoop(spark,
+        base, srcDir, schema)(agg, merge)
+      assert(artifact.get.orderBy("k").as[(Long, Long)]
+        .collect().toSeq === (0L until 4L).map(k => (k, k + 1)))
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
+  test("merge-loop lifecycle guard: a checkpoint reset against a " +
+      "stale artifact base fails loudly instead of silently " +
+      "skipping every replayed batch (ADVICE r14)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-reset").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val srcDir = s"$base/incoming"
+      new java.io.File(srcDir).mkdirs()
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType)))
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      (0 until 2).foreach { i =>
+        val stage = s"$base/in$i"
+        (0L until 4L).map(k => (k, k * 10 + i + 1)).toDF("k", "v")
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(sum("v").as("v"))
+      def merge(p: DataFrame, a: DataFrame): DataFrame =
+        agg(p.unionByName(a))
+      // a clean 2-batch run commits the artifact through batch 1
+      EventStreams.runArtifactMergeLoop(spark, base, srcDir, schema,
+        bucketKey = Some("k"), nBuckets = 4)(agg, merge)
+      assert(EventStreams.lastCommittedBatch(s"$base/state") === 1L)
+      // the ckpt dir ALONE is deleted — batch ids restart at 0
+      // against a marker that says batch 1 committed. Every replayed
+      // batch would sit at-or-below the stale mark and be silently
+      // dropped; the guard turns that into a diagnosable failure.
+      EventStreams.deleteRecursively(new java.io.File(s"$base/ckpt"))
+      val boom = intercept[Exception] {
+        EventStreams.runArtifactMergeLoop(spark, base, srcDir, schema,
+          bucketKey = Some("k"), nBuckets = 4)(agg, merge)
+      }
+      val chain = Iterator.iterate(boom: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(chain.contains("checkpoint was reset"),
+        s"expected the lifecycle-mismatch failure, got:\n$chain")
+      // chained mode: same reset, same loud failure (the version
+      // chain is the marker there)
+      val base2 = s"$base/chained"
+      val src2 = s"$base2/incoming"
+      new java.io.File(src2).mkdirs()
+      (0 until 2).foreach { i =>
+        java.nio.file.Files.copy(
+          new java.io.File(srcDir, f"b$i%02d.parquet").toPath,
+          new java.io.File(src2, f"b$i%02d.parquet").toPath)
+        ()
+      }
+      EventStreams.runArtifactMergeLoop(spark, base2, src2, schema)(
+        agg, merge)
+      EventStreams.deleteRecursively(new java.io.File(s"$base2/ckpt"))
+      val boom2 = intercept[Exception] {
+        EventStreams.runArtifactMergeLoop(spark, base2, src2, schema)(
+          agg, merge)
+      }
+      val chain2 = Iterator.iterate(boom2: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(chain2.contains("checkpoint was reset"),
+        s"expected the lifecycle-mismatch failure, got:\n$chain2")
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
+  test("recoverTornSwap: a corrupted manifest fails diagnosably — " +
+      "naming the manifest path and the offending line — instead of " +
+      "an opaque parse error blocking restart (ADVICE r14)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bad-manifest").toFile
+    try {
+      val live = new java.io.File(dir, "state")
+      live.mkdirs()
+      val manifest = new java.io.File(live,
+        EventStreams.SwapManifestName)
+      def check(body: String, wantInMsg: String): Unit = {
+        java.nio.file.Files.write(manifest.toPath, body.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        val e = intercept[IllegalStateException] {
+          EventStreams.recoverTornSwap(live.getAbsolutePath)
+        }
+        assert(e.getMessage.contains(manifest.getAbsolutePath),
+          s"message must name the manifest: ${e.getMessage}")
+        assert(e.getMessage.contains(wantInMsg),
+          s"message must name the offending content: ${e.getMessage}")
+      }
+      check("", "stage=")
+      check("garbage first line\nbatch=1", "garbage first line")
+      check("stage=/tmp/x\nbatch=notanumber", "batch=notanumber")
+      check("stage=/tmp/x\nbatch=1\npart=bkt=0", "part=bkt=0")
+      check("stage=/tmp/x\nbatch=1\npart=bkt=0\tstaged=weird",
+        "staged=weird")
     } finally EventStreams.deleteRecursively(dir)
   }
 }
