@@ -69,7 +69,9 @@ object SparkEntry {
         "s21_stream_vocab_maintain" -> ((s, d) =>
           EventStreams.replayVocabMaintain(s, d)),
         "s22_stream_partitioned_ingest" -> ((s, d) =>
-          EventStreams.replayPartitionedIngest(s, d)))
+          EventStreams.replayPartitionedIngest(s, d)),
+        "s23_stream_pii_gate" -> ((s, d) =>
+          EventStreams.replayPiiGate(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -282,5 +284,11 @@ object SparkEntry {
         // sink only appends, so the streamed dt layout's content ≡
         // the batch-staged table — q51's oracle verifies the loop
         "s22_stream_partitioned_ingest" ->
-          Relational.oracles("q51_partition_pruned"))
+          Relational.oracles("q51_partition_pruned"),
+        // the scrub is per-document pure (regex counts + ordered
+        // redaction + fingerprint), so the union of per-batch
+        // verdicts ≡ batch t46 — t46's oracle verifies the
+        // streaming compliance pass
+        "s23_stream_pii_gate" ->
+          TextOps.oracles("t46_pii_scrub"))
 }

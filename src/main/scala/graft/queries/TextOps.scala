@@ -2902,7 +2902,125 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ----------------------------------------------------------------
+  // t46 — PII scrub (detect + redact + audit before training)
+  // ----------------------------------------------------------------
+
+  /** Portable PII detector patterns — the regex subset where Java
+    * (Spark) and RE2 (DuckDB) agree exactly: explicit character
+    * classes, bounded quantifiers, ASCII word boundaries; no
+    * lookarounds, no backreferences (RE2 has neither, and the
+    * BpeishPattern precedent set the same portability bar). ONE
+    * runtime constant feeds both engines, so detector and oracle
+    * cannot drift. The four classes are the canonical pretraining
+    * scrub set: emails, IPv4 addresses, SSN-shaped national ids
+    * (3-2-4 digits), NANP-shaped phone numbers (3-3-4). The id and
+    * phone shapes cannot partially match each other: a match needs
+    * a word boundary then exact field widths, and 2-digit vs
+    * 3-digit middle fields make every candidate start fail.
+    */
+  private[graft] val EmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val NationalIdRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  private[graft] val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Deterministic PII augmentation of a documents-shaped frame
+    * (t33's snapshot-synthesis precedent): the synthetic corpus
+    * carries no PII-shaped strings at all — zero '@' characters —
+    * so both engines append the same residue-keyed contact lines
+    * before scrubbing. What the oracle then verifies is exactly the
+    * cross-engine detect/redact parity: nontrivial positives in
+    * four classes, multi-hit docs (the %7 second email), and
+    * untouched negatives (residue 0).
+    */
+  private[graft] def piiAugmentOf(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com for details")))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit(" origin 10."),
+              pmod(col("doc_id"), lit(200)).cast("string"),
+              lit(".3."),
+              pmod(col("doc_id"), lit(250)).cast("string"),
+              lit(" logged")))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            concat(lit(" case 5"),
+              (pmod(col("doc_id"), lit(90)) + 10).cast("string"),
+              lit("-"),
+              (pmod(col("doc_id"), lit(80)) + 10).cast("string"),
+              lit("-"),
+              (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"),
+              lit(" filed")))
+          .when(pmod(col("doc_id"), lit(5)) === 4,
+            concat(lit(" call 555-"),
+              (pmod(col("doc_id"), lit(800)) + 100).cast("string"),
+              lit("-"),
+              (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"),
+              lit(" today")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" cc ops"), col("doc_id").cast("string"),
+            lit("@corp.example.net asap")))
+          .otherwise(lit(""))))
+
+  /** Ordered sequential redaction: email → ip → id → phone. The
+    * order is part of the contract (both engines apply the same
+    * nesting); replacement tokens contain no digits or dots, so a
+    * redaction can never create a new match for a later pattern.
+    */
+  private[graft] def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, lit(EmailRe), lit("<EMAIL>")),
+          lit(Ipv4Re), lit("<IP>")),
+        lit(NationalIdRe), lit("<ID>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  /** t46's per-document scrub over an arbitrary (doc_id, source,
+    * text) frame — shared with s23's streaming admission twin (the
+    * scrub is per-document pure, so the per-batch union equals the
+    * batch run). Pure map-side projection: per-class match counts,
+    * the ordered redaction, and a compact audit fingerprint of the
+    * redacted text (substr(md5) — the t33 portable-hash precedent);
+    * no shuffle at any scale beyond the presentation sort.
+    */
+  private[graft] def piiScrubOf(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+          .as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(NationalIdRe),
+          lit(0))).as("n_ids"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .as("n_phones"),
+        piiRedact(col("text")).as("red"))
+      .withColumn("pii_total",
+        col("n_emails") + col("n_ips") + col("n_ids") +
+          col("n_phones"))
+      .withColumn("needs_review", (col("pii_total") >= 2).cast("int"))
+      .withColumn("redacted_sig", substring(md5(col("red")), 1, 16))
+      .withColumn("n_chars_redacted", length(col("red")))
+      .drop("red")
+      .orderBy("doc_id")
+
+  /** t46 — PII SCRUB (the redaction pass every pretraining corpus
+    * takes before tokenization): detect four canonical PII classes,
+    * count them per document, redact them in a fixed order, and
+    * emit the audit row (counts, review flag, redacted-text
+    * fingerprint) curation dashboards and compliance reviews read.
+    */
+  val t46PiiScrub: Q = (s, d) =>
+    piiScrubOf(piiAugmentOf(Tables.documents(s, d)))
+
   val queries: Map[String, Q] = Map(
+    "t46_pii_scrub" -> t46PiiScrub,
     "t45_bpe_train" -> t45BpeTrain,
     "t44_bpe_char_encode" -> t44BpeCharEncode,
     "t43_oov_audit" -> t43OovAudit,
@@ -2956,6 +3074,70 @@ object TextOps {
     }.mkString(",\n  ")
     val langCols = langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
     Map(
+      // t46: the oracle re-derives the SAME residue-keyed
+      // augmentation (from the same doc_id arithmetic), then
+      // re-runs detection and the ordered redaction with the SAME
+      // runtime pattern constants — what the hash-match proves is
+      // the Java-vs-RE2 regex parity of the detect/redact pass on
+      // every document, positives and negatives alike. DuckDB's
+      // regexp_replace needs the explicit 'g' flag (Spark replaces
+      // all matches by default).
+      "t46_pii_scrub" ->
+        s"""WITH aug AS (
+           |  SELECT doc_id, source,
+           |    text ||
+           |    CASE doc_id % 5
+           |      WHEN 1 THEN ' contact user' ||
+           |        CAST(doc_id AS VARCHAR) ||
+           |        '@mail.example.com for details'
+           |      WHEN 2 THEN ' origin 10.' ||
+           |        CAST(doc_id % 200 AS VARCHAR) || '.3.' ||
+           |        CAST(doc_id % 250 AS VARCHAR) || ' logged'
+           |      WHEN 3 THEN ' case 5' ||
+           |        CAST(doc_id % 90 + 10 AS VARCHAR) || '-' ||
+           |        CAST(doc_id % 80 + 10 AS VARCHAR) || '-' ||
+           |        CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' filed'
+           |      WHEN 4 THEN ' call 555-' ||
+           |        CAST(doc_id % 800 + 100 AS VARCHAR) || '-' ||
+           |        CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' today'
+           |      ELSE ''
+           |    END ||
+           |    CASE WHEN doc_id % 7 = 0
+           |      THEN ' cc ops' || CAST(doc_id AS VARCHAR) ||
+           |        '@corp.example.net asap'
+           |      ELSE '' END AS text
+           |  FROM documents),
+           |scr AS (
+           |  SELECT doc_id, source, text,
+           |    regexp_replace(regexp_replace(regexp_replace(
+           |      regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+           |      '$Ipv4Re', '<IP>', 'g'),
+           |      '$NationalIdRe', '<ID>', 'g'),
+           |      '$PhoneRe', '<PHONE>', 'g') AS red
+           |  FROM aug)
+           |SELECT doc_id, source,
+           |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT)
+           |    AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT)
+           |    AS n_ips,
+           |  CAST(len(regexp_extract_all(text, '$NationalIdRe'))
+           |    AS INT) AS n_ids,
+           |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT)
+           |    AS n_phones,
+           |  CAST(len(regexp_extract_all(text, '$EmailRe')) +
+           |    len(regexp_extract_all(text, '$Ipv4Re')) +
+           |    len(regexp_extract_all(text, '$NationalIdRe')) +
+           |    len(regexp_extract_all(text, '$PhoneRe')) AS INT)
+           |    AS pii_total,
+           |  CASE WHEN len(regexp_extract_all(text, '$EmailRe')) +
+           |    len(regexp_extract_all(text, '$Ipv4Re')) +
+           |    len(regexp_extract_all(text, '$NationalIdRe')) +
+           |    len(regexp_extract_all(text, '$PhoneRe')) >= 2
+           |    THEN 1 ELSE 0 END AS needs_review,
+           |  substr(md5(red), 1, 16) AS redacted_sig,
+           |  CAST(length(red) AS INT) AS n_chars_redacted
+           |FROM scr
+           |ORDER BY doc_id""".stripMargin,
       // t33: both snapshots re-derived in SQL, the diff recomputed
       // over md5 fingerprints — identical churn classes, identical
       // halved-text rule (integer // matches Spark DIV on positives)

@@ -614,6 +614,33 @@ object EventStreams {
         "n_chars" -> LongType), nBatches)(
       graft.multimodal.Multimodal.pairCurationOf)
 
+  /** s23 — STREAMING PII SCRUB AT ADMISSION (t46's streaming twin,
+    * extending the admission-gate family s09/s18/s19/s20 with the
+    * compliance pass): each arriving document batch runs the full
+    * t46 detect/redact/audit chain INSIDE its micro-batch — every
+    * rule is per-document (regex counts, ordered redaction, the
+    * audit fingerprint; no cross-document state), so the union of
+    * per-batch verdicts equals batch t46 EXACTLY and t46's oracle
+    * verifies the loop. This is how a production ingest door
+    * actually scrubs: documents are redacted ONCE at admission,
+    * never rescanned, and the verdict artifact (counts + review
+    * flag + fingerprint) is current after every batch. Engine state
+    * store carries nothing; per-batch cost is t46-of-batch-size.
+    */
+  def replayPiiGate(spark: SparkSession, dir: String): DataFrame =
+    replayPiiGateWithStats(spark, dir)._1
+
+  /** s23 plus the engine state-store row total (must be 0) for the
+    * StreamingSpec assertion.
+    */
+  def replayPiiGateWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 4): (DataFrame, Long) =
+    replayDocGate(spark, dir, "s23",
+      Seq("doc_id" -> LongType, "text" -> StringType,
+        "source" -> StringType), nBatches)(
+      b => graft.queries.TextOps.piiScrubOf(
+        graft.queries.TextOps.piiAugmentOf(b)))
+
   /** s21 — STREAMING VOCABULARY MAINTENANCE (the streaming twin of
     * batch t42, fourth member of the artifact-maintenance symmetry:
     * t15/s05 band index, v09/s12 vector codes, v20/s17 neighbor

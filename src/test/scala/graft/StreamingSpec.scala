@@ -390,6 +390,20 @@ class StreamingSpec extends SparkSpec {
       s"per-batch admission must be stateless, got $stateRows")
   }
 
+  test("streaming PII scrub (declared s23) equals batch t46 and " +
+      "carries no engine state") {
+    val (df, stateRows) =
+      EventStreams.replayPiiGateWithStats(spark, sf)
+    val streamed = df.collect().map(_.toSeq)
+    val batch = graft.queries.TextOps.t46PiiScrub(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    assert(stateRows === 0L,
+      s"per-batch admission must be stateless, got $stateRows")
+  }
+
   test("streaming ingest-time tokenizer (declared s19) equals batch " +
       "t41 and carries no engine state") {
     val (df, stateRows) =

@@ -1029,4 +1029,56 @@ class TextSpec extends SparkSpec {
     assert(kept > 0 && kept < rows.length,
       s"budget must discriminate, kept=$kept")
   }
+
+  test("t46 piiRedact: each class redacts in order, multi-hit docs " +
+      "redact fully, and near-miss negatives pass through untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // one positive per class
+      ("reach me at bob.smith+x@mail.example.com today",
+        "reach me at <EMAIL> today"),
+      ("origin 10.20.3.251 logged", "origin <IP> logged"),
+      ("case 512-34-5678 filed", "case <ID> filed"),
+      ("call 555-123-4567 today", "call <PHONE> today"),
+      // multi-hit: two classes in one doc
+      ("a@b.io or 10.0.0.1 then", "<EMAIL> or <IP> then"),
+      // near-miss negatives: version strings, wrong field widths,
+      // missing TLD, digit runs — all untouched
+      ("release v1.2.3 shipped", "release v1.2.3 shipped"),
+      ("ticket 12-34-5678 is not an id", "ticket 12-34-5678 is not an id"),
+      ("ping a@b no tld here", "ping a@b no tld here"),
+      ("serial 5551234567 plain", "serial 5551234567 plain"))
+    val got = cases.map(_._1).toDF("text")
+      .select(TextOps.piiRedact(col("text")).as("r"))
+      .as[String].collect().toSeq
+    got.zip(cases.map(_._2)).foreach { case (g, w) =>
+      assert(g === w)
+    }
+  }
+
+  test("t46 scrub: counts agree with the redaction, the review flag " +
+      "is the >=2 rule, and residue-0 documents carry no PII") {
+    val rows = TextOps.t46PiiScrub(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val total = r.getAs[Int]("pii_total")
+      assert(total === r.getAs[Int]("n_emails") + r.getAs[Int]("n_ips") +
+        r.getAs[Int]("n_ids") + r.getAs[Int]("n_phones"))
+      assert((r.getAs[Int]("needs_review") == 1) === (total >= 2))
+      val id = r.getAs[Long]("doc_id")
+      // the augmentation contract: residue decides the classes
+      if (id % 5 == 0 && id % 7 != 0) assert(total === 0,
+        s"doc $id should be PII-free")
+      if (id % 5 == 1) assert(r.getAs[Int]("n_emails") >= 1)
+      if (id % 5 == 2) assert(r.getAs[Int]("n_ips") === 1)
+      if (id % 5 == 3) assert(r.getAs[Int]("n_ids") === 1)
+      if (id % 5 == 4) assert(r.getAs[Int]("n_phones") === 1)
+      if (id % 7 == 0) assert(r.getAs[Int]("n_emails") >= 1)
+    }
+    // the flag must discriminate (docs with both residue-class and
+    // %7 email exist at sf0.001: e.g. doc 21)
+    assert(rows.exists(_.getAs[Int]("needs_review") == 1))
+    assert(rows.exists(_.getAs[Int]("needs_review") == 0))
+  }
 }
