@@ -3019,7 +3019,132 @@ object TextOps {
   val t46PiiScrub: Q = (s, d) =>
     piiScrubOf(piiAugmentOf(Tables.documents(s, d)))
 
+  // ----------------------------------------------------------------
+  // t47 — fuzzy entity resolution (edit-distance dedup, blocked)
+  // ----------------------------------------------------------------
+
+  /** Registry vocabulary for t47's synthesized entity names. 16
+    * words, no adjacent-equal letters (so the transposition
+    * corruption is always a real edit). The registry is derived
+    * from the documents keys by BOTH engines with the same
+    * arithmetic — the t46/t33 deterministic-synthesis precedent.
+    */
+  private[graft] val FuzzyWords = Seq("anchor", "bright", "cobalt",
+    "dragon", "ember", "falcon", "garnet", "harbor", "indigo",
+    "jasper", "kelvin", "lumen", "marble", "nickel", "ocean",
+    "pearl")
+
+  /** The clean registry: key k → `w[(7k)%16]-w[(13k)%16]-k`. The
+    * integer suffix makes every name unique; `wlen` (the two word
+    * lengths) parameterizes the corruption positions below.
+    */
+  private[graft] def fuzzyRegistryOf(keys: DataFrame): DataFrame = {
+    val words = array(FuzzyWords.map(lit): _*)
+    keys.select(col("k"),
+        element_at(words,
+          (pmod(col("k") * 7, lit(16)) + 1).cast("int")).as("w1"),
+        element_at(words,
+          (pmod(col("k") * 13, lit(16)) + 1).cast("int")).as("w2"))
+      .select(col("k"),
+        concat(col("w1"), lit("-"), col("w2"), lit("-"),
+          col("k").cast("string")).as("name"),
+        (length(col("w1")) + length(col("w2"))).cast("int")
+          .as("wlen"))
+  }
+
+  /** The dirty side: exactly ONE residue-keyed edit per name —
+    * deletion, substitution (with '9', which never appears in the
+    * word region), or adjacent transposition, all positioned inside
+    * the word region so the unique integer suffix stays clean; or
+    * an appended character. One edit cannot touch both the 3-char
+    * prefix and the 3-char suffix, which is what makes the
+    * two-pass blocking below complete.
+    */
+  private[graft] def fuzzyDirtyOf(reg: DataFrame): DataFrame = {
+    val n = col("name")
+    val p = (pmod(col("k"), col("wlen") + 1) + 1).cast("int")
+    val pt = (pmod(col("k"), col("wlen")) + 1).cast("int")
+    reg.select(col("k"),
+      when(pmod(col("k"), lit(4)) === 0,
+        concat(n.substr(lit(1), p - 1), n.substr(p + 1, lit(100))))
+        .when(pmod(col("k"), lit(4)) === 1,
+          concat(n.substr(lit(1), p - 1), lit("9"),
+            n.substr(p + 1, lit(100))))
+        .when(pmod(col("k"), lit(4)) === 2,
+          concat(n.substr(lit(1), pt - 1), n.substr(pt + 1, lit(1)),
+            n.substr(pt, lit(1)), n.substr(pt + 2, lit(100))))
+        .otherwise(concat(n, lit("x")))
+        .as("dirty_name"))
+  }
+
+  /** t47's matcher over arbitrary clean (k, name) / dirty
+    * (k, dirty_name) frames: MULTI-PASS BLOCKING — candidates from
+    * the 3-char-prefix block UNION the 3-char-suffix block (a
+    * single edit cannot corrupt both keys, so recall is complete by
+    * construction; single-pass prefix blocking alone would lose
+    * every edit landing in the first three characters) — then
+    * Levenshtein refinement at threshold 2 (one edit costs 1, a
+    * transposition 2 under plain Levenshtein), then a deterministic
+    * best-match pick (min distance, ties to the smallest clean id).
+    * The 100 TB shape of entity resolution: candidate generation is
+    * two bounded-block equi-joins that shuffle on the block keys —
+    * never the all-pairs cross join — and the quadratic refinement
+    * runs only inside candidate pairs.
+    */
+  private[graft] def fuzzyResolveOf(clean: DataFrame,
+      dirty: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = clean.select(col("k").as("clean_id"),
+      col("name").as("clean_name"),
+      substring(col("name"), 1, 3).as("pre"),
+      col("name").substr(length(col("name")) - 2, lit(3)).as("suf"))
+    val dd = dirty.select(col("k").as("dirty_id"), col("dirty_name"),
+      substring(col("dirty_name"), 1, 3).as("pre"),
+      col("dirty_name").substr(length(col("dirty_name")) - 2, lit(3))
+        .as("suf"))
+    val cand = dd.select("dirty_id", "dirty_name", "pre")
+      .join(c.select("clean_id", "clean_name", "pre"), "pre")
+      .select("dirty_id", "dirty_name", "clean_id", "clean_name")
+      .unionByName(dd.select("dirty_id", "dirty_name", "suf")
+        .join(c.select("clean_id", "clean_name", "suf"), "suf")
+        .select("dirty_id", "dirty_name", "clean_id", "clean_name"))
+      .distinct()
+    cand
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy("dirty_id"))
+          .cast("int"))
+      .withColumn("distance",
+        levenshtein(col("dirty_name"), col("clean_name")))
+      .filter(col("distance") <= 2)
+      .withColumn("rk", row_number().over(Window
+        .partitionBy("dirty_id")
+        .orderBy(col("distance"), col("clean_id"))))
+      .filter(col("rk") === 1)
+      .select(col("dirty_id"), col("clean_id").as("match_id"),
+        col("distance"), col("n_candidates"),
+        (col("clean_id") === col("dirty_id")).cast("int")
+          .as("is_correct"))
+      .orderBy("dirty_id")
+  }
+
+  /** t47 — FUZZY ENTITY RESOLUTION (edit-distance dedup, the record-
+    * linkage member of the dedup family next to token/shingle-based
+    * t05–t08): resolve a corrupted registry against its clean
+    * counterpart via blocked Levenshtein matching. Both sides are
+    * synthesized deterministically from the documents keys (the
+    * corpus has no near-identical short strings of its own), so the
+    * oracle hash-match proves the cross-engine parity of blocking,
+    * edit-distance, threshold, and tie-break — and `is_correct`
+    * audits ground-truth accuracy in the result itself.
+    */
+  val t47FuzzyResolve: Q = (s, d) => {
+    val reg = fuzzyRegistryOf(
+      Tables.documents(s, d).select(col("doc_id").as("k")))
+    fuzzyResolveOf(reg, fuzzyDirtyOf(reg))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t47_fuzzy_resolve" -> t47FuzzyResolve,
     "t46_pii_scrub" -> t46PiiScrub,
     "t45_bpe_train" -> t45BpeTrain,
     "t44_bpe_char_encode" -> t44BpeCharEncode,
@@ -3138,6 +3263,80 @@ object TextOps {
            |  CAST(length(red) AS INT) AS n_chars_redacted
            |FROM scr
            |ORDER BY doc_id""".stripMargin,
+      // t47: the oracle rebuilds the registry and its corrupted twin
+      // from the same word list + key arithmetic, re-runs both
+      // blocking passes, DuckDB's own levenshtein, the threshold,
+      // and the (distance, clean_id) tie-break — the hash-match
+      // proves cross-engine parity of the whole resolution chain,
+      // and is_correct carries the ground-truth audit
+      "t47_fuzzy_resolve" -> {
+        val wordVals = FuzzyWords.zipWithIndex
+          .map { case (w, i) => s"($i, '$w')" }.mkString(", ")
+        s"""WITH w(i, word) AS (VALUES $wordVals),
+           |ks AS (SELECT doc_id AS k FROM documents),
+           |reg AS (
+           |  SELECT k,
+           |    w1.word || '-' || w2.word || '-' ||
+           |      CAST(k AS VARCHAR) AS name,
+           |    CAST(length(w1.word) + length(w2.word) AS INT)
+           |      AS wlen
+           |  FROM ks
+           |  JOIN w w1 ON w1.i = k * 7 % 16
+           |  JOIN w w2 ON w2.i = k * 13 % 16),
+           |dirty AS (
+           |  SELECT k,
+           |    CASE k % 4
+           |      WHEN 0 THEN substr(name, 1, p - 1) ||
+           |        substr(name, p + 1, 100)
+           |      WHEN 1 THEN substr(name, 1, p - 1) || '9' ||
+           |        substr(name, p + 1, 100)
+           |      WHEN 2 THEN substr(name, 1, pt - 1) ||
+           |        substr(name, pt + 1, 1) || substr(name, pt, 1) ||
+           |        substr(name, pt + 2, 100)
+           |      ELSE name || 'x' END AS dirty_name
+           |  FROM (SELECT k, name,
+           |          CAST(k % (wlen + 1) + 1 AS INT) AS p,
+           |          CAST(k % wlen + 1 AS INT) AS pt
+           |        FROM reg)),
+           |c AS (SELECT k AS clean_id, name AS clean_name,
+           |        substr(name, 1, 3) AS pre,
+           |        substr(name, length(name) - 2, 3) AS suf
+           |      FROM reg),
+           |d AS (SELECT k AS dirty_id, dirty_name,
+           |        substr(dirty_name, 1, 3) AS pre,
+           |        substr(dirty_name, length(dirty_name) - 2, 3)
+           |          AS suf
+           |      FROM dirty),
+           |cand AS (
+           |  SELECT DISTINCT dirty_id, dirty_name, clean_id,
+           |    clean_name
+           |  FROM (
+           |    SELECT d.dirty_id, d.dirty_name, c.clean_id,
+           |      c.clean_name
+           |    FROM d JOIN c ON d.pre = c.pre
+           |    UNION ALL
+           |    SELECT d.dirty_id, d.dirty_name, c.clean_id,
+           |      c.clean_name
+           |    FROM d JOIN c ON d.suf = c.suf)),
+           |sc AS (
+           |  SELECT dirty_id, clean_id,
+           |    CAST(levenshtein(dirty_name, clean_name) AS INT)
+           |      AS distance,
+           |    CAST(count(*) OVER (PARTITION BY dirty_id) AS INT)
+           |      AS n_candidates
+           |  FROM cand),
+           |best AS (
+           |  SELECT dirty_id, clean_id AS match_id, distance,
+           |    n_candidates,
+           |    row_number() OVER (PARTITION BY dirty_id
+           |      ORDER BY distance, clean_id) AS rk
+           |  FROM sc WHERE distance <= 2)
+           |SELECT dirty_id, match_id, distance, n_candidates,
+           |  CASE WHEN match_id = dirty_id THEN 1 ELSE 0 END
+           |    AS is_correct
+           |FROM best WHERE rk = 1
+           |ORDER BY dirty_id""".stripMargin
+      },
       // t33: both snapshots re-derived in SQL, the diff recomputed
       // over md5 fingerprints — identical churn classes, identical
       // halved-text rule (integer // matches Spark DIV on positives)

@@ -1081,4 +1081,29 @@ class TextSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("needs_review") == 1))
     assert(rows.exists(_.getAs[Int]("needs_review") == 0))
   }
+
+  test("t47 fuzzy resolve: two-pass blocking is complete (every " +
+      "corrupted record resolves), every match is ground truth, and " +
+      "the distance reflects the injected edit class") {
+    val rows = TextOps.t47FuzzyResolve(spark, sf).collect()
+    assert(rows.length === 500,
+      "one edit cannot break both blocking keys — recall must be total")
+    rows.foreach { r =>
+      // ground truth everywhere: the only tie in the construction
+      // (an appended char vs a same-words registry entry whose
+      // suffix extends the key's digits, e.g. dirty 3 vs clean 35)
+      // is resolved by the deterministic smallest-clean-id rule,
+      // which always prefers the true shorter-suffix entity
+      assert(r.getAs[Int]("is_correct") === 1,
+        s"dirty ${r.getAs[Long]("dirty_id")} resolved to " +
+          s"${r.getAs[Long]("match_id")}")
+      val d = r.getAs[Int]("distance")
+      if (r.getAs[Long]("dirty_id") % 4 == 2) assert(d === 2)
+      else assert(d === 1)
+      assert(r.getAs[Int]("n_candidates") >= 1)
+    }
+    // blocking must actually block: no dirty record may see the
+    // whole registry as candidates
+    assert(rows.forall(_.getAs[Int]("n_candidates") < 500 / 2))
+  }
 }
