@@ -3113,9 +3113,16 @@ object TextOps {
       .withColumn("n_candidates",
         count(lit(1)).over(Window.partitionBy("dirty_id"))
           .cast("int"))
+      // bounded edit distance: the 3-arg form abandons a pair as
+      // soon as the running distance exceeds the threshold (returns
+      // -1), turning the refinement from O(|a|·|b|) into
+      // O(threshold·min(|a|,|b|)) per candidate — the difference
+      // that matters when blocks carry long strings at scale. Kept
+      // rows (distance ≤ 2) get the exact distance either way, so
+      // the oracle's plain levenshtein agrees on every output row.
       .withColumn("distance",
-        levenshtein(col("dirty_name"), col("clean_name")))
-      .filter(col("distance") <= 2)
+        levenshtein(col("dirty_name"), col("clean_name"), 2))
+      .filter(col("distance") >= 0 && col("distance") <= 2)
       .withColumn("rk", row_number().over(Window
         .partitionBy("dirty_id")
         .orderBy(col("distance"), col("clean_id"))))

@@ -71,6 +71,23 @@ class PlanSpec extends SparkSpec {
       s"query-set filter not pushed into the parquet scan:\n$p")
   }
 
+  test("t47: fuzzy-resolution candidates come from the two block-key " +
+      "equi-joins — no all-pairs join, best-match top-1 pruned " +
+      "before the final pick") {
+    val p = plan("t47_fuzzy_resolve")
+    // entity resolution degrades to a cross join the moment blocking
+    // is lost to a plan change — the gate that keeps the 100 TB
+    // shape honest (refinement cost must stay inside candidate
+    // blocks)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in fuzzy resolution:\n$p")
+    // the (distance, clean_id) pick must partially evaluate before
+    // the dirty_id exchange
+    assert(p.contains("WindowGroupLimit"),
+      s"best-match top-1 not partially evaluated:\n$p")
+  }
+
   test("v13: integer LSH candidates come from the bucket equi-join — " +
       "no all-pairs, top-1 pruned before the qid shuffle") {
     val p = plan("v13_ann_lsh_int")
