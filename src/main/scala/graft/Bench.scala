@@ -127,15 +127,13 @@ object Bench {
     val prefixCounts = mins.groupBy(_._1.takeWhile(_ != '_')).map {
       case (p, g) => p -> g.size
     }
-    val qsShort = mins.map { case (k, v) =>
-      val p = k.takeWhile(_ != '_')
-      val key = if (prefixCounts(p) == 1) p else k // collision → full name
-      "\"" + key + "\":" + fmt(v, 2)
-    }.mkString("{", ",", "}")
     def shortKey(k: String): String = {
       val p = k.takeWhile(_ != '_')
       if (prefixCounts.getOrElse(p, 2) == 1) p else k
     }
+    val qsShort = mins.map { case (k, v) =>
+      "\"" + shortKey(k) + "\":" + fmt(v, 2)
+    }.mkString("{", ",", "}")
     // Previous-round mins, for regression flagging (VERDICT r14 item
     // 4): a sub-second entry that blows up 4× never reaches the
     // slowest-8 spread, so its noise-vs-regression signature was
@@ -159,20 +157,37 @@ object Bench {
             java.nio.file.Paths.get(p)),
             java.nio.charset.StandardCharsets.UTF_8)
             .replace("\\\"", "\"")
-          // The driver records only the LAST ~2000 stdout chars, so
-          // the '"queries":{' anchor itself may be truncated away —
-          // scan all "key":number pairs up to the spread/regressed
-          // sections (whose ratio values are not seconds) and drop
-          // the known scalar metadata keys instead of anchoring.
-          val cut = Seq(raw.indexOf("\"spread\":"),
-            raw.indexOf("\"regressed\":"))
-            .filter(_ >= 0).sorted.headOption.getOrElse(raw.length)
-          val meta = Set("n", "rc", "cpus", "sf", "value", "n_ok",
-            "index_warm")
-          val re = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
-          Some(re.findAllMatchIn(raw.substring(0, cut))
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filterNot(kv => meta.contains(kv._1)).toMap)
+          // Scale guard: a prev record from a different SF would
+          // flood (or mask) the >2× flags with pure scale deltas.
+          // The "sf":"<dir>" field sits at the END of the compact
+          // line, so it survives the driver's tail truncation.
+          val prevSf = """"sf":"([^"]+)"""".r
+            .findFirstMatchIn(raw).map(_.group(1))
+          if (prevSf.exists(_ != sfDir)) {
+            System.err.println(s"[bench] prev bench $p is for " +
+              s"${prevSf.get}, current run is $sfDir — regression " +
+              "flagging disabled")
+            None
+          } else {
+            // The driver records only the LAST ~2000 stdout chars,
+            // so the '"queries":{' anchor — and any
+            // alphabetically-early keys — may be truncated away:
+            // coverage is partial for a truncated record (the
+            // guaranteed-visible summary line printed below shrinks
+            // this gap going forward). Scan all "key":number pairs
+            // up to the spread/regressed sections (whose values are
+            // not seconds) and drop the scalar metadata keys
+            // instead of anchoring.
+            val cut = Seq(raw.indexOf("\"spread\":"),
+              raw.indexOf("\"regressed\":"))
+              .filter(_ >= 0).sorted.headOption.getOrElse(raw.length)
+            val meta = Set("n", "rc", "cpus", "sf", "value", "n_ok",
+              "index_warm")
+            val re = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+            Some(re.findAllMatchIn(raw.substring(0, cut))
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .filterNot(kv => meta.contains(kv._1)).toMap)
+          }
         } catch {
           case e: Throwable =>
             System.err.println(
@@ -219,11 +234,18 @@ object Bench {
       }.mkString("{", ",", "}")
     val regressedJson =
       if (regressedEntries.isEmpty) ""
-      else regressedEntries.sortBy(-_._3).map { case (k, _, r) =>
+      else regressedEntries.map { case (k, _, r) =>
         "\"" + shortKey(k) + "\":" + fmt(r, 1)
       }.mkString(""","regressed":{""", ",", "}")
+    // Field ORDER is deliberate: the line is ~2.4k chars against the
+    // launcher's 2000-char tail window, so its HEAD is truncated out
+    // of the driver record — the big queries/spread maps go first
+    // (losing their alphabetically-early keys to the cut; the full
+    // record is bench_out.json) and every scalar that must survive —
+    // totals, failures, the regression flags, sf — sits at the END,
+    // guaranteed inside the window.
     val lineShort =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsShort,"spread":$spread$regressedJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","queries":$qsShort,"spread":$spread$regressedJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"value":$total%.3f,"unit":"sec","n_ok":$nOk,"sf":"$sfDir"}"""
     println(lineShort)
     spark.stop()
   }

@@ -1066,6 +1066,9 @@ object EventStreams {
         // the same JVM already holds it (tryLock only returns null
         // for OTHER-process holders)
         case _: java.nio.channels.OverlappingFileLockException => null
+        // any other failure (no lock support, transient IO): don't
+        // leak the channel on the way out
+        case e: Throwable => ch.close(); throw e
       }
     if (lock == null) {
       ch.close()
@@ -1608,8 +1611,9 @@ object EventStreams {
     // atomically so it SHOULD always be well-formed, but recovery is
     // exactly where a corrupted journal must fail diagnosably —
     // an opaque IndexOutOfBounds here would block restart with no
-    // pointer to the file at fault. Nothing has been mutated yet
-    // when any of these throw: the live artifact is still the
+    // pointer to the file at fault. The WHOLE manifest is validated
+    // before the first partition apply, so when any of these throw,
+    // recovery has mutated nothing: the live artifact is still the
     // pre-swap version plus whatever the torn APPLY already moved.
     def malformed(detail: String): Nothing =
       throw new IllegalStateException(
@@ -1631,14 +1635,16 @@ object EventStreams {
         }
       }
       .getOrElse(-1L)
-    lines.filter(_.startsWith("part=")).foreach { l =>
+    val parts = lines.filter(_.startsWith("part=")).map { l =>
       val cols = l.split("\t")
       if (cols.length < 2 || !cols(1).startsWith("staged=") ||
           !Set("0", "1").contains(cols(1).stripPrefix("staged=")))
         malformed(s"unparseable partition line '$l' " +
           "(expected 'part=<name>\\tstaged=<0|1>')")
-      val name = cols(0).stripPrefix("part=")
-      val hasStage = cols(1).stripPrefix("staged=") == "1"
+      (cols(0).stripPrefix("part="),
+        cols(1).stripPrefix("staged=") == "1")
+    }
+    parts.foreach { case (name, hasStage) =>
       val src = new java.io.File(stageDir, name)
       if (src.isDirectory || !hasStage)
         // not yet applied (staged dir still present), or a bare

@@ -357,14 +357,17 @@ object VectorStreams {
                 EventStreams.stageDirFor(asgPath), asgPath,
                 touched.map(v => s"cell=$v"), batchId)
             }
-            // A fully replay-skipped batch (crash after BOTH swaps
-            // committed, before the engine checkpointed) appends no
-            // stat row: every counter here would be re-derived
-            // against the already-merged artifact (partitionsRead
-            // would report the batch's cells as prior partitions,
-            // rewrittenRows the post-merge state), misreporting the
-            // incremental shape to ScaleCheck (review r14).
-            if (collectStats && (graphSwapRan || storeSwapRan)) {
+            // A replayed batch appends no stat row unless BOTH swaps
+            // ran live: after a fully-skipped replay (crash after
+            // both commits, before the engine checkpointed) every
+            // counter would be re-derived against the already-merged
+            // artifact, and after a PARTIAL replay (graph committed
+            // pre-crash, store not) the graph-side counters
+            // partitionsRead/partitionsTotal would report the
+            // batch's own cells as prior partitions — either way
+            // misreporting the incremental shape to ScaleCheck
+            // (review r14/r15).
+            if (collectStats && graphSwapRan && storeSwapRan) {
               stats += KnnBatchStat(batchId, touched.length,
                 s.read.parquet(gPath)
                   .filter(col("cell").isin(touched: _*))

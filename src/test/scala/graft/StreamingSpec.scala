@@ -1168,6 +1168,21 @@ class StreamingSpec extends SparkSpec {
       check("stage=/tmp/x\nbatch=1\npart=bkt=0", "part=bkt=0")
       check("stage=/tmp/x\nbatch=1\npart=bkt=0\tstaged=weird",
         "staged=weird")
+      // the whole manifest is validated BEFORE the first apply: a
+      // malformed line AFTER a valid one must leave the valid line's
+      // live partition untouched (r15 review — apply-then-throw
+      // would leave a half-swapped artifact while claiming nothing
+      // was mutated)
+      val stage = new java.io.File(dir, "state-stage")
+      new java.io.File(stage, "bkt=0").mkdirs()
+      val livePart = new java.io.File(live, "bkt=0")
+      livePart.mkdirs()
+      val keep = new java.io.File(livePart, "keep.parquet")
+      java.nio.file.Files.write(keep.toPath, Array[Byte](1))
+      check(s"stage=${stage.getAbsolutePath}\nbatch=1\n" +
+        "part=bkt=0\tstaged=1\npart=bkt=1 staged", "part=bkt=1")
+      assert(keep.isFile,
+        "a manifest rejected during validation must mutate nothing")
     } finally EventStreams.deleteRecursively(dir)
   }
 }
