@@ -1185,4 +1185,104 @@ class StreamingSpec extends SparkSpec {
         "a manifest rejected during validation must mutate nothing")
     } finally EventStreams.deleteRecursively(dir)
   }
+
+  test("swap protocol sweep: from a crash at EVERY point of " +
+      "PREPARE→APPLY→COMMIT, recovery converges to the committed " +
+      "state, and recovery itself is idempotent") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-swap-sweep").toFile
+    def put(f: java.io.File, s: String): Unit = {
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    def read(f: java.io.File): String = new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // the committed state: bkt=0/1 replaced, bkt=2 evicted (touched
+    // with nothing staged), marker advanced 6 → 7, journal and stage
+    // dir gone. The swap machinery never reads the payload bytes, so
+    // plain files stand in for parquet partitions and the whole
+    // sweep runs as pure-FS cases.
+    def setup(name: String): String = {
+      val live = new java.io.File(root, s"$name/state")
+      Seq("0" -> "old0", "1" -> "old1", "2" -> "old2").foreach {
+        case (b, v) => put(new java.io.File(live, s"bkt=$b/d.parquet"), v)
+      }
+      put(new java.io.File(live, EventStreams.CommitMarkerName), "6")
+      val stage = new java.io.File(EventStreams.stageDirFor(
+        live.getAbsolutePath))
+      put(new java.io.File(stage, "bkt=0/d.parquet"), "new0")
+      put(new java.io.File(stage, "bkt=1/d.parquet"), "new1")
+      live.getAbsolutePath
+    }
+    def assertCommitted(live: String, label: String): Unit = {
+      assert(read(new java.io.File(live, "bkt=0/d.parquet")) == "new0"
+          && read(new java.io.File(live, "bkt=1/d.parquet")) == "new1",
+        s"$label: replaced partitions must hold the new version")
+      assert(!new java.io.File(live, "bkt=2").exists(),
+        s"$label: the evicted partition must be gone")
+      assert(EventStreams.lastCommittedBatch(live) === 7L,
+        s"$label: the marker must record the swapped batch")
+      assert(!new java.io.File(live,
+        EventStreams.SwapManifestName).exists(), s"$label: manifest")
+      assert(!new java.io.File(EventStreams.stageDirFor(live)).exists(),
+        s"$label: stage dir")
+    }
+    val touched = Seq("bkt=0", "bkt=1", "bkt=2")
+    try {
+      // point 0 — crash after PREPARE, before the first apply: the
+      // journal (in its documented format) is on disk, nothing moved
+      val live0 = setup("p0")
+      put(new java.io.File(live0, EventStreams.SwapManifestName),
+        s"stage=${EventStreams.stageDirFor(live0)}\nbatch=7\n" +
+          "part=bkt=0\tstaged=1\npart=bkt=1\tstaged=1\n" +
+          "part=bkt=2\tstaged=0")
+      EventStreams.recoverTornSwap(live0)
+      assertCommitted(live0, "crash after PREPARE")
+      // points 1..3 — crash after the nth partition apply (n=3 is
+      // after the last apply, before COMMIT writes the marker)
+      (1 to 3).foreach { n =>
+        val live = setup(s"p$n")
+        var applied = 0
+        intercept[RuntimeException] {
+          EventStreams.swapPartitionDirs(
+            EventStreams.stageDirFor(live), live, touched,
+            batchId = 7L, onPartitionApplied = _ => {
+              applied += 1
+              if (applied == n) throw new RuntimeException("boom")
+            })
+        }
+        assert(EventStreams.lastCommittedBatch(live) === 6L,
+          s"mid-APPLY($n): the marker must still name the pre-swap " +
+            "batch (the torn batch is NOT yet claimed committed)")
+        EventStreams.recoverTornSwap(live)
+        assertCommitted(live, s"crash after $n applies")
+        EventStreams.recoverTornSwap(live) // and again: idempotent
+        assertCommitted(live, s"re-recovery after $n applies")
+      }
+      // point 4 — crash after the marker write, before the manifest
+      // delete: every staged dir is consumed, the journal lingers;
+      // recovery must take the already-applied branch for all parts
+      val live4 = setup("p4")
+      EventStreams.swapPartitionDirs(
+        EventStreams.stageDirFor(live4), live4, touched, batchId = 7L)
+      put(new java.io.File(live4, EventStreams.SwapManifestName),
+        s"stage=${EventStreams.stageDirFor(live4)}\nbatch=7\n" +
+          "part=bkt=0\tstaged=1\npart=bkt=1\tstaged=1\n" +
+          "part=bkt=2\tstaged=0")
+      EventStreams.recoverTornSwap(live4)
+      assertCommitted(live4, "crash between COMMIT's marker and " +
+        "manifest delete")
+      // point 5 — crash between the manifest delete and the stage-dir
+      // delete: no journal, a stray (already-consumed) stage dir
+      val live5 = setup("p5")
+      EventStreams.swapPartitionDirs(
+        EventStreams.stageDirFor(live5), live5, touched, batchId = 7L)
+      new java.io.File(EventStreams.stageDirFor(live5)).mkdirs()
+      EventStreams.recoverTornSwap(live5)
+      assertCommitted(live5, "crash between COMMIT's two deletes")
+    } finally EventStreams.deleteRecursively(root)
+  }
 }
