@@ -139,13 +139,18 @@ object Bench {
     // slowest-8 spread, so its noise-vs-regression signature was
     // invisible two rounds running (t24 in r13, t07 in r14).
     // SPARK_GRAFT_BENCH_PREV names the prior compact line; default is
-    // the latest driver-recorded BENCH_r*.json in the repo. The
-    // driver wraps the line as an escaped JSON string, so unescape
-    // before the regex scan.
+    // the latest driver-recorded BENCH_r*.json next to the bench-out
+    // file, falling back to the working directory (NOT a hardcoded
+    // repo path — run from another checkout, flagging should still
+    // engage; review r15). The driver wraps the line as an escaped
+    // JSON string, so unescape before the regex scan.
     val prevMins: Map[String, Double] = {
       val path = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
-        Option(new java.io.File("/root/repo").listFiles())
-          .getOrElse(Array.empty)
+        Seq(Option(new java.io.File(out).getAbsoluteFile.getParent),
+            Some(System.getProperty("user.dir", ".")))
+          .flatten.distinct
+          .flatMap(d => Option(new java.io.File(d).listFiles())
+            .getOrElse(Array.empty).toSeq)
           .filter(_.getName.matches("BENCH_r\\d+\\.json"))
           .sortBy(_.getName.stripPrefix("BENCH_r")
             .stripSuffix(".json").toInt)

@@ -883,7 +883,6 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        if (!batch.isEmpty) {
           // lifecycle guard (review r14): the replay-skip marks
           // assume the streaming checkpoint and the artifact base
           // share a lifecycle. If the ckpt dir alone is deleted
@@ -895,7 +894,9 @@ object EventStreams {
           // engine cannot have committed batch 1 before batch 0's
           // checkpoint), so mark > 0 at batchId 0 is always the
           // mismatch: fail loudly. Base, ckpt, and source staging
-          // must be deleted together.
+          // must be deleted together. Checked BEFORE the isEmpty
+          // gate (review r15): an EMPTY first file would otherwise
+          // bypass the guard, and no later batch carries id 0.
           if (batchId == 0L) {
             val mark = bucketKey match {
               case Some(_) => lastCommittedBatch(stateDir)
@@ -910,6 +911,7 @@ object EventStreams {
                 "base — delete the base and checkpoint together, " +
                 "or point the loop at a fresh base")
           }
+        if (!batch.isEmpty) {
           val s = batch.sparkSession
           val agg = batchAgg(batch.toDF())
           bucketKey match {
@@ -1039,48 +1041,79 @@ object EventStreams {
   /** Name of the single-writer lock file under an artifact base. */
   private[graft] val WriterLockName = "_writer_lock"
 
+  /** Canonical lock-file paths held by THIS JVM. The in-JVM registry
+    * is what makes the same-JVM refusal SAFE on POSIX: fcntl drops
+    * every lock a process holds on a file the moment ANY descriptor
+    * of that file closes, so the obvious refusal path — open a
+    * second channel, catch OverlappingFileLockException, close the
+    * channel — silently releases the first holder's OS lock on the
+    * way out, and a loop in another process can then acquire it while
+    * the first is still mid-run (review r15, empirically confirmed on
+    * OpenJDK 17/Linux). A same-JVM conflict must therefore be
+    * detected BEFORE a second channel to the file ever opens.
+    */
+  private val heldWriterLocks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Single-writer guard on an artifact base (VERDICT r14 item 3):
     * the partition-swap protocol and the chained version chain both
     * assume exactly one merge loop per base — two concurrent writers
     * would interleave stage/apply/commit and corrupt the artifact.
     * Takes an OS-level advisory lock ([[java.nio.channels.FileLock]])
-    * on `base/_writer_lock`; a second acquirer — same JVM or another
-    * process — fails fast with a clear message. The lock is held by
-    * the process and released by the OS on death, so a CRASHED run
-    * never blocks its own restart (a lock *file* would turn the
-    * crash-replay path into a manual unlock step). Same-filesystem
-    * advisory-lock semantics — the assumption the swap's atomic
-    * moves already make.
+    * on `base/_writer_lock`; a second acquirer — same JVM (via the
+    * [[heldWriterLocks]] registry, never a second channel) or another
+    * process (via tryLock) — fails fast with a clear message. The
+    * lock is held by the process and released by the OS on death, so
+    * a CRASHED run never blocks its own restart (a lock *file* would
+    * turn the crash-replay path into a manual unlock step).
+    * Same-filesystem advisory-lock semantics — the assumption the
+    * swap's atomic moves already make.
     */
   private[graft] def acquireWriterLock(base: String)
       : java.lang.AutoCloseable = {
     java.nio.file.Files.createDirectories(
       new java.io.File(base).toPath)
     val lockFile = new java.io.File(base, WriterLockName)
-    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
+    val key = lockFile.getCanonicalPath
+    def refuse(): Nothing = throw new IllegalStateException(
+      s"artifact base $base is already owned by another merge " +
+        s"loop ($WriterLockName is held): the partition-swap " +
+        "protocol is single-writer — stop the other loop or use " +
+        "a different base")
+    // same-JVM holders are refused here, before any channel opens
+    if (!heldWriterLocks.add(key)) refuse()
+    val ch =
+      try java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch { case e: Throwable =>
+        heldWriterLocks.remove(key); throw e
+      }
     val lock =
       try ch.tryLock()
       catch {
-        // the same JVM already holds it (tryLock only returns null
-        // for OTHER-process holders)
-        case _: java.nio.channels.OverlappingFileLockException => null
-        // any other failure (no lock support, transient IO): don't
-        // leak the channel on the way out
-        case e: Throwable => ch.close(); throw e
+        // the registry admitted us, so an overlapping lock can only
+        // be one taken on this file OUTSIDE this API by the same
+        // process; the channel is deliberately NOT closed — closing
+        // it would drop that foreign holder's OS lock (the very
+        // hazard the registry exists to prevent)
+        case e: java.nio.channels.OverlappingFileLockException =>
+          heldWriterLocks.remove(key); throw e
+        // no lock support / transient IO: nothing is locked via this
+        // API, closing is safe
+        case e: Throwable =>
+          heldWriterLocks.remove(key); ch.close(); throw e
       }
-    if (lock == null) {
+    if (lock == null) { // held by another PROCESS
+      heldWriterLocks.remove(key)
       ch.close()
-      throw new IllegalStateException(
-        s"artifact base $base is already owned by another merge " +
-          s"loop ($WriterLockName is held): the partition-swap " +
-          "protocol is single-writer — stop the other loop or use " +
-          "a different base")
+      refuse()
     }
     new java.lang.AutoCloseable {
       override def close(): Unit = {
         lock.release(); ch.close()
+        heldWriterLocks.remove(key)
+        ()
       }
     }
   }

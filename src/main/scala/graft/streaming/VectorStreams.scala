@@ -210,6 +210,13 @@ object VectorStreams {
       val base = work.getAbsolutePath
       val asgPath = s"$base/asg"
       val gPath = s"$base/graph"
+      // single-writer guard (parity with runArtifactMergeLoop,
+      // review r15): this loop runs the same swapPartitionDirs
+      // protocol on gPath/asgPath with the same two-writers
+      // corruption mode, so a second concurrent loop on the same
+      // base must fail fast here, not interleave swap commits.
+      val writerLock = EventStreams.acquireWriterLock(base)
+      try {
       // heal a torn partition-swap commit from a crashed prior run
       // BEFORE any batch stages new files at the same path — both
       // swapped artifacts have their own journal
@@ -225,15 +232,16 @@ object VectorStreams {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
-          if (!batch.isEmpty) {
             // lifecycle guard (parity with runArtifactMergeLoop): a
             // checkpoint reset against stale artifacts would replay
             // every batch at-or-below the stale marks as a silent
             // no-op. A genuine replay of batch 0 can only see marks
             // of exactly 0, so mark > 0 at batchId 0 is always the
-            // mismatch. (This harness creates a fresh base per call,
-            // so the guard protects the deployment shape, not the
-            // replay.)
+            // mismatch. Checked BEFORE the isEmpty gate (review
+            // r15): an empty first file would otherwise bypass it,
+            // and no later batch carries id 0. (This harness creates
+            // a fresh base per call, so the guard protects the
+            // deployment shape, not the replay.)
             if (batchId == 0L) {
               val mark = math.max(
                 EventStreams.lastCommittedBatch(gPath),
@@ -244,6 +252,7 @@ object VectorStreams {
                   "checkpoint was reset against a stale artifact " +
                   "base — delete the base and checkpoint together")
             }
+          if (!batch.isEmpty) {
             val s = batch.sparkSession
             val asgB = VectorOps.assignIntCells(
               batch.select(col("vec_id"),
@@ -403,6 +412,7 @@ object VectorStreams {
       (spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), fin.schema), stateRows,
         stats.toList)
+      } finally writerLock.close()
     } finally deleteRecursively(work)
   }
 

@@ -1138,6 +1138,41 @@ class StreamingSpec extends SparkSpec {
         .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
       assert(chain2.contains("checkpoint was reset"),
         s"expected the lifecycle-mismatch failure, got:\n$chain2")
+      // an EMPTY batch 0 must not slip past the guard (review r15:
+      // the check used to sit inside the isEmpty gate, and no later
+      // batch carries id 0)
+      val base3 = s"$base/empty0"
+      val src3 = s"$base3/incoming"
+      new java.io.File(src3).mkdirs()
+      val t1 = System.currentTimeMillis() - 3600L * 1000
+      Seq("b00" -> spark.emptyDataset[(Long, Long)].toDF("k", "v"),
+          "b01" -> (0L until 4L).map(k => (k, k + 1)).toDF("k", "v"))
+        .zipWithIndex.foreach { case ((name, df), i) =>
+          val stage = s"$base3/in$i"
+          df.coalesce(1).write.parquet(stage)
+          new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).headOption
+            .foreach { f =>
+              val dst = new java.io.File(src3, s"$name.parquet")
+              java.nio.file.Files.move(f.toPath, dst.toPath)
+              dst.setLastModified(t1 + i * 60000L)
+              ()
+            }
+        }
+      EventStreams.runArtifactMergeLoop(spark, base3, src3, schema,
+        bucketKey = Some("k"), nBuckets = 4)(agg, merge)
+      assert(EventStreams.lastCommittedBatch(s"$base3/state") === 1L)
+      EventStreams.deleteRecursively(new java.io.File(s"$base3/ckpt"))
+      val boom3 = intercept[Exception] {
+        EventStreams.runArtifactMergeLoop(spark, base3, src3, schema,
+          bucketKey = Some("k"), nBuckets = 4)(agg, merge)
+      }
+      val chain3 = Iterator.iterate(boom3: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(chain3.contains("checkpoint was reset"),
+        "an empty batch 0 bypassed the reset guard — expected the " +
+          s"lifecycle-mismatch failure, got:\n$chain3")
     } finally EventStreams.deleteRecursively(dir)
   }
 
