@@ -146,15 +146,21 @@ object Bench {
     // JSON string, so unescape before the regex scan.
     val prevMins: Map[String, Double] = {
       val path = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+        // the bench-out dir is authoritative; the working directory
+        // is only a fallback when the out dir has NO record at all —
+        // merging both could silently prefer a stale cwd leftover
         Seq(Option(new java.io.File(out).getAbsoluteFile.getParent),
             Some(System.getProperty("user.dir", ".")))
           .flatten.distinct
-          .flatMap(d => Option(new java.io.File(d).listFiles())
-            .getOrElse(Array.empty).toSeq)
-          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(_.getName.stripPrefix("BENCH_r")
-            .stripSuffix(".json").toInt)
-          .lastOption.map(_.getAbsolutePath)
+          .iterator.map { d =>
+            Option(new java.io.File(d).listFiles())
+              .getOrElse(Array.empty).toSeq
+              .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+              .sortBy(_.getName.stripPrefix("BENCH_r")
+                .stripSuffix(".json").toInt)
+              .lastOption.map(_.getAbsolutePath)
+          }
+          .collectFirst { case Some(p) => p }
       }
       path.flatMap { p =>
         try {

@@ -1096,9 +1096,16 @@ object EventStreams {
         // be one taken on this file OUTSIDE this API by the same
         // process; the channel is deliberately NOT closed — closing
         // it would drop that foreign holder's OS lock (the very
-        // hazard the registry exists to prevent)
+        // hazard the registry exists to prevent) — but the refusal
+        // still carries the actionable message, not a bare overlap
         case e: java.nio.channels.OverlappingFileLockException =>
-          heldWriterLocks.remove(key); throw e
+          heldWriterLocks.remove(key)
+          throw new IllegalStateException(
+            s"artifact base $base is already locked by this " +
+              s"process outside acquireWriterLock ($WriterLockName " +
+              "overlaps a foreign FileLock): the partition-swap " +
+              "protocol is single-writer — stop the other holder " +
+              "or use a different base", e)
         // no lock support / transient IO: nothing is locked via this
         // API, closing is safe
         case e: Throwable =>
@@ -1111,9 +1118,13 @@ object EventStreams {
     }
     new java.lang.AutoCloseable {
       override def close(): Unit = {
-        lock.release(); ch.close()
-        heldWriterLocks.remove(key)
-        ()
+        // the registry entry must clear even if release/close throw
+        // (e.g. a ClosedChannelException after a thread interrupt),
+        // or the base would refuse every later same-JVM acquire
+        // until JVM restart — breaking the "a finished run never
+        // blocks its successor" property for in-process restarts
+        try { lock.release(); ch.close() }
+        finally { heldWriterLocks.remove(key); () }
       }
     }
   }

@@ -211,10 +211,12 @@ object VectorStreams {
       val asgPath = s"$base/asg"
       val gPath = s"$base/graph"
       // single-writer guard (parity with runArtifactMergeLoop,
-      // review r15): this loop runs the same swapPartitionDirs
-      // protocol on gPath/asgPath with the same two-writers
-      // corruption mode, so a second concurrent loop on the same
-      // base must fail fast here, not interleave swap commits.
+      // review r15): the same swapPartitionDirs protocol runs on
+      // gPath/asgPath with the same two-writers corruption mode.
+      // This harness creates a fresh per-call temp base, so the
+      // refusal can never fire HERE — like the batch-0 guard above,
+      // the lock protects the deployment shape (a persistent base a
+      // second loop could name), not this replay.
       val writerLock = EventStreams.acquireWriterLock(base)
       try {
       // heal a torn partition-swap commit from a crashed prior run
