@@ -400,7 +400,7 @@ object TextOps {
       inter.toDouble / (wa.length + wb.length - inter)
     }
     val texts = docs.select(col("doc_id"), col("text"))
-    cand
+    pinVerifyParallelism(cand)
       .join(texts.withColumnRenamed("doc_id", "d1")
         .withColumnRenamed("text", "t1"), "d1")
       .join(texts.withColumnRenamed("doc_id", "d2")
@@ -557,12 +557,31 @@ object TextOps {
     * double, same rounding. `texts` must be a 2-column (doc_id, text)
     * frame covering every id in `cand`.
     */
+  /** Pin the parallelism of a CPU-dense candidate frame before an
+    * exact-verify join. AQE coalesces shuffle reads by BYTES, and a
+    * candidate pair list is always tiny in bytes relative to its
+    * per-row verify cost (an exact-Jaccard kernel is ~33 µs/pair on
+    * this corpus), so byte-based coalescing starves the verify stage
+    * of cores — measured at sf0.1 ×4 replicas: the whole t06 pipeline
+    * collapsed to 2 AQE-coalesced partitions (13.5 s, vs 3.0 s with
+    * AQE off); with this explicit round-robin exchange ahead of the
+    * verify join the same AQE-on plan runs the verify 32-wide
+    * (12.7 s → 4.8 s on the uncached chain). repartition(N) is
+    * REPARTITION_BY_NUM, which AQE never re-coalesces, and the
+    * exchange itself moves only the narrow id-pair rows. The same
+    * blind spot exists at cluster scale: verify cost grows with
+    * candidate COUNT, which AQE cannot see.
+    */
+  private def pinVerifyParallelism(cand: DataFrame): DataFrame =
+    cand.repartition(
+      cand.sparkSession.sparkContext.defaultParallelism)
+
   private def verifiedJaccardPairs(cand: DataFrame, texts: DataFrame,
       minJaccard: Double): DataFrame = {
     val jacUdf = udf { (ta: String, tb: String) =>
       TextHash.stringGramJaccard(ta, tb, 5)
     }
-    cand
+    pinVerifyParallelism(cand)
       .join(texts.toDF("d1", "t1"), "d1")
       .join(texts.toDF("d2", "t2"), "d2")
       .select(col("d1"), col("d2"),
@@ -610,7 +629,7 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    cand
+    pinVerifyParallelism(cand)
       .join(docs.withColumnRenamed("doc_id", "d1")
         .withColumnRenamed("text", "text1"), "d1")
       .join(docs.withColumnRenamed("doc_id", "d2")
