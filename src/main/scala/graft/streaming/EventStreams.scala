@@ -844,9 +844,15 @@ object EventStreams {
     * one-artifact-sized instead of growing per deployment batch.
     *
     * Lifecycle contract: the artifact base and the streaming
-    * checkpoint MUST be created and deleted together — a reset
-    * checkpoint against a stale base is detected at batch 0 and
-    * fails loudly (the guard in foreachBatch). The base is
+    * checkpoint MUST be created and deleted together, and BOTH
+    * directions of a split are detected (review r15): a reset
+    * checkpoint against a stale base fails loudly at batch 0 (the
+    * guard in foreachBatch), and a reset/lost STATE dir against a
+    * live checkpoint fails loudly at loop start (the
+    * [[ExpectedCommitName]] sentinel, written beside the checkpoint
+    * after every commit, records what the state dir must hold — the
+    * engine would otherwise skip the already-checkpointed batches
+    * and silently rebuild an incomplete artifact). The base is
     * single-writer for the run's duration, enforced by
     * [[acquireWriterLock]]: a second loop on the same base fails
     * fast instead of interleaving swap commits.
@@ -869,6 +875,28 @@ object EventStreams {
     // heal a torn partition-swap commit from a crashed prior run
     // BEFORE any batch stages new files at the same path
     recoverTornSwap(stateDir)
+    // reverse-direction lifecycle guard (review r15): a deleted/lost
+    // state dir against a LIVE checkpoint would not error on its own
+    // — the engine never replays checkpointed batches, so the loop
+    // would quietly rebuild the artifact from only the new batches.
+    // The sentinel beside the checkpoint records what state must
+    // hold; recovery above has already rolled any torn commit
+    // forward, so expected > committed can only mean state loss.
+    def committedMark(): Long = bucketKey match {
+      case Some(_) => lastCommittedBatch(stateDir)
+      case None => completeChainVersions(stateDir)
+        .lastOption.map(_.getName.stripPrefix("b").toLong)
+        .getOrElse(-1L)
+    }
+    val expected = expectedCommit(base)
+    if (expected > committedMark()) throw new IllegalStateException(
+      s"artifact state $stateDir holds commits through batch " +
+        s"${committedMark()} but $ExpectedCommitName records batch " +
+        s"$expected: the state dir was reset against a live " +
+        "checkpoint — already-checkpointed batches will never " +
+        "replay, so the artifact would silently rebuild " +
+        "incomplete. Delete the base (state, checkpoint, sentinel) " +
+        "together, or restore the state dir")
     // chained-mode resume: seed the version chain with the latest
     // COMPLETE prior artifact (a b<N> dir with _SUCCESS — a torn
     // write has none and is redone by the replay)
@@ -897,6 +925,12 @@ object EventStreams {
           // must be deleted together. Checked BEFORE the isEmpty
           // gate (review r15): an EMPTY first file would otherwise
           // bypass the guard, and no later batch carries id 0.
+          // Known blind spot (review r15): a base that committed
+          // ONLY batch 0 is indistinguishable from a genuine batch-0
+          // crash-replay (both show mark == 0 at batchId 0 with
+          // offsets/0 present), so a reset at that exact point
+          // passes as a replay — detection starts once any later
+          // batch has committed.
           if (batchId == 0L) {
             val mark = bucketKey match {
               case Some(_) => lastCommittedBatch(stateDir)
@@ -964,6 +998,7 @@ object EventStreams {
               swapPartitionDirs(stageDirFor(stateDir), stateDir,
                 touched.map(v => s"bkt=$v"), batchId,
                 onPartitionApplied = n => onSwapApply(batchId, n))
+              writeExpectedCommit(base, batchId)
               if (states.isEmpty) states += stateDir
             case None =>
               val path = s"$stateDir/b$batchId"
@@ -998,6 +1033,7 @@ object EventStreams {
               // (no-_SUCCESS) dir is never touched here — the replay
               // path redoes it.
               retainLatestChainVersion(stateDir)
+              writeExpectedCommit(base, batchId)
           }
         }
         ()
@@ -1532,6 +1568,39 @@ object EventStreams {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(liveDir, CommitMarkerName).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Name of the expected-commit sentinel under an artifact BASE
+    * (beside the checkpoint, OUTSIDE the state dir): the highest
+    * batch the state dir is supposed to hold. Deleting the state dir
+    * alone leaves it behind as evidence, which is what lets the
+    * reverse-direction lifecycle guard fail loudly instead of
+    * silently rebuilding an incomplete artifact (review r15). A
+    * crash between a commit and this write leaves it one batch
+    * BEHIND the marker — never ahead — so a lagging sentinel is
+    * normal and only expected > committed signals state loss.
+    */
+  private[graft] val ExpectedCommitName = "_expected_commit"
+
+  /** The sentinel's recorded batch, −1 when absent. */
+  private[graft] def expectedCommit(base: String): Long = {
+    val f = new java.io.File(base, ExpectedCommitName)
+    if (f.isFile)
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else -1L
+  }
+
+  private[graft] def writeExpectedCommit(base: String, batchId: Long)
+      : Unit = {
+    val tmp = new java.io.File(base, ExpectedCommitName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(base, ExpectedCommitName).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()

@@ -224,6 +224,21 @@ object VectorStreams {
       // swapped artifacts have their own journal
       EventStreams.recoverTornSwap(gPath)
       EventStreams.recoverTornSwap(asgPath)
+      // reverse-direction lifecycle guard (parity with
+      // runArtifactMergeLoop): the sentinel is written only after
+      // BOTH swaps commit, so the min of the two marks is what a
+      // healthy pair must reach — a deleted graph or store dir
+      // against a live checkpoint fails here instead of silently
+      // rebuilding incomplete.
+      val expected0 = EventStreams.expectedCommit(base)
+      val mark00 = math.min(
+        EventStreams.lastCommittedBatch(gPath),
+        EventStreams.lastCommittedBatch(asgPath))
+      if (expected0 > mark00) throw new IllegalStateException(
+        s"artifact base $base holds commits through batch $mark00 " +
+          s"but ${EventStreams.ExpectedCommitName} records batch " +
+          s"$expected0: an artifact dir was reset against a live " +
+          "checkpoint — delete the base and checkpoint together")
       val stats = scala.collection.mutable.ListBuffer[KnnBatchStat]()
       val q = spark.readStream.schema(embSchema)
         .option("maxFilesPerTrigger", 1)
@@ -368,6 +383,9 @@ object VectorStreams {
                 EventStreams.stageDirFor(asgPath), asgPath,
                 touched.map(v => s"cell=$v"), batchId)
             }
+            // both artifacts now hold this batch — record it beside
+            // the checkpoint for the reverse lifecycle guard
+            EventStreams.writeExpectedCommit(base, batchId)
             // A replayed batch appends no stat row unless BOTH swaps
             // ran live: after a fully-skipped replay (crash after
             // both commits, before the engine checkpointed) every

@@ -1173,6 +1173,32 @@ class StreamingSpec extends SparkSpec {
       assert(chain3.contains("checkpoint was reset"),
         "an empty batch 0 bypassed the reset guard — expected the " +
           s"lifecycle-mismatch failure, got:\n$chain3")
+      // the REVERSE split (review r15): the state dir alone is
+      // deleted against a live checkpoint. The engine never replays
+      // checkpointed batches, so without the sentinel the loop would
+      // silently rebuild an incomplete artifact from nothing; the
+      // expected-commit sentinel beside the checkpoint survives the
+      // state deletion and fails the run at loop start.
+      val base4 = s"$base/staterot"
+      val src4 = s"$base4/incoming"
+      new java.io.File(src4).mkdirs()
+      (0 until 2).foreach { i =>
+        java.nio.file.Files.copy(
+          new java.io.File(srcDir, f"b$i%02d.parquet").toPath,
+          new java.io.File(src4, f"b$i%02d.parquet").toPath)
+        ()
+      }
+      EventStreams.runArtifactMergeLoop(spark, base4, src4, schema,
+        bucketKey = Some("k"), nBuckets = 4)(agg, merge)
+      assert(EventStreams.expectedCommit(base4) === 1L,
+        "every commit must advance the sentinel")
+      EventStreams.deleteRecursively(new java.io.File(s"$base4/state"))
+      val boom4 = intercept[IllegalStateException] {
+        EventStreams.runArtifactMergeLoop(spark, base4, src4, schema,
+          bucketKey = Some("k"), nBuckets = 4)(agg, merge)
+      }
+      assert(boom4.getMessage.contains("reset against a live"),
+        s"expected the state-loss failure, got: ${boom4.getMessage}")
     } finally EventStreams.deleteRecursively(dir)
   }
 
