@@ -400,11 +400,11 @@ object TextOps {
       inter.toDouble / (wa.length + wb.length - inter)
     }
     val texts = docs.select(col("doc_id"), col("text"))
-    pinVerifyParallelism(cand
-        .join(texts.withColumnRenamed("doc_id", "d1")
-          .withColumnRenamed("text", "t1"), "d1")
-        .join(texts.withColumnRenamed("doc_id", "d2")
-          .withColumnRenamed("text", "t2"), "d2"))
+    pinVerifyParallelism(cand)
+      .join(texts.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("text", "t1"), "d1")
+      .join(texts.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("text", "t2"), "d2")
       .select(col("d1"), col("d2"),
         round(jacUdf2(col("t1"), col("t2")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -557,37 +557,42 @@ object TextOps {
     * double, same rounding. `texts` must be a 2-column (doc_id, text)
     * frame covering every id in `cand`.
     */
-  /** Pin the parallelism of the CPU-dense exact-verify stage: call on
-    * the paired frame (texts attached) IMMEDIATELY BEFORE the verify
-    * projection. AQE coalesces shuffle reads by BYTES, and when the
-    * text joins broadcast (the small-dim regime), the verify UDF runs
-    * at the parallelism of the candidate exchange — narrow id pairs,
-    * a few MB for ~33 µs/pair of kernel work — so byte-based
-    * coalescing starves it of cores. Measured at sf0.1 ×4 replicas:
-    * the whole t06 pipeline collapsed to 2 AQE-coalesced partitions
-    * (13.5 s, vs 3.0 s with AQE off); with the explicit exchange the
-    * same AQE-on plan runs the verify 32-wide (12.7 s → 4.8 s on the
-    * uncached chain). Pinning AFTER the joins (not the bare id-pair
-    * frame) keeps the guarantee under EVERY join strategy: with
-    * sort-merge text joins a pre-join pin would be immediately
-    * re-shuffled on the join key and re-coalesced (review r15).
-    * repartition(N) is REPARTITION_BY_NUM, which AQE never
-    * re-coalesces. The blind spot itself is scale-independent: verify
-    * cost grows with candidate COUNT, which AQE cannot see when the
-    * carried rows are narrow.
+  /** Pin the parallelism of a CPU-dense candidate frame BEFORE its
+    * exact-verify text joins. AQE coalesces shuffle reads by BYTES,
+    * and when the text joins broadcast (the regime every corpus
+    * below the broadcast threshold hits), the verify UDF runs at the
+    * parallelism of the candidate exchange — narrow id pairs, a few
+    * MB for ~33 µs/pair of kernel work — so byte-based coalescing
+    * starves it of cores. Measured at sf0.1 ×4 replicas: the whole
+    * t06 pipeline collapsed to 2 AQE-coalesced partitions (13.5 s,
+    * vs 3.0 s with AQE off); with this explicit exchange the same
+    * AQE-on plan runs the verify 32-wide (4.0 s end-to-end, receipt
+    * in scalecheck_r15.json). repartition(N) is REPARTITION_BY_NUM,
+    * which AQE never re-coalesces.
+    *
+    * Placement is deliberate and MEASURED (r15): pinning AFTER the
+    * joins reads better on paper (join-strategy-independent) but
+    * regresses to 13.8 s — ColumnPruning pushes the verify
+    * projection, UDF included, below a trailing round-robin
+    * repartition to shrink the shuffled rows, putting the kernel
+    * right back in the coalesced stage. Pre-join, there is nothing
+    * to push. In the sort-merge regime (texts too big to broadcast)
+    * the pin is spent, but there the join exchanges carry the text
+    * payloads, so partition BYTES track verify COST and AQE's
+    * byte-based sizing is the appropriate policy anyway.
     */
-  private def pinVerifyParallelism(paired: DataFrame): DataFrame =
-    paired.repartition(
-      paired.sparkSession.sparkContext.defaultParallelism)
+  private def pinVerifyParallelism(cand: DataFrame): DataFrame =
+    cand.repartition(
+      cand.sparkSession.sparkContext.defaultParallelism)
 
   private def verifiedJaccardPairs(cand: DataFrame, texts: DataFrame,
       minJaccard: Double): DataFrame = {
     val jacUdf = udf { (ta: String, tb: String) =>
       TextHash.stringGramJaccard(ta, tb, 5)
     }
-    pinVerifyParallelism(cand
-        .join(texts.toDF("d1", "t1"), "d1")
-        .join(texts.toDF("d2", "t2"), "d2"))
+    pinVerifyParallelism(cand)
+      .join(texts.toDF("d1", "t1"), "d1")
+      .join(texts.toDF("d2", "t2"), "d2")
       .select(col("d1"), col("d2"),
         round(jacUdf(col("t1"), col("t2")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -633,11 +638,11 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    pinVerifyParallelism(cand
-        .join(docs.withColumnRenamed("doc_id", "d1")
-          .withColumnRenamed("text", "text1"), "d1")
-        .join(docs.withColumnRenamed("doc_id", "d2")
-          .withColumnRenamed("text", "text2"), "d2"))
+    pinVerifyParallelism(cand)
+      .join(docs.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("text", "text1"), "d1")
+      .join(docs.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("text", "text2"), "d2")
       .select(col("d1"), col("d2"),
         round(jacUdf(col("text1"), col("text2")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
