@@ -10,6 +10,24 @@ import org.apache.spark.sql.SparkSession
   * construction, so timings reflect the full plan.
   */
 object Bench {
+  /** Entries whose intra-run max/min exceeds `ratio` — the
+    * warm-slower-than-cold pathology (review r15: t06 ran
+    * [2.1, 37.2, 30.2] s and stayed invisible, because min-vs-min
+    * regression flags and a slowest-8-BY-MIN spread are both blind
+    * to a blowup that spares the min). Infinite iterations (failed
+    * runs) are excluded — failure is already reported separately —
+    * and single-iteration runs have no spread to flag.
+    */
+  private[graft] def wideSpreadEntries(
+      results: Seq[(String, Seq[Double])], ratio: Double = 4.0)
+      : Seq[(String, Seq[Double], Double)] =
+    results
+      .filter { case (_, ts) =>
+        ts.size > 1 && ts.forall(!_.isInfinite) && ts.min > 0 }
+      .map { case (k, ts) => (k, ts, ts.max / ts.min) }
+      .filter(_._3 > ratio)
+      .sortBy(-_._3)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -146,6 +164,13 @@ object Bench {
     // JSON string, so unescape before the regex scan.
     val prevMins: Map[String, Double] = {
       val path = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+        // An in-progress-round record must not be its own baseline
+        // (ADVICE r15): a rerun after the driver already recorded
+        // this round's file would compare against itself (ratios ~1)
+        // and miss every regression vs the genuinely prior round.
+        // SPARK_GRAFT_BENCH_ROUND names the current round to exclude.
+        val curRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND")
+          .flatMap(r => scala.util.Try(r.toInt).toOption)
         // the bench-out dir is authoritative; the working directory
         // is only a fallback when the out dir has NO record at all —
         // merging both could silently prefer a stale cwd leftover
@@ -156,12 +181,17 @@ object Bench {
             Option(new java.io.File(d).listFiles())
               .getOrElse(Array.empty).toSeq
               .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+              .filterNot(f => curRound.contains(
+                f.getName.stripPrefix("BENCH_r")
+                  .stripSuffix(".json").toInt))
               .sortBy(_.getName.stripPrefix("BENCH_r")
                 .stripSuffix(".json").toInt)
               .lastOption.map(_.getAbsolutePath)
           }
           .collectFirst { case Some(p) => p }
       }
+      path.foreach(p =>
+        System.err.println(s"[bench] regression baseline: $p"))
       path.flatMap { p =>
         try {
           val raw = new String(java.nio.file.Files.readAllBytes(
@@ -218,12 +248,25 @@ object Bench {
     val regressedEntries = results
       .filter { case (_, ts) => !ts.min.isInfinite }
       .flatMap { case (k, ts) =>
-        prevMins.get(shortKey(k)).collect {
-          case prev if prev > 0 && ts.min > 2 * prev =>
-            (k, ts, ts.min / prev)
-        }
+        // shortKey collisions flip between prefix and full name as
+        // the query set changes across rounds (ADVICE r15) — look
+        // the prev min up under every name this query could have
+        // been recorded as, so the flag never silently disengages
+        prevMins.get(shortKey(k))
+          .orElse(prevMins.get(k))
+          .orElse(prevMins.get(k.takeWhile(_ != '_')))
+          .collect {
+            case prev if prev > 0 && ts.min > 2 * prev =>
+              (k, ts, ts.min / prev)
+          }
       }
       .sortBy(-_._3).take(12)
+    // Intra-run max/min outliers join the spread line too: a
+    // warm-slower-than-cold pathology can leave the MIN looking
+    // healthy while iterations 2..N blow up (t06 in r15) — neither
+    // the min-vs-min regression flag nor the slowest-8-by-min spread
+    // can see that shape by construction.
+    val wideEntries = wideSpreadEntries(results)
     // Iteration spreads for the slowest entries OVERALL → the stdout
     // line too (VERDICT r12 item 7, widened per r13 item 6: the
     // round-13 contention cluster hit the t-family and was only
@@ -236,7 +279,8 @@ object Bench {
     val spreadEntries = (results
       .filter { case (_, ts) => !ts.min.isInfinite }
       .sortBy { case (_, ts) => -ts.min }
-      .take(8) ++ regressedEntries.map(r => (r._1, r._2)))
+      .take(8) ++ regressedEntries.map(r => (r._1, r._2)) ++
+      wideEntries.map(r => (r._1, r._2)))
       .distinctBy(_._1)
     val spread = spreadEntries
       .map { case (k, ts) =>
@@ -248,6 +292,13 @@ object Bench {
       else regressedEntries.map { case (k, _, r) =>
         "\"" + shortKey(k) + "\":" + fmt(r, 1)
       }.mkString(""","regressed":{""", ",", "}")
+    // intra-run max/min ratios > 4× (warm-side pathologies; the
+    // spreads themselves are in the spread map above)
+    val wideJson =
+      if (wideEntries.isEmpty) ""
+      else wideEntries.take(12).map { case (k, _, r) =>
+        "\"" + shortKey(k) + "\":" + fmt(r, 1)
+      }.mkString(""","wide":{""", ",", "}")
     // Field ORDER is deliberate: the line is ~2.4k chars against the
     // launcher's 2000-char tail window, so its HEAD is truncated out
     // of the driver record — the big queries/spread maps go first
@@ -256,7 +307,7 @@ object Bench {
     // totals, failures, the regression flags, sf — sits at the END,
     // guaranteed inside the window.
     val lineShort =
-      f"""{"metric":"total","queries":$qsShort,"spread":$spread$regressedJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"value":$total%.3f,"unit":"sec","n_ok":$nOk,"sf":"$sfDir"}"""
+      f"""{"metric":"total","queries":$qsShort,"spread":$spread$regressedJson$wideJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"value":$total%.3f,"unit":"sec","n_ok":$nOk,"sf":"$sfDir"}"""
     println(lineShort)
     spark.stop()
   }

@@ -1553,12 +1553,27 @@ object EventStreams {
     * merge is already in the artifact and re-merging would
     * double-count.
     */
-  private[graft] def lastCommittedBatch(liveDir: String): Long = {
-    val f = new java.io.File(liveDir, CommitMarkerName)
-    if (f.isFile)
-      new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    else -1L
+  private[graft] def lastCommittedBatch(liveDir: String): Long =
+    readBatchMarker(new java.io.File(liveDir, CommitMarkerName))
+
+  /** Parse a single-long marker/sentinel file, −1 when absent. A
+    * corrupted file fails DIAGNOSABLY, naming the path and its
+    * content (ADVICE r15) — the same treatment [[recoverTornSwap]]
+    * gives a malformed swap manifest; an opaque
+    * NumberFormatException at loop start points at nothing.
+    */
+  private def readBatchMarker(f: java.io.File): Long = {
+    if (!f.isFile) return -1L
+    val raw = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    try raw.trim.toLong
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalStateException(
+          s"corrupted batch marker ${f.getAbsolutePath}: expected " +
+            s"a single batch id, got '${raw.take(80)}' — reconcile " +
+            "the artifact state by hand before removing the file")
+    }
   }
 
   private def writeCommitMarker(liveDir: String, batchId: Long)
@@ -1586,13 +1601,8 @@ object EventStreams {
   private[graft] val ExpectedCommitName = "_expected_commit"
 
   /** The sentinel's recorded batch, −1 when absent. */
-  private[graft] def expectedCommit(base: String): Long = {
-    val f = new java.io.File(base, ExpectedCommitName)
-    if (f.isFile)
-      new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    else -1L
-  }
+  private[graft] def expectedCommit(base: String): Long =
+    readBatchMarker(new java.io.File(base, ExpectedCommitName))
 
   private[graft] def writeExpectedCommit(base: String, batchId: Long)
       : Unit = {

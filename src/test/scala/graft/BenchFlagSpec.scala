@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's intra-run spread flag (review r15): t06 ran iterations
+  * [2.14, 37.16, 30.19] s and was invisible to BOTH existing signals
+  * — the min-vs-min regression flag (the min looked healthy) and the
+  * slowest-8-by-min spread (2.14 s never ranks). The max/min ratio is
+  * the only statistic that sees a warm-slower-than-cold shape.
+  */
+class BenchFlagSpec extends AnyFunSuite {
+
+  test("a warm-slow entry with a healthy min is flagged") {
+    val results = Seq(
+      "t06_minhash_lsh" -> Seq(2.14, 37.16, 30.19),
+      "q01_pruned_scan" -> Seq(0.20, 0.21, 0.19))
+    val flagged = Bench.wideSpreadEntries(results)
+    assert(flagged.map(_._1) === Seq("t06_minhash_lsh"))
+    assert(flagged.head._3 > 17.0 && flagged.head._3 < 17.5)
+  }
+
+  test("uniform spreads and cold-start-only entries stay unflagged") {
+    val results = Seq(
+      // normal cold-start shape: first iteration slower, under 4x
+      "a_q" -> Seq(3.0, 1.0, 1.1),
+      // uniformly shifted (a real regression, min-flag territory)
+      "b_q" -> Seq(5.0, 5.1, 4.9))
+    assert(Bench.wideSpreadEntries(results).isEmpty)
+  }
+
+  test("failed iterations and single-iteration runs are excluded") {
+    val results = Seq(
+      "failed_q" -> Seq(1.0, Double.PositiveInfinity, 1.2),
+      "single_q" -> Seq(9.0),
+      "zero_q" -> Seq(0.0, 1.0))
+    assert(Bench.wideSpreadEntries(results).isEmpty)
+  }
+
+  test("worst ratios sort first") {
+    val results = Seq(
+      "mild" -> Seq(1.0, 4.5),
+      "severe" -> Seq(1.0, 20.0))
+    assert(Bench.wideSpreadEntries(results).map(_._1) ===
+      Seq("severe", "mild"))
+  }
+}
