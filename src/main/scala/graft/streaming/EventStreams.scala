@@ -974,12 +974,13 @@ object EventStreams {
               val touched = batch.toDF()
                 .select(bktOf(col(key)).as("bkt")).distinct()
                 .collect().map(_.getInt(0)).sorted.toSeq
-              val prev =
-                if (new java.io.File(stateDir).exists())
-                  Some(pruneToPartitions(
-                    s.read.parquet(stateDir), "bkt", touched)
-                    .drop("bkt"))
-                else None
+              // snapshot-resolved read (review r15): the committed
+              // partition list, not a live listing — and within it,
+              // only the touched buckets (static partition pruning,
+              // plan-gated in PlanSpec)
+              val prev = readCommitted(s, stateDir)
+                .map(df => pruneToPartitions(df, "bkt", touched)
+                  .drop("bkt"))
               val merged = prev
                 .map(p => merge(p, agg))
                 .getOrElse(agg)
@@ -1045,8 +1046,11 @@ object EventStreams {
         Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
       } finally q.stop()
-    (states.lastOption.map(p =>
-      spark.read.parquet(p).drop("bkt")), stateRows)
+    // the final artifact read resolves through the committed
+    // snapshot too (chained-mode version dirs have none and fall
+    // back to the plain read — they are immutable once complete)
+    (states.lastOption.flatMap(p =>
+      readCommitted(spark, p).map(_.drop("bkt"))), stateRows)
     } finally writerLock.close()
   }
 
@@ -1616,6 +1620,163 @@ object EventStreams {
     ()
   }
 
+  /** Name of the committed-snapshot manifest under a swap-managed
+    * artifact: the COMMIT-time list of `partition → generation`
+    * pairs that constitutes the artifact's readable state. Readers
+    * resolve partitions from THIS file ([[readCommitted]]), never
+    * from a live directory listing — the APPLY phase of a concurrent
+    * swap mutates the tree mid-flight, and a listing-based read
+    * would see missing or mixed partitions (review r15). Written by
+    * atomic replace, so a reader sees the old or the new snapshot,
+    * never a torn one.
+    */
+  private[graft] val SnapshotName = "_snapshot"
+
+  /** Parse the committed snapshot: (batchId, partition → gen), None
+    * when the artifact predates snapshots (or is empty). Corruption
+    * fails diagnosably, like the other journal parses.
+    */
+  private[graft] def readSnapshot(liveDir: String)
+      : Option[(Long, Map[String, Long])] = {
+    val f = new java.io.File(liveDir, SnapshotName)
+    if (!f.isFile) return None
+    val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    def malformed(detail: String): Nothing =
+      throw new IllegalStateException(
+        s"corrupted snapshot ${f.getAbsolutePath}: $detail — " +
+          "reconcile the artifact by hand before removing the file")
+    if (lines.isEmpty || !lines.head.startsWith("batch="))
+      malformed("first line must be 'batch=<id>', got '" +
+        lines.headOption.getOrElse("<empty file>") + "'")
+    val batch = try lines.head.stripPrefix("batch=").toLong
+      catch { case _: NumberFormatException =>
+        malformed(s"unparseable batch line '${lines.head}'") }
+    val entries = lines.tail.filter(_.nonEmpty).map { l =>
+      val cols = l.split("\t")
+      if (cols.length != 2 || !cols(0).startsWith("part=") ||
+          !cols(1).startsWith("gen="))
+        malformed(s"unparseable entry '$l' " +
+          "(expected 'part=<name>\\tgen=<id>')")
+      val g = try cols(1).stripPrefix("gen=").toLong
+        catch { case _: NumberFormatException =>
+          malformed(s"unparseable gen in '$l'") }
+      cols(0).stripPrefix("part=") -> g
+    }.toMap
+    Some((batch, entries))
+  }
+
+  private def writeSnapshot(liveDir: String, batchId: Long,
+      entries: Map[String, Long]): Unit = {
+    val tmp = new java.io.File(liveDir, SnapshotName + ".tmp")
+    val body = (Seq(s"batch=$batchId") ++
+      entries.toSeq.sortBy(_._1).map { case (n, g) =>
+        s"part=$n\tgen=$g" }).mkString("\n")
+    java.nio.file.Files.write(tmp.toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(liveDir, SnapshotName).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** COMMIT-time snapshot edit: every touched partition leaves the
+    * old snapshot; the ones that staged a replacement re-enter at
+    * `gen`. Idempotent, so a recovery replay after a crash between
+    * the snapshot write and the manifest delete re-applies the same
+    * edits.
+    */
+  private def commitSnapshot(liveDir: String, batchId: Long,
+      touched: Seq[(String, Boolean)], gen: Long): Unit = {
+    val prev = readSnapshot(liveDir).map(_._2)
+      .getOrElse(Map.empty[String, Long])
+    val next = prev -- touched.map(_._1) ++
+      touched.collect { case (n, true) => n -> gen }
+    writeSnapshot(liveDir, batchId, next)
+  }
+
+  /** Upgrade a pre-snapshot artifact in place: loose data files
+    * under each `k=v` dir move into a `g-1` generation dir (one
+    * rename per partition — no data rewrite), and the bootstrap
+    * snapshot naming every existing partition is written. Idempotent
+    * — a crash mid-migration leaves no snapshot, so the next swap
+    * resumes it. No-op once a snapshot exists or the tree is empty.
+    */
+  private def bootstrapSnapshot(liveDir: String): Unit = {
+    val live = new java.io.File(liveDir)
+    if (new java.io.File(live, SnapshotName).isFile) return
+    val parts = Option(live.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.contains("="))
+    if (parts.isEmpty) return
+    val entries = parts.map { d =>
+      val loose = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.isDirectory)
+      if (loose.nonEmpty) {
+        val g = new java.io.File(d, "g-1")
+        java.nio.file.Files.createDirectories(g.toPath)
+        loose.foreach(f => java.nio.file.Files.move(f.toPath,
+          new java.io.File(g, f.getName).toPath))
+      }
+      val maxGen = Option(d.listFiles()).getOrElse(Array.empty)
+        .flatMap(genOf).maxOption.getOrElse(-1L)
+      d.getName -> maxGen
+    }.toMap
+    writeSnapshot(liveDir, -1L, entries)
+  }
+
+  /** Drop every generation dir the committed snapshot does not
+    * reference (grace copies kept for a prior swap's concurrent
+    * readers, orphans of removed partitions). Runs at loop start —
+    * single-writer, and any reader of a PREVIOUS run's snapshot is
+    * gone by restart. No-op for pre-snapshot artifacts.
+    */
+  private[graft] def gcUnreferencedGenerations(liveDir: String)
+      : Unit = readSnapshot(liveDir).map(_._2).foreach { snap =>
+    Option(new java.io.File(liveDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.contains("="))
+      .foreach { d =>
+        snap.get(d.getName) match {
+          case None => deleteRecursively(d)
+          case Some(g) =>
+            Option(d.listFiles()).getOrElse(Array.empty)
+              .foreach(f =>
+                if (genOf(f).exists(_ != g)) deleteRecursively(f))
+        }
+      }
+  }
+
+  /** Reader-side snapshot isolation (review r15): resolve a
+    * swap-managed artifact's partitions from its last COMMITTED
+    * snapshot — exact `k=v/g<gen>` leaf dirs, `basePath`-anchored so
+    * the partition column still infers — instead of listing the live
+    * tree. A swap's APPLY never deletes a committed snapshot's
+    * generations, so a read planned from this resolver mid-APPLY
+    * scans exactly the pre-swap artifact; after COMMIT the next
+    * resolve sees the new version. The grace window is one further
+    * swap of the same partition (then the superseded generation is
+    * collected), which at one swap per micro-batch is far beyond any
+    * scan's lifetime. None when the artifact does not exist or its
+    * committed snapshot is empty; an artifact without a snapshot (a
+    * chained-mode version dir, a plain parquet table) falls back to
+    * the ordinary listing read — those are immutable once written,
+    * so isolation is moot.
+    */
+  private[graft] def readCommitted(spark: SparkSession,
+      liveDir: String): Option[DataFrame] = {
+    if (!new java.io.File(liveDir).exists()) return None
+    readSnapshot(liveDir) match {
+      case None => Some(spark.read.parquet(liveDir))
+      case Some((_, entries)) if entries.isEmpty => None
+      case Some((_, entries)) =>
+        val leafs = entries.toSeq.sortBy(_._1)
+          .map { case (n, g) => s"$liveDir/$n/g$g" }
+        Some(spark.read.option("basePath", liveDir)
+          .parquet(leafs: _*))
+    }
+  }
+
   /** Driver-side partition-swap commit for the bucket/cell-partitioned
     * artifact loops: replace the live version of every TOUCHED
     * `<col>=<v>` partition with its staged counterpart, journaled so
@@ -1664,6 +1825,20 @@ object EventStreams {
       onPartitionApplied: String => Unit = _ => ()): Unit = {
     val live = new java.io.File(liveDir)
     java.nio.file.Files.createDirectories(live.toPath)
+    // upgrade path: a pre-snapshot artifact (loose files directly
+    // under its k=v dirs, no _snapshot) is migrated in place and its
+    // bootstrap snapshot written BEFORE the journal — otherwise the
+    // COMMIT's snapshot edit would start from empty and silently
+    // drop every untouched partition from the committed view
+    bootstrapSnapshot(liveDir)
+    val committed = readSnapshot(liveDir).map(_._2)
+      .getOrElse(Map.empty[String, Long])
+    // the incoming generation id: the batchId when streaming
+    // (strictly growing — the batch-0 guard and the replay skip
+    // enforce it), else one past the committed max (legacy callers)
+    val gen =
+      if (batchId >= 0L) batchId
+      else committed.values.maxOption.getOrElse(-1L) + 1L
     val staged = Option(new java.io.File(stageDir).listFiles())
       .getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.contains("="))
@@ -1672,7 +1847,8 @@ object EventStreams {
     // PREPARE: journal the commit's full intent before any mutation
     val manifest = new java.io.File(live, SwapManifestName)
     val tmp = new java.io.File(live, SwapManifestName + ".tmp")
-    val body = (Seq(s"stage=$stageDir", s"batch=$batchId") ++
+    val body = (Seq(s"stage=$stageDir", s"batch=$batchId",
+      s"gen=$gen") ++
       all.map { n =>
         val hasStage = new java.io.File(stageDir, n).isDirectory
         // staged=0: touched but nothing staged — a bare delete
@@ -1683,30 +1859,58 @@ object EventStreams {
     java.nio.file.Files.move(tmp.toPath, manifest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // APPLY
+    // APPLY — never touches the generation the committed snapshot
+    // references, so a reader that resolved the snapshot before (or
+    // during) this loop keeps reading the pre-swap artifact
     all.foreach { n =>
-      applyPartitionSwap(stageDir, liveDir, n)
+      applyPartitionSwap(stageDir, liveDir, n, gen, committed.get(n))
       onPartitionApplied(n)
     }
     // COMMIT
     if (batchId >= 0L) writeCommitMarker(liveDir, batchId)
+    commitSnapshot(liveDir, batchId, all.map(n =>
+      n -> new java.io.File(liveDir, s"$n/g$gen").isDirectory), gen)
     java.nio.file.Files.deleteIfExists(manifest.toPath)
     deleteRecursively(new java.io.File(stageDir))
   }
 
-  /** One idempotent partition apply: drop the live version, move the
-    * staged version in if one exists.
+  /** One idempotent partition apply, snapshot-isolated: stale
+    * generations are dropped EXCEPT the one the committed snapshot
+    * still references (`keep` — the pre-swap version a concurrent
+    * reader may be scanning), then the staged version moves in as
+    * `g<gen>` if one exists. The kept generation becomes garbage at
+    * COMMIT and is collected at this partition's NEXT swap (or at
+    * loop start) — so a reader's grace window on a pre-swap snapshot
+    * is one full swap of that partition, not zero.
     */
   private def applyPartitionSwap(stageDir: String, liveDir: String,
-      name: String): Unit = {
+      name: String, gen: Long, keep: Option[Long]): Unit = {
     val src = new java.io.File(stageDir, name)
     val dst = new java.io.File(liveDir, name)
-    deleteRecursively(dst)
+    if (dst.isDirectory)
+      Option(dst.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val g = genOf(f)
+        if (!g.exists(v => keep.contains(v) || v == gen))
+          deleteRecursively(f)
+      }
     if (src.isDirectory) {
-      java.nio.file.Files.move(src.toPath, dst.toPath)
+      val target = new java.io.File(dst, s"g$gen")
+      // a replayed apply whose move never completed may still find a
+      // partial target from some earlier defensive path — the atomic
+      // move below would fail into it, so clear it first
+      if (target.isDirectory) deleteRecursively(target)
+      java.nio.file.Files.createDirectories(dst.toPath)
+      java.nio.file.Files.move(src.toPath, target.toPath)
       ()
     }
   }
+
+  /** Generation id of a `g<N>` dir, None for anything else (loose
+    * data files, metadata). */
+  private def genOf(f: java.io.File): Option[Long] =
+    if (f.isDirectory && f.getName.startsWith("g"))
+      scala.util.Try(f.getName.stripPrefix("g").toLong).toOption
+    else None
 
   /** Detect and repair a torn [[swapPartitionDirs]] commit. Run at
     * loop start, BEFORE staging anything new at the artifact's stage
@@ -1725,6 +1929,9 @@ object EventStreams {
     val manifest = new java.io.File(live, SwapManifestName)
     if (!manifest.isFile) {
       deleteRecursively(new java.io.File(stageDirFor(liveDir)))
+      // loop-start garbage collection: the grace generations kept
+      // for the PREVIOUS run's concurrent readers are dead now
+      gcUnreferencedGenerations(liveDir)
       return
     }
     val lines = new String(
@@ -1748,16 +1955,20 @@ object EventStreams {
       malformed("first line must be 'stage=<dir>', got '" +
         lines.headOption.getOrElse("<empty file>") + "'")
     val stageDir = lines.head.stripPrefix("stage=")
-    val batchId = lines
-      .find(_.startsWith("batch=")).map { l =>
-        val v = l.stripPrefix("batch=")
+    def longLine(prefix: String): Option[Long] = lines
+      .find(_.startsWith(prefix)).map { l =>
+        val v = l.stripPrefix(prefix)
         try v.toLong
         catch {
           case _: NumberFormatException =>
-            malformed(s"unparseable batch line '$l'")
+            malformed(s"unparseable line '$l'")
         }
       }
-      .getOrElse(-1L)
+    val batchId = longLine("batch=").getOrElse(-1L)
+    // gen= is absent only in a pre-snapshot-era manifest; its applies
+    // were in-place (no generations), so max(batchId, 0) reproduces a
+    // unique-enough generation for the replay
+    val gen = longLine("gen=").getOrElse(math.max(batchId, 0L))
     val parts = lines.filter(_.startsWith("part=")).map { l =>
       val cols = l.split("\t")
       if (cols.length < 2 || !cols(1).startsWith("staged=") ||
@@ -1767,12 +1978,19 @@ object EventStreams {
       (cols(0).stripPrefix("part="),
         cols(1).stripPrefix("staged=") == "1")
     }
+    // the snapshot on disk is the pre-swap one (crash before the
+    // COMMIT's snapshot write) or already the new one (crash after) —
+    // either way its referenced generations are exactly the ones a
+    // reader may hold, so `keep` derives from it identically
+    val committed = readSnapshot(liveDir).map(_._2)
+      .getOrElse(Map.empty[String, Long])
     parts.foreach { case (name, hasStage) =>
       val src = new java.io.File(stageDir, name)
       if (src.isDirectory || !hasStage)
         // not yet applied (staged dir still present), or a bare
         // delete — replaying delete(+move) is idempotent either way
-        applyPartitionSwap(stageDir, liveDir, name)
+        applyPartitionSwap(stageDir, liveDir, name, gen,
+          committed.get(name))
       // else: staged dir consumed → the atomic move completed and
       // the live dir already IS the new version — keep it
     }
@@ -1780,8 +1998,11 @@ object EventStreams {
     // replay this batch (its checkpoint commit never happened), and
     // the marker is what turns that replay into a no-op
     if (batchId >= 0L) writeCommitMarker(liveDir, batchId)
+    commitSnapshot(liveDir, batchId, parts.map { case (n, _) =>
+      n -> new java.io.File(liveDir, s"$n/g$gen").isDirectory }, gen)
     java.nio.file.Files.deleteIfExists(manifest.toPath)
     deleteRecursively(new java.io.File(stageDir))
+    gcUnreferencedGenerations(liveDir)
   }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {

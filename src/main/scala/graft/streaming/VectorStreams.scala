@@ -289,12 +289,11 @@ object VectorStreams {
             def pruneTouched(df: DataFrame): DataFrame =
               EventStreams.pruneToPartitions(df, "cell", touched)
             // accumulated store: ONE append-mode cell-partitioned
-            // dataset; the join needs only the touched cells
-            val store =
-              if (new java.io.File(asgPath).exists())
-                Some(pruneTouched(s.read.parquet(asgPath))
-                  .select(col("vec_id"), col("qv"), col("cell")))
-              else None
+            // dataset; the join needs only the touched cells,
+            // resolved through the committed snapshot (review r15)
+            val store = EventStreams.readCommitted(s, asgPath)
+              .map(df => pruneTouched(df)
+                .select(col("vec_id"), col("qv"), col("cell")))
             def edges(a: DataFrame, b: DataFrame): DataFrame =
               a.select(col("cell"), col("vec_id"), col("qv").as("x1"))
                 .join(b.select(col("cell"),
@@ -310,13 +309,12 @@ object VectorStreams {
                   .unionByName(edges(st, asgB))
               case None => edges(asgB, asgB)
             }
-            // prior graph slice: ONLY the touched-cell partitions
-            val prev =
-              if (new java.io.File(gPath).exists())
-                Some(pruneTouched(s.read.parquet(gPath))
-                  .select(col("cell"), col("vec_id"),
-                    col("neighbor_id"), col("d2")))
-              else None
+            // prior graph slice: ONLY the touched-cell partitions,
+            // snapshot-resolved
+            val prev = EventStreams.readCommitted(s, gPath)
+              .map(df => pruneTouched(df)
+                .select(col("cell"), col("vec_id"),
+                  col("neighbor_id"), col("d2")))
             // probe-only READ-side counters (r13 item 2): partitions
             // the pruned prior-graph scan SELECTS (driver listing
             // with the partition filters applied — no job) vs how
@@ -397,11 +395,14 @@ object VectorStreams {
             // misreporting the incremental shape to ScaleCheck
             // (review r14/r15).
             if (collectStats && graphSwapRan && storeSwapRan) {
+              // both swaps just committed, so the snapshot exists
+              val committedGraph = EventStreams
+                .readCommitted(s, gPath).get
               stats += KnnBatchStat(batchId, touched.length,
-                s.read.parquet(gPath)
+                committedGraph
                   .filter(col("cell").isin(touched: _*))
                   .count(),
-                s.read.parquet(gPath).count(),
+                committedGraph.count(),
                 partsRead, partsTotal)
             }
             asgB.unpersist()
@@ -418,7 +419,9 @@ object VectorStreams {
         } finally q.stop()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("d2"), col("neighbor_id"))
-      val fin = spark.read.parquet(gPath)
+      val fin = EventStreams.readCommitted(spark, gPath)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed kNN graph artifact at $gPath"))
         .withColumn("rank", row_number().over(w))
         .select("vec_id", "rank", "neighbor_id", "d2")
         .orderBy("vec_id", "rank")

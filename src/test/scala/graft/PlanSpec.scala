@@ -1066,6 +1066,35 @@ class PlanSpec extends SparkSpec {
       val none = graft.streaming.EventStreams.pruneToPartitions(
         spark.read.parquet(art), "bkt", Seq.empty)
       assert(none.count() === 0L)
+      // the SNAPSHOT-resolved read (review r15: readers resolve the
+      // committed generation leaf dirs, not the live listing) must
+      // keep the same static pruning: swap one bucket — the artifact
+      // now carries a _snapshot and generation dirs — and the pruned
+      // committed read still selects only the touched partitions
+      val stage = graft.streaming.EventStreams.stageDirFor(art)
+      Seq((9999L, 3)).toDF("k", "bkt")
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(stage)
+      graft.streaming.EventStreams.swapPartitionDirs(stage, art,
+        Seq("bkt=3"), batchId = 0L)
+      val snapPruned = graft.streaming.EventStreams.pruneToPartitions(
+        graft.streaming.EventStreams.readCommitted(spark, art).get,
+        "bkt", touched)
+      snapPruned.write.format("noop").mode("overwrite").save()
+      val innerSnap = snapPruned.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val snapCount = innerSnap.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+      assert(snapCount.contains(touched.size),
+        s"snapshot-resolved read must still prune to " +
+          s"${touched.size} of 16 partitions, got $snapCount")
+      assert(snapPruned.filter(col("bkt") === 3).count() === 1L,
+        "the committed read must serve the swapped generation")
     } finally
       graft.streaming.EventStreams.deleteRecursively(dir)
   }

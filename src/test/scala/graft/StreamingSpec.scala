@@ -822,13 +822,31 @@ class StreamingSpec extends SparkSpec {
         .write.partitionBy("bkt").parquet(stage)
       EventStreams.swapPartitionDirs(stage, live,
         Seq("bkt=0", "bkt=1", "bkt=2"))
-      val got = spark.read.parquet(live)
+      val got = EventStreams.readCommitted(spark, live).get
         .select("k").as[Long].collect().sorted.toSeq
       assert(got === Seq(20L, 21L),
-        "stale bkt=2 must be deleted even with nothing staged")
+        "stale bkt=2 must leave the committed view even with " +
+          "nothing staged")
       assert(!new java.io.File(stage).exists(), "stage dir committed")
       assert(!new java.io.File(live,
         EventStreams.SwapManifestName).exists(), "manifest committed")
+      // reader snapshot isolation (review r15): the PRE-swap
+      // generations survive the swap as the grace copies a reader
+      // that resolved the old snapshot may still be scanning — only
+      // the snapshot stops referencing them...
+      assert(new java.io.File(live, "bkt=2").isDirectory,
+        "the evicted partition's grace generation must survive " +
+          "the swap itself")
+      val snap = EventStreams.readSnapshot(live).get._2
+      assert(snap.keySet === Set("bkt=0", "bkt=1"),
+        s"committed snapshot must drop the evicted partition: $snap")
+      // ...and loop-start GC collects them
+      EventStreams.gcUnreferencedGenerations(live)
+      assert(!new java.io.File(live, "bkt=2").exists(),
+        "GC must collect the evicted partition")
+      assert(EventStreams.readCommitted(spark, live).get
+        .select("k").as[Long].collect().sorted.toSeq ===
+        Seq(20L, 21L), "GC must not touch the committed view")
     } finally EventStreams.deleteRecursively(dir)
   }
 
@@ -861,21 +879,37 @@ class StreamingSpec extends SparkSpec {
       assert(new java.io.File(live,
         EventStreams.SwapManifestName).isFile,
         "manifest must survive a mid-apply crash")
+      // reader snapshot isolation (review r15): with the artifact
+      // torn mid-APPLY — bkt=0 and bkt=1 already replaced on disk,
+      // bkt=2's eviction pending — a committed read still returns
+      // EXACTLY the pre-swap artifact, because APPLY never touches
+      // the generations the committed snapshot references
+      assert(EventStreams.readCommitted(spark, live).get
+        .select("k").as[Long].collect().sorted.toSeq ===
+        Seq(10L, 11L, 12L),
+        "a reader mid-APPLY must see the pre-swap snapshot")
       // loop start heals it: replay is idempotent per partition
       EventStreams.recoverTornSwap(live)
-      val got = spark.read.parquet(live)
+      val got = EventStreams.readCommitted(spark, live).get
         .select("k").as[Long].collect().sorted.toSeq
       assert(got === Seq(20L, 21L),
         "recovery must complete the commit (new versions + eviction)")
       assert(!new java.io.File(stage).exists())
       assert(!new java.io.File(live,
         EventStreams.SwapManifestName).exists())
+      // recovery ends with GC, so the live tree and the committed
+      // view coincide again: a plain listing read agrees
+      assert(spark.read.parquet(live)
+        .select("k").as[Long].collect().sorted.toSeq ===
+        Seq(20L, 21L),
+        "post-GC the live tree holds only committed generations")
       // recovery is also safe when nothing is torn, and clears a
       // stray stage leftover from a crash between COMMIT's deletes
       new java.io.File(stage).mkdirs()
       EventStreams.recoverTornSwap(live)
       assert(!new java.io.File(stage).exists())
-      assert(spark.read.parquet(live).count() === 2L)
+      assert(EventStreams.readCommitted(spark, live).get
+        .count() === 2L)
     } finally EventStreams.deleteRecursively(dir)
   }
 
@@ -946,6 +980,74 @@ class StreamingSpec extends SparkSpec {
       val want = (0L until 8L).map(k => (k, 40 * k + 10))
       assert(got === want,
         "replayed batch must contribute exactly once")
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
+  test("merge-loop reader snapshot isolation: a committed read " +
+      "CONCURRENT with a swap's APPLY phase returns exactly the " +
+      "pre-swap artifact; the post-commit read returns the new " +
+      "version (VERDICT r15 item 2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-snap-iso").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val srcDir = s"$base/incoming"
+      new java.io.File(srcDir).mkdirs()
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType)))
+      // 3 batches over the same 8 keys → 4 buckets, every batch
+      // touches all of them, so every swap REPLACES partitions a
+      // concurrent reader could be scanning
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      (0 until 3).foreach { i =>
+        val stage = s"$base/in$i"
+        (0L until 8L).map(k => (k, k * 10 + i + 1)).toDF("k", "v")
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(sum("v").as("v"))
+      def merge(p: DataFrame, a: DataFrame): DataFrame =
+        agg(p.unionByName(a))
+      // cumulative per-key sum through batch j: (j+1)*10k + Σ(1..j+1)
+      def through(j: Int): Seq[(Long, Long)] =
+        (0L until 8L).map(k =>
+          (k, (j + 1) * 10 * k + (j + 1).toLong * (j + 2) / 2))
+      val midReads =
+        scala.collection.mutable.ListBuffer[(Long, Seq[(Long, Long)])]()
+      val (artifact, _) = EventStreams.runArtifactMergeLoop(spark,
+        base, srcDir, schema, bucketKey = Some("k"), nBuckets = 4,
+        // the hook runs BETWEEN partition applies — the live tree is
+        // half old, half new at this instant, exactly the state a
+        // listing-based reader would see torn
+        onSwapApply = (bid, part) =>
+          if (bid >= 1L && part == "bkt=1") {
+            val got = EventStreams
+              .readCommitted(spark, s"$base/state").get
+              .select("k", "v").orderBy("k")
+              .as[(Long, Long)].collect().toSeq
+            midReads += bid -> got
+          })(agg, merge)
+      assert(midReads.map(_._1) === Seq(1L, 2L),
+        "the probe must have read mid-APPLY of batches 1 and 2")
+      midReads.foreach { case (bid, got) =>
+        assert(got === through(bid.toInt - 1),
+          s"mid-APPLY of batch $bid: the committed read must be " +
+            "EXACTLY the artifact through batch " + (bid - 1))
+      }
+      assert(artifact.get.orderBy("k").as[(Long, Long)]
+        .collect().toSeq === through(2),
+        "the post-loop read must be the fully merged artifact")
     } finally EventStreams.deleteRecursively(dir)
   }
 
@@ -1278,12 +1380,24 @@ class StreamingSpec extends SparkSpec {
       put(new java.io.File(stage, "bkt=1/d.parquet"), "new1")
       live.getAbsolutePath
     }
+    // resolve a partition's data file the way a reader does: through
+    // the committed snapshot's generation entry
+    def committedFile(live: String, part: String): java.io.File = {
+      val gen = EventStreams.readSnapshot(live)
+        .flatMap(_._2.get(part))
+        .getOrElse(fail(s"$part missing from the snapshot of $live"))
+      new java.io.File(live, s"$part/g$gen/d.parquet")
+    }
     def assertCommitted(live: String, label: String): Unit = {
-      assert(read(new java.io.File(live, "bkt=0/d.parquet")) == "new0"
-          && read(new java.io.File(live, "bkt=1/d.parquet")) == "new1",
+      assert(read(committedFile(live, "bkt=0")) == "new0"
+          && read(committedFile(live, "bkt=1")) == "new1",
         s"$label: replaced partitions must hold the new version")
+      assert(!EventStreams.readSnapshot(live).get._2
+        .contains("bkt=2"),
+        s"$label: the evicted partition must leave the snapshot")
       assert(!new java.io.File(live, "bkt=2").exists(),
-        s"$label: the evicted partition must be gone")
+        s"$label: the evicted partition must be gone after " +
+          "recovery's GC")
       assert(EventStreams.lastCommittedBatch(live) === 7L,
         s"$label: the marker must record the swapped batch")
       assert(!new java.io.File(live,
