@@ -207,6 +207,83 @@ object ScaleCheck {
       println(
         s"""{"probe":"knn_graph_incr","batches":${stats.length},"touched_cells":[${tc.mkString(",")}],"rewritten_rows":[${rw.mkString(",")}],"graph_rows_total":[${tot.mkString(",")}],"partitions_read":[${pr.mkString(",")}],"partitions_total":[${pt.mkString(",")}]}""")
     }
+    // claim 6: t47's fuzzy entity resolution under a ZIPFIAN prefix
+    // distribution (review r15): 30% of registry names share one hot
+    // 3-char block — the reference's analogue is utility names all
+    // starting "Alaska …". With flat prefix blocking the hot block is
+    // ONE shuffle key whose refinement runs single-task and quadratic
+    // in the block size; the composite (block, length-band) key
+    // splits it across the corpus's length spread. Both variants must
+    // return identical matches (the band can never prune a ≤2 pair).
+    locally {
+      val fks = sys.env.getOrElse("SPARK_GRAFT_FUZZY_KS", "1,2,4")
+        .split(",").map(_.trim.toInt).toSeq
+      def fuzzyReg(k: Int): DataFrame = {
+        val keys = (0 until k).map(r =>
+          Tables.documents(spark, sfDir)
+            .select((col("doc_id") + lit(r * 10000000L)).as("k")))
+          .reduce(_ unionByName _)
+        val reg = TextOps.fuzzyRegistryOf(keys)
+        // 30% of names into one hot prefix; their tails keep the
+        // registry's natural length spread, as real corpora do
+        reg.select(col("k"),
+          when(pmod(col("k"), lit(10)) < 3,
+            concat(lit("zzz"), col("name")))
+            .otherwise(col("name")).as("name"),
+          col("wlen"))
+      }
+      // warmup: JIT both join shapes once
+      locally {
+        val r0 = fuzzyReg(1).limit(300).persist()
+        r0.count()
+        val d0 = TextOps.fuzzyDirtyOf(r0)
+        TextOps.fuzzyResolveOf(r0, d0).count()
+        TextOps.fuzzyResolveOf(r0, d0, lengthBand = false).count()
+        r0.unpersist()
+        ()
+      }
+      fks.foreach { k =>
+        val reg = fuzzyReg(k)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .persist()
+        val nNames = reg.count()
+        val dirty = TextOps.fuzzyDirtyOf(reg).persist()
+        dirty.count()
+        val (mBand, tBand) = timed {
+          TextOps.fuzzyResolveOf(reg, dirty).count()
+        }
+        val (mFlat, tFlat) = timed {
+          TextOps.fuzzyResolveOf(reg, dirty, lengthBand = false)
+            .count()
+        }
+        // the DEPLOYMENT regime: a registry too large to broadcast
+        // joins sort-merge/shuffled-hash — there the flat form's hot
+        // prefix is a single shuffle key (one task, quadratic in the
+        // block), while the composite key splits it across the
+        // length spread. At probe sizes the broadcast regime above
+        // keeps even the flat form parallel, so the skew cost only
+        // shows once broadcast is off.
+        val bcast = spark.conf.get(
+          "spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val (mBandS, tBandS) = timed {
+          TextOps.fuzzyResolveOf(reg, dirty).count()
+        }
+        val (mFlatS, tFlatS) = timed {
+          TextOps.fuzzyResolveOf(reg, dirty, lengthBand = false)
+            .count()
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        assert(mBand == mFlat && mBandS == mBand && mFlatS == mBand,
+          s"banded/flat outputs diverged: $mBand $mFlat $mBandS " +
+            s"$mFlatS")
+        println(
+          f"""{"probe":"fuzzy_skew","k":$k,"n_names":$nNames,"hot_frac":0.3,"matches":$mBand,"sec_banded_bcast":$tBand%.2f,"sec_flat_bcast":$tFlat%.2f,"sec_banded_smj":$tBandS%.2f,"sec_flat_smj":$tFlatS%.2f}""")
+        reg.unpersist()
+        dirty.unpersist()
+        ()
+      }
+    }
     spark.stop()
   }
 }

@@ -3118,9 +3118,30 @@ object TextOps {
     * two bounded-block equi-joins that shuffle on the block keys —
     * never the all-pairs cross join — and the quadratic refinement
     * runs only inside candidate pairs.
+    *
+    * HOT-BLOCK SKEW (review r15): real name corpora are zipfian on
+    * prefixes (the reference's analogue: utility names all starting
+    * "Alaska …"), and with `lengthBand = false` a hot 3-char block
+    * is ONE shuffle key — its refinement runs single-task and
+    * quadratic in the block size. The default composite block key
+    * (prefix, length) splits it: |len(a) − len(b)| ≤ distance, so a
+    * dirty name need only meet clean names within ±2 of its length
+    * — the dirty side replicates across the 5 length deltas (cheap:
+    * it is the smaller batch side at scale) and the join shuffles
+    * on BOTH key parts, turning one hot key into one per (prefix,
+    * length) with strictly fewer in-block pairs. Recall is
+    * unchanged — a pruned pair can never pass the ≤2 threshold.
+    * Residual escalation, if a corpus concentrates one prefix AND
+    * one length (not yet needed, documented for the deploy case):
+    * lengthen the hot block's keys adaptively — pre4/suf4 keep the
+    * two-pass recall argument (one edit cannot break both) for any
+    * name of length ≥ 8 — or salt the clean side of the hot block
+    * and replicate its dirty probes across salts. ScaleCheck's
+    * fuzzy_skew probe measures the banded-vs-flat gap on a 30%-hot
+    * registry (receipt: scalecheck_r16.json).
     */
   private[graft] def fuzzyResolveOf(clean: DataFrame,
-      dirty: DataFrame): DataFrame = {
+      dirty: DataFrame, lengthBand: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = clean.select(col("k").as("clean_id"),
       col("name").as("clean_name"),
@@ -3130,13 +3151,21 @@ object TextOps {
       substring(col("dirty_name"), 1, 3).as("pre"),
       col("dirty_name").substr(length(col("dirty_name")) - 2, lit(3))
         .as("suf"))
-    val cand = dd.select("dirty_id", "dirty_name", "pre")
-      .join(c.select("clean_id", "clean_name", "pre"), "pre")
-      .select("dirty_id", "dirty_name", "clean_id", "clean_name")
-      .unionByName(dd.select("dirty_id", "dirty_name", "suf")
-        .join(c.select("clean_id", "clean_name", "suf"), "suf")
-        .select("dirty_id", "dirty_name", "clean_id", "clean_name"))
-      .distinct()
+    def pass(key: String): DataFrame =
+      if (!lengthBand)
+        dd.select("dirty_id", "dirty_name", key)
+          .join(c.select("clean_id", "clean_name", key), key)
+          .select("dirty_id", "dirty_name", "clean_id", "clean_name")
+      else
+        dd.select(col("dirty_id"), col("dirty_name"), col(key),
+            explode(array((-2 to 2).map(lit(_)): _*)).as("delta"))
+          .withColumn("blen",
+            (length(col("dirty_name")) + col("delta")).cast("int"))
+          .join(c.select(col("clean_id"), col("clean_name"), col(key),
+            length(col("clean_name")).cast("int").as("blen")),
+            Seq(key, "blen"))
+          .select("dirty_id", "dirty_name", "clean_id", "clean_name")
+    val cand = pass("pre").unionByName(pass("suf")).distinct()
     cand
       .withColumn("n_candidates",
         count(lit(1)).over(Window.partitionBy("dirty_id"))
@@ -3349,10 +3378,14 @@ object TextOps {
            |    SELECT d.dirty_id, d.dirty_name, c.clean_id,
            |      c.clean_name
            |    FROM d JOIN c ON d.pre = c.pre
+           |      AND abs(length(d.dirty_name) -
+           |        length(c.clean_name)) <= 2
            |    UNION ALL
            |    SELECT d.dirty_id, d.dirty_name, c.clean_id,
            |      c.clean_name
-           |    FROM d JOIN c ON d.suf = c.suf)),
+           |    FROM d JOIN c ON d.suf = c.suf
+           |      AND abs(length(d.dirty_name) -
+           |        length(c.clean_name)) <= 2)),
            |sc AS (
            |  SELECT dirty_id, clean_id,
            |    CAST(levenshtein(dirty_name, clean_name) AS INT)

@@ -86,6 +86,12 @@ class PlanSpec extends SparkSpec {
     // the dirty_id exchange
     assert(p.contains("WindowGroupLimit"),
       s"best-match top-1 not partially evaluated:\n$p")
+    // hot-block skew defense (review r15): the candidate joins must
+    // key on the COMPOSITE (block, length-band) — length as a mere
+    // post-join filter would leave a zipfian-hot prefix on a single
+    // shuffle key, single-task and quadratic in the block size
+    assert(p.contains("blen"),
+      s"length band missing from the candidate join keys:\n$p")
   }
 
   test("v13: integer LSH candidates come from the bucket equi-join — " +
