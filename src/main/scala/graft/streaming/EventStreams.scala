@@ -1632,13 +1632,31 @@ object EventStreams {
     */
   private[graft] val SnapshotName = "_snapshot"
 
+  /** Prefix of the retained snapshot HISTORY files
+    * (`_snapshot_v<batchId>`): each streaming commit also records
+    * its snapshot under its batch id, and the last
+    * [[SnapshotHistoryRetention]] + 1 of them stay readable — the
+    * bounded time-travel window [[readCommittedAsOf]] serves, with
+    * generation retention keyed to it (the same property a table
+    * format's snapshot-expiry policy gives). Pruned at COMMIT, so
+    * storage stays ≤ retention + 2 generations per partition.
+    */
+  private[graft] val SnapshotHistoryPrefix = "_snapshot_v"
+
+  /** How many SUPERSEDED snapshot versions stay readable (the
+    * current one is always readable). */
+  private[graft] val SnapshotHistoryRetention = 2
+
   /** Parse the committed snapshot: (batchId, partition → gen), None
     * when the artifact predates snapshots (or is empty). Corruption
     * fails diagnosably, like the other journal parses.
     */
   private[graft] def readSnapshot(liveDir: String)
+      : Option[(Long, Map[String, Long])] =
+    parseSnapshotFile(new java.io.File(liveDir, SnapshotName))
+
+  private def parseSnapshotFile(f: java.io.File)
       : Option[(Long, Map[String, Long])] = {
-    val f = new java.io.File(liveDir, SnapshotName)
     if (!f.isFile) return None
     val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
@@ -1666,26 +1684,59 @@ object EventStreams {
     Some((batch, entries))
   }
 
-  private def writeSnapshot(liveDir: String, batchId: Long,
+  private def writeSnapshotFile(target: java.io.File, batchId: Long,
       entries: Map[String, Long]): Unit = {
-    val tmp = new java.io.File(liveDir, SnapshotName + ".tmp")
+    val tmp = new java.io.File(target.getParentFile,
+      target.getName + ".tmp")
     val body = (Seq(s"batch=$batchId") ++
       entries.toSeq.sortBy(_._1).map { case (n, g) =>
         s"part=$n\tgen=$g" }).mkString("\n")
     java.nio.file.Files.write(tmp.toPath,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(liveDir, SnapshotName).toPath,
+    java.nio.file.Files.move(tmp.toPath, target.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
+  private def writeSnapshot(liveDir: String, batchId: Long,
+      entries: Map[String, Long]): Unit =
+    writeSnapshotFile(new java.io.File(liveDir, SnapshotName),
+      batchId, entries)
+
+  /** The retained history files, ascending by batch id. */
+  private def snapshotHistoryFiles(liveDir: String)
+      : Seq[(Long, java.io.File)] =
+    Option(new java.io.File(liveDir).listFiles())
+      .getOrElse(Array.empty)
+      .flatMap { f =>
+        if (f.isFile && f.getName.startsWith(SnapshotHistoryPrefix))
+          scala.util.Try(f.getName
+            .stripPrefix(SnapshotHistoryPrefix).toLong).toOption
+            .map(_ -> f)
+        else None
+      }.sortBy(_._1).toSeq
+
+  /** Every generation any RETAINED snapshot (current + history)
+    * still references, per partition — the set APPLY and GC must
+    * leave on disk for concurrent and time-travel readers.
+    */
+  private def retainedGenerations(liveDir: String)
+      : Map[String, Set[Long]] = {
+    val all = readSnapshot(liveDir).map(_._2).toSeq ++
+      snapshotHistoryFiles(liveDir)
+        .flatMap(h => parseSnapshotFile(h._2)).map(_._2)
+    all.flatten.groupBy(_._1)
+      .map { case (n, gs) => n -> gs.map(_._2).toSet }
+  }
+
   /** COMMIT-time snapshot edit: every touched partition leaves the
     * old snapshot; the ones that staged a replacement re-enter at
-    * `gen`. Idempotent, so a recovery replay after a crash between
-    * the snapshot write and the manifest delete re-applies the same
-    * edits.
+    * `gen`. Streaming commits (batchId ≥ 0) also record the new
+    * snapshot under `_snapshot_v<batchId>` and prune history beyond
+    * the retention window. Idempotent, so a recovery replay after a
+    * crash between the snapshot write and the manifest delete
+    * re-applies the same edits.
     */
   private def commitSnapshot(liveDir: String, batchId: Long,
       touched: Seq[(String, Boolean)], gen: Long): Unit = {
@@ -1694,6 +1745,13 @@ object EventStreams {
     val next = prev -- touched.map(_._1) ++
       touched.collect { case (n, true) => n -> gen }
     writeSnapshot(liveDir, batchId, next)
+    if (batchId >= 0L) {
+      writeSnapshotFile(new java.io.File(liveDir,
+        s"$SnapshotHistoryPrefix$batchId"), batchId, next)
+      snapshotHistoryFiles(liveDir)
+        .dropRight(SnapshotHistoryRetention + 1)
+        .foreach(h => java.nio.file.Files.deleteIfExists(h._2.toPath))
+    }
   }
 
   /** Upgrade a pre-snapshot artifact in place: loose data files
@@ -1725,24 +1783,27 @@ object EventStreams {
     writeSnapshot(liveDir, -1L, entries)
   }
 
-  /** Drop every generation dir the committed snapshot does not
-    * reference (grace copies kept for a prior swap's concurrent
-    * readers, orphans of removed partitions). Runs at loop start —
-    * single-writer, and any reader of a PREVIOUS run's snapshot is
-    * gone by restart. No-op for pre-snapshot artifacts.
+  /** Drop every generation dir no RETAINED snapshot (current or
+    * history) references — grace copies whose snapshots expired,
+    * orphans of removed partitions. Runs at loop start —
+    * single-writer, and any reader of an UNRETAINED prior snapshot
+    * is gone by restart (retained ones stay servable across
+    * restarts). No-op for pre-snapshot artifacts.
     */
   private[graft] def gcUnreferencedGenerations(liveDir: String)
-      : Unit = readSnapshot(liveDir).map(_._2).foreach { snap =>
+      : Unit = readSnapshot(liveDir).foreach { _ =>
+    val retained = retainedGenerations(liveDir)
     Option(new java.io.File(liveDir).listFiles())
       .getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.contains("="))
       .foreach { d =>
-        snap.get(d.getName) match {
+        retained.get(d.getName) match {
           case None => deleteRecursively(d)
-          case Some(g) =>
+          case Some(gs) =>
             Option(d.listFiles()).getOrElse(Array.empty)
               .foreach(f =>
-                if (genOf(f).exists(_ != g)) deleteRecursively(f))
+                if (genOf(f).exists(!gs.contains(_)))
+                  deleteRecursively(f))
         }
       }
   }
@@ -1767,13 +1828,62 @@ object EventStreams {
       liveDir: String): Option[DataFrame] = {
     if (!new java.io.File(liveDir).exists()) return None
     readSnapshot(liveDir) match {
-      case None => Some(spark.read.parquet(liveDir))
-      case Some((_, entries)) if entries.isEmpty => None
-      case Some((_, entries)) =>
-        val leafs = entries.toSeq.sortBy(_._1)
-          .map { case (n, g) => s"$liveDir/$n/g$g" }
-        Some(spark.read.option("basePath", liveDir)
-          .parquet(leafs: _*))
+      case None =>
+        // no snapshot: either a legacy pre-snapshot artifact
+        // (immutable listing read is safe) or an artifact whose
+        // FIRST swap is in flight/torn (journal present, or the
+        // tree holds no partitions yet) — the latter has no
+        // committed version to serve
+        val live = new java.io.File(liveDir)
+        val inFlight = new java.io.File(live, SwapManifestName)
+          .isFile
+        // data = partition dirs (legacy swap artifact) or loose
+        // parquet files (a chained-mode version dir) — metadata
+        // files don't count, so a just-created empty artifact reads
+        // as "nothing committed yet" instead of a schema error
+        val hasData = Option(live.listFiles())
+          .getOrElse(Array.empty)
+          .exists(f =>
+            (f.isDirectory && f.getName.contains("=")) ||
+              (f.isFile && !f.getName.startsWith("_") &&
+                !f.getName.startsWith(".")))
+        if (inFlight || !hasData) None
+        else Some(spark.read.parquet(liveDir))
+      case Some((_, entries)) => readEntries(spark, liveDir, entries)
+    }
+  }
+
+  private def readEntries(spark: SparkSession, liveDir: String,
+      entries: Map[String, Long]): Option[DataFrame] =
+    if (entries.isEmpty) None
+    else {
+      val leafs = entries.toSeq.sortBy(_._1)
+        .map { case (n, g) => s"$liveDir/$n/g$g" }
+      Some(spark.read.option("basePath", liveDir).parquet(leafs: _*))
+    }
+
+  /** TIME-TRAVEL read: the artifact AS OF `batch` — resolved from
+    * the latest retained snapshot history file whose batch id is ≤
+    * the requested one (the as-of-timestamp convention). Bounded by
+    * [[SnapshotHistoryRetention]]: asking for a batch older than the
+    * earliest retained snapshot fails diagnosably rather than
+    * silently serving a different version. None when that snapshot
+    * holds no partitions.
+    */
+  private[graft] def readCommittedAsOf(spark: SparkSession,
+      liveDir: String, batch: Long): Option[DataFrame] = {
+    val hist = snapshotHistoryFiles(liveDir)
+    if (hist.isEmpty) throw new IllegalStateException(
+      s"artifact $liveDir retains no snapshot history — time-travel " +
+        "reads need at least one streaming commit")
+    hist.filter(_._1 <= batch).lastOption match {
+      case None => throw new IllegalStateException(
+        s"batch $batch predates the retention window of $liveDir: " +
+          s"earliest retained snapshot is batch ${hist.head._1} " +
+          s"(retention keeps $SnapshotHistoryRetention superseded " +
+          "versions)")
+      case Some((_, f)) =>
+        readEntries(spark, liveDir, parseSnapshotFile(f).get._2)
     }
   }
 
@@ -1833,6 +1943,7 @@ object EventStreams {
     bootstrapSnapshot(liveDir)
     val committed = readSnapshot(liveDir).map(_._2)
       .getOrElse(Map.empty[String, Long])
+    val retained = retainedGenerations(liveDir)
     // the incoming generation id: the batchId when streaming
     // (strictly growing — the batch-0 guard and the replay skip
     // enforce it), else one past the committed max (legacy callers)
@@ -1863,7 +1974,8 @@ object EventStreams {
     // references, so a reader that resolved the snapshot before (or
     // during) this loop keeps reading the pre-swap artifact
     all.foreach { n =>
-      applyPartitionSwap(stageDir, liveDir, n, gen, committed.get(n))
+      applyPartitionSwap(stageDir, liveDir, n, gen,
+        retained.getOrElse(n, Set.empty))
       onPartitionApplied(n)
     }
     // COMMIT
@@ -1875,16 +1987,17 @@ object EventStreams {
   }
 
   /** One idempotent partition apply, snapshot-isolated: stale
-    * generations are dropped EXCEPT the one the committed snapshot
-    * still references (`keep` — the pre-swap version a concurrent
-    * reader may be scanning), then the staged version moves in as
-    * `g<gen>` if one exists. The kept generation becomes garbage at
-    * COMMIT and is collected at this partition's NEXT swap (or at
-    * loop start) — so a reader's grace window on a pre-swap snapshot
-    * is one full swap of that partition, not zero.
+    * generations are dropped EXCEPT the ones a retained snapshot
+    * (current or history) still references (`keep` — the versions a
+    * concurrent or time-travel reader may be scanning), then the
+    * staged version moves in as `g<gen>` if one exists. A kept
+    * generation becomes garbage once every retained snapshot stops
+    * referencing it and is collected at this partition's NEXT swap
+    * (or at loop start) — so a reader's grace window on a pre-swap
+    * snapshot is one full swap of that partition, not zero.
     */
   private def applyPartitionSwap(stageDir: String, liveDir: String,
-      name: String, gen: Long, keep: Option[Long]): Unit = {
+      name: String, gen: Long, keep: Set[Long]): Unit = {
     val src = new java.io.File(stageDir, name)
     val dst = new java.io.File(liveDir, name)
     if (dst.isDirectory)
@@ -1978,19 +2091,18 @@ object EventStreams {
       (cols(0).stripPrefix("part="),
         cols(1).stripPrefix("staged=") == "1")
     }
-    // the snapshot on disk is the pre-swap one (crash before the
-    // COMMIT's snapshot write) or already the new one (crash after) —
-    // either way its referenced generations are exactly the ones a
-    // reader may hold, so `keep` derives from it identically
-    val committed = readSnapshot(liveDir).map(_._2)
-      .getOrElse(Map.empty[String, Long])
+    // the snapshots on disk are the pre-swap ones (crash before the
+    // COMMIT's snapshot write) or already the new ones (crash after)
+    // — either way their referenced generations are exactly the ones
+    // a reader may hold, so `keep` derives from them identically
+    val retained = retainedGenerations(liveDir)
     parts.foreach { case (name, hasStage) =>
       val src = new java.io.File(stageDir, name)
       if (src.isDirectory || !hasStage)
         // not yet applied (staged dir still present), or a bare
         // delete — replaying delete(+move) is idempotent either way
         applyPartitionSwap(stageDir, liveDir, name, gen,
-          committed.get(name))
+          retained.getOrElse(name, Set.empty))
       // else: staged dir consumed → the atomic move completed and
       // the live dir already IS the new version — keep it
     }

@@ -1051,6 +1051,153 @@ class StreamingSpec extends SparkSpec {
     } finally EventStreams.deleteRecursively(dir)
   }
 
+  test("merge-loop time travel: readCommittedAsOf serves any batch " +
+      "inside the retention window, clamps to the as-of convention, " +
+      "fails diagnosably beyond retention, and storage stays " +
+      "bounded per partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-timetravel").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val srcDir = s"$base/incoming"
+      new java.io.File(srcDir).mkdirs()
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType)))
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      (0 until 5).foreach { i =>
+        val stage = s"$base/in$i"
+        (0L until 8L).map(k => (k, k * 10 + i + 1)).toDF("k", "v")
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(sum("v").as("v"))
+      def merge(p: DataFrame, a: DataFrame): DataFrame =
+        agg(p.unionByName(a))
+      def through(j: Int): Seq[(Long, Long)] =
+        (0L until 8L).map(k =>
+          (k, (j + 1) * 10 * k + (j + 1).toLong * (j + 2) / 2))
+      EventStreams.runArtifactMergeLoop(spark, base, srcDir, schema,
+        bucketKey = Some("k"), nBuckets = 4)(agg, merge)
+      val state = s"$base/state"
+      def asOf(b: Long): Seq[(Long, Long)] =
+        EventStreams.readCommittedAsOf(spark, state, b).get
+          .select("k", "v").orderBy("k")
+          .as[(Long, Long)].collect().toSeq
+      // retention = 2 superseded + current → batches 2, 3, 4 readable
+      (2 to 4).foreach(j => assert(asOf(j) === through(j),
+        s"as-of batch $j must serve the artifact through batch $j"))
+      // the as-of convention: a future batch clamps to the latest
+      assert(asOf(99L) === through(4))
+      // beyond retention: diagnosable refusal naming the window
+      val boom = intercept[IllegalStateException](asOf(1L))
+      assert(boom.getMessage.contains("retention") &&
+        boom.getMessage.contains("batch 2"),
+        s"unexpected message: ${boom.getMessage}")
+      // storage bound: ≤ retention + 2 generations per partition
+      Option(new java.io.File(state).listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("bkt="))
+        .foreach { d =>
+          val gens = d.listFiles().count(_.getName.startsWith("g"))
+          assert(gens <= EventStreams.SnapshotHistoryRetention + 2,
+            s"${d.getName} holds $gens generations")
+        }
+      // a restart's loop-start GC keeps every RETAINED version
+      // servable (grace copies of expired snapshots go, history
+      // stays)
+      EventStreams.recoverTornSwap(state)
+      (2 to 4).foreach(j => assert(asOf(j) === through(j),
+        s"as-of batch $j must survive loop-start GC"))
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
+  test("merge-loop concurrent-reader stress: a reader thread " +
+      "hammering readCommitted during the whole loop only ever " +
+      "sees COMMITTED artifact versions, in monotonic order, with " +
+      "no failed reads") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-reader-stress").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val srcDir = s"$base/incoming"
+      new java.io.File(srcDir).mkdirs()
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType)))
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      val nBatches = 6
+      (0 until nBatches).foreach { i =>
+        val stage = s"$base/in$i"
+        (0L until 8L).map(k => (k, k * 10 + i + 1)).toDF("k", "v")
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(sum("v").as("v"))
+      def merge(p: DataFrame, a: DataFrame): DataFrame =
+        agg(p.unionByName(a))
+      def through(j: Int): Seq[(Long, Long)] =
+        (0L until 8L).map(k =>
+          (k, (j + 1) * 10 * k + (j + 1).toLong * (j + 2) / 2))
+      val versions = (0 until nBatches)
+        .map(j => through(j) -> j).toMap
+      val state = s"$base/state"
+      val seen = scala.collection.mutable.ListBuffer[Int]()
+      @volatile var readFailure: Option[Throwable] = None
+      @volatile var running = true
+      val reader = new Thread(() => {
+        while (running && readFailure.isEmpty) {
+          try {
+            EventStreams.readCommitted(spark, state).foreach { df =>
+              val got = df.select("k", "v").orderBy("k")
+                .as[(Long, Long)].collect().toSeq
+              versions.get(got) match {
+                case Some(j) => seen.synchronized { seen += j; () }
+                case None => readFailure = Some(
+                  new AssertionError(
+                    s"read a non-committed artifact state: $got"))
+              }
+            }
+          } catch {
+            case t: Throwable => readFailure = Some(t)
+          }
+        }
+      })
+      reader.start()
+      try
+        EventStreams.runArtifactMergeLoop(spark, base, srcDir,
+          schema, bucketKey = Some("k"), nBuckets = 4)(agg, merge)
+      finally { running = false; reader.join() }
+      readFailure.foreach(t => fail(
+        s"concurrent reader failed: ${t.getMessage}", t))
+      val observed = seen.synchronized(seen.toList)
+      assert(observed.nonEmpty,
+        "the reader must have completed reads during the loop")
+      assert(observed === observed.sorted,
+        s"committed reads must be monotonic, got $observed")
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
   test("merge-loop chained-mode resume: a second invocation on the " +
       "same base continues the version chain from the latest " +
       "complete artifact instead of restarting the merge at zero") {
