@@ -220,7 +220,11 @@ object Bench {
             // not seconds) and drop the scalar metadata keys
             // instead of anchoring.
             val cut = Seq(raw.indexOf("\"spread\":"),
-              raw.indexOf("\"regressed\":"))
+              raw.indexOf("\"regressed\":"),
+              // wide holds max/min RATIOS — without this anchor a
+              // truncated record whose spread anchor was cut would
+              // leak ratios into prevMins as bogus baseline seconds
+              raw.indexOf("\"wide\":"))
               .filter(_ >= 0).sorted.headOption.getOrElse(raw.length)
             val meta = Set("n", "rc", "cpus", "sf", "value", "n_ok",
               "index_warm")
@@ -250,11 +254,15 @@ object Bench {
       .flatMap { case (k, ts) =>
         // shortKey collisions flip between prefix and full name as
         // the query set changes across rounds (ADVICE r15) — look
-        // the prev min up under every name this query could have
-        // been recorded as, so the flag never silently disengages
+        // the prev min up under both names this query can have been
+        // recorded as. Deliberately NOT a bare-prefix fallback when
+        // the prefix collides NOW: the prior record's prefix entry
+        // belongs to exactly one of the colliding queries and
+        // matching it to the others would misattribute regressions
+        // (review r16) — the un-collide direction is covered by the
+        // full-name lookup.
         prevMins.get(shortKey(k))
           .orElse(prevMins.get(k))
-          .orElse(prevMins.get(k.takeWhile(_ != '_')))
           .collect {
             case prev if prev > 0 && ts.min > 2 * prev =>
               (k, ts, ts.min / prev)
@@ -266,7 +274,10 @@ object Bench {
     // healthy while iterations 2..N blow up (t06 in r15) — neither
     // the min-vs-min regression flag nor the slowest-8-by-min spread
     // can see that shape by construction.
-    val wideEntries = wideSpreadEntries(results)
+    // capped like regressedEntries: an across-the-board contention
+    // round must not push the compact line past the launcher's
+    // 2000-char tail window
+    val wideEntries = wideSpreadEntries(results).take(12)
     // Iteration spreads for the slowest entries OVERALL → the stdout
     // line too (VERDICT r12 item 7, widened per r13 item 6: the
     // round-13 contention cluster hit the t-family and was only
@@ -296,7 +307,7 @@ object Bench {
     // spreads themselves are in the spread map above)
     val wideJson =
       if (wideEntries.isEmpty) ""
-      else wideEntries.take(12).map { case (k, _, r) =>
+      else wideEntries.map { case (k, _, r) =>
         "\"" + shortKey(k) + "\":" + fmt(r, 1)
       }.mkString(""","wide":{""", ",", "}")
     // Field ORDER is deliberate: the line is ~2.4k chars against the

@@ -1767,7 +1767,7 @@ object EventStreams {
     val parts = Option(live.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.contains("="))
     if (parts.isEmpty) return
-    val entries = parts.map { d =>
+    val entries = parts.flatMap { d =>
       val loose = Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => !f.isDirectory)
       if (loose.nonEmpty) {
@@ -1776,9 +1776,11 @@ object EventStreams {
         loose.foreach(f => java.nio.file.Files.move(f.toPath,
           new java.io.File(g, f.getName).toPath))
       }
-      val maxGen = Option(d.listFiles()).getOrElse(Array.empty)
-        .flatMap(genOf).maxOption.getOrElse(-1L)
-      d.getName -> maxGen
+      // an empty partition dir (no data, no generations) must not
+      // enter the snapshot — readers would resolve a non-existent
+      // leaf path
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .flatMap(genOf).maxOption.map(d.getName -> _)
     }.toMap
     writeSnapshot(liveDir, -1L, entries)
   }
@@ -1822,7 +1824,12 @@ object EventStreams {
     * committed snapshot is empty; an artifact without a snapshot (a
     * chained-mode version dir, a plain parquet table) falls back to
     * the ordinary listing read — those are immutable once written,
-    * so isolation is moot.
+    * so isolation is moot. The ONE non-isolated window is a legacy
+    * pre-snapshot artifact's in-place bootstrap migration during
+    * its first post-upgrade swap (loose files moving into `g-1`
+    * with no snapshot yet to resolve): a reader racing that
+    * one-time migration can see a mixed-depth tree — upgrade a
+    * continuously served artifact offline (review r16).
     */
   private[graft] def readCommitted(spark: SparkSession,
       liveDir: String): Option[DataFrame] = {
@@ -1882,8 +1889,18 @@ object EventStreams {
           s"earliest retained snapshot is batch ${hist.head._1} " +
           s"(retention keeps $SnapshotHistoryRetention superseded " +
           "versions)")
-      case Some((_, f)) =>
-        readEntries(spark, liveDir, parseSnapshotFile(f).get._2)
+      case Some((b, f)) =>
+        // the writer's retention prune can delete exactly this file
+        // between the listing above and the parse — surface it as
+        // the same diagnosable retention refusal, not an opaque get
+        parseSnapshotFile(f) match {
+          case Some((_, entries)) =>
+            readEntries(spark, liveDir, entries)
+          case None => throw new IllegalStateException(
+            s"snapshot history for batch $b of $liveDir was pruned " +
+              s"concurrently — batch $batch has left the retention " +
+              "window; re-resolve against a newer batch")
+        }
     }
   }
 
@@ -1946,10 +1963,13 @@ object EventStreams {
     val retained = retainedGenerations(liveDir)
     // the incoming generation id: the batchId when streaming
     // (strictly growing — the batch-0 guard and the replay skip
-    // enforce it), else one past the committed max (legacy callers)
+    // enforce it), else one past EVERY retained generation (not just
+    // the current snapshot's — colliding with a history-referenced
+    // gen would overwrite a retained version in place, review r16)
     val gen =
       if (batchId >= 0L) batchId
-      else committed.values.maxOption.getOrElse(-1L) + 1L
+      else (committed.values ++ retained.values.flatten)
+        .maxOption.getOrElse(-1L) + 1L
     val staged = Option(new java.io.File(stageDir).listFiles())
       .getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.contains("="))
@@ -2091,14 +2111,28 @@ object EventStreams {
       (cols(0).stripPrefix("part="),
         cols(1).stripPrefix("staged=") == "1")
     }
+    // A torn PRE-SNAPSHOT-ERA swap (old manifest, no _snapshot on
+    // disk — its applies were in-place) must be migrated BEFORE the
+    // replay, exactly as swapPartitionDirs bootstraps before its
+    // PREPARE: otherwise the commitSnapshot below would start from an
+    // empty snapshot, name only the partitions this replay re-applies,
+    // and the trailing GC would delete every untouched legacy
+    // partition (review r16). Whether a staged dir was already
+    // consumed must be read BEFORE the replay mutates anything — a
+    // consumed old-style apply left its NEW data as loose files, which
+    // the bootstrap migrates to g-1, and the snapshot must record THAT
+    // generation for it, not the never-created g<gen>.
+    val preSnapshotEra = readSnapshot(liveDir).isEmpty
+    if (preSnapshotEra) bootstrapSnapshot(liveDir)
+    val srcPresent = parts.map { case (name, _) =>
+      name -> new java.io.File(stageDir, name).isDirectory }.toMap
     // the snapshots on disk are the pre-swap ones (crash before the
     // COMMIT's snapshot write) or already the new ones (crash after)
     // — either way their referenced generations are exactly the ones
     // a reader may hold, so `keep` derives from them identically
     val retained = retainedGenerations(liveDir)
     parts.foreach { case (name, hasStage) =>
-      val src = new java.io.File(stageDir, name)
-      if (src.isDirectory || !hasStage)
+      if (srcPresent(name) || !hasStage)
         // not yet applied (staged dir still present), or a bare
         // delete — replaying delete(+move) is idempotent either way
         applyPartitionSwap(stageDir, liveDir, name, gen,
@@ -2110,8 +2144,28 @@ object EventStreams {
     // replay this batch (its checkpoint commit never happened), and
     // the marker is what turns that replay into a no-op
     if (batchId >= 0L) writeCommitMarker(liveDir, batchId)
-    commitSnapshot(liveDir, batchId, parts.map { case (n, _) =>
-      n -> new java.io.File(liveDir, s"$n/g$gen").isDirectory }, gen)
+    commitSnapshot(liveDir, batchId, parts.map { case (n, hasStage) =>
+      // staged & replayed → the fresh g<gen>; staged & already
+      // consumed pre-snapshot → the bootstrap-migrated generation of
+      // its (new) loose data; staged=0 → out of the snapshot
+      val g = new java.io.File(liveDir, s"$n/g$gen").isDirectory
+      val applied = hasStage && !srcPresent(n) &&
+        new java.io.File(liveDir, n).isDirectory
+      n -> (g || applied)
+    }, gen)
+    // the consumed-pre-snapshot partitions sit at g-1, not g<gen> —
+    // point their snapshot entries at the generation that exists
+    if (preSnapshotEra) {
+      val fixed = readSnapshot(liveDir).map(_._2)
+        .getOrElse(Map.empty).flatMap { case (n, g) =>
+          val d = new java.io.File(liveDir, s"$n/g$g")
+          if (d.isDirectory) Some(n -> g)
+          else Option(new java.io.File(liveDir, n).listFiles())
+            .getOrElse(Array.empty).flatMap(genOf).maxOption
+            .map(n -> _)
+        }
+      writeSnapshot(liveDir, batchId, fixed)
+    }
     java.nio.file.Files.deleteIfExists(manifest.toPath)
     deleteRecursively(new java.io.File(stageDir))
     gcUnreferencedGenerations(liveDir)

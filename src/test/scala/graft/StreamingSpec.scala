@@ -1496,6 +1496,100 @@ class StreamingSpec extends SparkSpec {
     } finally EventStreams.deleteRecursively(dir)
   }
 
+  test("recoverTornSwap on a PRE-SNAPSHOT-ERA torn manifest (no gen " +
+      "line, no _snapshot, in-place applies) migrates before the " +
+      "replay and preserves every untouched legacy partition " +
+      "(review r16)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-legacy-torn").toFile
+    def put(f: java.io.File, s: String): Unit = {
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    def read(f: java.io.File): String = new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      val live = new java.io.File(root, "state").getAbsolutePath
+      // the old release's torn state: bkt=0's IN-PLACE apply already
+      // completed (its loose file IS the new version, staged dir
+      // consumed), bkt=1 still staged, bkt=2's bare delete pending,
+      // bkt=3 untouched by the swap — all loose files, no _snapshot,
+      // manifest WITHOUT a gen= line
+      put(new java.io.File(live, "bkt=0/d.parquet"), "new0")
+      put(new java.io.File(live, "bkt=1/d.parquet"), "old1")
+      put(new java.io.File(live, "bkt=2/d.parquet"), "old2")
+      put(new java.io.File(live, "bkt=3/d.parquet"), "old3")
+      put(new java.io.File(live, EventStreams.CommitMarkerName), "6")
+      val stage = EventStreams.stageDirFor(live)
+      put(new java.io.File(stage, "bkt=1/d.parquet"), "new1")
+      put(new java.io.File(live, EventStreams.SwapManifestName),
+        s"stage=$stage\nbatch=7\n" +
+          "part=bkt=0\tstaged=1\npart=bkt=1\tstaged=1\n" +
+          "part=bkt=2\tstaged=0")
+      EventStreams.recoverTornSwap(live)
+      val snap = EventStreams.readSnapshot(live).get._2
+      // the untouched legacy partition MUST survive recovery — a
+      // from-empty snapshot rebuild would have GC'd it
+      assert(snap.contains("bkt=3"), s"untouched partition lost: $snap")
+      assert(read(new java.io.File(live,
+        s"bkt=3/g${snap("bkt=3")}/d.parquet")) === "old3")
+      // the consumed in-place apply keeps its NEW data, at the
+      // generation its migration actually produced
+      assert(read(new java.io.File(live,
+        s"bkt=0/g${snap("bkt=0")}/d.parquet")) === "new0")
+      // the replayed apply lands at the manifest's generation
+      assert(read(new java.io.File(live,
+        s"bkt=1/g${snap("bkt=1")}/d.parquet")) === "new1")
+      assert(!snap.contains("bkt=2") &&
+        !new java.io.File(live, "bkt=2").exists(),
+        "the bare delete must still evict")
+      assert(EventStreams.lastCommittedBatch(live) === 7L)
+      // idempotent: nothing left to recover, nothing changes
+      EventStreams.recoverTornSwap(live)
+      assert(EventStreams.readSnapshot(live).get._2 === snap)
+    } finally EventStreams.deleteRecursively(root)
+  }
+
+  test("legacy (batchId=-1) swap generations avoid EVERY retained " +
+      "generation — a collision would overwrite a time-travel " +
+      "version in place (review r16)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-gen-collide").toFile
+    def put(f: java.io.File, s: String): Unit = {
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    try {
+      val live = new java.io.File(root, "state").getAbsolutePath
+      // three streaming commits of the same partition → history
+      // files v0/v1/v2, retained gens {0,1,2}
+      (0 to 2).foreach { b =>
+        put(new java.io.File(EventStreams.stageDirFor(live),
+          "bkt=0/d.parquet"), s"v$b")
+        EventStreams.swapPartitionDirs(EventStreams.stageDirFor(live),
+          live, Seq("bkt=0"), batchId = b.toLong)
+      }
+      // a legacy swap now re-stages the same partition
+      put(new java.io.File(EventStreams.stageDirFor(live),
+        "bkt=0/d.parquet"), "legacy")
+      EventStreams.swapPartitionDirs(EventStreams.stageDirFor(live),
+        live, Seq("bkt=0"))
+      val snap = EventStreams.readSnapshot(live).get._2
+      assert(snap("bkt=0") === 3L,
+        s"legacy gen must be one past every retained gen: $snap")
+      // every history-referenced generation is still on disk intact
+      (0 to 2).foreach { b =>
+        assert(new java.io.File(live, s"bkt=0/g$b/d.parquet").isFile,
+          s"retained generation g$b destroyed by the legacy swap")
+      }
+    } finally EventStreams.deleteRecursively(root)
+  }
+
   test("swap protocol sweep: from a crash at EVERY point of " +
       "PREPARE→APPLY→COMMIT, recovery converges to the committed " +
       "state, and recovery itself is idempotent") {
