@@ -232,15 +232,25 @@ object ScaleCheck {
             .otherwise(col("name")).as("name"),
           col("wlen"))
       }
-      // warmup: JIT both join shapes once
+      // warmup: JIT all three join shapes once
       locally {
         val r0 = fuzzyReg(1).limit(300).persist()
         r0.count()
         val d0 = TextOps.fuzzyDirtyOf(r0)
-        TextOps.fuzzyResolveOf(r0, d0).count()
+        TextOps.fuzzyResolveOf(r0, d0, hotBudget = 1).count()
+        TextOps.fuzzyResolveOf(r0, d0,
+          hotBudget = Int.MaxValue).count()
         TextOps.fuzzyResolveOf(r0, d0, lengthBand = false).count()
         r0.unpersist()
         ()
+      }
+      def noBroadcast[A](f: => A): A = {
+        val bcast = spark.conf.get(
+          "spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try f
+        finally spark.conf
+          .set("spark.sql.autoBroadcastJoinThreshold", bcast)
       }
       fks.foreach { k =>
         val reg = fuzzyReg(k)
@@ -250,7 +260,8 @@ object ScaleCheck {
         val dirty = TextOps.fuzzyDirtyOf(reg).persist()
         dirty.count()
         val (mBand, tBand) = timed {
-          TextOps.fuzzyResolveOf(reg, dirty).count()
+          TextOps.fuzzyResolveOf(reg, dirty,
+            hotBudget = Int.MaxValue).count()
         }
         val (mFlat, tFlat) = timed {
           TextOps.fuzzyResolveOf(reg, dirty, lengthBand = false)
@@ -260,28 +271,87 @@ object ScaleCheck {
         // joins sort-merge/shuffled-hash — there the flat form's hot
         // prefix is a single shuffle key (one task, quadratic in the
         // block), while the composite key splits it across the
-        // length spread. At probe sizes the broadcast regime above
-        // keeps even the flat form parallel, so the skew cost only
-        // shows once broadcast is off.
-        val bcast = spark.conf.get(
-          "spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        val (mBandS, tBandS) = timed {
-          TextOps.fuzzyResolveOf(reg, dirty).count()
-        }
-        val (mFlatS, tFlatS) = timed {
+        // length spread, and the escalated key (r17, the default)
+        // additionally lengthens any still-hot cell's key to 4
+        // chars. At probe sizes the broadcast regime above keeps
+        // even the flat form parallel, so the skew cost only shows
+        // once broadcast is off. NOTE the hot-cell TAG join stays a
+        // broadcast by explicit hint even with the threshold off —
+        // exactly as it would at 100 TB.
+        val (mBandS, tBandS) = noBroadcast(timed {
+          TextOps.fuzzyResolveOf(reg, dirty,
+            hotBudget = Int.MaxValue).count()
+        })
+        val (mFlatS, tFlatS) = noBroadcast(timed {
           TextOps.fuzzyResolveOf(reg, dirty, lengthBand = false)
             .count()
-        }
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-        assert(mBand == mFlat && mBandS == mBand && mFlatS == mBand,
-          s"banded/flat outputs diverged: $mBand $mFlat $mBandS " +
-            s"$mFlatS")
+        })
+        val (mEscS, tEscS) = noBroadcast(timed {
+          TextOps.fuzzyResolveOf(reg, dirty).count()
+        })
+        assert(mBand == mFlat && mBandS == mBand && mFlatS == mBand
+            && mEscS == mBand,
+          s"banded/flat/escalated outputs diverged: $mBand $mFlat " +
+            s"$mBandS $mFlatS $mEscS")
         println(
-          f"""{"probe":"fuzzy_skew","k":$k,"n_names":$nNames,"hot_frac":0.3,"matches":$mBand,"sec_banded_bcast":$tBand%.2f,"sec_flat_bcast":$tFlat%.2f,"sec_banded_smj":$tBandS%.2f,"sec_flat_smj":$tFlatS%.2f}""")
+          f"""{"probe":"fuzzy_skew","k":$k,"n_names":$nNames,"hot_frac":0.3,"matches":$mBand,"sec_banded_bcast":$tBand%.2f,"sec_flat_bcast":$tFlat%.2f,"sec_banded_smj":$tBandS%.2f,"sec_flat_smj":$tFlatS%.2f,"sec_esc_smj":$tEscS%.2f}""")
         reg.unpersist()
         dirty.unpersist()
         ()
+      }
+      // claim 6b (review r16): the residual case the composite key
+      // cannot split — one prefix AND one length. The hot subset is
+      // confined to a single (pre3, blen) cell (names "zzz"+w1-w2-k
+      // with both words length 6 and 8-digit keys: one shared
+      // 3-char prefix, one shared length 25), the exact corpus shape
+      // where banded blocking degenerates to one shuffle key. The
+      // escalated key splits the cell at the 4th character (12
+      // distinct w1 first letters), cutting in-cell candidate pairs
+      // AND restoring parallelism; the match set is provably
+      // unchanged (any cross-w1 pair is ≥ 3 edits away — word list
+      // min pairwise distance 3, plus the always-distinct key
+      // digits — so escalation can only prune pairs the ≤2
+      // threshold would reject). Sizes via SPARK_GRAFT_FUZZYC_KS.
+      locally {
+        val cks = sys.env.getOrElse("SPARK_GRAFT_FUZZYC_KS", "4,8,16")
+          .split(",").map(_.trim.toInt).toSeq
+        def concReg(k: Int): DataFrame = {
+          val keys = (0 until k).map(r =>
+            Tables.documents(spark, sfDir)
+              .select((col("doc_id") + lit(r * 10000000L)).as("k")))
+            .reduce(_ unionByName _)
+          val reg = TextOps.fuzzyRegistryOf(keys)
+          reg.select(col("k"),
+            when(pmod(col("k"), lit(10)) < 3 &&
+                col("wlen") === 12 && length(col("name")) === 22,
+              concat(lit("zzz"), col("name")))
+              .otherwise(col("name")).as("name"),
+            col("wlen"))
+        }
+        cks.foreach { k =>
+          val reg = concReg(k)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .persist()
+          val nNames = reg.count()
+          val hotCell = reg.filter(col("name").startsWith("zzz"))
+            .count()
+          val dirty = TextOps.fuzzyDirtyOf(reg).persist()
+          dirty.count()
+          val (mBandC, tBandC) = noBroadcast(timed {
+            TextOps.fuzzyResolveOf(reg, dirty,
+              hotBudget = Int.MaxValue).count()
+          })
+          val (mEscC, tEscC) = noBroadcast(timed {
+            TextOps.fuzzyResolveOf(reg, dirty).count()
+          })
+          assert(mBandC == mEscC,
+            s"banded/escalated outputs diverged: $mBandC $mEscC")
+          println(
+            f"""{"probe":"fuzzy_conc","k":$k,"n_names":$nNames,"hot_cell":$hotCell,"matches":$mBandC,"sec_banded_smj":$tBandC%.2f,"sec_esc_smj":$tEscC%.2f}""")
+          reg.unpersist()
+          dirty.unpersist()
+          ()
+        }
       }
     }
     spark.stop()

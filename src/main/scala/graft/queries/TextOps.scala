@@ -3062,6 +3062,17 @@ object TextOps {
     "jasper", "kelvin", "lumen", "marble", "nickel", "ocean",
     "pearl")
 
+  /** Hot-cell refinement budget for t47's adaptive escalation: the
+    * largest clean-side (block-key, length) cell a single shuffle
+    * key may carry before the pass lengthens that cell's key to 4
+    * chars. Shared verbatim with the DuckDB oracle so both engines
+    * make identical routing decisions on identical data. Deploys
+    * tune it to the per-task refinement budget (cell² comparisons);
+    * the default is low enough that the sf0.1 registry's natural
+    * 250-name cells exercise the escalated route under the oracle.
+    */
+  private[graft] val FuzzyHotBudget = 100
+
   /** The clean registry: key k → `w[(7k)%16]-w[(13k)%16]-k`. The
     * integer suffix makes every name unique; `wlen` (the two word
     * lengths) parameterizes the corruption positions below.
@@ -3131,40 +3142,89 @@ object TextOps {
     * on BOTH key parts, turning one hot key into one per (prefix,
     * length) with strictly fewer in-block pairs. Recall is
     * unchanged — a pruned pair can never pass the ≤2 threshold.
-    * Residual escalation, if a corpus concentrates one prefix AND
-    * one length (not yet needed, documented for the deploy case):
-    * lengthen the hot block's keys adaptively — pre4/suf4 keep the
-    * two-pass recall argument (one edit cannot break both) for any
-    * name of length ≥ 8 — or salt the clean side of the hot block
-    * and replicate its dirty probes across salts. ScaleCheck's
-    * fuzzy_skew probe measures the banded-vs-flat gap on a 30%-hot
-    * registry (receipt: scalecheck_r16.json).
+    *
+    * HOT-CELL ESCALATION (review r16): a corpus that concentrates
+    * one prefix AND one length re-creates a single hot (prefix,
+    * length) cell, and the in-cell refinement is still quadratic in
+    * it. The adaptive escalation makes that a measured decision,
+    * not a comment: per pass, clean-side cell sizes are aggregated
+    * (a map-side-combinable count over at most |corpus| tiny
+    * groups), cells with more than `hotBudget` members — the
+    * refinement budget a single shuffle key may carry — are
+    * broadcast as a hot set, and rows in a hot cell join on the
+    * LENGTHENED key (pre4/suf4) instead of the 3-char one, splitting
+    * the cell wherever names diverge at the fourth character. Both
+    * sides route by the SAME (3-char key, length) lookup, so a pair
+    * is always compared under one regime: cold pairs on key3, hot
+    * pairs on key4 — realized as a single computed `bkey` join
+    * column (3-char and 4-char keys can never collide: different
+    * lengths). Recall contract: the two-pass argument survives the
+    * lengthening for names of length ≥ 9 — a single edit at
+    * position p corrupts pre4 only when p ≤ 4 and suf4 only when
+    * p ≥ len−3 (a transposition spans two adjacent positions),
+    * which cannot both hold at len ≥ 9 — so the hot set keeps the
+    * ≥ 9 guard and shorter names stay on the 3-char key. Cells the
+    * escalation cannot split (names sharing ≥ 4 leading chars, the
+    * "Alaska …" corpus) degrade gracefully to the banded behavior.
+    * ScaleCheck's fuzzy_skew probe measures all three regimes —
+    * flat, banded, escalated — on a 30%-hot registry and on a
+    * prefix-AND-length-concentrated one (receipt:
+    * scalecheck_r17.json).
     */
   private[graft] def fuzzyResolveOf(clean: DataFrame,
-      dirty: DataFrame, lengthBand: Boolean = true): DataFrame = {
+      dirty: DataFrame, lengthBand: Boolean = true,
+      hotBudget: Int = FuzzyHotBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = clean.select(col("k").as("clean_id"),
       col("name").as("clean_name"),
       substring(col("name"), 1, 3).as("pre"),
-      col("name").substr(length(col("name")) - 2, lit(3)).as("suf"))
+      substring(col("name"), 1, 4).as("pre4"),
+      col("name").substr(length(col("name")) - 2, lit(3)).as("suf"),
+      col("name").substr(length(col("name")) - 3, lit(4)).as("suf4"),
+      length(col("name")).cast("int").as("blen"))
     val dd = dirty.select(col("k").as("dirty_id"), col("dirty_name"),
       substring(col("dirty_name"), 1, 3).as("pre"),
+      substring(col("dirty_name"), 1, 4).as("pre4"),
       col("dirty_name").substr(length(col("dirty_name")) - 2, lit(3))
-        .as("suf"))
+        .as("suf"),
+      col("dirty_name").substr(length(col("dirty_name")) - 3, lit(4))
+        .as("suf4"))
     def pass(key: String): DataFrame =
       if (!lengthBand)
         dd.select("dirty_id", "dirty_name", key)
           .join(c.select("clean_id", "clean_name", key), key)
           .select("dirty_id", "dirty_name", "clean_id", "clean_name")
-      else
-        dd.select(col("dirty_id"), col("dirty_name"), col(key),
+      else {
+        val k4 = key + "4"
+        val dx = dd.select(col("dirty_id"), col("dirty_name"),
+            col(key), col(k4),
             explode(array((-2 to 2).map(lit(_)): _*)).as("delta"))
           .withColumn("blen",
             (length(col("dirty_name")) + col("delta")).cast("int"))
-          .join(c.select(col("clean_id"), col("clean_name"), col(key),
-            length(col("clean_name")).cast("int").as("blen")),
-            Seq(key, "blen"))
-          .select("dirty_id", "dirty_name", "clean_id", "clean_name")
+        val cx = c.select(col("clean_id"), col("clean_name"),
+          col(key), col(k4), col("blen"))
+        if (hotBudget == Int.MaxValue)
+          // escalation off: the pure composite (key, length) join
+          dx.join(cx, Seq(key, "blen"))
+            .select("dirty_id", "dirty_name", "clean_id",
+              "clean_name")
+        else {
+          val hot = cx.groupBy(col(key), col("blen"))
+            .agg(count(lit(1)).as("cell_n"))
+            .filter(col("cell_n") > hotBudget && col("blen") >= 9)
+            .select(col(key), col("blen"), lit(1).as("hot"))
+          def route(df: DataFrame): DataFrame = df
+            .join(broadcast(hot), Seq(key, "blen"), "left")
+            .withColumn("bkey",
+              when(col("hot") === 1, col(k4)).otherwise(col(key)))
+          route(dx).select("dirty_id", "dirty_name", "bkey", "blen")
+            .join(route(cx)
+              .select("clean_id", "clean_name", "bkey", "blen"),
+              Seq("bkey", "blen"))
+            .select("dirty_id", "dirty_name", "clean_id",
+              "clean_name")
+        }
+      }
     val cand = pass("pre").unionByName(pass("suf")).distinct()
     cand
       .withColumn("n_candidates",
@@ -3329,10 +3389,16 @@ object TextOps {
            |ORDER BY doc_id""".stripMargin,
       // t47: the oracle rebuilds the registry and its corrupted twin
       // from the same word list + key arithmetic, re-runs both
-      // blocking passes, DuckDB's own levenshtein, the threshold,
-      // and the (distance, clean_id) tie-break — the hash-match
-      // proves cross-engine parity of the whole resolution chain,
-      // and is_correct carries the ground-truth audit
+      // blocking passes INCLUDING the adaptive hot-cell escalation
+      // (hp/hs recompute the clean-side cell sizes with the same
+      // FuzzyHotBudget; pairs in a hot cell must agree on the
+      // 4-char key, mirroring the engine's bkey routing — at sf0.1
+      // the 250-name cells exceed the budget, so the escalated
+      // route is what the hash proves there), DuckDB's own
+      // levenshtein, the threshold, and the (distance, clean_id)
+      // tie-break — the hash-match proves cross-engine parity of
+      // the whole resolution chain, and is_correct carries the
+      // ground-truth audit
       "t47_fuzzy_resolve" -> {
         val wordVals = FuzzyWords.zipWithIndex
           .map { case (w, i) => s"($i, '$w')" }.mkString(", ")
@@ -3364,13 +3430,23 @@ object TextOps {
            |        FROM reg)),
            |c AS (SELECT k AS clean_id, name AS clean_name,
            |        substr(name, 1, 3) AS pre,
-           |        substr(name, length(name) - 2, 3) AS suf
+           |        substr(name, 1, 4) AS pre4,
+           |        substr(name, length(name) - 2, 3) AS suf,
+           |        substr(name, length(name) - 3, 4) AS suf4,
+           |        CAST(length(name) AS INT) AS blen
            |      FROM reg),
            |d AS (SELECT k AS dirty_id, dirty_name,
            |        substr(dirty_name, 1, 3) AS pre,
+           |        substr(dirty_name, 1, 4) AS pre4,
            |        substr(dirty_name, length(dirty_name) - 2, 3)
-           |          AS suf
+           |          AS suf,
+           |        substr(dirty_name, length(dirty_name) - 3, 4)
+           |          AS suf4
            |      FROM dirty),
+           |hp AS (SELECT pre, blen FROM c GROUP BY 1, 2
+           |       HAVING count(*) > $FuzzyHotBudget AND blen >= 9),
+           |hs AS (SELECT suf, blen FROM c GROUP BY 1, 2
+           |       HAVING count(*) > $FuzzyHotBudget AND blen >= 9),
            |cand AS (
            |  SELECT DISTINCT dirty_id, dirty_name, clean_id,
            |    clean_name
@@ -3378,14 +3454,16 @@ object TextOps {
            |    SELECT d.dirty_id, d.dirty_name, c.clean_id,
            |      c.clean_name
            |    FROM d JOIN c ON d.pre = c.pre
-           |      AND abs(length(d.dirty_name) -
-           |        length(c.clean_name)) <= 2
+           |      AND abs(length(d.dirty_name) - c.blen) <= 2
+           |    LEFT JOIN hp ON hp.pre = c.pre AND hp.blen = c.blen
+           |    WHERE hp.pre IS NULL OR d.pre4 = c.pre4
            |    UNION ALL
            |    SELECT d.dirty_id, d.dirty_name, c.clean_id,
            |      c.clean_name
            |    FROM d JOIN c ON d.suf = c.suf
-           |      AND abs(length(d.dirty_name) -
-           |        length(c.clean_name)) <= 2)),
+           |      AND abs(length(d.dirty_name) - c.blen) <= 2
+           |    LEFT JOIN hs ON hs.suf = c.suf AND hs.blen = c.blen
+           |    WHERE hs.suf IS NULL OR d.suf4 = c.suf4)),
            |sc AS (
            |  SELECT dirty_id, clean_id,
            |    CAST(levenshtein(dirty_name, clean_name) AS INT)

@@ -92,6 +92,17 @@ class PlanSpec extends SparkSpec {
     // shuffle key, single-task and quadratic in the block size
     assert(p.contains("blen"),
       s"length band missing from the candidate join keys:\n$p")
+    // hot-cell escalation (review r16): the candidate joins must key
+    // on the ROUTED bkey (3-char key for cold cells, 4-char for hot
+    // ones) so a prefix-AND-length-concentrated cell splits at the
+    // 4th character instead of landing on one shuffle key...
+    assert(p.contains("bkey"),
+      s"adaptive hot-cell key missing from the candidate joins:\n$p")
+    // ...and the hot-cell set (a bounded aggregate: at most
+    // |corpus|/budget cells) must reach both sides as a broadcast,
+    // never a shuffle of the big sides on the cell key
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-cell tag join must broadcast the bounded cell set:\n$p")
   }
 
   test("v13: integer LSH candidates come from the bucket equi-join — " +

@@ -1106,4 +1106,45 @@ class TextSpec extends SparkSpec {
     // whole registry as candidates
     assert(rows.forall(_.getAs[Int]("n_candidates") < 500 / 2))
   }
+
+  test("t47 hot-cell escalation: a prefix-AND-length-concentrated " +
+      "registry routes through the 4-char key with recall intact, " +
+      "and the candidate volume shrinks vs the banded key") {
+    import org.apache.spark.sql.functions._
+    // the worst case for the composite (prefix, length) key: every
+    // name shares pre3 AND length — one cell. Names diverge at the
+    // 4th char (16 values), so the escalated pre4 key splits the
+    // cell 16 ways; the suffix side stays naturally diverse (unique
+    // digit tails).
+    val n = 800
+    val reg = spark.range(n).select(col("id").as("k"),
+      concat(lit("zzz"),
+        // 4th char cycles a..p — the escalation's split point
+        chr(lit(97) + pmod(col("id"), lit(16))),
+        lpad(col("id").cast("string"), 8, "0")).as("name"),
+      lit(8).as("wlen"))
+    val dirty = TextOps.fuzzyDirtyOf(reg)
+    def matches(r: org.apache.spark.sql.DataFrame) = r
+      .select("dirty_id", "match_id", "distance").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val esc = TextOps.fuzzyResolveOf(reg, dirty, hotBudget = 50)
+    val banded = TextOps.fuzzyResolveOf(reg, dirty,
+      hotBudget = Int.MaxValue)
+    val flat = TextOps.fuzzyResolveOf(reg, dirty, lengthBand = false,
+      hotBudget = Int.MaxValue)
+    val mEsc = matches(esc)
+    // the single-edit recall contract survives the key lengthening
+    // (names are length 12 ≥ 9): every variant finds the same match
+    // set, and every dirty record resolves to its ground truth
+    assert(mEsc === matches(banded) && mEsc === matches(flat))
+    assert(mEsc.size === n)
+    assert(esc.collect().forall(_.getAs[Int]("is_correct") === 1))
+    // the escalation must actually bite: in-cell candidate work
+    // drops ~16× when the one hot cell splits on the 4th char
+    def candVolume(r: org.apache.spark.sql.DataFrame): Long = r
+      .agg(sum(col("n_candidates"))).collect()(0).getLong(0)
+    val (vEsc, vBand) = (candVolume(esc), candVolume(banded))
+    assert(vEsc * 4 < vBand,
+      s"escalated candidate volume $vEsc not << banded $vBand")
+  }
 }
