@@ -463,6 +463,44 @@ object EventStreams {
     * artifact, not the state store, carries the state) for the
     * StreamingSpec assertion.
     */
+  /** The s16/s24 per-slice compaction aggregate — applied to each
+    * batch AND to (state ∪ batch-agg), which is what makes the merge
+    * exact. The value sum rides through the loop as exact BIGINT
+    * cents (value is 2-decimal by construction): integer addition is
+    * associative, so the artifact equals batch q46 EXACTLY under any
+    * batch slicing — not merely to within double-rounding (ADVICE
+    * r11: a double carried here could flip round(...,2) at a .005
+    * boundary because the merge re-associates the sum).
+    */
+  private def compactUserState(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max(col("last")).as("last"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("cents")).as("cents"))
+
+  private def preAggUserState(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"),
+        col("event_type"), col("value"))).as("last"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+
+  /** The q46-shaped readout projection over the compacted user-state
+    * artifact (shared by s16's current read and s24's as-of read).
+    */
+  private def compactReadout(df: DataFrame): DataFrame =
+    df.select(col("user_id"),
+      date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss")
+        .as("last_ts"),
+      col("last.event_id").as("last_event_id"),
+      col("last.event_type").as("last_type"),
+      round(col("last.value"), 2).as("last_value"),
+      col("n_events"),
+      round(col("cents") / 100.0, 2).as("lifetime_value"))
+      .select("user_id", "last_ts", "last_event_id", "last_type",
+        "last_value", "n_events", "lifetime_value")
+      .orderBy("user_id")
+
   def replayChangelogCompactWithStats(spark: SparkSession, dir: String,
       nBatches: Int = 10): (DataFrame, Long) = {
     val work = java.nio.file.Files.createTempDirectory("graft-s16")
@@ -473,25 +511,8 @@ object EventStreams {
       // aggregation commutes); checkpoint + state artifact stay
       // per-call so every run replays from batch 0
       val srcDir = stagedEventBatches(spark, dir, nBatches)
-      // the per-slice compaction aggregate — applied to each batch AND
-      // to (state ∪ batch-agg), which is what makes the merge exact
-      // the value sum rides through the loop as exact BIGINT cents
-      // (value is 2-decimal by construction): integer addition is
-      // associative, so the artifact equals batch q46 EXACTLY under
-      // any batch slicing — not merely to within double-rounding
-      // (ADVICE r11: a double carried here could flip round(...,2)
-      // at a .005 boundary because the merge re-associates the sum)
-      def compact(df: DataFrame): DataFrame =
-        df.groupBy(col("user_id"))
-          .agg(max(col("last")).as("last"),
-            sum(col("n_events")).as("n_events"),
-            sum(col("cents")).as("cents"))
-      def preAgg(df: DataFrame): DataFrame =
-        df.groupBy(col("user_id"))
-          .agg(max(struct(col("ts"), col("event_id"),
-            col("event_type"), col("value"))).as("last"),
-            count(lit(1)).as("n_events"),
-            sum(round(col("value") * 100).cast("long")).as("cents"))
+      def compact(df: DataFrame): DataFrame = compactUserState(df)
+      def preAgg(df: DataFrame): DataFrame = preAggUserState(df)
       // bucket-partitioned merge (the s17 treatment): user cardinality
       // grows with the corpus, a batch touches only its own users, and
       // the compaction is key-local — so each batch rewrites only the
@@ -510,19 +531,8 @@ object EventStreams {
         (prev, batchAgg) => compact(prev.unionByName(batchAgg)))
       // empty-source fallback: the compaction of zero batches is the
       // compaction of an empty log
-      val fin = artifact
-        .getOrElse(preAgg(emptyStagedFrame(spark)))
-        .select(col("user_id"),
-          date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss")
-            .as("last_ts"),
-          col("last.event_id").as("last_event_id"),
-          col("last.event_type").as("last_type"),
-          round(col("last.value"), 2).as("last_value"),
-          col("n_events"),
-          round(col("cents") / 100.0, 2).as("lifetime_value"))
-        .select("user_id", "last_ts", "last_event_id", "last_type",
-          "last_value", "n_events", "lifetime_value")
-        .orderBy("user_id")
+      val fin = compactReadout(artifact
+        .getOrElse(preAgg(emptyStagedFrame(spark))))
       // materialize BEFORE the temp state dir is deleted — a HARNESS-bounded
       // collect, not the loop's scale shape: each replay CALL is a
       // fresh deployment whose artifacts live in a per-call temp
@@ -533,6 +543,59 @@ object EventStreams {
       val rows = fin.collect()
       (spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), fin.schema), stateRows)
+    } finally deleteRecursively(work)
+  }
+
+  /** s24 — TIME-TRAVEL READ OF THE MAINTAINED ARTIFACT (the declared
+    * surface of [[readCommittedAsOf]], review r16 item 4): the s16
+    * changelog-compaction loop commits `nBatches` versions of the
+    * bucket-partitioned user-state artifact — each batch's
+    * `_snapshot_v<b>` history file pins the generation set that WAS
+    * current after batch b — and the readout then resolves the
+    * artifact AS OF the second-newest committed batch instead of the
+    * head. Because the staged slices are ascending event-time spans,
+    * "as of batch b" is exactly "the compaction of the event-time
+    * PREFIX through slice b", which the DuckDB oracle recomputes
+    * from the raw events table with the same lo/span arithmetic —
+    * the hash-match proves the whole history read path: snapshot
+    * retention, as-of resolution, and the generation-pinned scan.
+    * The as-of read costs the same plan as the current read (explicit
+    * generation leaf dirs under one basePath); what it buys at 100 TB
+    * is audit/debug reads of "the state the last decision was made
+    * on" while the artifact keeps updating, without any copy.
+    */
+  def replayTimeTravelCompact(spark: SparkSession, dir: String)
+      : DataFrame = replayTimeTravelCompactWithStats(spark, dir)._1
+
+  /** s24 plus the resolved as-of batch id for the StreamingSpec
+    * assertion (must be nBatches − 2: a genuinely SUPERSEDED
+    * snapshot, not the head).
+    */
+  def replayTimeTravelCompactWithStats(spark: SparkSession,
+      dir: String, nBatches: Int = 10): (DataFrame, Long) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s24")
+      .toFile
+    try {
+      val srcDir = stagedEventBatches(spark, dir, nBatches)
+      runArtifactMergeLoop(spark, work.getAbsolutePath, srcDir,
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8)(
+        preAggUserState,
+        (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
+      val stateDir = s"${work.getAbsolutePath}/state"
+      // the second-newest version: every staged slice is non-empty
+      // at the declared SFs (events cover their whole time span), so
+      // the head is batch nBatches−1 and the as-of target a genuinely
+      // superseded snapshot inside the retention window
+      val asOf = lastCommittedBatch(stateDir) - 1
+      val fin = compactReadout(
+        readCommittedAsOf(spark, stateDir, asOf)
+          .getOrElse(preAggUserState(emptyStagedFrame(spark)))
+          .drop("bkt"))
+      // HARNESS-bounded materialization before the temp dir dies
+      // (the s16 note applies: a deployment serves from the base)
+      val rows = fin.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fin.schema), asOf)
     } finally deleteRecursively(work)
   }
 
@@ -1821,41 +1884,60 @@ object EventStreams {
     * swap of the same partition (then the superseded generation is
     * collected), which at one swap per micro-batch is far beyond any
     * scan's lifetime. None when the artifact does not exist or its
-    * committed snapshot is empty; an artifact without a snapshot (a
-    * chained-mode version dir, a plain parquet table) falls back to
-    * the ordinary listing read — those are immutable once written,
-    * so isolation is moot. The ONE non-isolated window is a legacy
-    * pre-snapshot artifact's in-place bootstrap migration during
-    * its first post-upgrade swap (loose files moving into `g-1`
-    * with no snapshot yet to resolve): a reader racing that
-    * one-time migration can see a mixed-depth tree — upgrade a
-    * continuously served artifact offline (review r16).
+    * committed snapshot is empty; a snapshot-less CHAINED-MODE
+    * version dir (loose parquet files, no partition dirs) falls back
+    * to the ordinary listing read — immutable once written, so
+    * isolation is moot. A snapshot-less tree that DOES hold
+    * partition dirs is refused diagnosably (review r16, structural
+    * since r17): every swap-managed artifact is snapshot-carrying
+    * now — the merge loops' recovery ([[recoverTornSwap]]) runs the
+    * one-time bootstrap migration at loop start — so partitions
+    * without a snapshot mean either a never-upgraded legacy
+    * artifact (run its loop once, or recoverTornSwap, to migrate)
+    * or a torn pre-snapshot-era swap whose committed pre-crash data
+    * exists (run recovery); silently serving a listing would trust
+    * an immutability this reader cannot check, and silently
+    * returning None would present committed data as an empty
+    * artifact (ADVICE r16).
     */
   private[graft] def readCommitted(spark: SparkSession,
       liveDir: String): Option[DataFrame] = {
     if (!new java.io.File(liveDir).exists()) return None
     readSnapshot(liveDir) match {
       case None =>
-        // no snapshot: either a legacy pre-snapshot artifact
-        // (immutable listing read is safe) or an artifact whose
-        // FIRST swap is in flight/torn (journal present, or the
-        // tree holds no partitions yet) — the latter has no
-        // committed version to serve
         val live = new java.io.File(liveDir)
         val inFlight = new java.io.File(live, SwapManifestName)
           .isFile
-        // data = partition dirs (legacy swap artifact) or loose
-        // parquet files (a chained-mode version dir) — metadata
-        // files don't count, so a just-created empty artifact reads
-        // as "nothing committed yet" instead of a schema error
-        val hasData = Option(live.listFiles())
-          .getOrElse(Array.empty)
-          .exists(f =>
-            (f.isDirectory && f.getName.contains("=")) ||
-              (f.isFile && !f.getName.startsWith("_") &&
-                !f.getName.startsWith(".")))
-        if (inFlight || !hasData) None
-        else Some(spark.read.parquet(liveDir))
+        val files = Option(live.listFiles()).getOrElse(Array.empty)
+        val partDirs = files.filter(f =>
+          f.isDirectory && f.getName.contains("="))
+        def isData(f: java.io.File): Boolean = f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith(".")
+        // pre-snapshot-era partition payload: loose files directly
+        // under a k=v dir (the migrated layout holds only g<N> dirs)
+        val legacyData = partDirs.exists(d =>
+          Option(d.listFiles()).getOrElse(Array.empty).exists(isData))
+        if (legacyData || (partDirs.nonEmpty && !inFlight))
+          throw new IllegalStateException(
+            s"swap-managed artifact $liveDir has partition data but " +
+              "no committed snapshot — " +
+              (if (inFlight)
+                "a pre-snapshot-era swap tore mid-commit and its " +
+                  "pre-crash data is not servable in place; run " +
+                  "recoverTornSwap before reading"
+               else
+                 "a legacy pre-snapshot artifact (or torn bootstrap " +
+                   "migration); run its merge loop once or " +
+                   "recoverTornSwap to bootstrap-migrate it"))
+        else if (partDirs.nonEmpty)
+          // manifest present, partitions hold only generation dirs:
+          // a FRESH artifact's first swap is mid-APPLY — nothing
+          // committed yet
+          None
+        else if (!inFlight && files.exists(isData))
+          // chained-mode version dir: immutable listing read
+          Some(spark.read.parquet(liveDir))
+        else None
       case Some((_, entries)) => readEntries(spark, liveDir, entries)
     }
   }
@@ -1970,6 +2052,24 @@ object EventStreams {
       if (batchId >= 0L) batchId
       else (committed.values ++ retained.values.flatten)
         .maxOption.getOrElse(-1L) + 1L
+    // mixed-mode guard (ADVICE r16): a legacy (batchId = -1) swap
+    // allocates past every retained generation, so a LATER streaming
+    // swap whose batch id lands on a still-retained legacy gen would
+    // have APPLY overwrite a generation the current/history
+    // snapshots reference — breaking isolation for concurrent and
+    // time-travel readers. No production caller mixes modes on one
+    // artifact; refuse diagnosably rather than corrupt silently.
+    if (batchId >= 0L &&
+        (retained.values.exists(_.contains(gen)) ||
+          committed.values.exists(_ == gen)))
+      throw new IllegalStateException(
+        s"streaming swap of $liveDir: batch $batchId collides with " +
+          s"retained generation g$gen (allocated by an earlier " +
+          "legacy batchId=-1 swap) — applying would overwrite a " +
+          "generation committed snapshots still reference; do not " +
+          "mix legacy and streaming swaps on one artifact, or " +
+          "advance the stream's checkpoint past the retained " +
+          "generations")
     val staged = Option(new java.io.File(stageDir).listFiles())
       .getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.contains("="))
@@ -2062,6 +2162,16 @@ object EventStreams {
     val manifest = new java.io.File(live, SwapManifestName)
     if (!manifest.isFile) {
       deleteRecursively(new java.io.File(stageDirFor(liveDir)))
+      // one-time legacy upgrade at loop start (structural since
+      // r17): a pre-snapshot artifact is bootstrap-migrated HERE —
+      // single-writer, before the loop's first committed read — so
+      // every swap-managed artifact a loop touches is
+      // snapshot-carrying from its first batch on, and
+      // [[readCommitted]] can refuse snapshot-less partition trees
+      // instead of trusting an immutability it cannot check.
+      // Idempotent no-op once a snapshot exists or the tree is
+      // empty/chained-mode.
+      bootstrapSnapshot(liveDir)
       // loop-start garbage collection: the grace generations kept
       // for the PREVIOUS run's concurrent readers are dead now
       gcUnreferencedGenerations(liveDir)
@@ -2154,7 +2264,11 @@ object EventStreams {
       n -> (g || applied)
     }, gen)
     // the consumed-pre-snapshot partitions sit at g-1, not g<gen> —
-    // point their snapshot entries at the generation that exists
+    // point their snapshot entries at the generation that exists, in
+    // BOTH the current snapshot and the history file commitSnapshot
+    // just wrote (ADVICE r16: a history entry left at the
+    // never-created g<gen> would make readCommittedAsOf(batchId)
+    // resolve a nonexistent leaf and carry a phantom retained gen)
     if (preSnapshotEra) {
       val fixed = readSnapshot(liveDir).map(_._2)
         .getOrElse(Map.empty).flatMap { case (n, g) =>
@@ -2165,6 +2279,9 @@ object EventStreams {
             .map(n -> _)
         }
       writeSnapshot(liveDir, batchId, fixed)
+      if (batchId >= 0L)
+        writeSnapshotFile(new java.io.File(liveDir,
+          s"$SnapshotHistoryPrefix$batchId"), batchId, fixed)
     }
     java.nio.file.Files.deleteIfExists(manifest.toPath)
     deleteRecursively(new java.io.File(stageDir))

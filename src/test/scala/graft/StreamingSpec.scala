@@ -1122,6 +1122,32 @@ class StreamingSpec extends SparkSpec {
     } finally EventStreams.deleteRecursively(dir)
   }
 
+  test("s24 time travel: the declared as-of read resolves the " +
+      "SECOND-newest committed snapshot (batch nBatches−2), and its " +
+      "state is a strict prefix of the head — fewer events counted, " +
+      "never more, with every user a subset of the head's") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val (asOfDf, asOf) =
+      EventStreams.replayTimeTravelCompactWithStats(spark, sf)
+    assert(asOf === 8L,
+      s"as-of target must be the superseded batch 8 of 10, got $asOf")
+    val (headDf, _) =
+      EventStreams.replayChangelogCompactWithStats(spark, sf)
+    def totals(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(fsum(col("n_events"))).collect()(0).getLong(0)
+    val (nAsOf, nHead) = (totals(asOfDf), totals(headDf))
+    // slice 9 holds the events-table tail, so the as-of view must
+    // count strictly fewer events than the head artifact
+    assert(nAsOf < nHead, s"as-of=$nAsOf head=$nHead")
+    // and per user the as-of counts never exceed the head's (state
+    // only grows under the compaction merge)
+    val joined = asOfDf.select(col("user_id"),
+        col("n_events").as("n_asof"))
+      .join(headDf.select(col("user_id"),
+        col("n_events").as("n_head")), "user_id")
+    assert(joined.filter(col("n_asof") > col("n_head")).count() === 0)
+  }
+
   test("merge-loop concurrent-reader stress: a reader thread " +
       "hammering readCommitted during the whole loop only ever " +
       "sees COMMITTED artifact versions, in monotonic order, with " +
@@ -1587,6 +1613,161 @@ class StreamingSpec extends SparkSpec {
         assert(new java.io.File(live, s"bkt=0/g$b/d.parquet").isFile,
           s"retained generation g$b destroyed by the legacy swap")
       }
+    } finally EventStreams.deleteRecursively(root)
+  }
+
+  test("mixed-mode guard: a STREAMING swap whose batch id lands on a " +
+      "retained legacy generation refuses diagnosably instead of " +
+      "overwriting a committed version in place (ADVICE r16)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mixed-collide").toFile
+    def put(f: java.io.File, s: String): Unit = {
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    try {
+      val live = new java.io.File(root, "state").getAbsolutePath
+      // a legacy swap on an empty artifact allocates gen 0
+      put(new java.io.File(EventStreams.stageDirFor(live),
+        "bkt=0/d.parquet"), "legacy0")
+      EventStreams.swapPartitionDirs(EventStreams.stageDirFor(live),
+        live, Seq("bkt=0"))
+      assert(EventStreams.readSnapshot(live).get._2("bkt=0") === 0L)
+      // a later streaming swap of batch 0 would reuse g0 — APPLY
+      // would clear the generation the committed snapshot references
+      put(new java.io.File(EventStreams.stageDirFor(live),
+        "bkt=0/d.parquet"), "stream0")
+      val e = intercept[IllegalStateException] {
+        EventStreams.swapPartitionDirs(EventStreams.stageDirFor(live),
+          live, Seq("bkt=0"), batchId = 0L)
+      }
+      assert(e.getMessage.contains("collides with retained " +
+        "generation g0"), e.getMessage)
+      // the committed generation is untouched and still served
+      assert(new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(live, "bkt=0/g0/d.parquet").toPath)) ===
+        "legacy0")
+      // a NON-colliding streaming batch still proceeds normally
+      put(new java.io.File(EventStreams.stageDirFor(live),
+        "bkt=0/d.parquet"), "stream5")
+      EventStreams.swapPartitionDirs(EventStreams.stageDirFor(live),
+        live, Seq("bkt=0"), batchId = 5L)
+      assert(EventStreams.readSnapshot(live).get._2("bkt=0") === 5L)
+    } finally EventStreams.deleteRecursively(root)
+  }
+
+  test("pre-snapshot-era torn recovery repairs the HISTORY file too: " +
+      "readCommittedAsOf(batch) serves the consumed in-place " +
+      "partitions at their migrated generation (ADVICE r16)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-legacy-asof").toFile
+    def put(f: java.io.File, s: String): Unit = {
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    try {
+      val live = s"${root.getAbsolutePath}/state"
+      // old-release layout: loose parquet under the k=v dirs.
+      // bkt=0's in-place apply already CONSUMED its staged dir (the
+      // live loose file is the new version), bkt=1 is still staged.
+      Seq((100L, 0)).toDF("k", "bkt").repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(live)
+      val stage = EventStreams.stageDirFor(live)
+      Seq((11L, 1)).toDF("k", "bkt").repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(stage)
+      // drop top-level _SUCCESS markers parquet wrote; keep layout
+      new java.io.File(live, "_SUCCESS").delete()
+      put(new java.io.File(live, EventStreams.SwapManifestName),
+        s"stage=$stage\nbatch=7\n" +
+          "part=bkt=0\tstaged=1\npart=bkt=1\tstaged=1")
+      EventStreams.recoverTornSwap(live)
+      // the current snapshot and the v7 HISTORY file must agree:
+      // bkt=0 at its bootstrap-migrated g-1, bkt=1 at the replayed
+      // g7 — a history entry at the never-created g7 for bkt=0
+      // would resolve a nonexistent leaf path below
+      val snap = EventStreams.readSnapshot(live).get._2
+      assert(snap("bkt=0") === -1L && snap("bkt=1") === 7L, s"$snap")
+      val asOf = EventStreams.readCommittedAsOf(spark, live, 7L).get
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(asOf === Seq(11L, 100L),
+        "the as-of read must serve the migrated generation")
+    } finally EventStreams.deleteRecursively(root)
+  }
+
+  test("readCommitted refuses a snapshot-less swap-managed tree " +
+      "diagnosably (structural r17), recoverTornSwap's loop-start " +
+      "bootstrap migrates it, and chained-mode version dirs keep " +
+      "the listing fallback") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-structural").toFile
+    def put(f: java.io.File, s: String): Unit = {
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, s.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    try {
+      // (a) legacy partitioned tree, no snapshot, no manifest: an
+      // external reader must get a pointer to the migration, not a
+      // listing read whose immutability nobody can check
+      val legacy = s"${root.getAbsolutePath}/legacy"
+      Seq((1L, 0), (2L, 1)).toDF("k", "bkt").repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(legacy)
+      val ea = intercept[IllegalStateException] {
+        EventStreams.readCommitted(spark, legacy)
+      }
+      assert(ea.getMessage.contains("no committed snapshot") &&
+        ea.getMessage.contains("bootstrap-migrate"), ea.getMessage)
+      // (c) the loop-start recovery migrates it; reads then serve
+      EventStreams.recoverTornSwap(legacy)
+      assert(EventStreams.readCommitted(spark, legacy).get
+        .select("k").as[Long].collect().sorted.toSeq ===
+        Seq(1L, 2L))
+      // (b) a torn PRE-SNAPSHOT-ERA swap (manifest + loose
+      // partition data, no snapshot): committed pre-crash data
+      // exists, so a silent None would present it as empty —
+      // refuse toward recovery instead (ADVICE r16)
+      val torn = s"${root.getAbsolutePath}/torn"
+      Seq((3L, 0)).toDF("k", "bkt").repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(torn)
+      put(new java.io.File(torn, EventStreams.SwapManifestName),
+        s"stage=${EventStreams.stageDirFor(torn)}\nbatch=4\n" +
+          "part=bkt=0\tstaged=1")
+      val eb = intercept[IllegalStateException] {
+        EventStreams.readCommitted(spark, torn)
+      }
+      assert(eb.getMessage.contains("recoverTornSwap"),
+        eb.getMessage)
+      // (d) a FRESH artifact's first swap mid-APPLY: manifest
+      // present, partitions hold only generation dirs — nothing
+      // committed yet, None (not an error) is the contract the
+      // concurrent-reader stress test relies on
+      val fresh = s"${root.getAbsolutePath}/fresh"
+      Seq((9L, 0)).toDF("k", "bkt").repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(fresh)
+      val g = new java.io.File(fresh, "bkt=0/g0")
+      g.mkdirs()
+      Option(new java.io.File(fresh, "bkt=0").listFiles())
+        .getOrElse(Array.empty).filter(_.isFile)
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          new java.io.File(g, f.getName).toPath))
+      put(new java.io.File(fresh, EventStreams.SwapManifestName),
+        s"stage=${EventStreams.stageDirFor(fresh)}\nbatch=0\n" +
+          "gen=0\npart=bkt=0\tstaged=1")
+      assert(EventStreams.readCommitted(spark, fresh).isEmpty)
+      // (e) chained-mode version dir (loose files, no partitions):
+      // immutable once complete — the listing fallback stays
+      val chained = s"${root.getAbsolutePath}/chained"
+      Seq(5L, 6L).toDF("k").coalesce(1).write.parquet(chained)
+      assert(EventStreams.readCommitted(spark, chained).get
+        .select("k").as[Long].collect().sorted.toSeq ===
+        Seq(5L, 6L))
     } finally EventStreams.deleteRecursively(root)
   }
 
