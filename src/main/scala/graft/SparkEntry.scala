@@ -71,7 +71,9 @@ object SparkEntry {
         "s22_stream_partitioned_ingest" -> ((s, d) =>
           EventStreams.replayPartitionedIngest(s, d)),
         "s23_stream_pii_gate" -> ((s, d) =>
-          EventStreams.replayPiiGate(s, d)))
+          EventStreams.replayPiiGate(s, d)),
+        "s24_stream_time_travel" -> ((s, d) =>
+          EventStreams.replayTimeTravelCompact(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -290,5 +292,38 @@ object SparkEntry {
         // verdicts ≡ batch t46 — t46's oracle verifies the
         // streaming compliance pass
         "s23_stream_pii_gate" ->
-          TextOps.oracles("t46_pii_scrub"))
+          TextOps.oracles("t46_pii_scrub"),
+        // s24 reads the s16 artifact AS OF batch 8 of 10; the staged
+        // slices are ascending event-time spans with the lo/span
+        // arithmetic below, so "as of batch 8" ≡ "compaction of the
+        // event-time prefix through slice 8" — the oracle recomputes
+        // that prefix from the raw table (epoch_us//1e6 pairs with
+        // Spark's truncating unix_timestamp) and re-runs q46's
+        // compaction over it; the hash proves snapshot retention,
+        // as-of resolution, and the generation-pinned scan
+        "s24_stream_time_travel" ->
+          """WITH f AS (
+            |  SELECT *, epoch_us(ts) // 1000000 AS sec FROM events),
+            |mm AS (SELECT min(sec) AS lo, max(sec) + 1 AS hi FROM f),
+            |pfx AS (
+            |  SELECT f.* FROM f, mm
+            |  WHERE f.sec < mm.lo + 9 * ((mm.hi - mm.lo + 9) // 10)),
+            |last AS (
+            |  SELECT user_id, ts, event_id, event_type, value,
+            |    row_number() OVER (PARTITION BY user_id
+            |      ORDER BY ts DESC, event_id DESC) AS rn
+            |  FROM pfx),
+            |agg AS (
+            |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            |    round(sum(CAST(round(value * 100) AS BIGINT))
+            |      / 100.0, 2) AS lifetime_value
+            |  FROM pfx GROUP BY 1)
+            |SELECT a.user_id,
+            |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+            |  l.event_id AS last_event_id, l.event_type AS last_type,
+            |  round(l.value, 2) AS last_value, a.n_events,
+            |  a.lifetime_value
+            |FROM agg a JOIN last l
+            |  ON l.user_id = a.user_id AND l.rn = 1
+            |ORDER BY a.user_id""".stripMargin)
 }
