@@ -28,6 +28,64 @@ object Bench {
       .filter(_._3 > ratio)
       .sortBy(-_._3)
 
+  /** Point-in-time JVM/runtime counters for the per-entry suite-state
+    * diagnostics (review r16: t08 ran a STABLE ~3 s in-suite vs
+    * 0.47 s isolated in the driver record — the ask was to NAME the
+    * mechanism). Captured once per entry (not per iteration — the
+    * local-dir walk is not free), diffed into the file-only `diag`
+    * map: cumulative GC millis, heap in use, JIT code-cache +
+    * metaspace occupancy and loaded-class count (the candidates for
+    * a stable JIT-side slowdown), the Spark local-dir footprint (the
+    * IO-side candidate), plus the wall-clock offset since bench
+    * start and the OS 1-min load average (the EXTERNAL-load
+    * candidate). The r17 instrumented replication of the full
+    * driver-shape suite RULED OUT every in-JVM mechanism — see
+    * README "naming the in-suite t-family slowdown" — so the two
+    * trailing columns are what turns the next driver-record gap
+    * into a one-look diagnosis: a time-window correlation with
+    * load ≫ our own concurrency is co-located box load, not code.
+    */
+  private[graft] final case class JvmSnap(gcMs: Long, heapMb: Long,
+    codeCacheMb: Long, metaMb: Long, classes: Long, localMb: Long,
+    localFiles: Long, wallMs: Long, load100: Long)
+
+  private[graft] def jvmSnap(): JvmSnap = {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory
+    val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+    val rt = Runtime.getRuntime
+    val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+    def poolMb(pred: String => Boolean): Long = pools
+      .filter(p => pred(p.getName))
+      .map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L))
+      .sum / (1024 * 1024)
+    val (localMb, localFiles) = {
+      // every blockmgr-*/spark-* dir under the JVM's tmp dir: shuffle
+      // blocks, disk-spilled broadcast/cache, temp staging
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"))
+      def walk(f: java.io.File): (Long, Long) =
+        if (f.isFile) (f.length(), 1L)
+        else Option(f.listFiles()).getOrElse(Array.empty)
+          .map(walk).foldLeft((0L, 0L)) { case ((b, n), (b2, n2)) =>
+            (b + b2, n + n2) }
+      val roots = Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.getName.startsWith("blockmgr-") ||
+          d.getName.startsWith("spark-"))
+      val sums = roots.map(walk)
+      (sums.map(_._1).sum / (1024 * 1024), sums.map(_._2).sum)
+    }
+    JvmSnap(gc, (rt.totalMemory - rt.freeMemory) / (1024 * 1024),
+      poolMb(_.contains("CodeHeap")) + poolMb(_ == "CodeCache"),
+      poolMb(_ == "Metaspace"),
+      java.lang.management.ManagementFactory.getClassLoadingMXBean
+        .getTotalLoadedClassCount, localMb, localFiles,
+      System.currentTimeMillis(),
+      (math.max(0.0, ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage) * 100).toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -75,11 +133,14 @@ object Bench {
     // whose name starts with one of the comma-separated prefixes
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val diag = scala.collection.mutable.LinkedHashMap
+      .empty[String, (JvmSnap, JvmSnap)]
     val results = (SparkEntry.queries ++ SparkEntry.benchOnly)
       .toSeq.sortBy(_._1)
       .filter(kv => only.isEmpty || only.exists(kv._1.startsWith))
       .map {
       case (name, fn) =>
+        val snap0 = jvmSnap()
         val times = (1 to iters).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
@@ -96,6 +157,7 @@ object Bench {
               Double.PositiveInfinity
           }
         }
+        diag += name -> (snap0, jvmSnap())
         name -> times
     }
     def fmt(v: Double, digits: Int): String =
@@ -130,8 +192,24 @@ object Bench {
     val itersJson = results.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(fmt(_, 3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Per-entry suite-state diagnostics (file only, review r16):
+    // [gc_ms spent during the entry, heap MB after, JIT code-cache
+    // MB after, metaspace MB after, total classes loaded, Spark
+    // local-dir MB, local-dir file count, seconds since bench
+    // start (entry end), OS 1-min load average ×100 (entry end)].
+    // A stable in-suite slowdown shows its mechanism as the
+    // monotone column; a load column far above our own worker
+    // count names co-located box load instead.
+    val benchT0 = diag.headOption.map(_._2._1.wallMs)
+      .getOrElse(System.currentTimeMillis())
+    val diagJson = diag.map { case (k, (a, b)) =>
+      "\"" + k + "\":[" + Seq(b.gcMs - a.gcMs, b.heapMb,
+        b.codeCacheMb, b.metaMb, b.classes, b.localMb,
+        b.localFiles, (b.wallMs - benchT0) / 1000, b.load100)
+        .mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val lineFull =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsFull,"iters":$itersJson,"index_warm":$warmSec%.3f$failedJson$onlyJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsFull,"iters":$itersJson,"diag":$diagJson,"index_warm":$warmSec%.3f$failedJson$onlyJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), lineFull)
