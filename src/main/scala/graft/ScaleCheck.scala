@@ -303,15 +303,22 @@ object ScaleCheck {
       // cannot split — one prefix AND one length. The hot subset is
       // confined to a single (pre3, blen) cell (names "zzz"+w1-w2-k
       // with both words length 6 and 8-digit keys: one shared
-      // 3-char prefix, one shared length 25), the exact corpus shape
-      // where banded blocking degenerates to one shuffle key. The
-      // escalated key splits the cell at the 4th character (12
-      // distinct w1 first letters), cutting in-cell candidate pairs
-      // AND restoring parallelism; the match set is provably
-      // unchanged (any cross-w1 pair is ≥ 3 edits away — word list
-      // min pairwise distance 3, plus the always-distinct key
-      // digits — so escalation can only prune pairs the ≤2
-      // threshold would reject). Sizes via SPARK_GRAFT_FUZZYC_KS.
+      // 3-char prefix, one shared length 25, ~34% of the corpus —
+      // dominant, as a real "Alaska …" registry's hot block is),
+      // the exact corpus shape where banded blocking degenerates to
+      // one shuffle key whose refinement is quadratic AND
+      // single-task. The escalated key splits the cell at the 4th
+      // character (12 distinct w1 first letters), cutting in-cell
+      // candidate pairs ~12× and restoring parallelism; the match
+      // set is provably unchanged (any cross-w1 pair is ≥ 3 edits
+      // away — word list min pairwise distance 3, plus the
+      // always-distinct key digits — so escalation can only prune
+      // pairs the ≤2 threshold would reject). The remaining growth
+      // term in BOTH variants is the registry's natural cells
+      // (every name of a (w1, length) cell shares its first SIX
+      // chars, so pre4 cannot subdivide them — the synthetic
+      // worst case for any fixed-depth key). Sizes via
+      // SPARK_GRAFT_FUZZYC_KS.
       locally {
         val cks = sys.env.getOrElse("SPARK_GRAFT_FUZZYC_KS", "4,8,16")
           .split(",").map(_.trim.toInt).toSeq
@@ -322,7 +329,7 @@ object ScaleCheck {
             .reduce(_ unionByName _)
           val reg = TextOps.fuzzyRegistryOf(keys)
           reg.select(col("k"),
-            when(pmod(col("k"), lit(10)) < 3 &&
+            when(pmod(col("k"), lit(10)) < 6 &&
                 col("wlen") === 12 && length(col("name")) === 22,
               concat(lit("zzz"), col("name")))
               .otherwise(col("name")).as("name"),
