@@ -135,12 +135,16 @@ object Bench {
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
     val diag = scala.collection.mutable.LinkedHashMap
       .empty[String, (JvmSnap, JvmSnap)]
+    // entry N's end snapshot doubles as entry N+1's start (they are
+    // microseconds apart with nothing between) — halves the
+    // local-dir walks and keeps walk jitter out of the deltas
+    var lastSnap: Option[JvmSnap] = None
     val results = (SparkEntry.queries ++ SparkEntry.benchOnly)
       .toSeq.sortBy(_._1)
       .filter(kv => only.isEmpty || only.exists(kv._1.startsWith))
       .map {
       case (name, fn) =>
-        val snap0 = jvmSnap()
+        val snap0 = lastSnap.getOrElse(jvmSnap())
         val times = (1 to iters).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
@@ -157,7 +161,9 @@ object Bench {
               Double.PositiveInfinity
           }
         }
-        diag += name -> (snap0, jvmSnap())
+        val snap1 = jvmSnap()
+        lastSnap = Some(snap1)
+        diag += name -> (snap0, snap1)
         name -> times
     }
     def fmt(v: Double, digits: Int): String =

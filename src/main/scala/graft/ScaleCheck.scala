@@ -218,20 +218,26 @@ object ScaleCheck {
     locally {
       val fks = sys.env.getOrElse("SPARK_GRAFT_FUZZY_KS", "1,2,4")
         .split(",").map(_.trim.toInt).toSeq
-      def fuzzyReg(k: Int): DataFrame = {
+      // the k×-replicated registry both fuzzy probes share: doc_id
+      // keys shifted by r·10⁷ per replica (single-sourced so the
+      // skew and concentration probes can never drift onto
+      // different corpora), names remapped hot by the probe's
+      // predicate
+      def fuzzyRegWith(k: Int)(hot: org.apache.spark.sql.Column)
+          : DataFrame = {
         val keys = (0 until k).map(r =>
           Tables.documents(spark, sfDir)
             .select((col("doc_id") + lit(r * 10000000L)).as("k")))
           .reduce(_ unionByName _)
-        val reg = TextOps.fuzzyRegistryOf(keys)
-        // 30% of names into one hot prefix; their tails keep the
-        // registry's natural length spread, as real corpora do
-        reg.select(col("k"),
-          when(pmod(col("k"), lit(10)) < 3,
-            concat(lit("zzz"), col("name")))
+        TextOps.fuzzyRegistryOf(keys).select(col("k"),
+          when(hot, concat(lit("zzz"), col("name")))
             .otherwise(col("name")).as("name"),
           col("wlen"))
       }
+      // 30% of names into one hot prefix; their tails keep the
+      // registry's natural length spread, as real corpora do
+      def fuzzyReg(k: Int): DataFrame =
+        fuzzyRegWith(k)(pmod(col("k"), lit(10)) < 3)
       // warmup: JIT all three join shapes once
       locally {
         val r0 = fuzzyReg(1).limit(300).persist()
@@ -322,19 +328,9 @@ object ScaleCheck {
       locally {
         val cks = sys.env.getOrElse("SPARK_GRAFT_FUZZYC_KS", "4,8,16")
           .split(",").map(_.trim.toInt).toSeq
-        def concReg(k: Int): DataFrame = {
-          val keys = (0 until k).map(r =>
-            Tables.documents(spark, sfDir)
-              .select((col("doc_id") + lit(r * 10000000L)).as("k")))
-            .reduce(_ unionByName _)
-          val reg = TextOps.fuzzyRegistryOf(keys)
-          reg.select(col("k"),
-            when(pmod(col("k"), lit(10)) < 6 &&
-                col("wlen") === 12 && length(col("name")) === 22,
-              concat(lit("zzz"), col("name")))
-              .otherwise(col("name")).as("name"),
-            col("wlen"))
-        }
+        def concReg(k: Int): DataFrame =
+          fuzzyRegWith(k)(pmod(col("k"), lit(10)) < 6 &&
+            col("wlen") === 12 && length(col("name")) === 22)
         cks.foreach { k =>
           val reg = concReg(k)
             .repartition(spark.sparkContext.defaultParallelism)

@@ -511,8 +511,6 @@ object EventStreams {
       // aggregation commutes); checkpoint + state artifact stay
       // per-call so every run replays from batch 0
       val srcDir = stagedEventBatches(spark, dir, nBatches)
-      def compact(df: DataFrame): DataFrame = compactUserState(df)
-      def preAgg(df: DataFrame): DataFrame = preAggUserState(df)
       // bucket-partitioned merge (the s17 treatment): user cardinality
       // grows with the corpus, a batch touches only its own users, and
       // the compaction is key-local — so each batch rewrites only the
@@ -527,12 +525,13 @@ object EventStreams {
       val (artifact, stateRows) = runArtifactMergeLoop(spark,
         work.getAbsolutePath, srcDir, stagedEventSchema,
         bucketKey = Some("user_id"), nBuckets = 8)(
-        preAgg,
-        (prev, batchAgg) => compact(prev.unionByName(batchAgg)))
+        preAggUserState,
+        (prev, batchAgg) =>
+          compactUserState(prev.unionByName(batchAgg)))
       // empty-source fallback: the compaction of zero batches is the
       // compaction of an empty log
       val fin = compactReadout(artifact
-        .getOrElse(preAgg(emptyStagedFrame(spark))))
+        .getOrElse(preAggUserState(emptyStagedFrame(spark))))
       // materialize BEFORE the temp state dir is deleted — a HARNESS-bounded
       // collect, not the loop's scale shape: each replay CALL is a
       // fresh deployment whose artifacts live in a per-call temp
@@ -582,13 +581,22 @@ object EventStreams {
         preAggUserState,
         (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
       val stateDir = s"${work.getAbsolutePath}/state"
-      // the second-newest version: every staged slice is non-empty
-      // at the declared SFs (events cover their whole time span), so
-      // the head is batch nBatches−1 and the as-of target a genuinely
-      // superseded snapshot inside the retention window
-      val asOf = lastCommittedBatch(stateDir) - 1
+      // the as-of target is the FIXED batch nBatches−2, not
+      // lastCommitted−1 (review r17): the oracle recomputes the
+      // prefix through slice nBatches−2, and the fixed target stays
+      // oracle-equal even if TRAILING slices are data-empty (their
+      // batches commit nothing, and the as-of convention resolves
+      // the latest snapshot ≤ the target — whose state IS the
+      // compaction of the same data prefix). At the declared SFs
+      // every slice is non-empty, so this resolves the genuinely
+      // SUPERSEDED _snapshot_v8 inside the retention window. An
+      // empty source commits nothing at all — the r12 empty-source
+      // contract returns the empty compaction instead of a
+      // no-history refusal.
+      val asOf = nBatches - 2L
       val fin = compactReadout(
-        readCommittedAsOf(spark, stateDir, asOf)
+        (if (lastCommittedBatch(stateDir) < 0L) None
+         else readCommittedAsOf(spark, stateDir, asOf))
           .getOrElse(preAggUserState(emptyStagedFrame(spark)))
           .drop("bkt"))
       // HARNESS-bounded materialization before the temp dir dies
@@ -1917,6 +1925,20 @@ object EventStreams {
         // under a k=v dir (the migrated layout holds only g<N> dirs)
         val legacyData = partDirs.exists(d =>
           Option(d.listFiles()).getOrElse(Array.empty).exists(isData))
+        // TOCTOU re-check (review r17): this branch observed "no
+        // snapshot", but a writer's FIRST commit may have landed
+        // between that read and the listings above (commitSnapshot
+        // writes _snapshot, then the manifest is deleted) — a reader
+        // interleaving exactly there would otherwise misdiagnose a
+        // healthy artifact as a legacy one. One snapshot re-read
+        // after the listings settles it: if a snapshot exists NOW,
+        // serve it; refusals below are only for trees that are
+        // genuinely snapshot-less after both reads.
+        if (partDirs.nonEmpty) readSnapshot(liveDir) match {
+          case Some((_, entries)) =>
+            return readEntries(spark, liveDir, entries)
+          case None => ()
+        }
         if (legacyData || (partDirs.nonEmpty && !inFlight))
           throw new IllegalStateException(
             s"swap-managed artifact $liveDir has partition data but " +
