@@ -311,7 +311,7 @@ object Bench {
               raw.indexOf("\"wide\":"))
               .filter(_ >= 0).sorted.headOption.getOrElse(raw.length)
             val meta = Set("n", "rc", "cpus", "sf", "value", "n_ok",
-              "index_warm")
+              "index_warm", "p50", "max")
             val re = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
             Some(re.findAllMatchIn(raw.substring(0, cut))
               .map(m => m.group(1) -> m.group(2).toDouble)
@@ -394,15 +394,25 @@ object Bench {
       else wideEntries.map { case (k, _, r) =>
         "\"" + shortKey(k) + "\":" + fmt(r, 1)
       }.mkString(""","wide":{""", ",", "}")
+    // OS load summary on the DRIVER-VISIBLE line (r17, after the
+    // in-suite t-family forensics attributed driver-record slowdowns
+    // to co-located box load): p50/max of the per-entry 1-min load
+    // average. A record whose max load far exceeds the worker count
+    // names its own contamination — no bench_out.json forensics, no
+    // next-round isolated re-measure needed to call it.
+    val loads = diag.values.map(_._2.load100).toSeq.sorted
+    val loadJson =
+      if (loads.isEmpty) ""
+      else f""","load":{"p50":${loads(loads.size / 2) / 100.0}%.1f,"max":${loads.last / 100.0}%.1f}"""
     // Field ORDER is deliberate: the line is ~2.4k chars against the
     // launcher's 2000-char tail window, so its HEAD is truncated out
     // of the driver record — the big queries/spread maps go first
     // (losing their alphabetically-early keys to the cut; the full
     // record is bench_out.json) and every scalar that must survive —
-    // totals, failures, the regression flags, sf — sits at the END,
-    // guaranteed inside the window.
+    // totals, failures, the regression flags, load, sf — sits at the
+    // END, guaranteed inside the window.
     val lineShort =
-      f"""{"metric":"total","queries":$qsShort,"spread":$spread$regressedJson$wideJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"value":$total%.3f,"unit":"sec","n_ok":$nOk,"sf":"$sfDir"}"""
+      f"""{"metric":"total","queries":$qsShort,"spread":$spread$regressedJson$wideJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"value":$total%.3f,"unit":"sec","n_ok":$nOk$loadJson,"sf":"$sfDir"}"""
     println(lineShort)
     spark.stop()
   }
