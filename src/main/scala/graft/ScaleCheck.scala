@@ -223,14 +223,14 @@ object ScaleCheck {
       // skew and concentration probes can never drift onto
       // different corpora), names remapped hot by the probe's
       // predicate
-      def fuzzyRegWith(k: Int)(hot: org.apache.spark.sql.Column)
-          : DataFrame = {
+      def fuzzyRegWith(k: Int, tag: String = "zzz")(
+          hot: org.apache.spark.sql.Column): DataFrame = {
         val keys = (0 until k).map(r =>
           Tables.documents(spark, sfDir)
             .select((col("doc_id") + lit(r * 10000000L)).as("k")))
           .reduce(_ unionByName _)
         TextOps.fuzzyRegistryOf(keys).select(col("k"),
-          when(hot, concat(lit("zzz"), col("name")))
+          when(hot, concat(lit(tag), col("name")))
             .otherwise(col("name")).as("name"),
           col("wlen"))
       }
@@ -351,6 +351,89 @@ object ScaleCheck {
             s"banded/escalated outputs diverged: $mBandC $mEscC")
           println(
             f"""{"probe":"fuzzy_conc","k":$k,"n_names":$nNames,"hot_cell":$hotCell,"matches":$mBandC,"sec_banded_smj":$tBandC%.2f,"sec_esc_smj":$tEscC%.2f}""")
+          reg.unpersist()
+          dirty.unpersist()
+          ()
+        }
+      }
+      // claim 6c (review r17 item 1): the corpus the key4 rung
+      // cannot split — names sharing FOUR leading chars at one
+      // length ("zzzz" tag). The key5 rung splits it at the 5th
+      // character (the 12 distinct w1 first letters), and the salt
+      // rung then shards any per-letter cell still above budget.
+      // Regimes priced: r17's ladder (key4 only — on this corpus it
+      // degenerates to one shuffle key), key5 without salt, and the
+      // full ladder. Cross-w1 pairs are ≥ 3 edits apart (word-list
+      // min pairwise distance 3) so every regime returns the same
+      // matches.
+      locally {
+        val cks = sys.env.getOrElse("SPARK_GRAFT_FUZZYC4_KS",
+          "4,8,16").split(",").map(_.trim.toInt).toSeq
+        def conc4Reg(k: Int): DataFrame =
+          fuzzyRegWith(k, "zzzz")(pmod(col("k"), lit(10)) < 6 &&
+            col("wlen") === 12 && length(col("name")) === 22)
+        cks.foreach { k =>
+          val reg = conc4Reg(k)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .persist()
+          val nNames = reg.count()
+          val hotCell = reg.filter(col("name").startsWith("zzzz"))
+            .count()
+          val dirty = TextOps.fuzzyDirtyOf(reg).persist()
+          dirty.count()
+          val (mEsc4, tEsc4) = noBroadcast(timed {
+            TextOps.fuzzyResolveOf(reg, dirty,
+              deepKey = false, saltHot = false).count()
+          })
+          val (mEsc5, tEsc5) = noBroadcast(timed {
+            TextOps.fuzzyResolveOf(reg, dirty,
+              saltHot = false).count()
+          })
+          val (mFull, tFull) = noBroadcast(timed {
+            TextOps.fuzzyResolveOf(reg, dirty).count()
+          })
+          assert(mEsc4 == mEsc5 && mEsc5 == mFull,
+            s"ladder regimes diverged: $mEsc4 $mEsc5 $mFull")
+          println(
+            f"""{"probe":"fuzzy_conc4","k":$k,"n_names":$nNames,"hot_cell":$hotCell,"matches":$mFull,"sec_esc4_smj":$tEsc4%.2f,"sec_esc5_smj":$tEsc5%.2f,"sec_full_smj":$tFull%.2f}""")
+          reg.unpersist()
+          dirty.unpersist()
+          ()
+        }
+      }
+      // claim 6d: the corpus NO key rung can split — names sharing
+      // FIVE leading chars at one length ("zzzzz" tag). key5 leaves
+      // one cell; only the salt rung helps, by converting the one
+      // quadratic single-task shuffle key into ceil(n/budget)
+      // budget-wide shards refined in parallel. The candidate set
+      // is identical with and without salt (salting re-partitions,
+      // never prunes), which the match-count assert re-proves.
+      locally {
+        val cks = sys.env.getOrElse("SPARK_GRAFT_FUZZYC5_KS",
+          "4,8").split(",").map(_.trim.toInt).toSeq
+        def conc5Reg(k: Int): DataFrame =
+          fuzzyRegWith(k, "zzzzz")(pmod(col("k"), lit(10)) < 6 &&
+            col("wlen") === 12 && length(col("name")) === 22)
+        cks.foreach { k =>
+          val reg = conc5Reg(k)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .persist()
+          val nNames = reg.count()
+          val hotCell = reg.filter(col("name").startsWith("zzzzz"))
+            .count()
+          val dirty = TextOps.fuzzyDirtyOf(reg).persist()
+          dirty.count()
+          val (mNoSalt, tNoSalt) = noBroadcast(timed {
+            TextOps.fuzzyResolveOf(reg, dirty,
+              saltHot = false).count()
+          })
+          val (mSalt, tSalt) = noBroadcast(timed {
+            TextOps.fuzzyResolveOf(reg, dirty).count()
+          })
+          assert(mNoSalt == mSalt,
+            s"salting changed the match set: $mNoSalt $mSalt")
+          println(
+            f"""{"probe":"fuzzy_conc5","k":$k,"n_names":$nNames,"hot_cell":$hotCell,"matches":$mSalt,"sec_nosalt_smj":$tNoSalt%.2f,"sec_salt_smj":$tSalt%.2f}""")
           reg.unpersist()
           dirty.unpersist()
           ()

@@ -3163,32 +3163,53 @@ object TextOps {
     * position p corrupts pre4 only when p ≤ 4 and suf4 only when
     * p ≥ len−3 (a transposition spans two adjacent positions),
     * which cannot both hold at len ≥ 9 — so the hot set keeps the
-    * ≥ 9 guard and shorter names stay on the 3-char key. Cells the
-    * escalation cannot split (names sharing ≥ 4 leading chars, the
-    * "Alaska …" corpus) degrade gracefully to the banded behavior.
-    * ScaleCheck's fuzzy_skew probe measures all three regimes —
-    * flat, banded, escalated — on a 30%-hot registry and on a
-    * prefix-AND-length-concentrated one (receipt:
-    * scalecheck_r17.json).
+    * ≥ 9 guard and shorter names stay on the 3-char key.
+    *
+    * ESCALATION LADDER, COMPLETED (review r17 item 1): cells hot
+    * even under the 4-char key (names sharing ≥ 4 leading chars at
+    * one length — "Alaska …" registries) lengthen once more to
+    * pre5/suf5 (recall guard len ≥ 11, the same two-pass argument
+    * one character deeper), and whatever remains hot on the FINAL
+    * routed key — names indistinguishable to every key rung — is
+    * SALTED: clean rows hash into ceil(n/budget) shards, dirty rows
+    * replicate across them. Salting never changes the candidate set
+    * (each dirty row still meets the whole cell), so recall and the
+    * oracle are untouched; it converts the one quadratic single-task
+    * shuffle key into budget-sized keys refined in parallel —
+    * per-task work linear in the cell, the blocking-scheme floor,
+    * since an indistinguishable cell's pairs are genuine candidates
+    * that must be compared somewhere. ScaleCheck's fuzzy_skew /
+    * fuzzy_conc / fuzzy_conc4 probes measure every regime — flat,
+    * banded, key4-escalated, full-ladder — on a 30%-hot registry, a
+    * prefix-AND-length-concentrated one, and a 4-shared-leading-
+    * chars one (receipts: scalecheck_r17.json, scalecheck_r18.json).
     */
   private[graft] def fuzzyResolveOf(clean: DataFrame,
       dirty: DataFrame, lengthBand: Boolean = true,
-      hotBudget: Int = FuzzyHotBudget): DataFrame = {
+      hotBudget: Int = FuzzyHotBudget,
+      // probe-only regime switches (ScaleCheck prices each ladder
+      // rung; production and the oracle always run the full ladder)
+      deepKey: Boolean = true, saltHot: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = clean.select(col("k").as("clean_id"),
       col("name").as("clean_name"),
       substring(col("name"), 1, 3).as("pre"),
       substring(col("name"), 1, 4).as("pre4"),
+      substring(col("name"), 1, 5).as("pre5"),
       col("name").substr(length(col("name")) - 2, lit(3)).as("suf"),
       col("name").substr(length(col("name")) - 3, lit(4)).as("suf4"),
+      col("name").substr(length(col("name")) - 4, lit(5)).as("suf5"),
       length(col("name")).cast("int").as("blen"))
     val dd = dirty.select(col("k").as("dirty_id"), col("dirty_name"),
       substring(col("dirty_name"), 1, 3).as("pre"),
       substring(col("dirty_name"), 1, 4).as("pre4"),
+      substring(col("dirty_name"), 1, 5).as("pre5"),
       col("dirty_name").substr(length(col("dirty_name")) - 2, lit(3))
         .as("suf"),
       col("dirty_name").substr(length(col("dirty_name")) - 3, lit(4))
-        .as("suf4"))
+        .as("suf4"),
+      col("dirty_name").substr(length(col("dirty_name")) - 4, lit(5))
+        .as("suf5"))
     def pass(key: String): DataFrame =
       if (!lengthBand)
         dd.select("dirty_id", "dirty_name", key)
@@ -3196,31 +3217,90 @@ object TextOps {
           .select("dirty_id", "dirty_name", "clean_id", "clean_name")
       else {
         val k4 = key + "4"
+        val k5 = key + "5"
         val dx = dd.select(col("dirty_id"), col("dirty_name"),
-            col(key), col(k4),
+            col(key), col(k4), col(k5),
             explode(array((-2 to 2).map(lit(_)): _*)).as("delta"))
           .withColumn("blen",
             (length(col("dirty_name")) + col("delta")).cast("int"))
         val cx = c.select(col("clean_id"), col("clean_name"),
-          col(key), col(k4), col("blen"))
+          col(key), col(k4), col(k5), col("blen"))
         if (hotBudget == Int.MaxValue)
           // escalation off: the pure composite (key, length) join
           dx.join(cx, Seq(key, "blen"))
             .select("dirty_id", "dirty_name", "clean_id",
               "clean_name")
         else {
-          val hot = cx.groupBy(col(key), col("blen"))
+          // escalation ladder, rungs 1+2: clean-side cell counts at
+          // key3 and key4 granularity (map-side-combinable, tiny
+          // outputs, broadcast). A (key4, blen) cell above budget
+          // implies its (key3, blen) parent is too, so the nested
+          // when() routes both sides of any candidate pair
+          // identically — the pair shares (key3, blen) by
+          // construction, and key4 divergence under a hot3 cell
+          // prunes it at EITHER rung (bkey inequality), keeping the
+          // r17 routing contract. Recall guards: len ≥ 9 for key4
+          // (one edit event spans ≤ 2 adjacent positions, so it
+          // cannot corrupt both pre4 and suf4 at len ≥ 9), len ≥ 11
+          // for key5 by the same argument one character deeper.
+          val hot3 = cx.groupBy(col(key), col("blen"))
             .agg(count(lit(1)).as("cell_n"))
             .filter(col("cell_n") > hotBudget && col("blen") >= 9)
-            .select(col(key), col("blen"), lit(1).as("hot"))
-          def route(df: DataFrame): DataFrame = df
-            .join(broadcast(hot), Seq(key, "blen"), "left")
-            .withColumn("bkey",
-              when(col("hot") === 1, col(k4)).otherwise(col(key)))
-          route(dx).select("dirty_id", "dirty_name", "bkey", "blen")
-            .join(route(cx)
-              .select("clean_id", "clean_name", "bkey", "blen"),
-              Seq("bkey", "blen"))
+            .select(col(key), col("blen"), lit(1).as("hot3"))
+          val hot4 = cx.groupBy(col(k4), col("blen"))
+            .agg(count(lit(1)).as("cell_n"))
+            .filter(col("cell_n") > hotBudget && col("blen") >= 11)
+            .select(col(k4), col("blen"), lit(1).as("hot4"))
+          def route(df: DataFrame): DataFrame = {
+            val tagged =
+              if (deepKey) df
+                .join(broadcast(hot3), Seq(key, "blen"), "left")
+                .join(broadcast(hot4), Seq(k4, "blen"), "left")
+              else df
+                .join(broadcast(hot3), Seq(key, "blen"), "left")
+                .withColumn("hot4", lit(null).cast("int"))
+            tagged.withColumn("bkey",
+              when(col("hot4") === 1, col(k5))
+                .when(col("hot3") === 1, col(k4))
+                .otherwise(col(key)))
+          }
+          // final rung — SALT, not split (review r17 item 1): a cell
+          // the key ladder cannot split (names sharing ≥ 5 leading
+          // chars at one length) is re-counted on its FINAL routed
+          // key; still-hot cells get ceil(n/budget) salt shards
+          // (capped), clean rows hash into one shard, dirty rows
+          // replicate across all of them. The candidate SET is
+          // unchanged — every dirty row still meets every clean row
+          // of its cell — so recall, results, and the DuckDB oracle
+          // are untouched; what changes is the shuffle: one
+          // quadratic single-task key becomes `nsalt` budget-sized
+          // keys refined in parallel. Per-task work is then
+          // O(|dirty-in-cell| · budget) — linear, not quadratic, in
+          // the cell — which is the information-theoretic floor for
+          // blocking: names indistinguishable to every key ARE
+          // mutual candidates and must be compared; salting spreads
+          // that inherent work across the cluster instead of one
+          // executor core.
+          val rc = route(cx)
+          val salted = rc.groupBy(col("bkey"), col("blen"))
+            .agg(count(lit(1)).as("cell_n"))
+            .filter(col("cell_n") > hotBudget && lit(saltHot))
+            .select(col("bkey"), col("blen"),
+              least(ceil(col("cell_n") / lit(hotBudget.toDouble)),
+                lit(64)).cast("int").as("nsalt"))
+          def withSalt(df: DataFrame): DataFrame = df
+            .join(broadcast(salted), Seq("bkey", "blen"), "left")
+            .withColumn("nsalt", coalesce(col("nsalt"), lit(1)))
+          withSalt(route(dx))
+            .withColumn("salt",
+              explode(sequence(lit(0), col("nsalt") - 1)))
+            .select("dirty_id", "dirty_name", "bkey", "blen", "salt")
+            .join(withSalt(rc)
+              .withColumn("salt",
+                pmod(col("clean_id"), col("nsalt")).cast("int"))
+              .select("clean_id", "clean_name", "bkey", "blen",
+                "salt"),
+              Seq("bkey", "blen", "salt"))
             .select("dirty_id", "dirty_name", "clean_id",
               "clean_name")
         }
@@ -3389,16 +3469,20 @@ object TextOps {
            |ORDER BY doc_id""".stripMargin,
       // t47: the oracle rebuilds the registry and its corrupted twin
       // from the same word list + key arithmetic, re-runs both
-      // blocking passes INCLUDING the adaptive hot-cell escalation
-      // (hp/hs recompute the clean-side cell sizes with the same
-      // FuzzyHotBudget; pairs in a hot cell must agree on the
-      // 4-char key, mirroring the engine's bkey routing — at sf0.1
-      // the 250-name cells exceed the budget, so the escalated
-      // route is what the hash proves there), DuckDB's own
-      // levenshtein, the threshold, and the (distance, clean_id)
-      // tie-break — the hash-match proves cross-engine parity of
-      // the whole resolution chain, and is_correct carries the
-      // ground-truth audit
+      // blocking passes INCLUDING the full adaptive escalation
+      // ladder (hp/hs and hp4/hs4 recompute the clean-side cell
+      // sizes with the same FuzzyHotBudget and length guards; pairs
+      // in a hot cell must agree on the 4-char key, and pairs in a
+      // cell hot even at 4 chars must agree on the 5-char key —
+      // mirroring the engine's bkey routing; at sf0.1 the 250-name
+      // cells exceed the budget, so the escalated route is what the
+      // hash proves there. The engine's final SALT rung needs no
+      // mirroring: salting re-partitions a cell without changing
+      // its candidate set), DuckDB's own levenshtein, the
+      // threshold, and the (distance, clean_id) tie-break — the
+      // hash-match proves cross-engine parity of the whole
+      // resolution chain, and is_correct carries the ground-truth
+      // audit
       "t47_fuzzy_resolve" -> {
         val wordVals = FuzzyWords.zipWithIndex
           .map { case (w, i) => s"($i, '$w')" }.mkString(", ")
@@ -3431,22 +3515,31 @@ object TextOps {
            |c AS (SELECT k AS clean_id, name AS clean_name,
            |        substr(name, 1, 3) AS pre,
            |        substr(name, 1, 4) AS pre4,
+           |        substr(name, 1, 5) AS pre5,
            |        substr(name, length(name) - 2, 3) AS suf,
            |        substr(name, length(name) - 3, 4) AS suf4,
+           |        substr(name, length(name) - 4, 5) AS suf5,
            |        CAST(length(name) AS INT) AS blen
            |      FROM reg),
            |d AS (SELECT k AS dirty_id, dirty_name,
            |        substr(dirty_name, 1, 3) AS pre,
            |        substr(dirty_name, 1, 4) AS pre4,
+           |        substr(dirty_name, 1, 5) AS pre5,
            |        substr(dirty_name, length(dirty_name) - 2, 3)
            |          AS suf,
            |        substr(dirty_name, length(dirty_name) - 3, 4)
-           |          AS suf4
+           |          AS suf4,
+           |        substr(dirty_name, length(dirty_name) - 4, 5)
+           |          AS suf5
            |      FROM dirty),
            |hp AS (SELECT pre, blen FROM c GROUP BY 1, 2
            |       HAVING count(*) > $FuzzyHotBudget AND blen >= 9),
            |hs AS (SELECT suf, blen FROM c GROUP BY 1, 2
            |       HAVING count(*) > $FuzzyHotBudget AND blen >= 9),
+           |hp4 AS (SELECT pre4, blen FROM c GROUP BY 1, 2
+           |        HAVING count(*) > $FuzzyHotBudget AND blen >= 11),
+           |hs4 AS (SELECT suf4, blen FROM c GROUP BY 1, 2
+           |        HAVING count(*) > $FuzzyHotBudget AND blen >= 11),
            |cand AS (
            |  SELECT DISTINCT dirty_id, dirty_name, clean_id,
            |    clean_name
@@ -3456,14 +3549,20 @@ object TextOps {
            |    FROM d JOIN c ON d.pre = c.pre
            |      AND abs(length(d.dirty_name) - c.blen) <= 2
            |    LEFT JOIN hp ON hp.pre = c.pre AND hp.blen = c.blen
-           |    WHERE hp.pre IS NULL OR d.pre4 = c.pre4
+           |    LEFT JOIN hp4 ON hp4.pre4 = c.pre4
+           |      AND hp4.blen = c.blen
+           |    WHERE hp.pre IS NULL OR (d.pre4 = c.pre4 AND
+           |      (hp4.pre4 IS NULL OR d.pre5 = c.pre5))
            |    UNION ALL
            |    SELECT d.dirty_id, d.dirty_name, c.clean_id,
            |      c.clean_name
            |    FROM d JOIN c ON d.suf = c.suf
            |      AND abs(length(d.dirty_name) - c.blen) <= 2
            |    LEFT JOIN hs ON hs.suf = c.suf AND hs.blen = c.blen
-           |    WHERE hs.suf IS NULL OR d.suf4 = c.suf4)),
+           |    LEFT JOIN hs4 ON hs4.suf4 = c.suf4
+           |      AND hs4.blen = c.blen
+           |    WHERE hs.suf IS NULL OR (d.suf4 = c.suf4 AND
+           |      (hs4.suf4 IS NULL OR d.suf5 = c.suf5)))),
            |sc AS (
            |  SELECT dirty_id, clean_id,
            |    CAST(levenshtein(dirty_name, clean_name) AS INT)

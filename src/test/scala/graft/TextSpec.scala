@@ -1147,4 +1147,71 @@ class TextSpec extends SparkSpec {
     assert(vEsc * 4 < vBand,
       s"escalated candidate volume $vEsc not << banded $vBand")
   }
+
+  test("t47 escalation rung 2: names sharing FOUR leading chars at " +
+      "one length split on the 5-char key with recall intact, and " +
+      "candidate volume drops vs both the banded and key4 regimes") {
+    import org.apache.spark.sql.functions._
+    // key4's worst case: every name shares pre4 ("zzzz") AND length;
+    // the 5th char cycles 16 values, so only the pre5 rung splits
+    // the cell. Length 13 ≥ 11 satisfies the rung-2 recall guard.
+    val n = 800
+    val reg = spark.range(n).select(col("id").as("k"),
+      concat(lit("zzzz"),
+        chr(lit(97) + pmod(col("id"), lit(16))),
+        lpad(col("id").cast("string"), 8, "0")).as("name"),
+      lit(9).as("wlen"))
+    val dirty = TextOps.fuzzyDirtyOf(reg)
+    def matches(r: org.apache.spark.sql.DataFrame) = r
+      .select("dirty_id", "match_id", "distance").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    def candVolume(r: org.apache.spark.sql.DataFrame): Long = r
+      .agg(sum(col("n_candidates"))).collect()(0).getLong(0)
+    val full = TextOps.fuzzyResolveOf(reg, dirty, hotBudget = 50)
+    val key4 = TextOps.fuzzyResolveOf(reg, dirty, hotBudget = 50,
+      deepKey = false, saltHot = false)
+    val banded = TextOps.fuzzyResolveOf(reg, dirty,
+      hotBudget = Int.MaxValue)
+    val mFull = matches(full)
+    // the single-edit recall contract survives the second
+    // lengthening: identical match sets, total recall, ground truth
+    assert(mFull === matches(key4) && mFull === matches(banded))
+    assert(mFull.size === n)
+    assert(full.collect().forall(_.getAs[Int]("is_correct") === 1))
+    // rung 2 must bite where rung 1 cannot: pre4 is one cell here,
+    // so the key4 regime's candidate volume stays at banded level
+    // while the pre5 split cuts it ~16×
+    val (vFull, vKey4) = (candVolume(full), candVolume(key4))
+    assert(vFull * 4 < vKey4,
+      s"rung-2 candidate volume $vFull not << key4 regime $vKey4")
+  }
+
+  test("t47 salt rung: a cell no key rung can split (five shared " +
+      "leading chars, one length) keeps an IDENTICAL candidate set " +
+      "and match set under salting — salting re-partitions, never " +
+      "prunes") {
+    import org.apache.spark.sql.functions._
+    val n = 800
+    val reg = spark.range(n).select(col("id").as("k"),
+      concat(lit("zzzzz"),
+        lpad(col("id").cast("string"), 8, "0")).as("name"),
+      lit(9).as("wlen"))
+    val dirty = TextOps.fuzzyDirtyOf(reg)
+    def matches(r: org.apache.spark.sql.DataFrame) = r
+      .select("dirty_id", "match_id", "distance").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    def candVolume(r: org.apache.spark.sql.DataFrame): Long = r
+      .agg(sum(col("n_candidates"))).collect()(0).getLong(0)
+    val salted = TextOps.fuzzyResolveOf(reg, dirty, hotBudget = 50)
+    val noSalt = TextOps.fuzzyResolveOf(reg, dirty, hotBudget = 50,
+      saltHot = false)
+    assert(matches(salted) === matches(noSalt))
+    assert(matches(salted).size === n)
+    assert(salted.collect()
+      .forall(_.getAs[Int]("is_correct") === 1))
+    // the invariant that spares the oracle any salt mirroring:
+    // per-dirty candidate counts are unchanged by the shard split
+    assert(candVolume(salted) === candVolume(noSalt),
+      "salting must not change the candidate set")
+  }
 }
