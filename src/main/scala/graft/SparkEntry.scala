@@ -73,7 +73,9 @@ object SparkEntry {
         "s23_stream_pii_gate" -> ((s, d) =>
           EventStreams.replayPiiGate(s, d)),
         "s24_stream_time_travel" -> ((s, d) =>
-          EventStreams.replayTimeTravelCompact(s, d)))
+          EventStreams.replayTimeTravelCompact(s, d)),
+        "s25_stream_knn_asof" -> ((s, d) =>
+          VectorStreams.replayKnnGraphAsOf(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -98,6 +100,12 @@ object SparkEntry {
         // the deployment shape
         "s14b_stream_attr_tight" -> ((s, d) =>
           EventStreams.replayAttributionPairsTight(s, d)),
+        // s14b on the RocksDB state-store provider — the backend the
+        // 25 h-watermark join deploys with at 100 TB (off-heap state
+        // with disk spill vs the default provider's on-heap rows);
+        // the bench pair prices the backend swap itself
+        "s14c_stream_attr_rocksdb" -> ((s, d) =>
+          EventStreams.replayAttributionPairsTightRocks(s, d)),
         // the full-scale cleaned-layer GEOMETRY build (the declared
         // g06 through round 12, now property-oracled): keeps the
         // engine-vs-reference flagship comparison (BASELINE.md
@@ -131,6 +139,9 @@ object SparkEntry {
     VectorOps.ensureIvfPqIndex(spark, dir)
     VectorOps.ensureMatryoshkaPrefix(spark, dir) // v18's narrow prefix
     TextOps.ensureDedupGroups(spark, dir) // t27's persisted cluster map
+    // m18's staged media-side blob table (review r17 item 2) — the
+    // two-scan pair join reads it as its own parquet source
+    graft.multimodal.Multimodal.ensurePairMedia(spark, dir)
     ()
   }
 
@@ -325,5 +336,14 @@ object SparkEntry {
             |  a.lifetime_value
             |FROM agg a JOIN last l
             |  ON l.user_id = a.user_id AND l.rn = 1
-            |ORDER BY a.user_id""".stripMargin)
+            |ORDER BY a.user_id""".stripMargin,
+        // s25 reads the s17 graph artifact AS OF batch 2 of 4; the
+        // default arrival shape is ascending vec_id spans and every
+        // cell-mate pair is generated exactly once under the fixed
+        // coarse model, so "as of batch 2" ≡ "batch v20 over the
+        // vec_id prefix through slice 2" — the oracle recomputes
+        // that prefix graph under the same quantizer CTEs, proving
+        // the as-of path on the SECOND swap-managed artifact family
+        "s25_stream_knn_asof" ->
+          graft.queries.VectorOps.knnGraphPrefixOracle(4, 2))
 }

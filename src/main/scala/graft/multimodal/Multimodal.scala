@@ -843,7 +843,7 @@ object Multimodal {
   case class PairImage(width: Int, height: Int, sum_rgb: Long)
 
   /** m18 — CROSS-MODAL PAIR CURATION (r11 VERDICT gap #2: the
-    * CLIP-filter shape at integer-proxy fidelity): the image table's
+    * CLIP-filter shape at integer-proxy fidelity): the MEDIA TABLE's
     * per-blob features joined with the caption side's text-quality
     * metrics on the pairing key, then an ordered keep/drop rule chain
     * with FIRST-FAIL reason codes (t39's audit-trail shape applied
@@ -855,21 +855,86 @@ object Multimodal {
     * a thin caption; both factors integer-exact:
     * sum_rgb < 381·npx ∧ n_words < 32).
     *
-    * Scale shape: each side reduces map-side to a few integer columns
-    * (blob decode per-blob, caption metrics per-row), and ONLY those
-    * narrow frames meet in a doc_id-keyed equi-join — no broadcast
-    * hint (both sides are corpus-sized at 100 TB; q03's hint rule),
-    * no blob ever crosses the exchange. PlanSpec proves the join
-    * degrades to a shuffle join with the size threshold disabled.
+    * TWO-SCAN SHAPE (review r17 item 2): the media side is a staged
+    * parquet artifact of its own ([[ensurePairMedia]] — built once,
+    * StageCache-memoized like the band index), so this is a genuine
+    * asymmetric join of two DISTINCT tables: the blob table (wide
+    * binary rows) decodes map-side to a few integer columns inside
+    * its own scan, the caption table reduces map-side to its own
+    * narrow metrics, and ONLY those narrow frames meet in a
+    * doc_id-keyed equi-join — no broadcast hint (both sides are
+    * corpus-sized at 100 TB; q03's hint rule), no blob ever crosses
+    * the exchange. PlanSpec proves both properties on the plan: two
+    * parquet scans, and the blob column dead before every Exchange.
     */
-  val m18PairCuration: Q = (s, d) =>
-    pairCurationOf(Tables.documents(s, d)).orderBy("doc_id")
+  val m18PairCuration: Q = (s, d) => {
+    val dec = udf { (blob: Array[Byte]) =>
+      val m = Bmp.decodeMeta(blob)
+      val st = Bmp.stats(Bmp.pixels(blob))
+      PairImage(m.width, m.height, st.sumR + st.sumG + st.sumB)
+    }
+    val img = ensurePairMedia(s, d)
+      .withColumn("i", dec(col("blob")))
+      .select(col("doc_id"), col("i.width"), col("i.height"),
+        col("i.sum_rgb"))
+    pairGateOf(img, captionMetricsOf(Tables.documents(s, d)))
+      .orderBy("doc_id")
+  }
+
+  /** The staged media-side table for m18: the synthesized image blobs
+    * materialized ONCE to their own parquet artifact, memoized on the
+    * documents input fingerprint (the band-index pattern — built
+    * outside Bench's timed loop via SparkEntry.warmIndexes). This is
+    * what makes m18's join genuinely two-scan and asymmetric: the
+    * media scan reads real on-disk binary rows the caption plan never
+    * re-derives. At 100 TB the blob table is the pipeline's large
+    * side; everything downstream of its scan is a few integers per
+    * row.
+    */
+  private[graft] def ensurePairMedia(s: SparkSession, d: String)
+      : DataFrame = {
+    val cache = new graft.pipeline.StageCache(s,
+      graft.pipeline.StageCache.indexRoot)
+    cache.stage("m18-media", "v1", Seq(s"$d/documents.parquet")) {
+      imageTable(s, d).select(col("doc_id"), col("blob"))
+    }
+  }
+
+  /** The caption side's map-side metric reduction (shared by m18 and
+    * s20's per-batch gate).
+    */
+  private def captionMetricsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_words"),
+      size(array_distinct(split(trim(col("text")), "\\s+")))
+        .as("n_distinct"))
+
+  /** The pair rule chain over already-reduced narrow frames — the
+    * logic both m18 (two-scan batch) and s20 (paired-arrival
+    * streaming) run, so the streaming union stays provably equal to
+    * the batch result.
+    */
+  private def pairGateOf(img: DataFrame, cap: DataFrame): DataFrame =
+    img.join(cap, "doc_id")
+      .withColumn("npx", col("width").cast("long") * col("height"))
+      .withColumn("reason",
+        when(col("npx") < 64, "image_too_small")
+          .when(col("n_words") < 16, "caption_too_short")
+          .when(col("n_distinct") * 2 < col("n_words"),
+            "low_caption_diversity")
+          .when(col("sum_rgb") < lit(381L) * col("npx") &&
+            col("n_words") < 32, "pair_mismatch")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_words"),
+        (col("reason") === "kept").cast("int").as("keep"),
+        col("reason"))
 
   /** m18's pair gate over an arbitrary (doc_id, text, n_chars, ...)
     * frame — the media blob is re-derived per row (paired ingest:
-    * media and caption arrive together), every rule is per-pair, so
-    * the per-batch union equals the batch run (shared with s20's
-    * streaming cross-modal admission gate). Unsorted; callers order.
+    * media and caption arrive together, the s20 arrival shape),
+    * every rule is per-pair, so the per-batch union equals the batch
+    * run. Unsorted; callers order.
     */
   private[graft] def pairCurationOf(docs: DataFrame): DataFrame = {
     val mk = udf { (docId: Long, nChars: Long) =>
@@ -887,25 +952,7 @@ object Multimodal {
       .withColumn("i", dec(col("blob")))
       .select(col("doc_id"), col("i.width"), col("i.height"),
         col("i.sum_rgb"))
-    val cap = docs
-      .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_words"),
-        size(array_distinct(split(trim(col("text")), "\\s+")))
-          .as("n_distinct"))
-    img.join(cap, "doc_id")
-      .withColumn("npx", col("width").cast("long") * col("height"))
-      .withColumn("reason",
-        when(col("npx") < 64, "image_too_small")
-          .when(col("n_words") < 16, "caption_too_short")
-          .when(col("n_distinct") * 2 < col("n_words"),
-            "low_caption_diversity")
-          .when(col("sum_rgb") < lit(381L) * col("npx") &&
-            col("n_words") < 32, "pair_mismatch")
-          .otherwise("kept"))
-      .select(col("doc_id"), col("width"), col("height"),
-        col("n_words"),
-        (col("reason") === "kept").cast("int").as("keep"),
-        col("reason"))
+    pairGateOf(img, captionMetricsOf(docs))
   }
 
   // --- driver-contract queries ---

@@ -1544,6 +1544,41 @@ object VectorOps {
        |  SELECT vec_id, neighbor_id FROM rk
        |  WHERE rank <= $KnnGraphK)""".stripMargin
 
+  /** s25's oracle: the v20 graph recomputed over the ascending
+    * vec_id PREFIX through batch `through` of `nBatches` (s17's
+    * default arrival shape), under the SAME full-corpus-trained
+    * quantizer CTEs the loop's fixed model mirrors. The span
+    * arithmetic (`max // n + 1`, both truncating) pairs with the
+    * stager's Long division, so "as of batch b" resolves to exactly
+    * this vec_id bound in both engines.
+    */
+  private[graft] def knnGraphPrefixOracle(nBatches: Int,
+      through: Int): String =
+    s"""$ivfIntCoreCtes,
+       |pb AS (
+       |  SELECT (max(vec_id) // $nBatches + 1) * ${through + 1}
+       |    AS bound FROM embeddings),
+       |pasg AS (SELECT a.* FROM asg a, pb WHERE a.vec_id < pb.bound),
+       |ppr AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id
+       |  FROM pasg a JOIN pasg b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |pdd AS (
+       |  SELECT p.vec_id, p.neighbor_id,
+       |    CAST(sum((fa.qx - fb.qx) * (fa.qx - fb.qx)) AS BIGINT)
+       |      AS d2
+       |  FROM ppr p
+       |  JOIN fx fa ON fa.vec_id = p.vec_id
+       |  JOIN fx fb ON fb.vec_id = p.neighbor_id AND fb.i = fa.i
+       |  GROUP BY 1, 2),
+       |prk AS (
+       |  SELECT vec_id, neighbor_id, d2, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY d2, neighbor_id) AS rank
+       |  FROM pdd)
+       |SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id, d2
+       |FROM prk WHERE rank <= $KnnGraphK
+       |ORDER BY vec_id, rank""".stripMargin
+
   /** v22's oracle: shared edge CTEs + one generated (contrib, rank)
     * CTE pair per power iteration.
     */

@@ -344,8 +344,39 @@ object EventStreams {
   /** s14b plus the join-state row total after the final micro-batch
     * (≪ conv+touch row count — the eviction assertion).
     */
+  /** s14c (bench-only) — s14b on the ROCKSDB state-store provider:
+    * the backend this join actually deploys with at 100 TB. The
+    * default HDFS-backed provider keeps every live state row ON-HEAP
+    * per executor, so a 25 h touch window at production event rate
+    * is an executor-memory bill the job cannot pay; RocksDB keeps
+    * state off-heap with disk spill and bounds memory regardless of
+    * window width. Identical query, watermarks, and trigger — only
+    * `spark.sql.streaming.stateStore.providerClass` differs
+    * (restored after the run) — so the bench pair prices exactly the
+    * backend swap. The emitted pair set is backend-independent
+    * (StreamingSpec asserts equality with s14b).
+    */
+  def replayAttributionPairsTightRocks(spark: SparkSession,
+      dir: String): DataFrame =
+    replayAttributionPairsTightRocksWithStats(spark, dir)._1
+
+  def replayAttributionPairsTightRocksWithStats(spark: SparkSession,
+      dir: String): (DataFrame, Long) = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try replayAttributionPairsTightWithStats(spark, dir,
+      qnSuffix = "_rocks")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def replayAttributionPairsTightWithStats(spark: SparkSession,
-      dir: String, nBatches: Int = 10): (DataFrame, Long) = {
+      dir: String, nBatches: Int = 10, qnSuffix: String = "")
+      : (DataFrame, Long) = {
     val srcDir = stagedEventBatches(spark, dir, nBatches)
     val staged = spark.readStream.schema(stagedEventSchema)
       .option("maxFilesPerTrigger", 1)
@@ -359,7 +390,7 @@ object EventStreams {
       .select(col("user_id").as("t_uid"),
         col("event_type").as("touch_type"), col("ts").as("touch_ts"))
       .withWatermark("touch_ts", "25 hours")
-    val qn = s"stream_attr_tight_${math.abs(dir.hashCode)}"
+    val qn = s"stream_attr_tight_${math.abs(dir.hashCode)}$qnSuffix"
     val q = conv.join(touch,
         expr("""c_uid = t_uid AND touch_ts < conv_ts
           AND touch_ts >= conv_ts - INTERVAL 24 HOURS"""))
@@ -1914,8 +1945,19 @@ object EventStreams {
     readSnapshot(liveDir) match {
       case None =>
         val live = new java.io.File(liveDir)
-        val inFlight = new java.io.File(live, SwapManifestName)
-          .isFile
+        // Observation order partitions → manifest → snapshot-LAST
+        // (ADVICE r17). The writer orders manifest-create → APPLY →
+        // snapshot-write → manifest-delete, so reading the manifest
+        // AFTER the partition listing and the snapshot AFTER the
+        // manifest makes the refusal below linearizable: a manifest
+        // observed absent after partitions were seen means it was
+        // either never created (genuine legacy tree — refuse) or
+        // already deleted (the commit landed, so the snapshot
+        // re-read below sees it and serves). Reading the manifest
+        // first — as pre-r18 code did — let a reader racing a fresh
+        // artifact's FIRST swap observe pre-PREPARE manifest-absent,
+        // post-APPLY partitions, pre-COMMIT no-snapshot, and throw
+        // the legacy refusal at a healthy artifact.
         val files = Option(live.listFiles()).getOrElse(Array.empty)
         val partDirs = files.filter(f =>
           f.isDirectory && f.getName.contains("="))
@@ -1925,15 +1967,13 @@ object EventStreams {
         // under a k=v dir (the migrated layout holds only g<N> dirs)
         val legacyData = partDirs.exists(d =>
           Option(d.listFiles()).getOrElse(Array.empty).exists(isData))
-        // TOCTOU re-check (review r17): this branch observed "no
-        // snapshot", but a writer's FIRST commit may have landed
-        // between that read and the listings above (commitSnapshot
-        // writes _snapshot, then the manifest is deleted) — a reader
-        // interleaving exactly there would otherwise misdiagnose a
-        // healthy artifact as a legacy one. One snapshot re-read
-        // after the listings settles it: if a snapshot exists NOW,
-        // serve it; refusals below are only for trees that are
-        // genuinely snapshot-less after both reads.
+        val inFlight = new java.io.File(live, SwapManifestName)
+          .isFile
+        // snapshot re-read (review r17, ordering fixed r18): if a
+        // commit landed between the opening readSnapshot and the
+        // listings above, serve it; refusals below are only for
+        // trees still snapshot-less after partitions AND manifest
+        // AND this final snapshot read, in that order.
         if (partDirs.nonEmpty) readSnapshot(liveDir) match {
           case Some((_, entries)) =>
             return readEntries(spark, liveDir, entries)

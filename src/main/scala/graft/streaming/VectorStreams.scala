@@ -140,6 +140,34 @@ object VectorStreams {
     (df, stateRows)
   }
 
+  /** s25 — TIME-TRAVEL READ OF THE kNN GRAPH ARTIFACT (s24's as-of
+    * surface extended to the second swap-managed artifact family,
+    * review r17 item 5): the s17 loop commits `nBatches` versions of
+    * the cell-partitioned graph, and the readout resolves it AS OF
+    * the second-newest committed batch. Because the default arrival
+    * shape is ascending vec_id spans and every cell-mate pair is
+    * generated exactly once across batches under the FIXED coarse
+    * model, "as of batch b" is exactly "batch v20 over the vec_id
+    * prefix through slice b" — which the DuckDB oracle recomputes
+    * with the same span arithmetic and the same full-corpus-trained
+    * quantizer CTEs. Same read-path price as the head read
+    * (generation-pinned leaf-dir scan); together with s24 this makes
+    * time travel a property of the artifact FORMAT, not of one loop.
+    */
+  def replayKnnGraphAsOf(spark: SparkSession, dir: String)
+      : DataFrame = replayKnnGraphAsOfWithStats(spark, dir)._1
+
+  /** s25 plus the resolved as-of batch id (must be nBatches − 2: a
+    * genuinely superseded snapshot) for the StreamingSpec assertion.
+    */
+  def replayKnnGraphAsOfWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 4): (DataFrame, Long) = {
+    val asOf = nBatches - 2L
+    val (df, _, _) = replayKnnGraphIngestInstrumented(spark, dir,
+      nBatches, asOfBatch = Some(asOf))
+    (df, asOf)
+  }
+
   /** Per-batch instrumentation row for the ScaleCheck incremental-
     * merge probe: cells the batch touched, graph rows rewritten for
     * them, the cumulative graph size after the merge, and — the
@@ -159,7 +187,8 @@ object VectorStreams {
     */
   private[graft] def replayKnnGraphIngestInstrumented(
       spark: SparkSession, dir: String, nBatches: Int = 4,
-      cellGrouped: Boolean = false, collectStats: Boolean = false)
+      cellGrouped: Boolean = false, collectStats: Boolean = false,
+      asOfBatch: Option[Long] = None)
       : (DataFrame, Long, Seq[KnnBatchStat]) = {
     import graft.queries.VectorOps
     val work = java.nio.file.Files.createTempDirectory("graft-s17")
@@ -419,7 +448,14 @@ object VectorStreams {
         } finally q.stop()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("d2"), col("neighbor_id"))
-      val fin = EventStreams.readCommitted(spark, gPath)
+      val artifact = asOfBatch match {
+        // s25: the graph AS OF a superseded batch — the same
+        // generation-pinned read, resolved through the retained
+        // snapshot history instead of the current snapshot
+        case Some(b) => EventStreams.readCommittedAsOf(spark, gPath, b)
+        case None => EventStreams.readCommitted(spark, gPath)
+      }
+      val fin = artifact
         .getOrElse(throw new IllegalStateException(
           s"no committed kNN graph artifact at $gPath"))
         .withColumn("rank", row_number().over(w))

@@ -93,14 +93,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("blen"),
       s"length band missing from the candidate join keys:\n$p")
     // hot-cell escalation (review r16): the candidate joins must key
-    // on the ROUTED bkey (3-char key for cold cells, 4-char for hot
-    // ones) so a prefix-AND-length-concentrated cell splits at the
-    // 4th character instead of landing on one shuffle key...
+    // on the ROUTED bkey (3-char key for cold cells, 4- or 5-char
+    // for hot ones) so a prefix-AND-length-concentrated cell splits
+    // at the 4th/5th character instead of landing on one shuffle
+    // key...
     assert(p.contains("bkey"),
       s"adaptive hot-cell key missing from the candidate joins:\n$p")
-    // ...and the hot-cell set (a bounded aggregate: at most
-    // |corpus|/budget cells) must reach both sides as a broadcast,
-    // never a shuffle of the big sides on the cell key
+    // ...the final SALT rung (review r17) must be a join key too —
+    // a cell unsplittable by any key rung becomes nsalt bounded
+    // shuffle keys instead of one quadratic single-task key
+    assert(p.contains("salt"),
+      s"salt shard missing from the candidate join keys:\n$p")
+    // ...and the hot-cell sets (bounded aggregates: at most
+    // |corpus|/budget cells each) must reach both sides as
+    // broadcasts, never a shuffle of the big sides on the cell key
     assert(p.contains("BroadcastHashJoin"),
       s"hot-cell tag join must broadcast the bounded cell set:\n$p")
   }
@@ -330,6 +336,30 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"pair join must be the keyed equi-join:\n$p")
     assert(p.contains("doc_id"), s"join not keyed on doc_id:\n$p")
+    // two-scan shape (review r17 item 2): the media side is its own
+    // staged parquet table, so the plan must hold TWO distinct
+    // parquet scans — the blob table and the caption table — not one
+    // documents scan re-derived on both sides...
+    val fmt = SparkEntry.queries("m18_pair_curation")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString(
+          "formatted"))
+    val scans = "Scan parquet".r.findAllIn(fmt).length
+    assert(scans >= 2, s"expected 2 parquet scans, got $scans:\n$fmt")
+    assert(fmt.contains("m18-media"),
+      s"media side must read the staged blob artifact:\n$fmt")
+    // ...and the blob column must be dead before every Exchange: the
+    // wide binary rows decode to integers inside the media scan's
+    // stage, never crossing a shuffle
+    val lines = fmt.linesIterator.toVector
+    lines.zipWithIndex
+      .filter(_._1.trim.matches("""\(\d+\) Exchange.*"""))
+      .foreach { case (_, i) =>
+        val input = lines.drop(i + 1)
+          .find(_.trim.startsWith("Input"))
+        assert(input.forall(!_.contains("blob")),
+          s"blob column crosses an exchange: ${input.getOrElse("")}")
+      }
     // both sides are corpus-sized at 100 TB: disabling the size
     // threshold must degrade the join to a shuffle join (a surviving
     // BroadcastHashJoin would mean a forced per-blob-table hint)

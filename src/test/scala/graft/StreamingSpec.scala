@@ -276,6 +276,35 @@ class StreamingSpec extends SparkSpec {
       s"join state $stateRows did not evict (sides total $nSides)")
   }
 
+  test("s14c RocksDB backend twin: the same 25 h-watermark interval " +
+      "join on the RocksDB state store emits the IDENTICAL pair set " +
+      "and evicts the same way — the backend swap changes cost, " +
+      "never semantics (VERDICT r17 item 3)") {
+    // a wrong provider class name fails query start, so a completed
+    // run is itself evidence the RocksDB provider was instantiated
+    val (df, stateRows) = graft.streaming.EventStreams
+      .replayAttributionPairsTightRocksWithStats(spark, sf)
+    val rocks = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val default = graft.streaming.EventStreams
+      .replayAttributionPairsTight(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(rocks.nonEmpty)
+    assert(rocks.toSeq === default.toSeq,
+      "the state backend must not change the emitted pair set")
+    val nSides = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click", "view",
+        "signup")).count()
+    assert(stateRows > 0 && stateRows < nSides / 2,
+      s"RocksDB join state $stateRows did not evict " +
+        s"(sides total $nSides)")
+    // the provider conf must be restored for the rest of the suite
+    assert(!spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")),
+      "provider conf leaked past the bench twin")
+  }
+
   test("session windows (declared s15) equal batch gap-merge " +
       "sessionization and evict closed-session state") {
     import org.apache.spark.sql.expressions.{Window => W}
@@ -348,6 +377,44 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows === 0L,
       s"foreachBatch graph maintenance must be stateless, got " +
         s"$stateRows")
+  }
+
+  test("s25 kNN-graph time travel: the as-of read resolves the " +
+      "SECOND-newest committed graph (batch nBatches−2), holds " +
+      "exactly the vec_id prefix through that batch, and is a " +
+      "node-subset of the head graph") {
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    val (asOfDf, asOf) = graft.streaming.VectorStreams
+      .replayKnnGraphAsOfWithStats(spark, sf)
+    assert(asOf === 2L,
+      s"as-of target must be the superseded batch 2 of 4, got $asOf")
+    val (headDf, _) = graft.streaming.VectorStreams
+      .replayKnnGraphIngestWithStats(spark, sf)
+    // the stager's span arithmetic: batch i = vec_id in
+    // [i·span, (i+1)·span), span = maxId/nBatches + 1 — the as-of
+    // graph's nodes must be exactly the head's nodes under the
+    // through-batch-2 bound
+    val maxId = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .agg(fmax("vec_id")).head().getLong(0)
+    val bound = (maxId / 4 + 1) * 3
+    val asOfNodes = asOfDf.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val headNodes = headDf.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(asOfNodes.forall(_ < bound),
+      "as-of graph holds a node past the batch-2 prefix bound")
+    // subset, not equality: a prefix vector alone in its cell can
+    // gain its first cell-mate only in a later batch, joining the
+    // head graph without ever being in the as-of one
+    assert(asOfNodes.nonEmpty &&
+      asOfNodes.subsetOf(headNodes.filter(_ < bound)),
+      "as-of node set must be a subset of the head's prefix slice")
+    // the declared SF fixture has vectors in slice 3, so the head
+    // strictly extends the as-of graph
+    assert(headNodes.exists(_ >= bound),
+      "fixture must populate the final batch — probe is vacuous")
+    assert(asOfNodes.size < headNodes.size)
   }
 
   test("s17 read-side pruning: under cell-grouped arrival the " +
@@ -1136,9 +1203,27 @@ class StreamingSpec extends SparkSpec {
     def totals(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(fsum(col("n_events"))).collect()(0).getLong(0)
     val (nAsOf, nHead) = (totals(asOfDf), totals(headDf))
-    // slice 9 holds the events-table tail, so the as-of view must
-    // count strictly fewer events than the head artifact
-    assert(nAsOf < nHead, s"as-of=$nAsOf head=$nHead")
+    // the as-of view never counts MORE events than the head; the
+    // STRICT inequality additionally requires the post-prefix tail
+    // (slices 9+ of the staged batches) to be non-empty, which the
+    // fixture guarantees but a time-skewed events table need not
+    // (ADVICE r17) — mirror the stager's lo/span arithmetic and
+    // demand strictness only when the tail actually holds rows
+    assert(nAsOf <= nHead, s"as-of=$nAsOf head=$nHead")
+    locally {
+      import org.apache.spark.sql.functions.{unix_timestamp, min => fmin, max => fmax}
+      val ev = graft.Tables.events(spark, sf)
+      val mm = ev.agg(fmin(unix_timestamp(col("ts"))),
+        fmax(unix_timestamp(col("ts")))).head()
+      val lo = mm.getLong(0); val hi = mm.getLong(1) + 1
+      val span = math.max(1L, (hi - lo + 9) / 10)
+      val tailRows = ev
+        .filter(unix_timestamp(col("ts")) >= lo + 9L * span).count()
+      if (tailRows > 0)
+        assert(nAsOf < nHead,
+          s"tail slice holds $tailRows rows yet as-of=$nAsOf " +
+            s"equals head=$nHead")
+    }
     // and per user the as-of counts never exceed the head's (state
     // only grows under the compaction merge)
     val joined = asOfDf.select(col("user_id"),
