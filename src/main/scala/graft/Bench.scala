@@ -49,6 +49,56 @@ object Bench {
     codeCacheMb: Long, metaMb: Long, classes: Long, localMb: Long,
     localFiles: Long, wallMs: Long, load100: Long)
 
+  /** Load threshold for the self-healing retake (VERDICT r17 item
+    * 4): a measurement window whose OS 1-min load average exceeded
+    * 1.5× the worker count was contended by co-located box work —
+    * the entry's numbers describe the box, not the code (the r16
+    * t-family and r17 s03/q14 flags were all this). Returned on the
+    * ×100 scale the snapshots carry.
+    */
+  private[graft] def retakeLimit100(cpus: Int): Long = cpus * 150L
+
+  /** Entries whose measurement window saw load beyond `limit100`,
+    * worst-first. Either end snapshot counts: the 1-min average
+    * lags, so a spike inside the window surfaces at its end, and a
+    * spike just before it still poisons the start.
+    */
+  private[graft] def loadContaminated(
+      entries: Seq[(String, (JvmSnap, JvmSnap))], limit100: Long)
+      : Seq[String] =
+    entries
+      .map { case (k, (a, b)) =>
+        k -> math.max(a.load100, b.load100) }
+      .filter(_._2 > limit100)
+      .sortBy(-_._2).map(_._1)
+
+  /** Parse a prior record's `"dirty":[...]` array — the entries
+    * whose numbers stayed load-contaminated after their retake; the
+    * regression parse must not baseline against them.
+    */
+  private[graft] def parseDirty(raw: String): Set[String] =
+    """"dirty":\[([^\]]*)\]""".r.findFirstMatchIn(raw)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** Names of spark-&#42; / blockmgr-&#42; tmp dirs that existed BEFORE
+    * this bench's SparkSession started — other JVMs' local dirs,
+    * excluded from the jvmSnap walk. Captured once at main() start.
+    */
+  @volatile private[graft] var preSessionTmpDirs: Set[String] =
+    Set.empty
+
+  private[graft] def capturePreSessionTmpDirs(): Unit = {
+    val tmp = new java.io.File(
+      System.getProperty("java.io.tmpdir", "/tmp"))
+    preSessionTmpDirs = Option(tmp.listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.getName.startsWith("blockmgr-") ||
+        d.getName.startsWith("spark-"))
+      .map(_.getName).toSet
+  }
+
   private[graft] def jvmSnap(): JvmSnap = {
     import scala.jdk.CollectionConverters._
     import java.lang.management.ManagementFactory
@@ -61,8 +111,15 @@ object Bench {
       .map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L))
       .sum / (1024 * 1024)
     val (localMb, localFiles) = {
-      // every blockmgr-*/spark-* dir under the JVM's tmp dir: shuffle
-      // blocks, disk-spilled broadcast/cache, temp staging
+      // blockmgr-*/spark-* dirs under the JVM's tmp dir: shuffle
+      // blocks, disk-spilled broadcast/cache, temp staging. Scoped
+      // to THIS app (ADVICE r17): dirs already present before our
+      // SparkSession came up belong to other co-located Spark JVMs
+      // sharing the tmpdir and are excluded, so the diag IO column
+      // can't name a neighbor's spill as our own. A neighbor
+      // STARTING mid-bench still lands in the walk (no portable
+      // ownership check on these dirs) — rare, and the load columns
+      // flag that situation independently.
       val tmp = new java.io.File(
         System.getProperty("java.io.tmpdir", "/tmp"))
       def walk(f: java.io.File): (Long, Long) =
@@ -71,8 +128,9 @@ object Bench {
           .map(walk).foldLeft((0L, 0L)) { case ((b, n), (b2, n2)) =>
             (b + b2, n + n2) }
       val roots = Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.getName.startsWith("blockmgr-") ||
-          d.getName.startsWith("spark-"))
+        .filter(d => (d.getName.startsWith("blockmgr-") ||
+          d.getName.startsWith("spark-")) &&
+          !preSessionTmpDirs.contains(d.getName))
       val sums = roots.map(walk)
       (sums.map(_._1).sum / (1024 * 1024), sums.map(_._2).sum)
     }
@@ -89,6 +147,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    capturePreSessionTmpDirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -139,32 +198,73 @@ object Bench {
     // microseconds apart with nothing between) — halves the
     // local-dir walks and keeps walk jitter out of the deltas
     var lastSnap: Option[JvmSnap] = None
-    val results = (SparkEntry.queries ++ SparkEntry.benchOnly)
+    val allFns = (SparkEntry.queries ++ SparkEntry.benchOnly)
       .toSeq.sortBy(_._1)
       .filter(kv => only.isEmpty || only.exists(kv._1.startsWith))
-      .map {
+    def runIters(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Seq[Double] =
+      (1 to iters).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            // A crashed iteration returns fast; letting it into min()
+            // would report the failure's elapsed time as the query's
+            // benchmark number. Infinity keeps min() over successes
+            // only, and an all-failed query surfaces as null below.
+            Double.PositiveInfinity
+        }
+      }
+    val firstPass = allFns.map {
       case (name, fn) =>
         val snap0 = lastSnap.getOrElse(jvmSnap())
-        val times = (1 to iters).map { _ =>
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              // A crashed iteration returns fast; letting it into min()
-              // would report the failure's elapsed time as the query's
-              // benchmark number. Infinity keeps min() over successes
-              // only, and an all-failed query surfaces as null below.
-              Double.PositiveInfinity
-          }
-        }
+        val times = runIters(name, fn)
         val snap1 = jvmSnap()
         lastSnap = Some(snap1)
         diag += name -> (snap0, snap1)
         name -> times
+    }
+    // bench start for the diag offset column — captured before any
+    // retake replaces the first entry's snapshots
+    val benchT0 = diag.headOption.map(_._2._1.wallMs)
+      .getOrElse(System.currentTimeMillis())
+    // SELF-HEALING UNDER BOX LOAD (VERDICT r17 item 4): any entry
+    // whose measurement window saw OS load beyond 1.5× the worker
+    // count is RETAKEN once, tail-appended, after the suite — on an
+    // idle-again box the retake simply replaces the contaminated
+    // numbers. An entry still contaminated at its retake keeps the
+    // merged min (contention only inflates, so the min stays the
+    // best estimate) and lands in the "dirty" list on both output
+    // lines: this round's regression flags skip it, and the NEXT
+    // round's parse refuses to baseline against it — phantom flags
+    // like r17's s03 can no longer ship. Capped at the 24 worst
+    // windows so a fully-contended run cannot double its wall time.
+    val loadLimit100 = retakeLimit100(cpus.toInt)
+    val toRetake = loadContaminated(diag.toSeq, loadLimit100).take(24)
+    if (toRetake.nonEmpty)
+      System.err.println(s"[bench] load>${loadLimit100 / 100.0} " +
+        s"during ${toRetake.size} entries - retaking: " +
+        toRetake.mkString(","))
+    val fnByName = allFns.toMap
+    val stillDirty = scala.collection.mutable.LinkedHashSet[String]()
+    val retaken = toRetake.map { k =>
+      val s0 = jvmSnap()
+      val ts = runIters(k, fnByName(k))
+      val s1 = jvmSnap()
+      diag(k) = (s0, s1)
+      if (math.max(s0.load100, s1.load100) > loadLimit100) {
+        stillDirty += k
+        // both passes contended: merge so min() sees every iteration
+        k -> (firstPass.toMap.apply(k) ++ ts)
+      } else k -> ts
+    }.toMap
+    val results = firstPass.map { case (k, ts) =>
+      k -> retaken.getOrElse(k, ts)
     }
     def fmt(v: Double, digits: Int): String =
       if (v.isInfinite) "null" else s"%.${digits}f".format(v)
@@ -206,16 +306,18 @@ object Bench {
     // A stable in-suite slowdown shows its mechanism as the
     // monotone column; a load column far above our own worker
     // count names co-located box load instead.
-    val benchT0 = diag.headOption.map(_._2._1.wallMs)
-      .getOrElse(System.currentTimeMillis())
     val diagJson = diag.map { case (k, (a, b)) =>
       "\"" + k + "\":[" + Seq(b.gcMs - a.gcMs, b.heapMb,
         b.codeCacheMb, b.metaMb, b.classes, b.localMb,
         b.localFiles, (b.wallMs - benchT0) / 1000, b.load100)
         .mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val dirtyFullJson =
+      if (stillDirty.isEmpty) ""
+      else stillDirty.map("\"" + _ + "\"")
+        .mkString(""","dirty":[""", ",", "]")
     val lineFull =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsFull,"iters":$itersJson,"diag":$diagJson,"index_warm":$warmSec%.3f$failedJson$onlyJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsFull,"iters":$itersJson,"diag":$diagJson,"index_warm":$warmSec%.3f$failedJson$onlyJson$dirtyFullJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), lineFull)
@@ -246,7 +348,7 @@ object Bench {
     // repo path — run from another checkout, flagging should still
     // engage; review r15). The driver wraps the line as an escaped
     // JSON string, so unescape before the regex scan.
-    val prevMins: Map[String, Double] = {
+    val (prevMins: Map[String, Double], prevDirty: Set[String]) = {
       val path = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
         // An in-progress-round record must not be its own baseline
         // (ADVICE r15): a rerun after the driver already recorded
@@ -313,9 +415,13 @@ object Bench {
             val meta = Set("n", "rc", "cpus", "sf", "value", "n_ok",
               "index_warm", "p50", "max")
             val re = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
-            Some(re.findAllMatchIn(raw.substring(0, cut))
+            // the prev record's own dirty list (load-contaminated
+            // entries that survived their retake): their mins are
+            // box-load numbers, not baselines — skip them below
+            Some((re.findAllMatchIn(raw.substring(0, cut))
               .map(m => m.group(1) -> m.group(2).toDouble)
-              .filterNot(kv => meta.contains(kv._1)).toMap)
+              .filterNot(kv => meta.contains(kv._1)).toMap,
+              parseDirty(raw)))
           }
         } catch {
           case e: Throwable =>
@@ -323,7 +429,7 @@ object Bench {
               s"[bench] could not parse prev bench $p: ${e.getMessage}")
             None
         }
-      }.getOrElse(Map.empty)
+      }.getOrElse((Map.empty[String, Double], Set.empty[String]))
     }
     // Entries whose min regressed >2× vs the previous round — these
     // get a spread (and a ratio) on the stdout line REGARDLESS of
@@ -335,6 +441,13 @@ object Bench {
     // bench_out.json regardless).
     val regressedEntries = results
       .filter { case (_, ts) => !ts.min.isInfinite }
+      // self-healing skip list: neither a CURRENT entry still
+      // load-contaminated after its retake nor one whose PREV-round
+      // baseline was recorded dirty may raise a regression flag —
+      // both ratios price box load, not code
+      .filterNot { case (k, _) =>
+        stillDirty.contains(k) ||
+          prevDirty.contains(k) || prevDirty.contains(shortKey(k)) }
       .flatMap { case (k, ts) =>
         // shortKey collisions flip between prefix and full name as
         // the query set changes across rounds (ADVICE r15) — look
@@ -411,8 +524,15 @@ object Bench {
     // record is bench_out.json) and every scalar that must survive —
     // totals, failures, the regression flags, load, sf — sits at the
     // END, guaranteed inside the window.
+    // dirty sits with the other must-survive scalars at the END of
+    // the line: the NEXT round's baseline parse needs it even when
+    // the head of the record is truncated away
+    val dirtyJson =
+      if (stillDirty.isEmpty) ""
+      else stillDirty.map("\"" + shortKey(_) + "\"")
+        .mkString(""","dirty":[""", ",", "]")
     val lineShort =
-      f"""{"metric":"total","queries":$qsShort,"spread":$spread$regressedJson$wideJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"value":$total%.3f,"unit":"sec","n_ok":$nOk$loadJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","queries":$qsShort,"spread":$spread$regressedJson$wideJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"value":$total%.3f,"unit":"sec","n_ok":$nOk$loadJson$dirtyJson,"sf":"$sfDir"}"""
     println(lineShort)
     spark.stop()
   }

@@ -43,4 +43,34 @@ class BenchFlagSpec extends AnyFunSuite {
     assert(Bench.wideSpreadEntries(results).map(_._1) ===
       Seq("severe", "mild"))
   }
+
+  // --- self-healing retake (VERDICT r17 item 4) ---
+
+  private def snap(load100: Long): Bench.JvmSnap =
+    Bench.JvmSnap(0, 0, 0, 0, 0, 0, 0, 0, load100)
+
+  test("loadContaminated flags windows whose EITHER end exceeds the " +
+      "limit, worst-first; clean windows pass") {
+    val limit = Bench.retakeLimit100(32) // 48.0 load -> 4800
+    assert(limit === 4800L)
+    val entries = Seq(
+      "clean" -> (snap(900), snap(1200)),
+      "spike_end" -> (snap(1000), snap(6000)),
+      "spike_start" -> (snap(9000), snap(800)),
+      "at_limit" -> (snap(4800), snap(4800)))
+    assert(Bench.loadContaminated(entries, limit) ===
+      Seq("spike_start", "spike_end"))
+  }
+
+  test("parseDirty reads the prev record's dirty list; records " +
+      "without one (every record before r18) parse empty") {
+    val raw = """...,"n_ok":183,"load":{"p50":26.0,"max":30.4},""" +
+      """"dirty":["s03","t08_winnow_fingerprint"],"sf":"/x"}"""
+    assert(Bench.parseDirty(raw) ===
+      Set("s03", "t08_winnow_fingerprint"))
+    assert(Bench.parseDirty("""{"queries":{},"sf":"/x"}""") ===
+      Set.empty[String])
+    assert(Bench.parseDirty(""","dirty":[],"sf":"/x"""") ===
+      Set.empty[String])
+  }
 }
