@@ -67,14 +67,25 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // probe selection (r18): SPARK_GRAFT_PROBES=fuzzy_conc4,... runs
+    // only the named probes — re-taking one receipt no longer costs
+    // the whole sweep. Default (unset) runs everything.
+    val probeSet = sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def probeOn(name: String): Boolean =
+      probeSet.forall(_.contains(name))
+
     val base = Tables.documents(spark, sfDir).select("doc_id", "text")
     // warmup: JIT + codegen for the signature AND incremental plans
-    TextOps.minHashPairsPortable(base.limit(200), 0.5).count()
-    TextOps.dedupIncrementalIndexed(
-      TextOps.portableBandTable(base.limit(200)),
-      base.limit(50), base.limit(250), 0.5).count()
+    if (probeOn("scale")) {
+      TextOps.minHashPairsPortable(base.limit(200), 0.5).count()
+      TextOps.dedupIncrementalIndexed(
+        TextOps.portableBandTable(base.limit(200)),
+        base.limit(50), base.limit(250), 0.5).count()
+      ()
+    }
 
-    ks.foreach { k =>
+    (if (probeOn("scale")) ks else Seq.empty[Int]).foreach { k =>
       val docs = scaled(base, k)
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
@@ -124,13 +135,13 @@ object ScaleCheck {
     // warmup: JIT the edge-build plan once (and release its persisted
     // cell-assignment frame so no cached partitions linger into the
     // timed probes)
-    locally {
+    if (probeOn("knn_graph")) locally {
       val (out, asg) = graft.queries.VectorOps
         .knnGraphRankedOf(vreplica(0).limit(200), 4, 2)
       out.count()
       asg.unpersist()
     }
-    vks.foreach { k =>
+    (if (probeOn("knn_graph")) vks else Seq.empty[Int]).foreach { k =>
       val fe = (0 until k).map(vreplica).reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
@@ -166,9 +177,13 @@ object ScaleCheck {
         (((col("c_custkey") * 53 + r * 11) % 180) - 90 + lit(0.5))
           .cast("double").as("lat"))
     // warmup: JIT the cell-join plan once
-    graft.queries.GeoOps.knnJoinCellRanked(gpts(0).limit(200), 12)
-      .count()
-    vks.foreach { k =>
+    if (probeOn("spatial_grid")) {
+      graft.queries.GeoOps.knnJoinCellRanked(gpts(0).limit(200), 12)
+        .count()
+      ()
+    }
+    (if (probeOn("spatial_grid")) vks else Seq.empty[Int])
+      .foreach { k =>
       val pts = (0 until k).map(gpts).reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
@@ -192,7 +207,7 @@ object ScaleCheck {
     // sets are disjoint, so per-batch rewritten rows must stay ~flat
     // while the cumulative graph grows ~linearly — a full-artifact
     // rewrite would instead grow rewrittenRows with graphRowsTotal.
-    locally {
+    if (probeOn("knn_graph_incr")) locally {
       val (_, _, stats) = graft.streaming.VectorStreams
         .replayKnnGraphIngestInstrumented(spark, sfDir,
           nBatches = 4, cellGrouped = true, collectStats = true)
@@ -238,8 +253,10 @@ object ScaleCheck {
       // registry's natural length spread, as real corpora do
       def fuzzyReg(k: Int): DataFrame =
         fuzzyRegWith(k)(pmod(col("k"), lit(10)) < 3)
+      val anyFuzzy = Seq("fuzzy_skew", "fuzzy_conc", "fuzzy_conc4",
+        "fuzzy_conc5").exists(probeOn)
       // warmup: JIT all three join shapes once
-      locally {
+      if (anyFuzzy) locally {
         val r0 = fuzzyReg(1).limit(300).persist()
         r0.count()
         val d0 = TextOps.fuzzyDirtyOf(r0)
@@ -258,7 +275,8 @@ object ScaleCheck {
         finally spark.conf
           .set("spark.sql.autoBroadcastJoinThreshold", bcast)
       }
-      fks.foreach { k =>
+      (if (probeOn("fuzzy_skew")) fks else Seq.empty[Int])
+          .foreach { k =>
         val reg = fuzzyReg(k)
           .repartition(spark.sparkContext.defaultParallelism)
           .persist()
@@ -325,7 +343,7 @@ object ScaleCheck {
       // chars, so pre4 cannot subdivide them — the synthetic
       // worst case for any fixed-depth key). Sizes via
       // SPARK_GRAFT_FUZZYC_KS.
-      locally {
+      if (probeOn("fuzzy_conc")) locally {
         val cks = sys.env.getOrElse("SPARK_GRAFT_FUZZYC_KS", "4,8,16")
           .split(",").map(_.trim.toInt).toSeq
         def concReg(k: Int): DataFrame =
@@ -366,7 +384,7 @@ object ScaleCheck {
       // full ladder. Cross-w1 pairs are ≥ 3 edits apart (word-list
       // min pairwise distance 3) so every regime returns the same
       // matches.
-      locally {
+      if (probeOn("fuzzy_conc4")) locally {
         val cks = sys.env.getOrElse("SPARK_GRAFT_FUZZYC4_KS",
           "4,8,16").split(",").map(_.trim.toInt).toSeq
         def conc4Reg(k: Int): DataFrame =
@@ -408,7 +426,7 @@ object ScaleCheck {
       // budget-wide shards refined in parallel. The candidate set
       // is identical with and without salt (salting re-partitions,
       // never prunes), which the match-count assert re-proves.
-      locally {
+      if (probeOn("fuzzy_conc5")) locally {
         val cks = sys.env.getOrElse("SPARK_GRAFT_FUZZYC5_KS",
           "4,8").split(",").map(_.trim.toInt).toSeq
         def conc5Reg(k: Int): DataFrame =
