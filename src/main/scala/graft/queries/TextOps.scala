@@ -3233,7 +3233,15 @@ object TextOps {
         else {
           // escalation ladder, rungs 1+2: clean-side cell counts at
           // key3 and key4 granularity (map-side-combinable, tiny
-          // outputs, broadcast). A (key4, blen) cell above budget
+          // outputs, broadcast). Deliberately three separate
+          // aggregation scans, NOT one cached finest-granularity
+          // count: the persist variant was measured 2× SLOWER at
+          // sf0.1 (3.5 → 7.1 s — cache materialization plus
+          // InMemoryRelation rescans cost more than the cheap
+          // re-aggregations), and at 100 TB each scan is map-side
+          // combinable to cell-count size, so the three partial-agg
+          // passes pipeline over the same input at scan speed.
+          // A (key4, blen) cell above budget
           // implies its (key3, blen) parent is too, so the nested
           // when() routes both sides of any candidate pair
           // identically — the pair shares (key3, blen) by
