@@ -75,7 +75,9 @@ object SparkEntry {
         "s24_stream_time_travel" -> ((s, d) =>
           EventStreams.replayTimeTravelCompact(s, d)),
         "s25_stream_knn_asof" -> ((s, d) =>
-          VectorStreams.replayKnnGraphAsOf(s, d)))
+          VectorStreams.replayKnnGraphAsOf(s, d)),
+        "s26_stream_version_diff" -> ((s, d) =>
+          EventStreams.replayVersionDiff(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -345,5 +347,29 @@ object SparkEntry {
         // that prefix graph under the same quantizer CTEs, proving
         // the as-of path on the SECOND swap-managed artifact family
         "s25_stream_knn_asof" ->
-          graft.queries.VectorOps.knnGraphPrefixOracle(4, 2))
+          graft.queries.VectorOps.knnGraphPrefixOracle(4, 2),
+        // s26 diffs the s16 artifact as of batch 8 against the head:
+        // "old" is the compaction of the event-time prefix through
+        // slice 8 (s24's lo/span arithmetic), "new" the full table;
+        // the merge only grows per-user counts, so added ⟺ absent
+        // from the prefix and changed ⟺ n_new > n_old — the oracle
+        // recomputes both sides and the classification, proving the
+        // changed-partition-pruned two-snapshot read end-to-end
+        "s26_stream_version_diff" ->
+          """WITH f AS (
+            |  SELECT *, epoch_us(ts) // 1000000 AS sec FROM events),
+            |mm AS (SELECT min(sec) AS lo, max(sec) + 1 AS hi FROM f),
+            |oldp AS (
+            |  SELECT f.* FROM f, mm
+            |  WHERE f.sec < mm.lo + 9 * ((mm.hi - mm.lo + 9) // 10)),
+            |o AS (SELECT user_id, count(*) AS n FROM oldp GROUP BY 1),
+            |n AS (SELECT user_id, count(*) AS n FROM f GROUP BY 1)
+            |SELECT n.user_id,
+            |  CASE WHEN o.user_id IS NULL THEN 'added'
+            |       ELSE 'changed' END AS status,
+            |  CAST(coalesce(o.n, 0) AS BIGINT) AS n_events_old,
+            |  CAST(n.n AS BIGINT) AS n_events_new
+            |FROM n LEFT JOIN o ON o.user_id = n.user_id
+            |WHERE o.user_id IS NULL OR n.n > o.n
+            |ORDER BY n.user_id""".stripMargin)
 }

@@ -638,6 +638,96 @@ object EventStreams {
     } finally deleteRecursively(work)
   }
 
+  /** s26 — VERSION DIFF of the maintained artifact (CDC BETWEEN
+    * RETAINED VERSIONS, completing the table-format read family:
+    * s16/s17 current read → s24/s25 as-of read → s26 "what changed
+    * between version A and version B"). The s16 compaction loop
+    * commits `nBatches` versions; the readout then diffs the state
+    * AS OF batch nBatches−2 against the head and emits one row per
+    * ADDED or CHANGED user with its old/new event counts — the
+    * audit/incremental-consumer shape ("which users did the last
+    * two batches touch, and how much").
+    *
+    * THE SCALE PROPERTY is in the read plan, not the semantics
+    * ([[readVersionDiff]]): the two snapshots' partition → generation
+    * maps are diffed DRIVER-SIDE (tiny), and only bucket partitions
+    * whose generation differs are scanned on either side — a bucket
+    * with the same generation in both snapshots was touched by no
+    * batch in between, so no row in it can have changed. Diff cost
+    * is O(state in changed buckets), never O(state): at 100 TB an
+    * hourly diff over a tera-row artifact reads only the buckets
+    * the hour actually rewrote. Because the staged slices are
+    * ascending event-time spans, "old" is exactly the compaction of
+    * the event-time prefix through slice nBatches−2 — the DuckDB
+    * oracle recomputes both sides from the raw table and re-derives
+    * the added/changed classification (n can only grow under the
+    * merge, so changed ⟺ n_new > n_old; the compaction never
+    * removes users, so there is no 'removed' class by construction).
+    */
+  def replayVersionDiff(spark: SparkSession, dir: String): DataFrame =
+    replayVersionDiffWithStats(spark, dir)._1
+
+  /** s26 plus (bOld, changed-partition count) for the StreamingSpec
+    * assertion.
+    */
+  def replayVersionDiffWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 10): (DataFrame, (Long, Int)) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s26")
+      .toFile
+    try {
+      val srcDir = stagedEventBatches(spark, dir, nBatches)
+      runArtifactMergeLoop(spark, work.getAbsolutePath, srcDir,
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8)(
+        preAggUserState,
+        (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
+      val stateDir = s"${work.getAbsolutePath}/state"
+      val diffSchema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("status", StringType),
+        StructField("n_events_old", LongType),
+        StructField("n_events_new", LongType)))
+      def emptyDiff = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        diffSchema)
+      val head = lastCommittedBatch(stateDir)
+      val bOld = nBatches - 2L
+      val (fin, changed) =
+        if (head < 0L) (emptyDiff, Seq.empty[String])
+        else {
+          val (oldSide, newSide, changed) =
+            readVersionDiff(spark, stateDir, bOld, head)
+          val out = newSide match {
+            case None => emptyDiff
+            case Some(n) =>
+              val oldC = oldSide
+                .map(_.select(col("user_id"),
+                  col("n_events").as("n_events_old")))
+                .getOrElse(emptyDiff
+                  .select(col("user_id"), col("n_events_old")))
+              n.select(col("user_id"),
+                  col("n_events").as("n_events_new"))
+                .join(oldC, Seq("user_id"), "left")
+                .filter(col("n_events_old").isNull ||
+                  col("n_events_new") > col("n_events_old"))
+                .select(col("user_id"),
+                  when(col("n_events_old").isNull, "added")
+                    .otherwise("changed").as("status"),
+                  coalesce(col("n_events_old"), lit(0L))
+                    .as("n_events_old"),
+                  col("n_events_new"))
+                .orderBy("user_id")
+          }
+          (out, changed)
+        }
+      // HARNESS-bounded materialization before the temp dir dies
+      // (the s16 note applies: a deployment serves from the base)
+      val rows = fin.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fin.schema),
+        (bOld, changed.length))
+    } finally deleteRecursively(work)
+  }
+
   /** s18 — STREAMING QUALITY-GATE ADMISSION (t39's streaming twin,
     * the admission controller at the ingest door): each arriving
     * document batch runs the full t39 rule chain INSIDE its
@@ -2022,7 +2112,16 @@ object EventStreams {
     * holds no partitions.
     */
   private[graft] def readCommittedAsOf(spark: SparkSession,
-      liveDir: String, batch: Long): Option[DataFrame] = {
+      liveDir: String, batch: Long): Option[DataFrame] =
+    readEntries(spark, liveDir, snapshotEntriesAsOf(liveDir, batch)._2)
+
+  /** The as-of resolve shared by [[readCommittedAsOf]] and
+    * [[readVersionDiff]]: the (batch, partition → generation) map of
+    * the latest retained snapshot ≤ `batch`, with the diagnosable
+    * retention refusals.
+    */
+  private def snapshotEntriesAsOf(liveDir: String, batch: Long)
+      : (Long, Map[String, Long]) = {
     val hist = snapshotHistoryFiles(liveDir)
     if (hist.isEmpty) throw new IllegalStateException(
       s"artifact $liveDir retains no snapshot history — time-travel " +
@@ -2038,14 +2137,42 @@ object EventStreams {
         // between the listing above and the parse — surface it as
         // the same diagnosable retention refusal, not an opaque get
         parseSnapshotFile(f) match {
-          case Some((_, entries)) =>
-            readEntries(spark, liveDir, entries)
+          case Some((_, entries)) => (b, entries)
           case None => throw new IllegalStateException(
             s"snapshot history for batch $b of $liveDir was pruned " +
               s"concurrently — batch $batch has left the retention " +
               "window; re-resolve against a newer batch")
         }
     }
+  }
+
+  /** VERSION-DIFF read (s26): the two sides of "what changed between
+    * batch `bOld` and batch `bNew`", scanning ONLY the partitions
+    * whose committed generation DIFFERS between the two retained
+    * snapshots. A partition with the same generation in both was
+    * touched by no batch in (bOld, bNew], so no row in it can have
+    * changed — the driver-side map diff (tiny: partition count
+    * entries) proves those partitions irrelevant before any scan is
+    * planned. This is the table-format CDC shape at 100 TB: diff
+    * cost is O(state in CHANGED buckets), not O(state), no matter
+    * how wide the artifact grows. Returns (oldSide, newSide,
+    * changedPartitions); a side with no changed partitions in its
+    * snapshot reads as None.
+    */
+  private[graft] def readVersionDiff(spark: SparkSession,
+      liveDir: String, bOld: Long, bNew: Long)
+      : (Option[DataFrame], Option[DataFrame], Seq[String]) = {
+    val (_, eOld) = snapshotEntriesAsOf(liveDir, bOld)
+    val (_, eNew) = snapshotEntriesAsOf(liveDir, bNew)
+    val changed = (eOld.keySet ++ eNew.keySet)
+      .filter(p => eOld.get(p) != eNew.get(p)).toSeq.sorted
+    def readAt(entries: Map[String, Long]): Option[DataFrame] = {
+      val parts = changed.filter(entries.contains)
+      if (parts.isEmpty) None
+      else Some(spark.read.option("basePath", liveDir)
+        .parquet(parts.map(p => s"$liveDir/$p/g${entries(p)}"): _*))
+    }
+    (readAt(eOld), readAt(eNew), changed)
   }
 
   /** Driver-side partition-swap commit for the bucket/cell-partitioned

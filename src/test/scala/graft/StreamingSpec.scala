@@ -1233,6 +1233,113 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter(col("n_asof") > col("n_head")).count() === 0)
   }
 
+  test("s26 version diff: every 'added' user is absent from the " +
+      "event-time prefix, every 'changed' user strictly grew, and " +
+      "the diff matches a direct prefix-vs-head recompute") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp,
+      min => fmin, max => fmax}
+    val (df, (bOld, nChanged)) =
+      EventStreams.replayVersionDiffWithStats(spark, sf)
+    assert(bOld === 8L)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "fixture populates the tail slice")
+    assert(nChanged > 0, "head must have rewritten some buckets")
+    rows.foreach { case (u, st, o, n) =>
+      if (st == "added") assert(o === 0L, s"user $u")
+      else { assert(st === "changed"); assert(n > o, s"user $u") }
+    }
+    // direct recompute: old = events in slices 0..8, new = all
+    val ev = graft.Tables.events(spark, sf)
+    val mm = ev.agg(fmin(unix_timestamp(col("ts"))),
+      fmax(unix_timestamp(col("ts")))).head()
+    val lo = mm.getLong(0); val hi = mm.getLong(1) + 1
+    val span = math.max(1L, (hi - lo + 9) / 10)
+    val oldN = ev.filter(unix_timestamp(col("ts")) < lo + 9L * span)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val newN = ev.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = newN.toSeq.collect {
+      case (u, n) if !oldN.contains(u) => (u, "added", 0L, n)
+      case (u, n) if oldN(u) < n => (u, "changed", oldN(u), n)
+    }.sortBy(_._1)
+    assert(rows.toSeq === want)
+  }
+
+  test("s26 pruned read: a version diff scans ONLY the bucket " +
+      "partitions whose generation changed between the two " +
+      "snapshots — a final batch touching one bucket yields a " +
+      "one-partition diff no matter how many buckets exist") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64, sum}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vdiff").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val srcDir = s"$base/incoming"
+      new java.io.File(srcDir).mkdirs()
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType)))
+      // the loop's bucket rule: bkt = pmod(xxhash64(k), 4)
+      val bktOf = (0L until 16L).toDF("k")
+        .select(col("k"), pmod(xxhash64(col("k")), lit(4)).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oneBucket = bktOf.collect {
+        case (k, b) if b == bktOf(0L) => k }.toSeq.sorted
+      assert(oneBucket.size > 1 && oneBucket.size < 16,
+        s"fixture needs a proper bucket subset, got $oneBucket")
+      // batches 0-2 touch all 16 keys; batch 3 ONLY bucket
+      // bktOf(0)'s keys
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      val batches: Seq[Seq[Long]] = Seq(
+        (0L until 16L).toSeq, (0L until 16L).toSeq,
+        (0L until 16L).toSeq, oneBucket)
+      batches.zipWithIndex.foreach { case (ks, i) =>
+        val stage = s"$base/in$i"
+        ks.map(k => (k, k * 10 + i + 1)).toDF("k", "v")
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(sum("v").as("v"))
+      EventStreams.runArtifactMergeLoop(spark, base, srcDir, schema,
+        bucketKey = Some("k"), nBuckets = 4)(
+        agg, (p, a) => agg(p.unionByName(a)))
+      val state = s"$base/state"
+      assert(EventStreams.lastCommittedBatch(state) === 3L)
+      val (oldSide, newSide, changed) =
+        EventStreams.readVersionDiff(spark, state, 2L, 3L)
+      // ONE changed partition out of four — the other three buckets
+      // kept their generation and are never scanned
+      assert(changed === Seq(s"bkt=${bktOf(0L)}"),
+        s"changed partitions: $changed")
+      // both sides hold exactly that bucket's keys, and the diff
+      // (merge only adds) is exactly batch 3's contribution
+      val oldKeys = oldSide.get.select("k").as[Long].collect().sorted
+      val newKeys = newSide.get.select("k").as[Long].collect().sorted
+      assert(oldKeys.toSeq === oneBucket)
+      assert(newKeys.toSeq === oneBucket)
+      val grown = newSide.get.select(col("k"), col("v"))
+        .as[(Long, Long)].collect().toMap
+      val prior = oldSide.get.select(col("k"), col("v"))
+        .as[(Long, Long)].collect().toMap
+      oneBucket.foreach { k =>
+        assert(grown(k) - prior(k) === k * 10 + 4,
+          s"key $k must have gained exactly batch 3's value")
+      }
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
   test("merge-loop concurrent-reader stress: a reader thread " +
       "hammering readCommitted during the whole loop only ever " +
       "sees COMMITTED artifact versions, in monotonic order, with " +
