@@ -244,7 +244,13 @@ object Bench {
     // round's parse refuses to baseline against it — phantom flags
     // like r17's s03 can no longer ship. Capped at the 24 worst
     // windows so a fully-contended run cannot double its wall time.
-    val loadLimit100 = retakeLimit100(cpus.toInt)
+    // SPARK_GRAFT_LOAD_LIMIT100 overrides the threshold (load ×100)
+    // — an ops/test knob: set it to 1 to force every entry through
+    // the retake+dirty path and watch the machinery live, or raise
+    // it on a box whose steady-state load is legitimately high.
+    val loadLimit100 = sys.env.get("SPARK_GRAFT_LOAD_LIMIT100")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(retakeLimit100(cpus.toInt))
     val toRetake = loadContaminated(diag.toSeq, loadLimit100).take(24)
     if (toRetake.nonEmpty)
       System.err.println(s"[bench] load>${loadLimit100 / 100.0} " +
