@@ -1340,6 +1340,39 @@ class StreamingSpec extends SparkSpec {
     } finally EventStreams.deleteRecursively(dir)
   }
 
+  test("readVersionDiff surfaces a bare-DELETED partition on the " +
+      "old side only — the removed class is recoverable from the " +
+      "generic diff API even though the compaction readout never " +
+      "produces one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vdiff-del").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val live = s"$base/state"
+      // batch 0 commits two buckets
+      val stage0 = s"$base/stage0"
+      Seq((0L, 10L, 0), (1L, 20L, 1)).toDF("k", "v", "bkt")
+        .write.partitionBy("bkt").parquet(stage0)
+      EventStreams.swapPartitionDirs(stage0, live,
+        Seq("bkt=0", "bkt=1"), 0L)
+      // batch 1 bare-deletes bkt=0 (touched, nothing staged)
+      val stage1 = s"$base/stage1"
+      new java.io.File(stage1).mkdirs()
+      EventStreams.swapPartitionDirs(stage1, live, Seq("bkt=0"), 1L)
+      val (oldSide, newSide, changed) =
+        EventStreams.readVersionDiff(spark, live, 0L, 1L)
+      assert(changed === Seq("bkt=0"))
+      assert(oldSide.get.select("k").as[Long].collect().toSeq ===
+        Seq(0L))
+      assert(newSide.isEmpty,
+        "the deleted partition must not read on the new side")
+      // and the head read serves only the surviving bucket
+      val head = EventStreams.readCommitted(spark, live).get
+      assert(head.select("k").as[Long].collect().toSeq === Seq(1L))
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
   test("merge-loop concurrent-reader stress: a reader thread " +
       "hammering readCommitted during the whole loop only ever " +
       "sees COMMITTED artifact versions, in monotonic order, with " +
