@@ -70,8 +70,18 @@ object ScaleCheck {
     // probe selection (r18): SPARK_GRAFT_PROBES=fuzzy_conc4,... runs
     // only the named probes — re-taking one receipt no longer costs
     // the whole sweep. Default (unset) runs everything.
+    val KnownProbes = Set("scale", "knn_graph", "spatial_grid",
+      "knn_graph_incr", "fuzzy_skew", "fuzzy_conc", "fuzzy_conc4",
+      "fuzzy_conc5")
     val probeSet = sys.env.get("SPARK_GRAFT_PROBES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd probe name must fail loudly, not run an empty sweep
+    // that a re-take could mistake for a completed receipt
+    probeSet.map(_ -- KnownProbes).filter(_.nonEmpty).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"unknown probe name(s) ${bad.mkString(", ")} in " +
+          s"SPARK_GRAFT_PROBES — known: ${KnownProbes.mkString(", ")}")
+    }
     def probeOn(name: String): Boolean =
       probeSet.forall(_.contains(name))
 

@@ -891,11 +891,21 @@ object Multimodal {
     * side; everything downstream of its scan is a few integers per
     * row.
     */
+  /** Bump when the blob SYNTHESIS changes (imageTable's w/h formula,
+    * [[synthPixels]], or the BMP encoder): the staged artifact's key
+    * must carry the formula version, or a formula edit would
+    * silently serve stale blobs against an oracle and an s20 twin
+    * that re-derive from the new formula (review r18 — the band
+    * index's version-seed rule applied here).
+    */
+  private val MediaSynthVersion = 1
+
   private[graft] def ensurePairMedia(s: SparkSession, d: String)
       : DataFrame = {
     val cache = new graft.pipeline.StageCache(s,
       graft.pipeline.StageCache.indexRoot)
-    cache.stage("m18-media", "v1", Seq(s"$d/documents.parquet")) {
+    cache.stage("m18-media", s"v1-synth$MediaSynthVersion",
+      Seq(s"$d/documents.parquet")) {
       imageTable(s, d).select(col("doc_id"), col("blob"))
     }
   }
