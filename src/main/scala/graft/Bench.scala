@@ -72,6 +72,31 @@ object Bench {
       .filter(_._2 > limit100)
       .sortBy(-_._2).map(_._1)
 
+  /** Merge a first pass with its load-retake (the r18 review
+    * policy, factored out so BenchFlagSpec can pin it): `results`
+    * (mins/totals basis) concatenates first pass ++ retake
+    * UNCONDITIONALLY — contention only inflates, so min over every
+    * iteration is the best estimate, and an all-failed retake
+    * degrades to the measured first-pass min instead of nulling the
+    * entry. `wideBasis` (the max/min spread flag) must not price
+    * the cross-regime seam of a merged list: it reads the clean
+    * retake ALONE where one exists, the first pass otherwise, and
+    * drops still-dirty entries the way the regression flags do.
+    */
+  private[graft] def mergeRetakes(
+      firstPass: Seq[(String, Seq[Double])],
+      retakeTimes: Map[String, Seq[Double]],
+      stillDirty: Set[String])
+      : (Seq[(String, Seq[Double])], Seq[(String, Seq[Double])]) = {
+    val results = firstPass.map { case (k, ts) =>
+      k -> (ts ++ retakeTimes.getOrElse(k, Seq.empty))
+    }
+    val wideBasis = firstPass
+      .filterNot { case (k, _) => stillDirty.contains(k) }
+      .map { case (k, ts) => k -> retakeTimes.getOrElse(k, ts) }
+    (results, wideBasis)
+  }
+
   /** Parse a prior record's `"dirty":[...]` array — the entries
     * whose numbers stayed load-contaminated after their retake; the
     * regression parse must not baseline against them.
@@ -273,22 +298,10 @@ object Bench {
         stillDirty += k
       k -> ts
     }.toMap
-    // mins/totals use first pass ++ retake UNCONDITIONALLY:
-    // contention only inflates, so min over every iteration is the
-    // best estimate — and an all-failed retake then degrades to the
-    // contaminated-but-real first-pass min instead of turning a
-    // measured query into a failed/null entry (review r18)
-    val results = firstPass.map { case (k, ts) =>
-      k -> (ts ++ retakeTimes.getOrElse(k, Seq.empty))
-    }
-    // the wide (max/min) flag must not price the retake seam: a
-    // retaken entry's merged list mixes two load regimes by
-    // construction, so the flag reads the clean retake alone, and
-    // still-dirty entries are excluded the same way they are from
-    // the regression flags (review r18)
-    val wideBasis = firstPass
-      .filterNot { case (k, _) => stillDirty.contains(k) }
-      .map { case (k, ts) => k -> retakeTimes.getOrElse(k, ts) }
+    // merge policy (see mergeRetakes doc): mins/totals over every
+    // iteration, the wide flag over the clean regime only
+    val (results, wideBasis) =
+      mergeRetakes(firstPass, retakeTimes, stillDirty.toSet)
     def fmt(v: Double, digits: Int): String =
       if (v.isInfinite) "null" else s"%.${digits}f".format(v)
     val mins = results.map { case (k, ts) => k -> ts.min }

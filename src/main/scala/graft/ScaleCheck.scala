@@ -72,7 +72,7 @@ object ScaleCheck {
     // the whole sweep. Default (unset) runs everything.
     val KnownProbes = Set("scale", "knn_graph", "spatial_grid",
       "knn_graph_incr", "fuzzy_skew", "fuzzy_conc", "fuzzy_conc4",
-      "fuzzy_conc5")
+      "fuzzy_conc5", "dsir")
     val probeSet = sys.env.get("SPARK_GRAFT_PROBES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // a typo'd probe name must fail loudly, not run an empty sweep
@@ -466,6 +466,50 @@ object ScaleCheck {
           dirty.unpersist()
           ()
         }
+      }
+    }
+
+    // ---- t48 DSIR scoring linearity + bounded-model receipt ----
+    // The claim: corpus growth moves only the three linear scans —
+    // the model stays ≤ DsirBuckets rows (feature hashing is what
+    // makes DSIR 100 TB-feasible) and the cutoff walk stays
+    // histogram-sized, so end-to-end time tracks corpus size ~1:1
+    // while model_rows and the weight-grid size stay flat.
+    if (probeOn("dsir")) locally {
+      val dks = sys.env.getOrElse("SPARK_GRAFT_DSIR_KS", "1,2,4")
+        .split(",").map(_.trim.toInt).toSeq
+      val full = Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "lang", "source")
+      def dsirScaled(k: Int): DataFrame =
+        (0 until k).map { r =>
+          val rot = Alphabet.drop(r % 26) + Alphabet.take(r % 26)
+          val text = if (r % 26 == 0) col("text")
+            else translate(col("text"), Alphabet, rot)
+          full.select(
+            (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+            text.as("text"), col("lang"), col("source"))
+        }.reduce(_ unionByName _)
+      // warmup: JIT + codegen for the gram/score plans
+      TextOps.dsirScoredOf(full.limit(200)).count()
+      dks.foreach { k =>
+        val docs = dsirScaled(k)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .persist()
+        val nDocs = docs.count()
+        val (res, t) = timed {
+          val m = TextOps.dsirModelOf(docs)
+          val scored = TextOps.dsirScoreWith(docs, m)
+          val cutoff = TextOps.dsirCutOf(scored)
+            .collect()(0).getDouble(0)
+          val admitted = TextOps.dsirScoreWith(docs, m)
+            .filter(col("w") >= lit(cutoff)).count()
+          (m.rows.size, admitted)
+        }
+        val (modelRows, admitted) = res
+        println(
+          f"""{"probe":"dsir","k":$k,"n_docs":$nDocs,"model_rows":$modelRows,"admitted":$admitted,"sec":$t%.2f}""")
+        docs.unpersist()
+        ()
       }
     }
     spark.stop()

@@ -77,7 +77,9 @@ object SparkEntry {
         "s25_stream_knn_asof" -> ((s, d) =>
           VectorStreams.replayKnnGraphAsOf(s, d)),
         "s26_stream_version_diff" -> ((s, d) =>
-          EventStreams.replayVersionDiff(s, d)))
+          EventStreams.replayVersionDiff(s, d)),
+        "s27_stream_dsir_gate" -> ((s, d) =>
+          EventStreams.replayDsirGate(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -371,5 +373,12 @@ object SparkEntry {
             |  CAST(n.n AS BIGINT) AS n_events_new
             |FROM n LEFT JOIN o ON o.user_id = n.user_id
             |WHERE o.user_id IS NULL OR n.n > o.n
-            |ORDER BY n.user_id""".stripMargin)
+            |ORDER BY n.user_id""".stripMargin,
+        // s27 scores each micro-batch against the FIXED hashed-n-gram
+        // model + cutoff trained batch-side (the s19 model-fixed
+        // rule); scoring is per-document pure given the artifacts,
+        // so the union over batches ≡ the batch scoring run — the
+        // t48 CTEs in per-document form verify the loop
+        "s27_stream_dsir_gate" ->
+          TextOps.dsirPerDocOracleSql)
 }

@@ -3355,7 +3355,259 @@ object TextOps {
     fuzzyResolveOf(reg, fuzzyDirtyOf(reg))
   }
 
+  // ----------------------------------------------------------------
+  // t48 — DSIR importance selection (hashed n-gram models)
+  // ----------------------------------------------------------------
+
+  /** DSIR feature-hash width: word bigrams hash into this many
+    * buckets. The models are ≤ this many rows BY CONSTRUCTION — the
+    * feature-hashing step is exactly what makes DSIR feasible at
+    * 100 TB (the model is sketch-sized no matter the corpus). Oracle
+    * SQL interpolates the same constant.
+    */
+  val DsirBuckets = 4096L
+  /** Target distribution: documents whose lang equals this train the
+    * target hashed-n-gram model (the "clean reference corpus" seat —
+    * swapping in a curated reference table changes no plan shape).
+    */
+  val DsirTargetLang = "en"
+  /** Keep fraction as an exact ratio: drop the bottom Num/Den of the
+    * corpus by importance weight (keep the top quarter). Pure integer
+    * cross-multiplication, the t34 convention.
+    */
+  val DsirDropNum = 3
+  val DsirDropDen = 4
+
+  /** t48 — DSIR-style IMPORTANCE SELECTION (the data-mixture member
+    * that picks raw-corpus documents most like a target distribution:
+    * Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023). Word bigrams hash into
+    * [[DsirBuckets]] buckets; a target model (bucket counts over
+    * [[DsirTargetLang]] documents) and a raw model (bucket counts
+    * over the whole corpus) are both add-one smoothed; every
+    * document's importance weight is its mean per-gram log ratio
+    * round(avg(ln p̂_tgt(b) − ln p̂_raw(b)), 4) — the mean (not DSIR's
+    * sum) keeps the weight length-invariant, the t25 scoring
+    * convention. Selection is deterministic top-quarter by weight
+    * with threshold semantics (every doc at the cutoff weight keeps —
+    * the paper's Gumbel sampling is replaced by the reproducible
+    * variant, as t31 replaced uniform sampling with min-k). The
+    * report is per-source: how much of each raw source the
+    * target-matched mixture admits — the judgement DSIR exists to
+    * make.
+    *
+    * Scale shape: gram construction + hashing are map-side (native
+    * codegen'd [[graft.functions.Md5Hash48]]); the two model builds
+    * are partial-aggregated shuffles onto ≤ [[DsirBuckets]] keys;
+    * scoring joins the corpus-sized gram stream against the
+    * BROADCAST model (≤ 4096 rows joined on bucket — never a
+    * corpus-sized build side) plus the 1-row totals frame, then
+    * reduces per doc_id in one shuffle. The cutoff reuses t34's
+    * histogram walk: the global cumulative window runs over the
+    * (weight → count) histogram — bounded by the 4-decimal score
+    * grid, never corpus rows — and the cutoff broadcasts back so the
+    * keep filter is map-side. Documents under 2 tokens have no
+    * bigrams and sit out (no feature evidence either way), the same
+    * boundary t25 draws.
+    *
+    * The smoothed model is COLLECTED once (≤ [[DsirBuckets]] rows —
+    * the bounded-model-artifact rule the IVF centroids and BPE merge
+    * lists follow) and re-broadcast as a literal frame: both models
+    * come out of ONE conditional-aggregate gram scan, and neither
+    * scoring branch re-derives them. The corpus is scanned three
+    * times total (model build + the two scored branches the t34
+    * cutoff shape always pays); a production pipeline persisting the
+    * scored frame would pay two.
+    */
+  /** The collected DSIR model artifact: hashed-bucket rows
+    * (bucket, raw count, target count) plus the smoothed
+    * denominators — bounded at [[DsirBuckets]] rows, the shippable
+    * model a deployment trains once and applies at the ingest door
+    * (s27).
+    */
+  case class DsirModel(rows: Seq[(Long, Long, Long)],
+      nrB: Double, ntB: Double)
+
+  /** Hashed-bigram stream of a (doc_id, text, lang, source) frame:
+    * one row per gram, carrying the model bucket. Map-side
+    * (generator + native md5-48); shared by model training and
+    * scoring.
+    */
+  private def dsirGramsOf(docs: DataFrame): DataFrame = docs
+    .withColumn("ws", split(trim(col("text")), "\\s+"))
+    .filter(size(col("ws")) >= 2)
+    .withColumn("g", explode(expr(
+      "transform(sequence(1, size(ws) - 1), " +
+        "i -> concat(ws[i - 1], ' ', ws[i]))")))
+    .withColumn("b",
+      pmod(h48(docs.sparkSession, col("g")), lit(DsirBuckets)))
+    .select("doc_id", "source", "lang", "b")
+
+  /** Train both hashed models from ONE conditional-aggregate gram
+    * scan: cr counts every gram, ct only target-language grams;
+    * ≤ [[DsirBuckets]] rows by construction, collected under the
+    * bounded-model rule (the IVF-centroid precedent).
+    */
+  def dsirModelOf(docs: DataFrame): DsirModel = {
+    val rows = dsirGramsOf(docs)
+      .groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L))
+          .as("ct"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    DsirModel(rows,
+      (rows.map(_._2).sum + DsirBuckets).toDouble,
+      (rows.map(_._3).sum + DsirBuckets).toDouble)
+  }
+
+  /** Score any (doc_id, text, lang, source) frame against a FIXED
+    * model: per-document smoothed mean log importance ratio on the
+    * 4-decimal grid. Per-document pure given the model — the
+    * property that makes the streaming admission twin (s27) exact.
+    * Returns (doc_id, source, n_grams, w).
+    */
+  def dsirScoreWith(docs: DataFrame, m: DsirModel): DataFrame = {
+    val model = {
+      import docs.sparkSession.implicits._
+      m.rows.toDF("b", "cr", "ct")
+    }
+    dsirGramsOf(docs)
+      .join(broadcast(model), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        // + 0.0 normalizes IEEE negative zero: Spark's round goes
+        // through BigDecimal (no signed zero → +0.0) while DuckDB
+        // keeps the double's sign (−0.0), and the per-document
+        // oracle compare reads the raw doubles
+        (round(avg(
+          log((col("ct") + 1).cast("double") / lit(m.ntB)) -
+            log((col("cr") + 1).cast("double") / lit(m.nrB))), 4)
+          + lit(0.0)).as("w"))
+  }
+
+  /** The t48 scoring core over any (doc_id, text, lang, source)
+    * frame (exposed so specs can score synthetic corpora): train
+    * the model on the frame itself, score the frame with it.
+    */
+  def dsirScoredOf(docs: DataFrame): DataFrame =
+    dsirScoreWith(docs, dsirModelOf(docs))
+
+  /** The 1-row top-quarter cutoff frame over a scored frame — the
+    * t34 histogram walk over the 4-decimal weight grid (lazy: t48
+    * broadcasts it in-plan; s27 collects the single double once as
+    * the deployed admission threshold).
+    */
+  def dsirCutOf(scored: DataFrame): DataFrame = {
+    val hist = scored.groupBy("w").agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy("w")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0L)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n_total", sum("c").over(wAll))
+      .filter(col("cum") * DsirDropDen > col("n_total") * DsirDropNum)
+      .agg(min("w").as("cutoff"))
+  }
+
+  val t48DsirSelect: Q = (s, d) => {
+    val scored = dsirScoredOf(Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "source"))
+    // global cutoff over the (w -> count) histogram (t34's walk,
+    // unpartitioned but HISTOGRAM-sized: the frame is the 4-decimal
+    // score grid, not corpus rows)
+    val cut = dsirCutOf(scored)
+    // n_scored = docs with ≥ 2 tokens (every such doc has ≥ 1 gram
+    // and exactly one scored row): a bare scan + agg, so the
+    // denominator branch never replays the gram/model pipeline
+    val perSource = Tables.documents(s, d)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2)
+      .groupBy("source").agg(count(lit(1)).as("n_scored"))
+    scored.crossJoin(broadcast(cut))
+      .filter(col("w") >= col("cutoff"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sel"),
+        sum("n_grams").as("sel_grams"),
+        max(col("cutoff")).as("cutoff"),
+        min("w").as("min_sel_w"),
+        // weights live on the 4-decimal grid, so summing them as
+        // scaled integers is EXACT — a re-rounded float avg sits on
+        // a rounding boundary whenever the mean lands on .00005 and
+        // engines then disagree by 1e-4 (observed at sf0.01)
+        sum(expr("CAST(round(w * 10000) AS BIGINT)")).as("sum_w4"))
+      .join(broadcast(perSource), "source")
+      .select(col("source"), col("n_scored"), col("n_sel"),
+        col("sel_grams"), col("cutoff"), col("min_sel_w"),
+        col("sum_w4"))
+      .orderBy("source")
+  }
+
+  /** Shared oracle CTE prefix for the DSIR family: hashed models,
+    * per-document weights, and the top-quarter cutoff — t48's report
+    * and s27's per-document admission verdict both select from it,
+    * so the two oracles cannot drift.
+    */
+  private[graft] val dsirCteSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, lang,
+       |    string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, source, lang,
+       |    ${h48Sql("ws[i] || ' ' || ws[i + 1]")}
+       |      % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, source, lang, ws,
+       |          unnest(range(1, len(ws))) AS i
+       |        FROM toks WHERE len(ws) >= 2)),
+       |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr
+       |        FROM grams GROUP BY b),
+       |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+       |        FROM grams WHERE lang = '$DsirTargetLang'
+       |        GROUP BY b),
+       |model AS (SELECT raw.b, raw.cr, COALESCE(tgt.ct, 0) AS ct
+       |          FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+       |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw)
+       |          AS nr,
+       |        (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt),
+       |scored AS (
+       |  SELECT g.doc_id, g.source,
+       |    CAST(count(*) AS BIGINT) AS n_grams,
+       |    round(avg(
+       |      ln(CAST(m.ct + 1 AS DOUBLE)
+       |         / (t.nt + $DsirBuckets))
+       |      - ln(CAST(m.cr + 1 AS DOUBLE)
+       |           / (t.nr + $DsirBuckets))), 4) + 0.0 AS w
+       |  FROM grams g JOIN model m ON g.b = m.b CROSS JOIN tot t
+       |  GROUP BY g.doc_id, g.source),
+       |hist AS (SELECT w, count(*) AS c FROM scored GROUP BY w),
+       |cum AS (
+       |  SELECT w,
+       |    CAST(sum(c) OVER (ORDER BY w
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER () AS BIGINT) AS n_total
+       |  FROM hist),
+       |cut AS (SELECT min(w) AS cutoff FROM cum
+       |        WHERE cum * $DsirDropDen > n_total * $DsirDropNum)"""
+      .stripMargin
+
+  /** s27's oracle: the per-document scored/admitted manifest from
+    * the same CTEs (SparkEntry registers it under the streaming
+    * query name).
+    */
+  val dsirPerDocOracleSql: String =
+    s"""$dsirCteSql
+       |SELECT s.doc_id, s.source, s.n_grams, s.w,
+       |  s.w >= c.cutoff AS admitted
+       |FROM scored s CROSS JOIN cut c
+       |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t48_dsir_select" -> t48DsirSelect,
     "t47_fuzzy_resolve" -> t47FuzzyResolve,
     "t46_pii_scrub" -> t46PiiScrub,
     "t45_bpe_train" -> t45BpeTrain,
@@ -3475,6 +3727,28 @@ object TextOps {
            |  CAST(length(red) AS INT) AS n_chars_redacted
            |FROM scr
            |ORDER BY doc_id""".stripMargin,
+      // t48: the oracle re-derives both hashed models from the same
+      // md5-bucket arithmetic, re-scores every document with the
+      // same smoothed log ratio (ln may differ in last ulp across
+      // engines — the 4-decimal round is the t12/t25 convention),
+      // and re-walks the same histogram cutoff — the hash-match
+      // proves cross-engine parity of feature hashing, both models,
+      // the weight, and the selection rule
+      "t48_dsir_select" ->
+        s"""$dsirCteSql,
+           |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_scored
+           |        FROM scored GROUP BY source)
+           |SELECT s.source, max(per.n_scored) AS n_scored,
+           |  CAST(count(*) AS BIGINT) AS n_sel,
+           |  CAST(sum(s.n_grams) AS BIGINT) AS sel_grams,
+           |  max(c.cutoff) AS cutoff,
+           |  min(s.w) AS min_sel_w,
+           |  CAST(sum(CAST(round(s.w * 10000) AS BIGINT)) AS BIGINT)
+           |    AS sum_w4
+           |FROM scored s CROSS JOIN cut c
+           |  JOIN per ON s.source = per.source
+           |WHERE s.w >= c.cutoff
+           |GROUP BY s.source ORDER BY s.source""".stripMargin,
       // t47: the oracle rebuilds the registry and its corrupted twin
       // from the same word list + key arithmetic, re-runs both
       // blocking passes INCLUDING the full adaptive escalation

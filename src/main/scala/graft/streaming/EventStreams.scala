@@ -833,6 +833,45 @@ object EventStreams {
       b => graft.queries.TextOps.piiScrubOf(
         graft.queries.TextOps.piiAugmentOf(b)))
 
+  /** s27 — STREAMING DSIR ADMISSION (t48's deployment twin,
+    * extending the admission-gate family s09/s18/s19/s20/s23 with
+    * the distribution-matching selector): the hashed-n-gram model
+    * AND the top-quarter cutoff are trained batch-side ONCE — the
+    * s19 model-fixed rule; DSIR trains on reference data, the
+    * ingest door only applies it — then every micro-batch scores
+    * its documents map-side against the broadcast model (≤ 4096
+    * rows) and stamps the admission verdict against the fixed
+    * threshold. Scoring is per-document pure given the fixed
+    * artifacts (a doc's weight reads only its own grams + the
+    * model), so the union over batches equals the batch scoring run
+    * EXACTLY and the t48 CTEs in per-document form verify the loop;
+    * the engine state store carries nothing and per-batch cost is
+    * score-of-batch-size. Documents under 2 tokens carry no bigram
+    * evidence and sit out, the batch t48 boundary.
+    */
+  def replayDsirGate(spark: SparkSession, dir: String): DataFrame =
+    replayDsirGateWithStats(spark, dir)._1
+
+  /** s27 plus the engine state-store row total (must be 0) for the
+    * StreamingSpec assertion.
+    */
+  def replayDsirGateWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 4): (DataFrame, Long) = {
+    import graft.queries.TextOps
+    // model + threshold artifacts: trained before the stream starts,
+    // fixed across all ingest batches
+    val full = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val model = TextOps.dsirModelOf(full)
+    val cutoff = TextOps.dsirCutOf(TextOps.dsirScoreWith(full, model))
+      .collect()(0).getDouble(0)
+    replayDocGate(spark, dir, "s27",
+      Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType), nBatches)(
+      b => TextOps.dsirScoreWith(b, model)
+        .withColumn("admitted", col("w") >= lit(cutoff)))
+  }
+
   /** s21 — STREAMING VOCABULARY MAINTENANCE (the streaming twin of
     * batch t42, fourth member of the artifact-maintenance symmetry:
     * t15/s05 band index, v09/s12 vector codes, v20/s17 neighbor

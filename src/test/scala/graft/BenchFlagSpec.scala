@@ -62,6 +62,45 @@ class BenchFlagSpec extends AnyFunSuite {
       Seq("spike_start", "spike_end"))
   }
 
+  test("mergeRetakes: mins merge first pass ++ retake " +
+      "unconditionally, so an all-failed retake degrades to the " +
+      "measured first-pass min instead of nulling the entry") {
+    val first = Seq(
+      "hot" -> Seq(5.0, 5.2),      // contaminated, retaken
+      "calm" -> Seq(1.0, 1.1))     // untouched
+    val retake = Map("hot" -> Seq(Double.PositiveInfinity,
+      Double.PositiveInfinity))    // retake failed outright
+    val (results, _) = Bench.mergeRetakes(first, retake, Set("hot"))
+    val mins = results.toMap.map { case (k, ts) => k -> ts.min }
+    assert(mins("hot") === 5.0,
+      "a failed retake must fall back to the first-pass min")
+    assert(mins("calm") === 1.0)
+    // and a SUCCESSFUL retake's faster iterations win the min
+    val (r2, _) = Bench.mergeRetakes(first,
+      Map("hot" -> Seq(2.0, 2.1)), Set.empty)
+    assert(r2.toMap.apply("hot").min === 2.0)
+  }
+
+  test("mergeRetakes: the wide flag reads the clean retake alone " +
+      "(never the cross-regime seam) and skips still-dirty entries") {
+    val first = Seq(
+      // looks wide ONLY across the seam: slow contaminated pass,
+      // fast clean retake — the flag must not see 10.0 vs 1.0
+      "retaken" -> Seq(10.0, 9.5),
+      "dirty" -> Seq(30.0, 2.0),   // genuinely wide but still dirty
+      "calm" -> Seq(1.0, 1.05))
+    val retake = Map("retaken" -> Seq(1.0, 1.1))
+    val (_, wideBasis) =
+      Bench.mergeRetakes(first, retake, Set("dirty"))
+    val basis = wideBasis.toMap
+    assert(basis("retaken") === Seq(1.0, 1.1),
+      "wide basis must be the clean retake, not the merged list")
+    assert(!basis.contains("dirty"),
+      "still-dirty entries must not feed the wide flag")
+    assert(Bench.wideSpreadEntries(wideBasis).isEmpty,
+      "no flag may fire off the retake seam or a dirty entry")
+  }
+
   test("parseDirty reads the prev record's dirty list; records " +
       "without one (every record before r18) parse empty") {
     val raw = """...,"n_ok":183,"load":{"p50":26.0,"max":30.4},""" +

@@ -930,6 +930,29 @@ class PlanSpec extends SparkSpec {
       s"keep filter must be map-side — no per-doc shuffle:\n$p")
   }
 
+  test("t48: the hashed models are one collected bounded artifact " +
+      "broadcast to the gram scans (never re-derived in-plan, never " +
+      "a corpus-sized build side); the cutoff walks the weight " +
+      "histogram, not corpus rows") {
+    val p = plan("t48_dsir_select")
+    // the smoothed model enters the plan as a literal LocalTableScan
+    // (collected once under the bounded-model rule) — a HashAggregate
+    // under the model-side BroadcastExchange would mean each scoring
+    // branch re-aggregates the corpus
+    assert(p.contains("LocalTableScan"),
+      s"model must be the pre-collected bounded artifact:\n$p")
+    assert(p.contains("BroadcastHashJoin [b#"),
+      s"grams must probe the BROADCAST model on the bucket key:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"all-pairs join in DSIR scoring:\n$p")
+    // the cumulative walk is keyed by the weight and consumes the
+    // (w -> count) histogram aggregate printed below it
+    val w = p.indexOf("windowspecdefinition(w#")
+    assert(w >= 0, s"cutoff walk not keyed by the weight:\n$p")
+    assert(p.indexOf("knownfloatingpointnormalized", w) > w,
+      s"cutoff window must consume the weight histogram:\n$p")
+  }
+
   test("m13: perceptual near-dup candidates come from the " +
       "(band, byte) equi-join — no all-pairs, hash verify after " +
       "candidate generation") {

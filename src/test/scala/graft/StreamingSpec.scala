@@ -471,6 +471,36 @@ class StreamingSpec extends SparkSpec {
       s"per-batch admission must be stateless, got $stateRows")
   }
 
+  test("streaming DSIR admission (declared s27) equals the batch " +
+      "scoring run under the fixed model + cutoff, admits exactly " +
+      "the t48 top quarter, and carries no engine state") {
+    import graft.queries.TextOps
+    val (df, stateRows) =
+      EventStreams.replayDsirGateWithStats(spark, sf)
+    val full = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source")
+    val model = TextOps.dsirModelOf(full)
+    val scored = TextOps.dsirScoreWith(full, model)
+    val cutoff = TextOps.dsirCutOf(scored).collect()(0).getDouble(0)
+    val batch = scored
+      .withColumn("admitted",
+        org.apache.spark.sql.functions.col("w") >=
+          org.apache.spark.sql.functions.lit(cutoff))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val streamed = df.collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    // threshold semantics: the admitted count is the t48 selection
+    val nAdmitted = streamed.count(_.last == true)
+    val nScored = streamed.length
+    assert(nAdmitted * 4L >= nScored.toLong,
+      "top-quarter threshold semantics must admit at least 1/4")
+    assert(nAdmitted < nScored, "the gate must also reject")
+    assert(stateRows === 0L,
+      s"fixed-model admission must be stateless, got $stateRows")
+  }
+
   test("streaming ingest-time tokenizer (declared s19) equals batch " +
       "t41 and carries no engine state") {
     val (df, stateRows) =

@@ -1214,4 +1214,25 @@ class TextSpec extends SparkSpec {
     assert(candVolume(salted) === candVolume(noSalt),
       "salting must not change the candidate set")
   }
+
+  test("t48 scoring: documents sharing the target language's bigram " +
+      "vocabulary outscore alien-vocabulary documents, whatever " +
+      "their own lang label; under-2-token docs sit out") {
+    import spark.implicits._
+    val en = (0L until 8L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog", "en", "a"))
+    // target-like vocabulary under a NON-target label: DSIR selects
+    // on content, not on the label that trained the model
+    val like = Seq((100L, "the quick brown fox jumps", "xx", "b"))
+    val alien = Seq((200L, "zzz qqq www eee rrr ttt", "xx", "b"))
+    val short = Seq((300L, "loner", "en", "b"))
+    val docs = (en ++ like ++ alien ++ short)
+      .toDF("doc_id", "text", "lang", "source")
+    val w = TextOps.dsirScoredOf(docs)
+      .select("doc_id", "w").as[(Long, Double)].collect().toMap
+    assert(!w.contains(300L), "a 1-token doc has no bigram evidence")
+    assert(w(100L) > w(200L),
+      s"target-like ${w(100L)} must outweigh alien ${w(200L)}")
+    en.foreach(e => assert(w(e._1) > w(200L)))
+  }
 }
