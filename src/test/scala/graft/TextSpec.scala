@@ -1215,6 +1215,31 @@ class TextSpec extends SparkSpec {
       "salting must not change the candidate set")
   }
 
+  test("t48 cutoff: threshold semantics on the weight histogram — " +
+      "the cutoff is the smallest weight past the drop fraction, and " +
+      "every doc tied at it keeps") {
+    import spark.implicits._
+    // 8 docs at weight -0.2 (bottom), 4 at -0.1, 4 at 0.3: drop
+    // 3/4 of 16 = 12 -> ascending cum passes 12 inside the -0.1
+    // run? cum(-0.2)=8, cum(-0.1)=12 NOT > 12, cum(0.3)=16 > 12 ->
+    // cutoff 0.3; the -0.1 tie-run sits exactly at the boundary and
+    // drops as a block (threshold, not drop-exactly-k)
+    val scored = ((1 to 8).map(i => (i.toLong, "a", 1L, -0.2)) ++
+      (9 to 12).map(i => (i.toLong, "a", 1L, -0.1)) ++
+      (13 to 16).map(i => (i.toLong, "a", 1L, 0.3)))
+      .toDF("doc_id", "source", "n_grams", "w")
+    val cut = TextOps.dsirCutOf(scored).collect()(0).getDouble(0)
+    assert(cut === 0.3)
+    // widen the tie-run past the boundary: cum(-0.1)=13 > 12 -> the
+    // whole tie-run now KEEPS (cutoff -0.1, 9 docs admitted)
+    val scored2 = ((1 to 7).map(i => (i.toLong, "a", 1L, -0.2)) ++
+      (8 to 13).map(i => (i.toLong, "a", 1L, -0.1)) ++
+      (14 to 16).map(i => (i.toLong, "a", 1L, 0.3)))
+      .toDF("doc_id", "source", "n_grams", "w")
+    val cut2 = TextOps.dsirCutOf(scored2).collect()(0).getDouble(0)
+    assert(cut2 === -0.1)
+  }
+
   test("t48 scoring: documents sharing the target language's bigram " +
       "vocabulary outscore alien-vocabulary documents, whatever " +
       "their own lang label; under-2-token docs sit out") {
