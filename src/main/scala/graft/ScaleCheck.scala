@@ -34,17 +34,25 @@ object ScaleCheck {
     * shared by every token ADDS common grams between all docs of a
     * replica and inflates similarity quadratically.
     */
-  private def replica(docs: DataFrame, r: Int): DataFrame = {
+  /** One rotated copy of the corpus: ids offset by 10M per replica
+    * (assumes base doc_id < 10M — testdata tops out around 5k),
+    * text alphabet-rotated so replicas share no grams, any
+    * `passthrough` columns carried unchanged.
+    */
+  private def replica(docs: DataFrame, r: Int,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val rot = Alphabet.drop(r % 26) + Alphabet.take(r % 26)
     val text =
       if (r % 26 == 0) col("text")
       else translate(col("text"), Alphabet, rot)
-    docs.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
-      text.as("text"))
+    docs.select((col("doc_id") + lit(r * 10000000L)).as("doc_id") +:
+      text.as("text") +: passthrough.map(col): _*)
   }
 
-  private def scaled(docs: DataFrame, k: Int): DataFrame =
-    (0 until k).map(replica(docs, _)).reduce(_ unionByName _)
+  private def scaled(docs: DataFrame, k: Int,
+      passthrough: Seq[String] = Nil): DataFrame =
+    (0 until k).map(replica(docs, _, passthrough))
+      .reduce(_ unionByName _)
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -481,14 +489,7 @@ object ScaleCheck {
       val full = Tables.documents(spark, sfDir)
         .select("doc_id", "text", "lang", "source")
       def dsirScaled(k: Int): DataFrame =
-        (0 until k).map { r =>
-          val rot = Alphabet.drop(r % 26) + Alphabet.take(r % 26)
-          val text = if (r % 26 == 0) col("text")
-            else translate(col("text"), Alphabet, rot)
-          full.select(
-            (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
-            text.as("text"), col("lang"), col("source"))
-        }.reduce(_ unionByName _)
+        scaled(full, k, Seq("lang", "source"))
       // warmup: JIT + codegen for the gram/score plans
       TextOps.dsirScoredOf(full.limit(200)).count()
       dks.foreach { k =>

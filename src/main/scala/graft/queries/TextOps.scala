@@ -2898,6 +2898,34 @@ object TextOps {
     * n·3), so both engines decide every document identically with no
     * float quantile convention.
     */
+  /** The cumulative-threshold histogram walk t34 and t48 share
+    * (review r18 — one copy of the tie/threshold machinery): over a
+    * pre-aggregated (partitionCols..., valueCol, countCol)
+    * histogram, keep the rows whose ascending cumulative count
+    * strictly exceeds dropNum/dropDen of the partition total —
+    * callers reduce those to their cutoff (min value past the
+    * drop). Windows run over the HISTOGRAM, never corpus rows; the
+    * threshold compare is integer cross-multiplication, so both
+    * engines decide identically with no float convention. With no
+    * partition columns the walk is global (t48's weight grid, still
+    * histogram-sized).
+    */
+  private[graft] def histPastDrop(hist: DataFrame, valueCol: String,
+      countCol: String, partitionCols: Seq[String], dropNum: Int,
+      dropDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = partitionCols.map(col)
+    val wCum = (if (part.isEmpty) Window.orderBy(valueCol)
+                else Window.partitionBy(part: _*).orderBy(valueCol))
+      .rowsBetween(Window.unboundedPreceding, 0L)
+    val wAll = if (part.isEmpty) Window.partitionBy(lit(1))
+               else Window.partitionBy(part: _*)
+    hist
+      .withColumn("cum", sum(countCol).over(wCum))
+      .withColumn("n_total", sum(countCol).over(wAll))
+      .filter(col("cum") * dropDen > col("n_total") * dropNum)
+  }
+
   val t34QuantileCurate: Q = (s, d) => {
     val scored = Tables.documents(s, d)
       .selectExpr("doc_id", "source",
@@ -2909,16 +2937,8 @@ object TextOps {
         expr("CAST(n_distinct AS BIGINT) * 10000 DIV n_words").as("q"))
     val hist = scored.groupBy("source", "q")
       .agg(count(lit(1)).as("c"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("q")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0L)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy("source")
-    val cuts = hist
-      .withColumn("cum", sum("c").over(wCum))
-      .withColumn("n_total", sum("c").over(wAll))
-      .filter(col("cum") * CurateDropDen > col("n_total") * CurateDropNum)
+    val cuts = histPastDrop(hist, "q", "c", Seq("source"),
+        CurateDropNum, CurateDropDen)
       .groupBy("source")
       .agg(min("q").as("cutoff"), max("n_total").as("n_total"))
     scored.join(broadcast(cuts), "source")
@@ -3473,8 +3493,16 @@ object TextOps {
       import docs.sparkSession.implicits._
       m.rows.toDF("b", "cr", "ct")
     }
+    // LEFT join: a gram hashing to a bucket the training corpus
+    // never occupied still scores, at the add-one smoothing floor
+    // ln(1/ntB) − ln(1/nrB) — an inner join would silently drop the
+    // novel grams that make a serve-time document novel, and a doc
+    // made entirely of them would get no verdict at all (review
+    // r18). On the training corpus itself every bucket is occupied
+    // and the two joins are identical — which is why only the
+    // foreign-model spec can see the difference.
     dsirGramsOf(docs)
-      .join(broadcast(model), Seq("b"))
+      .join(broadcast(model), Seq("b"), "left")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_grams"),
         // + 0.0 normalizes IEEE negative zero: Spark's round goes
@@ -3482,8 +3510,10 @@ object TextOps {
         // keeps the double's sign (−0.0), and the per-document
         // oracle compare reads the raw doubles
         (round(avg(
-          log((col("ct") + 1).cast("double") / lit(m.ntB)) -
-            log((col("cr") + 1).cast("double") / lit(m.nrB))), 4)
+          log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            lit(m.ntB)) -
+            log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+              lit(m.nrB))), 4)
           + lit(0.0)).as("w"))
   }
 
@@ -3495,24 +3525,14 @@ object TextOps {
     dsirScoreWith(docs, dsirModelOf(docs))
 
   /** The 1-row top-quarter cutoff frame over a scored frame — the
-    * t34 histogram walk over the 4-decimal weight grid (lazy: t48
-    * broadcasts it in-plan; s27 collects the single double once as
-    * the deployed admission threshold).
+    * shared histogram walk ([[histPastDrop]]) over the 4-decimal
+    * weight grid (lazy: t48 broadcasts it in-plan; s27 collects the
+    * single double once as the deployed admission threshold).
     */
-  def dsirCutOf(scored: DataFrame): DataFrame = {
-    val hist = scored.groupBy("w").agg(count(lit(1)).as("c"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .orderBy("w")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0L)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
-    hist
-      .withColumn("cum", sum("c").over(wCum))
-      .withColumn("n_total", sum("c").over(wAll))
-      .filter(col("cum") * DsirDropDen > col("n_total") * DsirDropNum)
+  def dsirCutOf(scored: DataFrame): DataFrame =
+    histPastDrop(scored.groupBy("w").agg(count(lit(1)).as("c")),
+      "w", "c", Seq.empty, DsirDropNum, DsirDropDen)
       .agg(min("w").as("cutoff"))
-  }
 
   val t48DsirSelect: Q = (s, d) => {
     val scored = dsirScoredOf(Tables.documents(s, d)
@@ -3570,18 +3590,21 @@ object TextOps {
        |        GROUP BY b),
        |model AS (SELECT raw.b, raw.cr, COALESCE(tgt.ct, 0) AS ct
        |          FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
-       |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw)
+       |tot AS (SELECT COALESCE(
+       |          (SELECT CAST(sum(cr) AS BIGINT) FROM raw), 0)
        |          AS nr,
-       |        (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt),
+       |        COALESCE(
+       |          (SELECT CAST(sum(ct) AS BIGINT) FROM tgt), 0)
+       |          AS nt),
        |scored AS (
        |  SELECT g.doc_id, g.source,
        |    CAST(count(*) AS BIGINT) AS n_grams,
        |    round(avg(
-       |      ln(CAST(m.ct + 1 AS DOUBLE)
+       |      ln(CAST(COALESCE(m.ct, 0) + 1 AS DOUBLE)
        |         / (t.nt + $DsirBuckets))
-       |      - ln(CAST(m.cr + 1 AS DOUBLE)
+       |      - ln(CAST(COALESCE(m.cr, 0) + 1 AS DOUBLE)
        |           / (t.nr + $DsirBuckets))), 4) + 0.0 AS w
-       |  FROM grams g JOIN model m ON g.b = m.b CROSS JOIN tot t
+       |  FROM grams g LEFT JOIN model m ON g.b = m.b CROSS JOIN tot t
        |  GROUP BY g.doc_id, g.source),
        |hist AS (SELECT w, count(*) AS c FROM scored GROUP BY w),
        |cum AS (

@@ -863,8 +863,14 @@ object EventStreams {
     val full = graft.Tables.documents(spark, dir)
       .select("doc_id", "text", "lang", "source")
     val model = TextOps.dsirModelOf(full)
-    val cutoff = TextOps.dsirCutOf(TextOps.dsirScoreWith(full, model))
-      .collect()(0).getDouble(0)
+    val cutRow = TextOps.dsirCutOf(TextOps.dsirScoreWith(full, model))
+      .collect()(0)
+    // min over an empty scored frame is NULL — refuse diagnosably
+    // instead of NPE-ing on the primitive accessor (review r18)
+    require(!cutRow.isNullAt(0),
+      s"s27: no scorable documents in $dir (every doc under 2 " +
+        "tokens?) — cannot train an admission threshold")
+    val cutoff = cutRow.getDouble(0)
     replayDocGate(spark, dir, "s27",
       Seq("doc_id" -> LongType, "text" -> StringType,
         "lang" -> StringType, "source" -> StringType), nBatches)(

@@ -1240,6 +1240,39 @@ class TextSpec extends SparkSpec {
     assert(cut2 === -0.1)
   }
 
+  test("t48/s27 serve path: a document whose grams hash only to " +
+      "buckets the training corpus never occupied still scores — at " +
+      "the add-one smoothing floor — instead of silently dropping") {
+    import spark.implicits._
+    val train = ((0L until 4L).map(i =>
+      (i, "alpha beta gamma delta epsilon", "en", "a")) ++
+      (10L until 12L).map(i =>
+        (i, "foo bar baz qux quux", "fr", "a")))
+      .toDF("doc_id", "text", "lang", "source")
+    val model = TextOps.dsirModelOf(train)
+    // serve-time docs: one all-novel vocabulary, one raw-present but
+    // target-absent (the fr vocabulary)
+    val serve = Seq(
+      (100L, "zulu xray whiskey victor uniform", "xx", "b"),
+      (101L, "foo bar baz qux", "fr", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val w = TextOps.dsirScoreWith(serve, model)
+      .select("doc_id", "w").as[(Long, Double)].collect().toMap
+    assert(w.contains(100L),
+      "all-novel doc must get a verdict, not vanish from the gate")
+    // every never-seen gram scores the same neutral smoothing prior
+    // ln((1/ntB)/(1/nrB)), so the mean is exactly its 4-decimal
+    // round (+0.0 for the sign norm) — the add-one ceiling that
+    // target-exclusive grams tie and raw-common grams fall below
+    val floor = BigDecimal(math.log(model.nrB / model.ntB))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    assert(w(100L) === floor,
+      s"novel doc must score the smoothing prior $floor, got ${w(100L)}")
+    assert(w(100L) > w(101L),
+      "no-evidence must outscore evidence-against (raw-present, " +
+        "target-absent grams)")
+  }
+
   test("t48 scoring: documents sharing the target language's bigram " +
       "vocabulary outscore alien-vocabulary documents, whatever " +
       "their own lang label; under-2-token docs sit out") {
