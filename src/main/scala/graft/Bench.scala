@@ -72,6 +72,17 @@ object Bench {
       .filter(_._2 > limit100)
       .sortBy(-_._2).map(_._1)
 
+  /** A retaken entry stays dirty if its retake window was loaded
+    * again OR the retake measured nothing at all (every iteration
+    * failed): a clean-window retake that produced no numbers cannot
+    * certify the contaminated first pass, whose inflated min would
+    * otherwise ship flag-eligible and poison the next round's
+    * baseline (review r18, second pass).
+    */
+  private[graft] def retakeDirty(loadExceeded: Boolean,
+      ts: Seq[Double]): Boolean =
+    loadExceeded || ts.forall(_.isInfinite)
+
   /** Merge a first pass with its load-retake (the r18 review
     * policy, factored out so BenchFlagSpec can pin it): `results`
     * (mins/totals basis) concatenates first pass ++ retake
@@ -294,7 +305,8 @@ object Bench {
       val ts = runIters(k, fnByName(k))
       val s1 = jvmSnap()
       diag(k) = (s0, s1)
-      if (math.max(s0.load100, s1.load100) > loadLimit100)
+      if (retakeDirty(
+          math.max(s0.load100, s1.load100) > loadLimit100, ts))
         stillDirty += k
       k -> ts
     }.toMap

@@ -84,7 +84,15 @@ object ScaleCheck {
     val probeSet = sys.env.get("SPARK_GRAFT_PROBES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // a typo'd probe name must fail loudly, not run an empty sweep
-    // that a re-take could mistake for a completed receipt
+    // that a re-take could mistake for a completed receipt — and so
+    // must a set-but-empty value (an unset shell substitution like
+    // SPARK_GRAFT_PROBES=$PROBES), which would otherwise select
+    // nothing and exit 0 (review r18, second pass)
+    probeSet.filter(_.isEmpty).foreach { _ =>
+      throw new IllegalArgumentException(
+        "SPARK_GRAFT_PROBES is set but names no probes — unset it " +
+          s"for the full sweep, or name: ${KnownProbes.mkString(", ")}")
+    }
     probeSet.map(_ -- KnownProbes).filter(_.nonEmpty).foreach { bad =>
       throw new IllegalArgumentException(
         s"unknown probe name(s) ${bad.mkString(", ")} in " +

@@ -310,14 +310,22 @@ object EventStreams {
         ev.filter(unix_timestamp(col("ts")) >= lo + i * span &&
             unix_timestamp(col("ts")) < lo + (i + 1) * span)
           .coalesce(1).write.parquet(stage)
-        new java.io.File(stage).listFiles()
+        // the slice ↔ streaming-batch-id identity is load-bearing:
+        // s24/s26's as-of oracles equate "batch b" with "event-time
+        // slice b", which holds because Spark writes a schema-only
+        // part file even for an EMPTY slice (measured; a skipped
+        // empty slice would silently shift every later batch id off
+        // its slice). If that write behavior ever changes, fail the
+        // staging loudly rather than desync the declared oracles.
+        val part = new java.io.File(stage).listFiles()
           .filter(_.getName.endsWith(".parquet")).headOption
-          .foreach { f =>
-            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
-            java.nio.file.Files.move(f.toPath, dst.toPath)
-            dst.setLastModified(t0 + i * 60000L)
-            ()
-          }
+          .getOrElse(throw new IllegalStateException(
+            s"slice $i staged no parquet file — the slice<->batch-id " +
+              "identity behind the s24/s26 as-of arithmetic would " +
+              "silently shift; stage empty slices explicitly"))
+        val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 60000L)
       }
       srcDir
     })

@@ -101,6 +101,22 @@ class BenchFlagSpec extends AnyFunSuite {
       "no flag may fire off the retake seam or a dirty entry")
   }
 
+  test("retakeDirty: a loaded retake window is dirty, a clean one " +
+      "is not — unless the retake measured nothing (all iterations " +
+      "failed), which cannot certify the contaminated first pass") {
+    assert(Bench.retakeDirty(loadExceeded = true, Seq(1.0, 1.1)))
+    assert(!Bench.retakeDirty(loadExceeded = false, Seq(1.0, 1.1)))
+    // partial failure still measured something: the surviving min
+    // stands, entry is clean
+    assert(!Bench.retakeDirty(loadExceeded = false,
+      Seq(Double.PositiveInfinity, 2.0)))
+    // all-failed clean-window retake: first-pass numbers remain
+    // uncertified -> dirty
+    assert(Bench.retakeDirty(loadExceeded = false,
+      Seq(Double.PositiveInfinity, Double.PositiveInfinity)))
+    assert(Bench.retakeDirty(loadExceeded = false, Seq.empty))
+  }
+
   test("parseDirty reads the prev record's dirty list; records " +
       "without one (every record before r18) parse empty") {
     val raw = """...,"n_ok":183,"load":{"p50":26.0,"max":30.4},""" +
