@@ -51,12 +51,84 @@ object Bench {
 
   /** Load threshold for the self-healing retake (VERDICT r17 item
     * 4): a measurement window whose OS 1-min load average exceeded
-    * 1.5× the worker count was contended by co-located box work —
+    * 0.75× the worker count was contended by co-located box work —
     * the entry's numbers describe the box, not the code (the r16
-    * t-family and r17 s03/q14 flags were all this). Returned on the
-    * ×100 scale the snapshots carry.
+    * t-family and r17 s03/q14 flags were all this). 0.75× (was
+    * 1.5×, VERDICT r18 item 1): r18's contention peaked at 41.9 on
+    * 32 cpus — REAL contamination that the 48 bar never saw — while
+    * our own local[32] burst only pushes the damped 1-min average
+    * to ~15 even through the 30 s streaming entries (r18 diag: p50
+    * 2.9 across 189 entries), so 24 still clears self-load.
+    * Returned on the ×100 scale the snapshots carry.
     */
-  private[graft] def retakeLimit100(cpus: Int): Long = cpus * 150L
+  private[graft] def retakeLimit100(cpus: Int): Long = cpus * 75L
+
+  /** Parse the full-resolution `"queries":{...}` map of a committed
+    * bench record (the isolated family records are written in this
+    * format): full query names → min seconds.
+    */
+  private[graft] def parseQueriesMap(raw: String): Map[String, Double] = {
+    val start = raw.indexOf("\"queries\":{")
+    if (start < 0) Map.empty
+    else {
+      val body = raw.substring(start + "\"queries\":{".length)
+      val end = body.indexOf('}')
+      if (end < 0) Map.empty
+      else """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+        .findAllMatchIn(body.substring(0, end))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Per-query mins from the committed `bench_isolated_r*.json`
+    * family records in `dirs` (first dir with any record wins, like
+    * the prev-record search): later rounds override earlier ones,
+    * records for a different SF are skipped. These are the CLEANEST
+    * committed numbers per entry — each was re-taken alone on the
+    * final tree of its round — so they anchor the two self-healing
+    * checks below (VERDICT r18 item 1): the divergence retake
+    * trigger and the baseline floor for regression flags.
+    */
+  private[graft] def isolatedMins(dirs: Seq[String], sfDir: String)
+      : Map[String, Double] = {
+    val files = dirs.iterator.map { d =>
+      Option(new java.io.File(d).listFiles())
+        .getOrElse(Array.empty).toSeq
+        .filter(_.getName.matches("bench_isolated_r\\d+.*\\.json"))
+    }.find(_.nonEmpty).getOrElse(Seq.empty)
+    files
+      .sortBy(f => ("""r(\d+)""".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt).getOrElse(0), f.getName))
+      .foldLeft(Map.empty[String, Double]) { (acc, f) =>
+        val raw =
+          try new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          catch { case _: Throwable => "" }
+        val recSf = """"sf":"([^"]+)"""".r
+          .findFirstMatchIn(raw).map(_.group(1))
+        if (recSf.exists(_ != sfDir)) acc
+        else acc ++ parseQueriesMap(raw)
+      }
+  }
+
+  /** Entries whose first-pass min exceeds `factor`× their committed
+    * isolated record — the load-immune retake trigger (VERDICT r18
+    * item 1): r18's eight phantom flags were all entries inflated
+    * 2.5–6.6× vs their isolated records by contention the load bar
+    * never saw. Worst divergence first. A retake that still
+    * diverges on a quiet window is then a REPRODUCED slowdown and
+    * may flag; one on a loaded window goes dirty via the load rule.
+    */
+  private[graft] def isolatedDivergent(
+      firstPass: Seq[(String, Seq[Double])],
+      iso: Map[String, Double], factor: Double = 2.0)
+      : Seq[String] =
+    firstPass
+      .filter { case (k, ts) =>
+        ts.nonEmpty && !ts.min.isInfinite &&
+          iso.get(k).exists(i => i > 0 && ts.min > factor * i) }
+      .map { case (k, ts) => k -> ts.min / iso(k) }
+      .sortBy(-_._2).map(_._1)
 
   /** Entries whose measurement window saw load beyond `limit100`,
     * worst-first. Either end snapshot counts: the 1-min average
@@ -125,15 +197,35 @@ object Bench {
   @volatile private[graft] var preSessionTmpDirs: Set[String] =
     Set.empty
 
-  private[graft] def capturePreSessionTmpDirs(): Unit = {
+  /** The spark-&#42; / blockmgr-&#42; tmp dirs THIS bench's session owns:
+    * the dirs that appeared between the pre-session capture and the
+    * post-warmup capture (Spark creates its driver-tmp and block-
+    * manager dirs at context init, so by the end of the warmup jobs
+    * the full set exists). When present, the jvmSnap walk reads
+    * EXACTLY this set — a neighbor JVM starting mid-bench can no
+    * longer land its spill in our diag columns (VERDICT r18 item 4;
+    * the pre-session exclusion alone only kept out neighbors that
+    * PRE-dated us). None = capture never ran (unit tests poking
+    * jvmSnap directly) — fall back to the pre-session exclusion.
+    */
+  @volatile private[graft] var ownedTmpDirs: Option[Set[String]] =
+    None
+
+  private[graft] def listSparkTmpDirs(): Set[String] = {
     val tmp = new java.io.File(
       System.getProperty("java.io.tmpdir", "/tmp"))
-    preSessionTmpDirs = Option(tmp.listFiles())
+    Option(tmp.listFiles())
       .getOrElse(Array.empty)
       .filter(d => d.getName.startsWith("blockmgr-") ||
         d.getName.startsWith("spark-"))
       .map(_.getName).toSet
   }
+
+  private[graft] def capturePreSessionTmpDirs(): Unit =
+    preSessionTmpDirs = listSparkTmpDirs()
+
+  private[graft] def captureOwnedTmpDirs(): Unit =
+    ownedTmpDirs = Some(listSparkTmpDirs() -- preSessionTmpDirs)
 
   private[graft] def jvmSnap(): JvmSnap = {
     import scala.jdk.CollectionConverters._
@@ -149,13 +241,12 @@ object Bench {
     val (localMb, localFiles) = {
       // blockmgr-*/spark-* dirs under the JVM's tmp dir: shuffle
       // blocks, disk-spilled broadcast/cache, temp staging. Scoped
-      // to THIS app (ADVICE r17): dirs already present before our
-      // SparkSession came up belong to other co-located Spark JVMs
-      // sharing the tmpdir and are excluded, so the diag IO column
-      // can't name a neighbor's spill as our own. A neighbor
-      // STARTING mid-bench still lands in the walk (no portable
-      // ownership check on these dirs) — rare, and the load columns
-      // flag that situation independently.
+      // to THIS app (ADVICE r17 + VERDICT r18 item 4): the walk
+      // reads exactly the dirs our own session created (captured
+      // between the pre-session and post-warmup snapshots), so
+      // neither a pre-existing neighbor NOR one starting mid-bench
+      // can land its spill in our diag IO column. Fallback when the
+      // owned capture never ran: exclude pre-existing dirs only.
       val tmp = new java.io.File(
         System.getProperty("java.io.tmpdir", "/tmp"))
       def walk(f: java.io.File): (Long, Long) =
@@ -163,10 +254,12 @@ object Bench {
         else Option(f.listFiles()).getOrElse(Array.empty)
           .map(walk).foldLeft((0L, 0L)) { case ((b, n), (b2, n2)) =>
             (b + b2, n + n2) }
+      val owned = ownedTmpDirs
       val roots = Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(d => (d.getName.startsWith("blockmgr-") ||
           d.getName.startsWith("spark-")) &&
-          !preSessionTmpDirs.contains(d.getName))
+          owned.map(_.contains(d.getName))
+            .getOrElse(!preSessionTmpDirs.contains(d.getName)))
       val sums = roots.map(walk)
       (sums.map(_._1).sum / (1024 * 1024), sums.map(_._2).sum)
     }
@@ -207,6 +300,11 @@ object Bench {
           |'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'))) AS a""".stripMargin)
         .count()
     }
+    // the warmup jobs above forced the block manager + driver tmp
+    // dirs into existence — everything new since the pre-session
+    // capture is OURS; capture before warmIndexes so a neighbor
+    // starting during the (long) index build can't join the set
+    captureOwnedTmpDirs()
 
     // Stored-index artifacts build OUTSIDE the timed loop (see
     // SparkEntry.warmIndexes): serve-path queries time the serve, not
@@ -288,18 +386,34 @@ object Bench {
       .flatMap(v => scala.util.Try(v.toLong).toOption)
       .getOrElse(retakeLimit100(cpus.toInt))
     val contaminated = loadContaminated(diag.toSeq, loadLimit100)
-    val toRetake = contaminated.take(24)
+    // second, load-IMMUNE trigger (VERDICT r18 item 1): an entry
+    // whose min diverges >2× from its committed isolated record is
+    // re-measured even when the load bar saw nothing — r18's eight
+    // phantom flags were exactly this shape (contention real, peak
+    // 41.9 < the then-48 bar, dirty list empty)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json")
+    val recordDirs = Seq(
+      Option(new java.io.File(out).getAbsoluteFile.getParent),
+      Some(System.getProperty("user.dir", "."))).flatten.distinct
+    val isoMins = isolatedMins(recordDirs, sfDir)
+    val divergent = isolatedDivergent(firstPass, isoMins)
+      .filterNot(contaminated.contains)
+    val merged = contaminated ++ divergent
+    val toRetake = merged.take(24)
     if (toRetake.nonEmpty)
-      System.err.println(s"[bench] load>${loadLimit100 / 100.0} " +
-        s"during ${contaminated.size} entries - retaking: " +
+      System.err.println(s"[bench] ${contaminated.size} entries " +
+        s"load>${loadLimit100 / 100.0}, ${divergent.size} diverge " +
+        ">2x from isolated records - retaking: " +
         toRetake.mkString(","))
     val fnByName = allFns.toMap
     val stillDirty = scala.collection.mutable.LinkedHashSet[String]()
-    // contaminated entries past the retake cap never got a clean
-    // pass: they must ship in the dirty list too, or their inflated
-    // mins would raise phantom flags now and poison the next
-    // round's baseline (review r18)
-    contaminated.drop(24).foreach(stillDirty += _)
+    // entries past the retake cap never got a second pass: whether
+    // load-flagged or isolated-divergent, their numbers are
+    // uncertified — they must ship in the dirty list too, or their
+    // inflated mins would raise phantom flags now and poison the
+    // next round's baseline (review r18)
+    merged.drop(24).foreach(stillDirty += _)
     val retakeTimes = toRetake.map { k =>
       val s0 = jvmSnap()
       val ts = runIters(k, fnByName(k))
@@ -366,8 +480,6 @@ object Bench {
         .mkString(""","dirty":[""", ",", "]")
     val lineFull =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsFull,"iters":$itersJson,"diag":$diagJson,"index_warm":$warmSec%.3f$failedJson$onlyJson$dirtyFullJson,"sf":"$sfDir"}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), lineFull)
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
@@ -408,10 +520,7 @@ object Bench {
         // the bench-out dir is authoritative; the working directory
         // is only a fallback when the out dir has NO record at all —
         // merging both could silently prefer a stale cwd leftover
-        Seq(Option(new java.io.File(out).getAbsoluteFile.getParent),
-            Some(System.getProperty("user.dir", ".")))
-          .flatten.distinct
-          .iterator.map { d =>
+        recordDirs.iterator.map { d =>
             Option(new java.io.File(d).listFiles())
               .getOrElse(Array.empty).toSeq
               .filter(_.getName.matches("BENCH_r\\d+\\.json"))
@@ -506,8 +615,18 @@ object Bench {
         // matching it to the others would misattribute regressions
         // (review r16) — the un-collide direction is covered by the
         // full-name lookup.
+        // the baseline is the elementwise MIN of the prior driver
+        // record and the committed isolated record (VERDICT r18
+        // item 1d): contention only inflates, so the lowest
+        // committed measurement is the truest baseline — r18's
+        // driver record shipped entries inflated up to 6.6× with an
+        // empty dirty list, and flagging against those numbers
+        // would report phantom improvements and miss real
+        // regressions alike
         prevMins.get(shortKey(k))
           .orElse(prevMins.get(k))
+          .map(p => isoMins.get(k).fold(p)(math.min(p, _)))
+          .orElse(isoMins.get(k)) // iso-only entries stay covered
           .collect {
             case prev if prev > 0 && ts.min > 2 * prev =>
               (k, ts, ts.min / prev)

@@ -25,19 +25,16 @@ object ScaleCheck {
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
 
-  /** Replica r of the (doc_id, text) frame: ids shifted by r·10⁷ and
-    * the alphabet rotated by r (`translate` — a bijection on
-    * characters, so every within-replica gram-equality relation, and
-    * hence every pairwise Jaccard, is EXACTLY preserved, while grams
-    * never collide across replicas). r=0 is the untouched original.
-    * An additive per-word tag was tried first and rejected: a suffix
-    * shared by every token ADDS common grams between all docs of a
-    * replica and inflates similarity quadratically.
-    */
   /** One rotated copy of the corpus: ids offset by 10M per replica
-    * (assumes base doc_id < 10M — testdata tops out around 5k),
-    * text alphabet-rotated so replicas share no grams, any
-    * `passthrough` columns carried unchanged.
+    * (assumes base doc_id < 10M — testdata tops out around 5k), the
+    * alphabet rotated by r (`translate` — a bijection on characters,
+    * so every within-replica gram-equality relation, and hence every
+    * pairwise Jaccard, is EXACTLY preserved, while grams never
+    * collide across replicas), any `passthrough` columns carried
+    * unchanged. r=0 is the untouched original. An additive per-word
+    * tag was tried first and rejected: a suffix shared by every token
+    * ADDS common grams between all docs of a replica and inflates
+    * similarity quadratically.
     */
   private def replica(docs: DataFrame, r: Int,
       passthrough: Seq[String] = Nil): DataFrame = {
@@ -234,9 +231,10 @@ object ScaleCheck {
     // while the cumulative graph grows ~linearly — a full-artifact
     // rewrite would instead grow rewrittenRows with graphRowsTotal.
     if (probeOn("knn_graph_incr")) locally {
-      val (_, _, stats) = graft.streaming.VectorStreams
+      val stats = graft.streaming.VectorStreams
         .replayKnnGraphIngestInstrumented(spark, sfDir,
           nBatches = 4, cellGrouped = true, collectStats = true)
+        .stats
       val rw = stats.map(_.rewrittenRows)
       val tot = stats.map(_.graphRowsTotal)
       val tc = stats.map(_.touchedCells)
@@ -508,8 +506,14 @@ object ScaleCheck {
         val (res, t) = timed {
           val m = TextOps.dsirModelOf(docs)
           val scored = TextOps.dsirScoreWith(docs, m)
-          val cutoff = TextOps.dsirCutOf(scored)
-            .collect()(0).getDouble(0)
+          // guard the primitive accessor (ADVICE r18): a corpus with
+          // no scorable docs makes the min-over-empty cutoff NULL and
+          // getDouble would NPE undiagnostically — same failure class
+          // the s27 gate guards with isNullAt
+          val cutRow = TextOps.dsirCutOf(scored).collect()(0)
+          require(!cutRow.isNullAt(0),
+            s"dsir probe k=$k: no scorable docs — cutoff is NULL")
+          val cutoff = cutRow.getDouble(0)
           val admitted = TextOps.dsirScoreWith(docs, m)
             .filter(col("w") >= lit(cutoff)).count()
           (m.rows.size, admitted)

@@ -51,8 +51,11 @@ class BenchFlagSpec extends AnyFunSuite {
 
   test("loadContaminated flags windows whose EITHER end exceeds the " +
       "limit, worst-first; clean windows pass") {
-    val limit = Bench.retakeLimit100(32) // 48.0 load -> 4800
-    assert(limit === 4800L)
+    // 0.75x cpus (VERDICT r18 item 1: the 1.5x bar slept through
+    // peak load 41.9 on 32 cpus) -> 24.0 load -> 2400; the cases
+    // below use an explicit 4800 limit to keep their shape
+    assert(Bench.retakeLimit100(32) === 2400L)
+    val limit = 4800L
     val entries = Seq(
       "clean" -> (snap(900), snap(1200)),
       "spike_end" -> (snap(1000), snap(6000)),
@@ -127,5 +130,65 @@ class BenchFlagSpec extends AnyFunSuite {
       Set.empty[String])
     assert(Bench.parseDirty(""","dirty":[],"sf":"/x"""") ===
       Set.empty[String])
+  }
+
+  // --- isolated-record cross-check (VERDICT r18 item 1) ---
+
+  test("parseQueriesMap reads the full-resolution queries object " +
+      "and nothing past its closing brace") {
+    val raw = """{"metric":"total","value":47.267,"unit":"sec",""" +
+      """"queries":{"t01_token_counts":0.416,"t16_band_index":0.221},""" +
+      """"iters":{"t01_token_counts":[0.5,0.416,0.43]},"sf":"/x"}"""
+    assert(Bench.parseQueriesMap(raw) === Map(
+      "t01_token_counts" -> 0.416, "t16_band_index" -> 0.221))
+    assert(Bench.parseQueriesMap("""{"value":1.0}""") ===
+      Map.empty[String, Double])
+  }
+
+  test("isolatedMins merges family records later-round-wins and " +
+      "skips records for a different SF") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-iso").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, name).toPath, body)
+    try {
+      write("bench_isolated_r17_t.json",
+        """{"queries":{"t16_band_index":0.300,"t12_tfidf":0.500},"sf":"/sf"}""")
+      write("bench_isolated_r18_t.json",
+        """{"queries":{"t16_band_index":0.221},"sf":"/sf"}""")
+      write("bench_isolated_r18_m.json",
+        """{"queries":{"m01_media_meta":0.400},"sf":"/sf"}""")
+      write("bench_isolated_r18_x.json",
+        """{"queries":{"t16_band_index":9.9},"sf":"/other"}""")
+      val iso = Bench.isolatedMins(
+        Seq(dir.getAbsolutePath, "/nonexistent"), "/sf")
+      assert(iso === Map(
+        "t16_band_index" -> 0.221, // r18 overrides r17
+        "t12_tfidf" -> 0.500,      // r17 survives where r18 silent
+        "m01_media_meta" -> 0.400))
+      // no record in the first dir with any -> empty for a bogus dir
+      assert(Bench.isolatedMins(Seq("/nonexistent"), "/sf").isEmpty)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+
+  test("isolatedDivergent: the load-immune trigger fires on >2x " +
+      "divergence from the isolated record, worst-first, and " +
+      "ignores entries without a record or without a finite min") {
+    val iso = Map("t16_band_index" -> 0.221, "t12_tfidf" -> 0.500,
+      "s03_stream" -> 4.0)
+    val firstPass = Seq(
+      // r18's actual phantom-flag shape: 0.221 isolated, 1.13 suite
+      "t16_band_index" -> Seq(1.13, 1.2),
+      "t12_tfidf" -> Seq(0.55, 0.52),            // healthy: no fire
+      "s03_stream" -> Seq(11.2, 58.3, 51.5),     // 2.8x: fires
+      "new_entry" -> Seq(9.0),                   // no record: skip
+      "dead" -> Seq(Double.PositiveInfinity))    // failed: skip
+    assert(Bench.isolatedDivergent(firstPass, iso) ===
+      Seq("t16_band_index", "s03_stream"))
+    assert(Bench.isolatedDivergent(firstPass,
+      Map.empty[String, Double]).isEmpty)
   }
 }

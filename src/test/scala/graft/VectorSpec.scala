@@ -516,10 +516,13 @@ class VectorSpec extends SparkSpec {
       assert(ids.distinct.length === ids.length,
         s"q$qid: a result may be selected once")
       // later picks trade relevance for diversity: every rank > 1
-      // cost is d2q MINUS a positive min-distance to the selection,
-      // so it must sit strictly below its own d2q
+      // cost is d2q MINUS the min squared distance to the running
+      // selection. Non-strict (ADVICE r18): a duplicate embedding in
+      // the shortlist makes that min distance 0 and cost == d2q with
+      // the rerank still correct — strictness would pin the FIXTURE
+      // (no duplicate vectors), not the operator.
       ordered.drop(1).foreach { r =>
-        assert(r.getAs[Long]("cost") < r.getAs[Long]("d2q"),
+        assert(r.getAs[Long]("cost") <= r.getAs[Long]("d2q"),
           s"q$qid: diversified cost must discount by the " +
             "min-distance to the running selection")
       }
