@@ -367,17 +367,21 @@ object Bench {
     // retake replaces the first entry's snapshots
     val benchT0 = diag.headOption.map(_._2._1.wallMs)
       .getOrElse(System.currentTimeMillis())
-    // SELF-HEALING UNDER BOX LOAD (VERDICT r17 item 4): any entry
-    // whose measurement window saw OS load beyond 1.5× the worker
-    // count is RETAKEN once, tail-appended, after the suite — on an
-    // idle-again box the retake simply replaces the contaminated
-    // numbers. An entry still contaminated at its retake keeps the
-    // merged min (contention only inflates, so the min stays the
-    // best estimate) and lands in the "dirty" list on both output
-    // lines: this round's regression flags skip it, and the NEXT
-    // round's parse refuses to baseline against it — phantom flags
-    // like r17's s03 can no longer ship. Capped at the 24 worst
-    // windows so a fully-contended run cannot double its wall time.
+    // SELF-HEALING UNDER BOX LOAD (VERDICT r17 item 4, recalibrated
+    // per r18 item 1): an entry is RETAKEN once, tail-appended after
+    // the suite, when EITHER its measurement window saw OS load
+    // beyond 0.75× the worker count OR its min diverges >2× from its
+    // committed isolated record (the load-immune trigger — r18's
+    // contention peaked below the old 1.5× bar yet inflated eight
+    // entries 2.5–6.6×). On an idle-again box the retake simply
+    // replaces the contaminated numbers. An entry still contaminated
+    // at its retake keeps the merged min (contention only inflates,
+    // so the min stays the best estimate) and lands in the "dirty"
+    // list on both output lines: this round's regression flags skip
+    // it, and the NEXT round's parse refuses to baseline against it
+    // — phantom flags like r17's s03 can no longer ship. Capped at
+    // the 24 worst windows so a fully-contended run cannot double
+    // its wall time.
     // SPARK_GRAFT_LOAD_LIMIT100 overrides the threshold (load ×100)
     // — an ops/test knob: set it to 1 to force every entry through
     // the retake+dirty path and watch the machinery live, or raise

@@ -423,21 +423,37 @@ object ScaleCheck {
             .count()
           val dirty = TextOps.fuzzyDirtyOf(reg).persist()
           dirty.count()
-          val (mEsc4, tEsc4) = noBroadcast(timed {
-            TextOps.fuzzyResolveOf(reg, dirty,
-              deepKey = false, saltHot = false).count()
-          })
-          val (mEsc5, tEsc5) = noBroadcast(timed {
-            TextOps.fuzzyResolveOf(reg, dirty,
-              saltHot = false).count()
-          })
+          // Beyond k=16 only the FULL ladder is priced (VERDICT r18
+          // item 6 — the asymptote receipt): the truncated-ladder
+          // rungs exist to DEMONSTRATE their degeneration, which the
+          // committed k ≤ 16 rows already do (esc4 grows 30→208 s
+          // for 4×); at k=32 the quadratic esc4 regime alone would
+          // cost ~15 box-minutes to restate a known number.
+          val priceDegenerate = k <= 16
+          val (mEsc4, tEsc4) =
+            if (priceDegenerate) noBroadcast(timed {
+              TextOps.fuzzyResolveOf(reg, dirty,
+                deepKey = false, saltHot = false).count()
+            }) else (-1L, Double.NaN)
+          val (mEsc5, tEsc5) =
+            if (priceDegenerate) noBroadcast(timed {
+              TextOps.fuzzyResolveOf(reg, dirty,
+                saltHot = false).count()
+            }) else (-1L, Double.NaN)
           val (mFull, tFull) = noBroadcast(timed {
             TextOps.fuzzyResolveOf(reg, dirty).count()
           })
-          assert(mEsc4 == mEsc5 && mEsc5 == mFull,
-            s"ladder regimes diverged: $mEsc4 $mEsc5 $mFull")
+          if (priceDegenerate)
+            assert(mEsc4 == mEsc5 && mEsc5 == mFull,
+              s"ladder regimes diverged: $mEsc4 $mEsc5 $mFull")
+          // the corpus invariant every committed row shows: each
+          // replica name resolves into exactly one match row
+          assert(mFull == nNames,
+            s"full ladder matched $mFull of $nNames names")
+          def sec(t: Double): String =
+            if (t.isNaN) "null" else f"$t%.2f"
           println(
-            f"""{"probe":"fuzzy_conc4","k":$k,"n_names":$nNames,"hot_cell":$hotCell,"matches":$mFull,"sec_esc4_smj":$tEsc4%.2f,"sec_esc5_smj":$tEsc5%.2f,"sec_full_smj":$tFull%.2f}""")
+            s"""{"probe":"fuzzy_conc4","k":$k,"n_names":$nNames,"hot_cell":$hotCell,"matches":$mFull,"sec_esc4_smj":${sec(tEsc4)},"sec_esc5_smj":${sec(tEsc5)},"sec_full_smj":${sec(tFull)}}""")
           reg.unpersist()
           dirty.unpersist()
           ()

@@ -79,7 +79,11 @@ object SparkEntry {
         "s26_stream_version_diff" -> ((s, d) =>
           EventStreams.replayVersionDiff(s, d)),
         "s27_stream_dsir_gate" -> ((s, d) =>
-          EventStreams.replayDsirGate(s, d)))
+          EventStreams.replayDsirGate(s, d)),
+        "s28_stream_knn_version_diff" -> ((s, d) =>
+          VectorStreams.replayKnnGraphDiff(s, d)),
+        "s29_stream_cdc_compose" -> ((s, d) =>
+          EventStreams.replayCdcCompose(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -380,5 +384,21 @@ object SparkEntry {
         // so the union over batches ≡ the batch scoring run — the
         // t48 CTEs in per-document form verify the loop
         "s27_stream_dsir_gate" ->
-          TextOps.dsirPerDocOracleSql)
+          TextOps.dsirPerDocOracleSql,
+        // s28 diffs the s17 graph artifact as of batch 2 against the
+        // head: "old" is the v20 graph over the vec_id prefix
+        // through slice 2 (s25's span arithmetic), "new" the full
+        // graph; a node ships iff added or its ordered top-k
+        // signature moved — the oracle recomputes both graphs and
+        // the classification, proving the changed-cell-pruned
+        // two-snapshot read on the SECOND artifact family
+        "s28_stream_knn_version_diff" ->
+          graft.queries.VectorOps.knnGraphDiffOracle(4, 2),
+        // s29 reconstructs the head by applying the adjacent version
+        // diffs (partition-level upserts of changed buckets) to the
+        // oldest retained snapshot; an exact composition lands on
+        // the head's committed bytes, so the head's own oracle (q46,
+        // the one that verifies s16) verifies the whole chain
+        "s29_stream_cdc_compose" ->
+          Relational.oracles("q46_changelog_compact"))
 }

@@ -1579,6 +1579,59 @@ object VectorOps {
        |FROM prk WHERE rank <= $KnnGraphK
        |ORDER BY vec_id, rank""".stripMargin
 
+  /** s28's oracle: the v20 full graph (rk, from the shared edge
+    * CTEs) and its vec_id-prefix twin through batch `through` (the
+    * s25 span arithmetic), each collapsed to one deterministic
+    * `rank:neighbor:d2` signature per node, then diffed — a node
+    * ships iff it is absent from the prefix graph (`added`) or its
+    * signature moved (`changed`). This recomputes BOTH snapshot
+    * sides from the raw table, so the hash-match proves the
+    * engine's changed-partition-pruned two-snapshot read drops no
+    * diff row and invents none.
+    */
+  private[graft] def knnGraphDiffOracle(nBatches: Int,
+      through: Int): String =
+    s"""$ivfIntCoreCtes,
+       |$knnGraphEdgeCtes,
+       |pb AS (
+       |  SELECT (max(vec_id) // $nBatches + 1) * ${through + 1}
+       |    AS bound FROM embeddings),
+       |pasg AS (SELECT a.* FROM asg a, pb WHERE a.vec_id < pb.bound),
+       |ppr AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id
+       |  FROM pasg a JOIN pasg b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |pdd AS (
+       |  SELECT p.vec_id, p.neighbor_id,
+       |    CAST(sum((fa.qx - fb.qx) * (fa.qx - fb.qx)) AS BIGINT)
+       |      AS d2
+       |  FROM ppr p
+       |  JOIN fx fa ON fa.vec_id = p.vec_id
+       |  JOIN fx fb ON fb.vec_id = p.neighbor_id AND fb.i = fa.i
+       |  GROUP BY 1, 2),
+       |prk AS (
+       |  SELECT vec_id, neighbor_id, d2, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY d2, neighbor_id) AS rank
+       |  FROM pdd),
+       |osum AS (
+       |  SELECT vec_id, CAST(count(*) AS INT) AS k_old,
+       |    string_agg(rank || ':' || neighbor_id || ':' || d2,
+       |      ' ' ORDER BY rank) AS sig_old
+       |  FROM prk WHERE rank <= $KnnGraphK GROUP BY 1),
+       |nsum AS (
+       |  SELECT vec_id, CAST(count(*) AS INT) AS k_new,
+       |    string_agg(rank || ':' || neighbor_id || ':' || d2,
+       |      ' ' ORDER BY rank) AS sig_new
+       |  FROM rk WHERE rank <= $KnnGraphK GROUP BY 1)
+       |SELECT n.vec_id,
+       |  CASE WHEN o.vec_id IS NULL THEN 'added'
+       |       ELSE 'changed' END AS status,
+       |  CAST(coalesce(o.k_old, 0) AS INT) AS k_old,
+       |  n.k_new, n.sig_new
+       |FROM nsum n LEFT JOIN osum o ON o.vec_id = n.vec_id
+       |WHERE o.vec_id IS NULL OR n.sig_new <> o.sig_old
+       |ORDER BY n.vec_id""".stripMargin
+
   /** v22's oracle: shared edge CTEs + one generated (contrib, rank)
     * CTE pair per power iteration.
     */

@@ -736,6 +736,84 @@ object EventStreams {
     } finally deleteRecursively(work)
   }
 
+  /** s29 — CDC COMPOSITION / INCREMENTAL CONSUMER (the read that
+    * closes the diff family: s26/s28 proved ONE version diff per
+    * artifact family; this proves adjacent diffs COMPOSE — the
+    * contract an incremental downstream consumer actually relies
+    * on): start from the artifact AS OF the OLDEST retained
+    * snapshot (head − [[SnapshotHistoryRetention]]), then for each
+    * adjacent committed pair (b, b+1) apply the version diff as a
+    * partition-level upsert — drop the changed buckets from the
+    * running state, union in their b+1 contents — and after the
+    * last step the reconstruction must equal the head EXACTLY,
+    * which q46's oracle (the same one that verifies s16's head
+    * readout) re-proves from the raw table.
+    *
+    * THE SCALE PROPERTY: each step reads only the buckets whose
+    * generation changed between its two snapshots (the
+    * [[readVersionDiff]] pruning) and replaces whole bucket
+    * partitions — the upsert never joins or re-aggregates, because
+    * the diff's new side IS the committed partition bytes. At
+    * 100 TB a consumer holding yesterday's state catches up to
+    * today by reading O(Σ changed buckets) across the intervening
+    * versions, never O(state × versions) — and partition-level
+    * replacement makes composition exact by construction: applying
+    * (b→b+1) then (b+1→b+2) lands on b+2's committed bytes, byte
+    * for byte, regardless of how the merge re-aggregated inside.
+    */
+  def replayCdcCompose(spark: SparkSession, dir: String): DataFrame =
+    replayCdcComposeWithStats(spark, dir)._1
+
+  /** s29 plus (first reconstructed batch, per-step changed-bucket
+    * counts, total buckets) for the StreamingSpec assertions.
+    */
+  def replayCdcComposeWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 10): (DataFrame, (Long, Seq[Int], Int)) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s29")
+      .toFile
+    try {
+      val srcDir = stagedEventBatches(spark, dir, nBatches)
+      runArtifactMergeLoop(spark, work.getAbsolutePath, srcDir,
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8)(
+        preAggUserState,
+        (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
+      val stateDir = s"${work.getAbsolutePath}/state"
+      val head = lastCommittedBatch(stateDir)
+      val (fin, stats) =
+        if (head < 0L) {
+          (compactReadout(preAggUserState(emptyStagedFrame(spark))),
+            (-1L, Seq.empty[Int], 0))
+        } else {
+          val b0 = math.max(0L, head - SnapshotHistoryRetention)
+          val totalParts = Option(new java.io.File(stateDir)
+            .listFiles()).getOrElse(Array.empty)
+            .count(d => d.isDirectory && d.getName.startsWith("bkt="))
+          var cur = readCommittedAsOf(spark, stateDir, b0)
+            .getOrElse(preAggUserState(emptyStagedFrame(spark))
+              .withColumn("bkt", lit(0)))
+          val changedCounts = (b0 until head).map { b =>
+            val (_, newSide, changed) =
+              readVersionDiff(spark, stateDir, b, b + 1)
+            val changedVals = changed
+              .map(_.stripPrefix("bkt=").toInt)
+            // partition-level upsert: the changed buckets' running
+            // rows go, their committed (b+1) bytes come in verbatim
+            if (changedVals.nonEmpty)
+              cur = cur.filter(!col("bkt").isin(changedVals: _*))
+            newSide.foreach(n => cur = cur.unionByName(n))
+            changed.length
+          }
+          (compactReadout(cur.drop("bkt")), (b0, changedCounts,
+            totalParts))
+        }
+      // HARNESS-bounded materialization before the temp dir dies
+      // (the s16 note applies: a deployment serves from the base)
+      val rows = fin.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fin.schema), stats)
+    } finally deleteRecursively(work)
+  }
+
   /** s18 — STREAMING QUALITY-GATE ADMISSION (t39's streaming twin,
     * the admission controller at the ingest door): each arriving
     * document batch runs the full t39 rule chain INSIDE its

@@ -135,9 +135,8 @@ object VectorStreams {
     */
   def replayKnnGraphIngestWithStats(spark: SparkSession, dir: String,
       nBatches: Int = 4): (DataFrame, Long) = {
-    val (df, stateRows, _) =
-      replayKnnGraphIngestInstrumented(spark, dir, nBatches)
-    (df, stateRows)
+    val r = replayKnnGraphIngestInstrumented(spark, dir, nBatches)
+    (r.df, r.stateRows)
   }
 
   /** s25 — TIME-TRAVEL READ OF THE kNN GRAPH ARTIFACT (s24's as-of
@@ -163,9 +162,51 @@ object VectorStreams {
   def replayKnnGraphAsOfWithStats(spark: SparkSession, dir: String,
       nBatches: Int = 4): (DataFrame, Long) = {
     val asOf = nBatches - 2L
-    val (df, _, _) = replayKnnGraphIngestInstrumented(spark, dir,
+    val r = replayKnnGraphIngestInstrumented(spark, dir,
       nBatches, asOfBatch = Some(asOf))
-    (df, asOf)
+    (r.df, asOf)
+  }
+
+  /** s28 — VERSION DIFF of the kNN GRAPH ARTIFACT (s26's CDC read
+    * extended to the second swap-managed artifact family, VERDICT
+    * r18 item 5 — time travel became format-level with s24/s25;
+    * this makes the DIFF read format-level too): the s17 loop
+    * commits `nBatches` versions of the cell-partitioned graph, and
+    * the readout diffs the graph AS OF batch nBatches−2 against the
+    * head, emitting one row per node whose top-k list was ADDED or
+    * CHANGED by the batches in between — "which nodes did the last
+    * two ingest batches touch, and what do their lists look like
+    * now".
+    *
+    * THE SCALE PROPERTY is [[graft.streaming.EventStreams
+    * .readVersionDiff]]'s: the two snapshots' cell → generation maps
+    * diff DRIVER-SIDE and only cells whose generation differs are
+    * scanned on either side. Edges are intra-cell by construction,
+    * so a cell untouched between the two versions can hold no
+    * changed node — at 100 TB an hourly graph diff reads only the
+    * cells the hour's ingest rewrote, O(graph in changed cells),
+    * never O(graph). Correctness is list-exact: each side aggregates
+    * per node a deterministic `rank:neighbor:d2` signature of its
+    * ordered top-k, and a node ships iff it is new or its signature
+    * moved — the DuckDB oracle recomputes both graphs from the raw
+    * table (v20's CTEs full vs the s25 vec_id-prefix arithmetic) and
+    * re-derives the same classification. No 'removed' class by
+    * construction: the corpus is append-only and a node's top-k only
+    * refines.
+    */
+  def replayKnnGraphDiff(spark: SparkSession, dir: String)
+      : DataFrame = replayKnnGraphDiffWithStats(spark, dir)._1
+
+  /** s28 plus (bOld, changed-partition count, total partitions) for
+    * the StreamingSpec pruned-read assertion.
+    */
+  def replayKnnGraphDiffWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 4, cellGrouped: Boolean = false)
+      : (DataFrame, (Long, Int, Int)) = {
+    val bOld = nBatches - 2L
+    val r = replayKnnGraphIngestInstrumented(spark, dir, nBatches,
+      cellGrouped = cellGrouped, diffFromBatch = Some(bOld))
+    (r.df, r.diff.getOrElse((bOld, 0, 0)))
   }
 
   /** Per-batch instrumentation row for the ScaleCheck incremental-
@@ -179,17 +220,33 @@ object VectorStreams {
     batchId: Long, touchedCells: Int, rewrittenRows: Long,
     graphRowsTotal: Long, partitionsRead: Int, partitionsTotal: Int)
 
+  /** The instrumented replay's full result: the readout frame (the
+    * graph, its as-of view, or the s28 version diff), the engine
+    * state-store row total, the per-batch probe stats, and — when
+    * `diffFromBatch` was set — (bOld, changed partitions scanned,
+    * total partitions) for the pruned-read assertion.
+    */
+  private[graft] final case class KnnReplayResult(df: DataFrame,
+    stateRows: Long, stats: Seq[KnnBatchStat],
+    diff: Option[(Long, Int, Int)])
+
   /** s17 core. `cellGrouped=true` stages arrival so batch i carries
     * the vectors of cell-group i (the ScaleCheck probe shape — makes
     * the touched-cell set per batch small and disjoint);
     * `collectStats=true` counts per-batch rewrite work (extra actions
-    * — probe only, never on the bench path).
+    * — probe only, never on the bench path); `asOfBatch` reads the
+    * finished artifact as of that batch (s25); `diffFromBatch` reads
+    * the node-level version diff from that batch to the head (s28 —
+    * mutually exclusive with `asOfBatch`).
     */
   private[graft] def replayKnnGraphIngestInstrumented(
       spark: SparkSession, dir: String, nBatches: Int = 4,
       cellGrouped: Boolean = false, collectStats: Boolean = false,
-      asOfBatch: Option[Long] = None)
-      : (DataFrame, Long, Seq[KnnBatchStat]) = {
+      asOfBatch: Option[Long] = None,
+      diffFromBatch: Option[Long] = None)
+      : KnnReplayResult = {
+    require(asOfBatch.isEmpty || diffFromBatch.isEmpty,
+      "asOfBatch and diffFromBatch are mutually exclusive")
     import graft.queries.VectorOps
     val work = java.nio.file.Files.createTempDirectory("graft-s17")
       .toFile
@@ -448,19 +505,36 @@ object VectorStreams {
         } finally q.stop()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("d2"), col("neighbor_id"))
-      val artifact = asOfBatch match {
-        // s25: the graph AS OF a superseded batch — the same
-        // generation-pinned read, resolved through the retained
-        // snapshot history instead of the current snapshot
-        case Some(b) => EventStreams.readCommittedAsOf(spark, gPath, b)
-        case None => EventStreams.readCommitted(spark, gPath)
+      val (fin, diffStats) = diffFromBatch match {
+        case Some(bOld) =>
+          // s28: node-level version diff, scanning only the cells
+          // whose committed generation differs between the two
+          // retained snapshots (format-level pruning, see
+          // readVersionDiff)
+          val head = EventStreams.lastCommittedBatch(gPath)
+          val (oldSide, newSide, changed) =
+            EventStreams.readVersionDiff(spark, gPath, bOld, head)
+          val totalParts = Option(new java.io.File(gPath).listFiles())
+            .getOrElse(Array.empty)
+            .count(d => d.isDirectory && d.getName.startsWith("cell="))
+          (knnNodeDiff(spark, w, oldSide, newSide),
+            Some((bOld, changed.length, totalParts)))
+        case None =>
+          val artifact = asOfBatch match {
+            // s25: the graph AS OF a superseded batch — the same
+            // generation-pinned read, resolved through the retained
+            // snapshot history instead of the current snapshot
+            case Some(b) =>
+              EventStreams.readCommittedAsOf(spark, gPath, b)
+            case None => EventStreams.readCommitted(spark, gPath)
+          }
+          (artifact
+            .getOrElse(throw new IllegalStateException(
+              s"no committed kNN graph artifact at $gPath"))
+            .withColumn("rank", row_number().over(w))
+            .select("vec_id", "rank", "neighbor_id", "d2")
+            .orderBy("vec_id", "rank"), None)
       }
-      val fin = artifact
-        .getOrElse(throw new IllegalStateException(
-          s"no committed kNN graph artifact at $gPath"))
-        .withColumn("rank", row_number().over(w))
-        .select("vec_id", "rank", "neighbor_id", "d2")
-        .orderBy("vec_id", "rank")
       // materialize BEFORE the temp graph dir is deleted — a
       // HARNESS-bounded collect, not the loop's scale shape: each
       // replay CALL is a fresh deployment whose artifacts live in a
@@ -468,11 +542,68 @@ object VectorStreams {
       // deployment keeps `gPath` and serves from the artifact
       // directly (the loop itself never collects corpus-sized data).
       val rows = fin.collect()
-      (spark.createDataFrame(
+      KnnReplayResult(spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), fin.schema), stateRows,
-        stats.toList)
+        stats.toList, diffStats)
       } finally writerLock.close()
     } finally deleteRecursively(work)
+  }
+
+  /** s28's node-level classification over the two pruned snapshot
+    * sides: per node, a deterministic `rank:neighbor:d2` signature
+    * of its ordered top-k list on each side; a node ships iff it is
+    * ADDED (no old rows — its cell partition held nothing for it at
+    * bOld) or CHANGED (signature moved). Nodes OUTSIDE the changed
+    * partitions never reach either side — their partition bytes are
+    * generation-identical, so their signatures are trivially equal
+    * and the pruning drops no diff row. The signature aggregation is
+    * one partial-aggregable shuffle per side over changed-cell rows
+    * only.
+    */
+  private def knnNodeDiff(spark: SparkSession,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      oldSide: Option[DataFrame], newSide: Option[DataFrame])
+      : DataFrame = {
+    val diffSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("status", StringType),
+      StructField("k_old", IntegerType),
+      StructField("k_new", IntegerType),
+      StructField("sig_new", StringType)))
+    def summarize(df: DataFrame, kCol: String, sigCol: String)
+        : DataFrame =
+      df.withColumn("rank", row_number().over(w))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).cast("int").as(kCol),
+          array_join(transform(
+            array_sort(collect_list(struct(col("rank"),
+              col("neighbor_id"), col("d2")))),
+            x => concat_ws(":", x.getField("rank"),
+              x.getField("neighbor_id"), x.getField("d2"))), " ")
+            .as(sigCol))
+    newSide match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        diffSchema)
+      case Some(n) =>
+        val nS = summarize(n, "k_new", "sig_new")
+        val joined = oldSide match {
+          case Some(o) => nS.join(summarize(o, "k_old", "sig_old"),
+            Seq("vec_id"), "left")
+          case None => nS
+            .withColumn("k_old", lit(null).cast("int"))
+            .withColumn("sig_old", lit(null).cast("string"))
+        }
+        joined
+          .filter(col("sig_old").isNull ||
+            col("sig_new") =!= col("sig_old"))
+          .select(col("vec_id"),
+            when(col("sig_old").isNull, "added")
+              .otherwise("changed").as("status"),
+            coalesce(col("k_old"), lit(0)).as("k_old"),
+            col("k_new"), col("sig_new"))
+          .orderBy("vec_id")
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

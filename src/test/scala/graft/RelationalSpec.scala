@@ -102,6 +102,65 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q24 second leg (VERDICT r18 item 3): approx_count_distinct " +
+      "sits within its documented error bound of the exact distinct " +
+      "on the same frame, at both test SFs") {
+    // Spark's default rsd is 0.05; 3σ = 15% relative error. The
+    // sketch is deterministic for fixed data, so this either holds
+    // or it doesn't — no flake. The golden snapshot stays the
+    // byte-level pin; this leg proves the NUMBER is a faithful
+    // cardinality estimate, independent of the pinned bytes.
+    Seq(sf, "/root/testdata/sf0.01").foreach { d =>
+      val rows = Relational.q24ApproxDistinct(spark, d).collect()
+      assert(rows.nonEmpty, s"$d: no groups")
+      rows.foreach { r =>
+        val approx = r.getAs[Long]("approx_parts").toDouble
+        val exact = r.getAs[Long]("exact_parts").toDouble
+        assert(exact > 0)
+        val rel = math.abs(approx - exact) / exact
+        assert(rel <= 0.15,
+          s"$d ${r.getAs[String]("l_returnflag")}: approx=$approx " +
+            s"exact=$exact rel=$rel exceeds 3x rsd(0.05)")
+      }
+    }
+  }
+
+  test("q33 second leg (VERDICT r18 item 3): the engine-private HLL " +
+      "union cross-checks against the PORTABLE q38 register pipeline " +
+      "on identical inputs — two independent sketch implementations " +
+      "agree with the exact weekly distinct and with each other") {
+    val m = Relational.Q37Registers
+    Seq(sf, "/root/testdata/sf0.01").foreach { d =>
+      val q33 = Relational.q33HllSketchUnion(spark, d).collect()
+        .map(r => r.getAs[Int]("week") ->
+          r.getAs[Long]("approx_users").toDouble).toMap
+      val q38 = Relational.q38PortableHllUnion(spark, d).collect()
+      assert(q38.nonEmpty && q33.nonEmpty)
+      assert(q38.map(_.getAs[Int]("week")).toSet === q33.keySet,
+        s"$d: the two pipelines must cover the same weeks")
+      q38.foreach { r =>
+        val week = r.getAs[Int]("week")
+        val exact = r.getAs[Long]("exact_users").toDouble
+        val raw = r.getAs[Double]("hll_estimate")
+        val portable =
+          if (raw <= 2.5 * m && r.getAs[Int]("v_zero") > 0)
+            r.getAs[Double]("lc_estimate")
+          else raw
+        val sketch = q33(week)
+        // q33's Datasketches HLL (lgK 12, σ≈1.6%) and q38's m=1024
+        // portable registers (σ≈3.3%): each tracks exact within a
+        // generous multiple of its own σ, and hence each other
+        assert(math.abs(sketch - exact) / exact < 0.05,
+          s"$d week $week: spark-HLL $sketch vs exact $exact")
+        assert(math.abs(portable - exact) / exact < 0.10,
+          s"$d week $week: portable $portable vs exact $exact")
+        assert(math.abs(sketch - portable) / exact < 0.12,
+          s"$d week $week: spark-HLL $sketch vs portable $portable " +
+            "diverge beyond their combined bounds")
+      }
+    }
+  }
+
   test("q37 portable HLL: the regime-appropriate estimate tracks the " +
       "exact count, registers within bounds") {
     val m = Relational.Q37Registers

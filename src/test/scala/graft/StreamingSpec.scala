@@ -420,9 +420,9 @@ class StreamingSpec extends SparkSpec {
   test("s17 read-side pruning: under cell-grouped arrival the " +
       "pruned prior-graph scan SELECTS only the touched partitions " +
       "(r13 VERDICT item 2 — a plan property, not an intention)") {
-    val (_, _, stats) = graft.streaming.VectorStreams
+    val stats = graft.streaming.VectorStreams
       .replayKnnGraphIngestInstrumented(spark, sf, nBatches = 4,
-        cellGrouped = true, collectStats = true)
+        cellGrouped = true, collectStats = true).stats
     assert(stats.length === 4)
     // batch i carries exactly cell-group i (floor(cell/g) — strictly
     // disjoint), so the prior graph NEVER holds a touched cell and
@@ -440,6 +440,69 @@ class StreamingSpec extends SparkSpec {
     stats.drop(1).foreach { st =>
       assert(st.partitionsTotal > 0,
         s"batch ${st.batchId}: no prior partitions — probe is vacuous")
+    }
+  }
+
+  test("s28 kNN-graph version diff equals the direct as-of-vs-head " +
+      "recompute: added nodes are exactly the head's new vec_ids, " +
+      "changed nodes' ordered top-k signatures moved, k never " +
+      "shrinks") {
+    val (df, (bOld, _, _)) = graft.streaming.VectorStreams
+      .replayKnnGraphDiffWithStats(spark, sf)
+    assert(bOld === 2L)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(got.nonEmpty, "final batch must touch the graph")
+    got.foreach { case (v, st, kOld, kNew, sig) =>
+      assert(st == "added" || st == "changed", s"node $v: $st")
+      if (st == "added") assert(kOld === 0, s"node $v")
+      assert(kNew >= math.max(kOld, 1),
+        s"node $v: top-k can only refine, $kOld -> $kNew")
+      assert(sig.nonEmpty && sig.split(" ").length === kNew,
+        s"node $v: signature must carry one entry per neighbor")
+    }
+    // independent second leg: recompute both snapshot sides through
+    // the s25 as-of and s17 head read paths and re-derive the
+    // classification driver-side
+    def sigs(rows: Array[org.apache.spark.sql.Row])
+        : Map[Long, String] =
+      rows.groupBy(_.getLong(0)).map { case (v, rs) =>
+        v -> rs.sortBy(_.getInt(1))
+          .map(r => s"${r.getInt(1)}:${r.getLong(2)}:${r.getLong(3)}")
+          .mkString(" ")
+      }
+    val oldSig = sigs(graft.streaming.VectorStreams
+      .replayKnnGraphAsOf(spark, sf).collect())
+    val newSig = sigs(graft.streaming.VectorStreams
+      .replayKnnGraphIngest(spark, sf).collect())
+    val want = newSig.toSeq.collect {
+      case (v, s) if !oldSig.contains(v) => (v, "added", s)
+      case (v, s) if oldSig(v) != s => (v, "changed", s)
+    }.sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._5)).toSeq === want)
+    assert(got.exists(_._2 == "added"),
+      "ascending-id arrival must add nodes in the final batches")
+  }
+
+  test("s28 pruned read: under cell-grouped arrival the diff scans " +
+      "ONLY the cell partitions the post-bOld batch rewrote — a " +
+      "strict subset — and every diff row is an 'added' node of " +
+      "those cells (disjoint groups: no existing node can change)") {
+    val (df, (bOld, changedParts, totalParts)) =
+      graft.streaming.VectorStreams.replayKnnGraphDiffWithStats(
+        spark, sf, nBatches = 4, cellGrouped = true)
+    assert(bOld === 2L)
+    assert(totalParts > 0)
+    assert(changedParts > 0 && changedParts < totalParts,
+      s"diff must scan a strict subset of the graph's partitions, " +
+        s"got $changedParts of $totalParts")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "the final cell group must hold vectors")
+    rows.foreach { r =>
+      assert(r.getAs[String]("status") === "added",
+        s"node ${r.getLong(0)}: disjoint cell groups admit no " +
+          "'changed' node")
+      assert(r.getAs[Int]("k_old") === 0)
     }
   }
 
@@ -1295,6 +1358,28 @@ class StreamingSpec extends SparkSpec {
       case (u, n) if oldN(u) < n => (u, "changed", oldN(u), n)
     }.sortBy(_._1)
     assert(rows.toSeq === want)
+  }
+
+  test("s29 CDC composition: applying the adjacent retained version " +
+      "diffs to the OLDEST retained snapshot reconstructs the head " +
+      "EXACTLY — partition-level upserts compose byte-for-byte") {
+    val (df, (b0, changedCounts, totalParts)) =
+      EventStreams.replayCdcComposeWithStats(spark, sf)
+    // 10 batches, retention 2: snapshots 7/8/9 readable, so the
+    // consumer starts at 7 and applies diffs 7→8 and 8→9
+    assert(b0 === 7L)
+    assert(changedCounts.length === 2)
+    assert(totalParts === 8)
+    changedCounts.foreach { c =>
+      assert(c > 0, "a committed batch must have rewritten buckets")
+      assert(c <= totalParts)
+    }
+    val (headDf, _) =
+      EventStreams.replayChangelogCompactWithStats(spark, sf)
+    val got = df.collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === headDf.collect().map(_.toSeq).toSeq,
+      "the diff-composed reconstruction must equal the head readout")
   }
 
   test("s26 pruned read: a version diff scans ONLY the bucket " +
