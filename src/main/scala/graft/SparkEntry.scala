@@ -83,7 +83,9 @@ object SparkEntry {
         "s28_stream_knn_version_diff" -> ((s, d) =>
           VectorStreams.replayKnnGraphDiff(s, d)),
         "s29_stream_cdc_compose" -> ((s, d) =>
-          EventStreams.replayCdcCompose(s, d)))
+          EventStreams.replayCdcCompose(s, d)),
+        "s30_stream_schema_evolution" -> ((s, d) =>
+          EventStreams.replaySchemaEvolution(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -400,5 +402,25 @@ object SparkEntry {
         // the head's committed bytes, so the head's own oracle (q46,
         // the one that verifies s16) verifies the whole chain
         "s29_stream_cdc_compose" ->
-          Relational.oracles("q46_changelog_compact"))
+          Relational.oracles("q46_changelog_compact"),
+        // s30 redeploys the merge loop at slice 8 of 10 with an
+        // added max_cents column; the head state is count/sum over
+        // all events plus max over the post-deploy event-time
+        // suffix (s24's lo/span arithmetic), NULL for users with no
+        // post-deploy events — the oracle recomputes exactly that
+        // from the raw table, proving the snapshot schema stamp,
+        // the evolved head resolve, and the null-fill of
+        // pre-deploy generations end-to-end
+        "s30_stream_schema_evolution" ->
+          """WITH f AS (
+            |  SELECT *, epoch_us(ts) // 1000000 AS sec FROM events),
+            |mm AS (SELECT min(sec) AS lo, max(sec) + 1 AS hi FROM f)
+            |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            |  CAST(sum(CAST(round(value * 100) AS BIGINT))
+            |    AS BIGINT) AS lifetime_cents,
+            |  max(CASE WHEN f.sec >=
+            |        mm.lo + 8 * ((mm.hi - mm.lo + 9) // 10)
+            |      THEN CAST(round(value * 100) AS BIGINT) END)
+            |    AS max_cents_since_evo
+            |FROM f, mm GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -3629,7 +3629,85 @@ object TextOps {
        |FROM scored s CROSS JOIN cut c
        |ORDER BY s.doc_id""".stripMargin
 
+  // -------------------------------------------------------------
+  // t49 — Bloom-gated decontamination against a LARGE reference
+  // -------------------------------------------------------------
+
+  /** Target false-positive rate of the t49 pre-filter sketch. Purely
+    * a THROUGHPUT knob: false positives survive the gate only to die
+    * in the exact verify join, so the result is identical at any
+    * setting — 1% keeps the survivor shuffle ~overlap-sized.
+    */
+  val BloomFpp = 0.01
+
+  /** Reference/candidate split for t49: odd doc_ids play the "prior
+    * 100 TB snapshot" (the side too big to broadcast exactly), even
+    * doc_ids are the incoming batch being checked against it.
+    */
+  private[graft] def bloomRefCand(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val grams = wordGrams(docs, DecontamGramLen)
+    (grams.filter(col("doc_id") % 2 === 1),
+      grams.filter(col("doc_id") % 2 === 0))
+  }
+
+  /** Candidate grams surviving the broadcast Bloom gate — exposed so
+    * the spec can receipt the map-side reduction (survivors ≈ true
+    * overlap + fpp·rest, never the full candidate volume). The sketch
+    * is sized from a count pass over the reference occurrences (an
+    * upper bound on distinct grams, so realized fpp ≤ [[BloomFpp]]);
+    * at 100 TB the item count comes from table statistics instead.
+    * No false negatives is the Bloom invariant the verify join's
+    * exactness rests on.
+    */
+  private[graft] def bloomSurvivors(s: SparkSession,
+      ref: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nRef = ref.count()
+    val bf = ref.stat.bloomFilter("g", math.max(nRef, 1L), BloomFpp)
+    val bfb = s.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((g: String) => g != null && bfb.value.mightContainString(g))
+    cand.filter(mightContain(col("g")))
+  }
+
+  /** t49 — DECONTAMINATION AGAINST A LARGE REFERENCE: flag incoming
+    * documents sharing any word n-gram with a PRIOR CORPUS SNAPSHOT
+    * (dedup-against-what-we-already-trained-on), the dual of t21
+    * whose reference is a tiny benchmark suite. t21's exact broadcast
+    * is impossible here — the reference's distinct-gram table is
+    * corpus-sized (TBs at 100 TB) — so the broadcastable object is a
+    * BLOOM FILTER of the reference grams (~1.2 GB per 10^9 distinct
+    * grams at 1% fpp): candidates drop map-side BEFORE the only
+    * corpus-scaled shuffle, which then carries just the true overlap
+    * plus the fpp sliver, and the exact verify join against the
+    * reference gram table (survivor-side small, AQE picks the
+    * strategy) removes every false positive — the output is EXACT,
+    * the sketch is sized for speed, not correctness. This is Spark's
+    * own InjectRuntimeFilter / bloom runtime-filter pattern
+    * (`BloomFilterAggregate`, SPARK-32268) made explicit, exact, and
+    * reference-shaped; the build (`DataFrameStatFunctions
+    * .bloomFilter`) is one distributed treeAggregate pass. The probe
+    * UDF is one Murmur3 pass per gram — cheap next to the shuffle it
+    * prevents; the sketch itself stays a bounded broadcast artifact
+    * like t48's ≤4096-row models.
+    */
+  val t49BloomDecontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val (ref, cand) = bloomRefCand(docs)
+    val refTable = ref.groupBy("g").agg(min("doc_id").as("ref_doc"))
+    bloomSurvivors(s, ref, cand)
+      .join(refTable, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct("g").as("n_shared"),
+        min("ref_doc").as("first_ref_doc"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t49_bloom_decontaminate" -> t49BloomDecontaminate,
     "t48_dsir_select" -> t48DsirSelect,
     "t47_fuzzy_resolve" -> t47FuzzyResolve,
     "t46_pii_scrub" -> t46PiiScrub,
@@ -4660,6 +4738,30 @@ object TextOps {
            |FROM tr t LEFT JOIN rebuilt r USING (doc_id)
            |ORDER BY doc_id""".stripMargin
       },
+      // t49: the oracle ignores the bloom entirely — the gate is a
+      // pure pre-filter with no false negatives and the verify join
+      // removes false positives, so the exact join semantics below
+      // ARE the operator's contract at any fpp
+      "t49_bloom_decontaminate" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id,
+           |    array_to_string(t[i:i+${DecontamGramLen - 1}], ' ') AS g
+           |  FROM (SELECT doc_id, t,
+           |          unnest(range(1, len(t) - ${DecontamGramLen - 2}))
+           |            AS i
+           |        FROM toks WHERE len(t) >= $DecontamGramLen)),
+           |ref AS (
+           |  SELECT g, min(doc_id) AS ref_doc FROM grams
+           |  WHERE doc_id % 2 = 1 GROUP BY g)
+           |SELECT doc_id,
+           |  CAST(count(DISTINCT a.g) AS BIGINT) AS n_shared,
+           |  min(ref.ref_doc) AS first_ref_doc
+           |FROM grams a JOIN ref ON a.g = ref.g
+           |WHERE doc_id % 2 = 0
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "t21_decontaminate" ->
         s"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t

@@ -814,6 +814,130 @@ object EventStreams {
     } finally deleteRecursively(work)
   }
 
+  /** s30 — SCHEMA EVOLUTION of the maintained artifact (the last
+    * table-format read-family member after current / as-of / diff /
+    * compose: "the pipeline was REDEPLOYED with new columns, without
+    * rewriting history"). Two sequential deployments of the merge
+    * loop run against ONE artifact base — the real evolution event
+    * is a code deploy, so the replay models exactly that: batches
+    * 0..evoAt−1 maintain a per-user (n_events, cents) state; the
+    * redeployed loop for batches evoAt.. ADDS `max_cents` (largest
+    * single event seen since the deploy) to its aggregate and merge.
+    *
+    * The format makes this safe without any data rewrite
+    * ([[readSnapshotFull]]'s schema stamp): every commit stamps the
+    * batch's artifact schema into its snapshot, so (a) the HEAD read
+    * plans under the evolved schema and generations written before
+    * the deploy NULL-FILL the added column (Iceberg add-column
+    * semantics — null ⟺ the fact wasn't tracked yet, which is the
+    * truth), (b) a TIME-TRAVEL read as of a pre-deploy batch plans
+    * under that snapshot's OWN stamp and shows no phantom column,
+    * and (c) a VERSION DIFF across the deploy serves each side as
+    * its version was. At 100 TB this is the only viable evolution
+    * path: the alternative — rewriting every partition to backfill
+    * a column — is a full-corpus write for a metadata-sized fact.
+    *
+    * Because the staged slices are ascending event-time spans, "the
+    * deploy happened at batch evoAt" ⟺ "max_cents aggregates events
+    * with sec ≥ lo + evoAt·span" — the DuckDB oracle recomputes the
+    * head state (count/sum over everything, max over the
+    * post-deploy suffix, NULL for users with no post-deploy events)
+    * from the raw table, proving stamp write, head resolve, and
+    * null-fill end-to-end. The per-user max commutes across batches
+    * and merges (max is associative; prev's null means "nothing
+    * yet"), so the artifact equals the oracle under any slicing.
+    */
+  def replaySchemaEvolution(spark: SparkSession, dir: String)
+      : DataFrame = replaySchemaEvolutionWithStats(spark, dir)._1
+
+  /** Slice index (of 10) where the s30 redeploy happens: late enough
+    * that the PRE-deploy snapshot v(evoAt−1) is still inside the
+    * retention window for the spec's old-schema as-of assertion.
+    */
+  private[graft] val EvoSliceOfTen = 8
+
+  /** cents of one event — exact integer money (the s16 convention). */
+  private def eventCents = round(col("value") * 100).cast("long")
+
+  private def preAggEvoOld(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(eventCents).as("cents"))
+
+  private def mergeEvoOld(prev: DataFrame, agg: DataFrame): DataFrame =
+    prev.unionByName(agg).groupBy("user_id")
+      .agg(sum("n_events").as("n_events"), sum("cents").as("cents"))
+
+  private def preAggEvoNew(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(eventCents).as("cents"),
+        max(eventCents).as("max_cents"))
+
+  /** The evolved merge: a pre-deploy `prev` (old stamp, no
+    * max_cents) enters with the column null-filled — null is the
+    * identity of max, so old users pick up a max the first time a
+    * post-deploy event arrives and stay null otherwise.
+    */
+  private def mergeEvoNew(prev: DataFrame, agg: DataFrame)
+      : DataFrame = {
+    val p = if (prev.columns.contains("max_cents")) prev
+      else prev.withColumn("max_cents", lit(null).cast("long"))
+    p.unionByName(agg).groupBy("user_id")
+      .agg(sum("n_events").as("n_events"), sum("cents").as("cents"),
+        max("max_cents").as("max_cents"))
+  }
+
+  /** s30 plus (head artifact columns, as-of-pre-deploy columns) for
+    * the StreamingSpec schema assertions.
+    */
+  def replaySchemaEvolutionWithStats(spark: SparkSession,
+      dir: String, nBatches: Int = 10)
+      : (DataFrame, (Seq[String], Seq[String])) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s30")
+      .toFile
+    try {
+      val all = stagedEventBatches(spark, dir, nBatches)
+      val evoAt = nBatches * EvoSliceOfTen / 10
+      // the two deployments share ONE incoming dir (the checkpoint
+      // tracks processed files by path): deploy 1 sees the pre-evo
+      // slices, deploy 2's AvailableNow picks up only the new ones
+      val src = s"${work.getAbsolutePath}/incoming"
+      new java.io.File(src).mkdirs()
+      def stage(r: Range): Unit = r.foreach { i =>
+        val s0 = new java.io.File(all, f"b$i%02d.parquet")
+        val d0 = new java.io.File(src, s0.getName)
+        java.nio.file.Files.copy(s0.toPath, d0.toPath)
+        d0.setLastModified(s0.lastModified) // keep slice order
+        ()
+      }
+      stage(0 until evoAt)
+      runArtifactMergeLoop(spark, work.getAbsolutePath, src,
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8,
+        stampSchema = true)(preAggEvoOld, mergeEvoOld)
+      stage(evoAt until nBatches)
+      val (artifact, _) = runArtifactMergeLoop(spark,
+        work.getAbsolutePath, src, stagedEventSchema,
+        bucketKey = Some("user_id"), nBuckets = 8,
+        stampSchema = true)(preAggEvoNew, mergeEvoNew)
+      val stateDir = s"${work.getAbsolutePath}/state"
+      val asOfCols: Seq[String] =
+        if (lastCommittedBatch(stateDir) < evoAt) Seq.empty
+        else readCommittedAsOf(spark, stateDir, evoAt - 1L)
+          .map(_.drop("bkt").columns.toSeq).getOrElse(Seq.empty)
+      val head = artifact.getOrElse(preAggEvoNew(emptyStagedFrame(spark)))
+      val fin = head.select(col("user_id"), col("n_events"),
+        col("cents").as("lifetime_cents"),
+        (if (head.columns.contains("max_cents")) col("max_cents")
+         else lit(null).cast("long")).as("max_cents_since_evo"))
+        .orderBy("user_id")
+      // HARNESS-bounded materialization before the temp dir dies
+      // (the s16 note applies: a deployment serves from the base)
+      val rows = fin.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fin.schema),
+        (head.columns.toSeq, asOfCols))
+    } finally deleteRecursively(work)
+  }
+
   /** s18 — STREAMING QUALITY-GATE ADMISSION (t39's streaming twin,
     * the admission controller at the ingest door): each arriving
     * document batch runs the full t39 rule chain INSIDE its
@@ -1183,7 +1307,8 @@ object EventStreams {
   private[graft] def runArtifactMergeLoop(spark: SparkSession,
       base: String, srcDir: String, schema: StructType,
       bucketKey: Option[String] = None, nBuckets: Int = 32,
-      onSwapApply: (Long, String) => Unit = (_, _) => ())(
+      onSwapApply: (Long, String) => Unit = (_, _) => (),
+      stampSchema: Boolean = false)(
       batchAgg: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame)
       : (Option[DataFrame], Long) = {
@@ -1321,7 +1446,13 @@ object EventStreams {
                 .parquet(stageDirFor(stateDir))
               swapPartitionDirs(stageDirFor(stateDir), stateDir,
                 touched.map(v => s"bkt=$v"), batchId,
-                onPartitionApplied = n => onSwapApply(batchId, n))
+                onPartitionApplied = n => onSwapApply(batchId, n),
+                // s30 schema evolution: opt-in writers commit the
+                // batch's artifact schema into the snapshot, so a
+                // redeploy with added columns re-stamps and readers
+                // resolve the schema from the snapshot they read
+                schemaDdl =
+                  if (stampSchema) Some(merged.schema.toDDL) else None)
               writeExpectedCommit(base, batchId)
               if (states.isEmpty) states += stateDir
             case None =>
@@ -1978,8 +2109,27 @@ object EventStreams {
       : Option[(Long, Map[String, Long])] =
     parseSnapshotFile(new java.io.File(liveDir, SnapshotName))
 
+  /** The snapshot plus its SCHEMA STAMP (s30 schema evolution): an
+    * optional `schema=<ddl>` line commits the artifact's read schema
+    * alongside its partition → generation map, so the schema is a
+    * snapshot-versioned fact — the head read serves the head stamp,
+    * an as-of read serves the stamp of ITS snapshot (history files
+    * carry their own line), and generations written before an
+    * evolution null-fill the added columns under the newer stamp.
+    * Absent on pre-evolution artifacts and on loops that don't opt
+    * in ([[runArtifactMergeLoop]]'s `stampSchema`): readers then
+    * fall back to parquet footer inference, the pre-s30 behavior.
+    */
+  private[graft] def readSnapshotFull(liveDir: String)
+      : Option[(Long, Map[String, Long], Option[String])] =
+    parseSnapshotFileFull(new java.io.File(liveDir, SnapshotName))
+
   private def parseSnapshotFile(f: java.io.File)
-      : Option[(Long, Map[String, Long])] = {
+      : Option[(Long, Map[String, Long])] =
+    parseSnapshotFileFull(f).map(t => (t._1, t._2))
+
+  private def parseSnapshotFileFull(f: java.io.File)
+      : Option[(Long, Map[String, Long], Option[String])] = {
     if (!f.isFile) return None
     val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
@@ -1993,7 +2143,11 @@ object EventStreams {
     val batch = try lines.head.stripPrefix("batch=").toLong
       catch { case _: NumberFormatException =>
         malformed(s"unparseable batch line '${lines.head}'") }
-    val entries = lines.tail.filter(_.nonEmpty).map { l =>
+    val (schemaLines, entryLines) = lines.tail.filter(_.nonEmpty)
+      .partition(_.startsWith("schema="))
+    if (schemaLines.length > 1)
+      malformed(s"${schemaLines.length} schema lines (at most one)")
+    val entries = entryLines.map { l =>
       val cols = l.split("\t")
       if (cols.length != 2 || !cols(0).startsWith("part=") ||
           !cols(1).startsWith("gen="))
@@ -2004,14 +2158,19 @@ object EventStreams {
           malformed(s"unparseable gen in '$l'") }
       cols(0).stripPrefix("part=") -> g
     }.toMap
-    Some((batch, entries))
+    Some((batch, entries,
+      schemaLines.headOption.map(_.stripPrefix("schema="))))
   }
 
   private def writeSnapshotFile(target: java.io.File, batchId: Long,
-      entries: Map[String, Long]): Unit = {
+      entries: Map[String, Long],
+      schema: Option[String] = None): Unit = {
     val tmp = new java.io.File(target.getParentFile,
       target.getName + ".tmp")
+    // the stamp sits between the batch line and the entries; a DDL
+    // is single-line by construction (StructType.toDDL)
     val body = (Seq(s"batch=$batchId") ++
+      schema.map(s => s"schema=$s") ++
       entries.toSeq.sortBy(_._1).map { case (n, g) =>
         s"part=$n\tgen=$g" }).mkString("\n")
     java.nio.file.Files.write(tmp.toPath,
@@ -2023,9 +2182,10 @@ object EventStreams {
   }
 
   private def writeSnapshot(liveDir: String, batchId: Long,
-      entries: Map[String, Long]): Unit =
+      entries: Map[String, Long],
+      schema: Option[String] = None): Unit =
     writeSnapshotFile(new java.io.File(liveDir, SnapshotName),
-      batchId, entries)
+      batchId, entries, schema)
 
   /** The retained history files, ascending by batch id. */
   private def snapshotHistoryFiles(liveDir: String)
@@ -2062,15 +2222,23 @@ object EventStreams {
     * re-applies the same edits.
     */
   private def commitSnapshot(liveDir: String, batchId: Long,
-      touched: Seq[(String, Boolean)], gen: Long): Unit = {
-    val prev = readSnapshot(liveDir).map(_._2)
-      .getOrElse(Map.empty[String, Long])
+      touched: Seq[(String, Boolean)], gen: Long,
+      schemaDdl: Option[String] = None): Unit = {
+    val full = readSnapshotFull(liveDir)
+    val prev = full.map(_._2).getOrElse(Map.empty[String, Long])
+    // schema stamp: a commit that declares one (an evolving writer)
+    // re-stamps; one that doesn't PRESERVES the existing stamp — an
+    // unevolved commit must not silently erase the artifact's
+    // declared read schema (and recovery replays, which cannot know
+    // the writer's schema, inherit the pre-crash stamp until the
+    // next live commit re-stamps)
+    val stamp = schemaDdl.orElse(full.flatMap(_._3))
     val next = prev -- touched.map(_._1) ++
       touched.collect { case (n, true) => n -> gen }
-    writeSnapshot(liveDir, batchId, next)
+    writeSnapshot(liveDir, batchId, next, stamp)
     if (batchId >= 0L) {
       writeSnapshotFile(new java.io.File(liveDir,
-        s"$SnapshotHistoryPrefix$batchId"), batchId, next)
+        s"$SnapshotHistoryPrefix$batchId"), batchId, next, stamp)
       snapshotHistoryFiles(liveDir)
         .dropRight(SnapshotHistoryRetention + 1)
         .foreach(h => java.nio.file.Files.deleteIfExists(h._2.toPath))
@@ -2163,7 +2331,7 @@ object EventStreams {
   private[graft] def readCommitted(spark: SparkSession,
       liveDir: String): Option[DataFrame] = {
     if (!new java.io.File(liveDir).exists()) return None
-    readSnapshot(liveDir) match {
+    readSnapshotFull(liveDir) match {
       case None =>
         val live = new java.io.File(liveDir)
         // Observation order partitions → manifest → snapshot-LAST
@@ -2195,9 +2363,9 @@ object EventStreams {
         // listings above, serve it; refusals below are only for
         // trees still snapshot-less after partitions AND manifest
         // AND this final snapshot read, in that order.
-        if (partDirs.nonEmpty) readSnapshot(liveDir) match {
-          case Some((_, entries)) =>
-            return readEntries(spark, liveDir, entries)
+        if (partDirs.nonEmpty) readSnapshotFull(liveDir) match {
+          case Some((_, entries, schema)) =>
+            return readEntries(spark, liveDir, entries, schema)
           case None => ()
         }
         if (legacyData || (partDirs.nonEmpty && !inFlight))
@@ -2221,17 +2389,31 @@ object EventStreams {
           // chained-mode version dir: immutable listing read
           Some(spark.read.parquet(liveDir))
         else None
-      case Some((_, entries)) => readEntries(spark, liveDir, entries)
+      case Some((_, entries, schema)) =>
+        readEntries(spark, liveDir, entries, schema)
     }
   }
 
+  /** Generation-pinned scan of a resolved snapshot. When the
+    * snapshot carries a schema stamp the scan reads under THAT
+    * schema (s30 schema evolution): generations written before an
+    * evolution lack the added columns and the parquet reader
+    * null-fills them — the Iceberg add-column semantics — while a
+    * PRE-evolution snapshot's stamp projects the old schema exactly,
+    * so time travel never shows a column the version didn't have.
+    * No stamp → footer inference, the pre-s30 behavior.
+    */
   private def readEntries(spark: SparkSession, liveDir: String,
-      entries: Map[String, Long]): Option[DataFrame] =
+      entries: Map[String, Long],
+      schemaDdl: Option[String] = None): Option[DataFrame] =
     if (entries.isEmpty) None
     else {
       val leafs = entries.toSeq.sortBy(_._1)
         .map { case (n, g) => s"$liveDir/$n/g$g" }
-      Some(spark.read.option("basePath", liveDir).parquet(leafs: _*))
+      val base = spark.read.option("basePath", liveDir)
+      val reader = schemaDdl.fold(base)(ddl =>
+        base.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+      Some(reader.parquet(leafs: _*))
     }
 
   /** TIME-TRAVEL read: the artifact AS OF `batch` — resolved from
@@ -2244,7 +2426,10 @@ object EventStreams {
     */
   private[graft] def readCommittedAsOf(spark: SparkSession,
       liveDir: String, batch: Long): Option[DataFrame] =
-    readEntries(spark, liveDir, snapshotEntriesAsOf(liveDir, batch)._2)
+    locally {
+      val (_, entries, schema) = snapshotEntriesAsOf(liveDir, batch)
+      readEntries(spark, liveDir, entries, schema)
+    }
 
   /** The as-of resolve shared by [[readCommittedAsOf]] and
     * [[readVersionDiff]]: the (batch, partition → generation) map of
@@ -2252,7 +2437,7 @@ object EventStreams {
     * retention refusals.
     */
   private def snapshotEntriesAsOf(liveDir: String, batch: Long)
-      : (Long, Map[String, Long]) = {
+      : (Long, Map[String, Long], Option[String]) = {
     val hist = snapshotHistoryFiles(liveDir)
     if (hist.isEmpty) throw new IllegalStateException(
       s"artifact $liveDir retains no snapshot history — time-travel " +
@@ -2267,8 +2452,8 @@ object EventStreams {
         // the writer's retention prune can delete exactly this file
         // between the listing above and the parse — surface it as
         // the same diagnosable retention refusal, not an opaque get
-        parseSnapshotFile(f) match {
-          case Some((_, entries)) => (b, entries)
+        parseSnapshotFileFull(f) match {
+          case Some((_, entries, schema)) => (b, entries, schema)
           case None => throw new IllegalStateException(
             s"snapshot history for batch $b of $liveDir was pruned " +
               s"concurrently — batch $batch has left the retention " +
@@ -2293,17 +2478,26 @@ object EventStreams {
   private[graft] def readVersionDiff(spark: SparkSession,
       liveDir: String, bOld: Long, bNew: Long)
       : (Option[DataFrame], Option[DataFrame], Seq[String]) = {
-    val (_, eOld) = snapshotEntriesAsOf(liveDir, bOld)
-    val (_, eNew) = snapshotEntriesAsOf(liveDir, bNew)
+    val (_, eOld, sOld) = snapshotEntriesAsOf(liveDir, bOld)
+    val (_, eNew, sNew) = snapshotEntriesAsOf(liveDir, bNew)
     val changed = (eOld.keySet ++ eNew.keySet)
       .filter(p => eOld.get(p) != eNew.get(p)).toSeq.sorted
-    def readAt(entries: Map[String, Long]): Option[DataFrame] = {
+    // each side reads under ITS OWN snapshot's schema stamp (s30):
+    // diffing across an evolution serves the old side without the
+    // added columns and the new side with them, as the versions were
+    def readAt(entries: Map[String, Long],
+        schema: Option[String]): Option[DataFrame] = {
       val parts = changed.filter(entries.contains)
       if (parts.isEmpty) None
-      else Some(spark.read.option("basePath", liveDir)
-        .parquet(parts.map(p => s"$liveDir/$p/g${entries(p)}"): _*))
+      else {
+        val base = spark.read.option("basePath", liveDir)
+        val reader = schema.fold(base)(ddl => base.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+        Some(reader
+          .parquet(parts.map(p => s"$liveDir/$p/g${entries(p)}"): _*))
+      }
     }
-    (readAt(eOld), readAt(eNew), changed)
+    (readAt(eOld, sOld), readAt(eNew, sNew), changed)
   }
 
   /** Driver-side partition-swap commit for the bucket/cell-partitioned
@@ -2351,7 +2545,8 @@ object EventStreams {
   private[graft] def swapPartitionDirs(stageDir: String,
       liveDir: String, touched: Seq[String] = Seq.empty,
       batchId: Long = -1L,
-      onPartitionApplied: String => Unit = _ => ()): Unit = {
+      onPartitionApplied: String => Unit = _ => (),
+      schemaDdl: Option[String] = None): Unit = {
     val live = new java.io.File(liveDir)
     java.nio.file.Files.createDirectories(live.toPath)
     // upgrade path: a pre-snapshot artifact (loose files directly
@@ -2421,7 +2616,8 @@ object EventStreams {
     // COMMIT
     if (batchId >= 0L) writeCommitMarker(liveDir, batchId)
     commitSnapshot(liveDir, batchId, all.map(n =>
-      n -> new java.io.File(liveDir, s"$n/g$gen").isDirectory), gen)
+      n -> new java.io.File(liveDir, s"$n/g$gen").isDirectory), gen,
+      schemaDdl)
     java.nio.file.Files.deleteIfExists(manifest.toPath)
     deleteRecursively(new java.io.File(stageDir))
   }
@@ -2598,10 +2794,12 @@ object EventStreams {
             .getOrElse(Array.empty).flatMap(genOf).maxOption
             .map(n -> _)
         }
-      writeSnapshot(liveDir, batchId, fixed)
+      // re-write preserves the stamp commitSnapshot above carried
+      val stamp = readSnapshotFull(liveDir).flatMap(_._3)
+      writeSnapshot(liveDir, batchId, fixed, stamp)
       if (batchId >= 0L)
         writeSnapshotFile(new java.io.File(liveDir,
-          s"$SnapshotHistoryPrefix$batchId"), batchId, fixed)
+          s"$SnapshotHistoryPrefix$batchId"), batchId, fixed, stamp)
     }
     java.nio.file.Files.deleteIfExists(manifest.toPath)
     deleteRecursively(new java.io.File(stageDir))

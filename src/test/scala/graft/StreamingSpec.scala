@@ -1382,6 +1382,128 @@ class StreamingSpec extends SparkSpec {
       "the diff-composed reconstruction must equal the head readout")
   }
 
+  test("s30 schema evolution: a redeploy with an added column " +
+      "stamps the snapshot, the head read null-fills pre-deploy " +
+      "generations, time travel serves the OLD schema, and a diff " +
+      "across the deploy serves each side as it was") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-s30-fix").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val srcDir = s"$base/incoming"
+      new java.io.File(srcDir).mkdirs()
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType)))
+      // batches 0,1 carry keys 0..7; batches 2,3 (post-deploy) only
+      // keys 0..3 — so keys 4..7 must come out with a NULL vmax
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      def stage(i: Int, keys: Range): Unit = {
+        val st = s"$base/in$i"
+        keys.map(k => (k.toLong, k * 10L + i + 1)).toDF("k", "v")
+          .coalesce(1).write.parquet(st)
+        new java.io.File(st).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      def aggOld(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(sum("v").as("v"))
+      def mergeOld(p: DataFrame, a: DataFrame): DataFrame =
+        aggOld(p.unionByName(a))
+      def aggNew(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(sum("v").as("v"), max("v").as("vmax"))
+      def mergeNew(p: DataFrame, a: DataFrame): DataFrame = {
+        val p2 = if (p.columns.contains("vmax")) p
+          else p.withColumn("vmax", lit(null).cast("long"))
+        p2.unionByName(a).groupBy("k")
+          .agg(sum("v").as("v"), max("vmax").as("vmax"))
+      }
+      stage(0, 0 until 8); stage(1, 0 until 8)
+      EventStreams.runArtifactMergeLoop(spark, base, srcDir, schema,
+        bucketKey = Some("k"), nBuckets = 4, stampSchema = true)(
+        aggOld, mergeOld)
+      stage(2, 0 until 4); stage(3, 0 until 4)
+      val (artifact, _) = EventStreams.runArtifactMergeLoop(spark,
+        base, srcDir, schema, bucketKey = Some("k"), nBuckets = 4,
+        stampSchema = true)(aggNew, mergeNew)
+      val stateDir = s"$base/state"
+      // head: evolved schema, values exact, null-fill for keys with
+      // no post-deploy events
+      val head = artifact.get
+      assert(head.columns.toSeq === Seq("k", "v", "vmax"))
+      val got = head.orderBy("k")
+        .select("k", "v", "vmax").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      val want = (0L until 8L).map { k =>
+        val batches = if (k < 4) Seq(1, 2, 3, 4) else Seq(1, 2)
+        val vs = batches.map(b => k * 10 + b)
+        (k, vs.sum, if (k < 4) vs.filter(b => b % 10 >= 3).max
+          else -1L)
+      }
+      assert(got === want)
+      // the head snapshot carries the evolved stamp
+      val stamp = EventStreams.readSnapshotFull(stateDir)
+        .flatMap(_._3)
+      assert(stamp.exists(_.contains("vmax")),
+        s"head snapshot stamp missing the evolved column: $stamp")
+      // time travel to the pre-deploy batch serves the OLD schema
+      val asOf = EventStreams
+        .readCommittedAsOf(spark, stateDir, 1L).get.drop("bkt")
+      assert(asOf.columns.toSeq === Seq("k", "v"))
+      assert(asOf.orderBy("k").as[(Long, Long)].collect().toSeq ===
+        (0L until 8L).map(k => (k, (k * 10 + 1) + (k * 10 + 2))))
+      // a version diff ACROSS the deploy serves each side as its
+      // version was: old side without the column, new side with it
+      val (oldSide, newSide, changed) =
+        EventStreams.readVersionDiff(spark, stateDir, 1L, 3L)
+      assert(changed.nonEmpty)
+      assert(oldSide.get.columns.toSeq === Seq("k", "v", "bkt"))
+      assert(newSide.get.columns.toSeq ===
+        Seq("k", "v", "vmax", "bkt"))
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
+  test("s30 declared replay: the head serves the evolved schema, " +
+      "the pre-deploy as-of read does not") {
+    val (df, (headCols, asOfCols)) =
+      EventStreams.replaySchemaEvolutionWithStats(spark, sf)
+    assert(headCols.contains("max_cents"))
+    assert(asOfCols.nonEmpty, "pre-deploy snapshot must be retained")
+    assert(!asOfCols.contains("max_cents"),
+      s"pre-deploy as-of read shows a phantom column: $asOfCols")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // null ⟺ the user has no post-deploy events — asserted as a SET
+    // equality against a recompute from the raw table (at the tiny
+    // test SF every user may be post-deploy-active, so the null
+    // class can legitimately be empty; the fixture test above pins a
+    // populated null class deterministically)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+    val mm = ev.agg(min("sec"), max("sec")).head()
+    val lo = mm.getLong(0); val hi = mm.getLong(1) + 1
+    val span = math.max(1L, (hi - lo + 9) / 10)
+    val activeSince = ev.filter(col("sec") >= lo + 8L * span)
+      .select("user_id").distinct().collect()
+      .map(_.get(0)).toSet
+    val gotNull = rows.filter(_.isNullAt(3)).map(_.get(0)).toSet
+    val gotAll = rows.map(_.get(0)).toSet
+    assert(gotNull === gotAll -- activeSince,
+      "null max_cents must mark exactly the users with no " +
+        "post-deploy events")
+    assert(rows.exists(!_.isNullAt(3)),
+      "expected at least one post-deploy-active user")
+  }
+
   test("s26 pruned read: a version diff scans ONLY the bucket " +
       "partitions whose generation changed between the two " +
       "snapshots — a final batch touching one bucket yields a " +

@@ -553,6 +553,52 @@ class TextSpec extends SparkSpec {
       r.getAs[Long]("n_shared").toInt).toMap === expected)
   }
 
+  test("t49 bloom gate: no false negatives, real map-side pruning, " +
+      "bounded false-positive sliver") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val (ref, cand) = TextOps.bloomRefCand(docs)
+    val candP = cand.persist()
+    val nCand = candP.count()
+    val survivors =
+      TextOps.bloomSurvivors(spark, ref, candP).persist()
+    val nSurv = survivors.count()
+    val refSet = ref.select("g").distinct()
+    val nTrue = candP.join(refSet, "g").count()
+    // Bloom invariant the verify join's exactness rests on: every
+    // truly-overlapping candidate gram survives the gate
+    assert(candP.join(refSet, "g")
+      .join(survivors.select("g").distinct(), Seq("g"), "left_anti")
+      .count() === 0L)
+    // the gate actually prunes — survivors are overlap-sized, not
+    // candidate-sized (corpus overlap measured ~6%, fpp 1%)
+    assert(nSurv < nCand / 2,
+      s"gate passed $nSurv of $nCand candidate grams")
+    // the false-positive sliver is fpp-sized (generous 5x margin for
+    // sketch variance at fixture scale)
+    val fp = nSurv - nTrue
+    assert(fp <= (5 * TextOps.BloomFpp * (nCand - nTrue)).toLong + 1,
+      s"false positives $fp of ${nCand - nTrue} non-overlap grams")
+    candP.unpersist(); survivors.unpersist()
+  }
+
+  test("t49 result equals the bloom-free exact join (the gate is " +
+      "invisible in the output)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val (ref, cand) = TextOps.bloomRefCand(docs)
+    val refTable = ref.groupBy("g")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("ref_doc"))
+    val exact = cand.join(refTable, "g")
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("g")
+          .as("n_shared"),
+        org.apache.spark.sql.functions.min("ref_doc")
+          .as("first_ref_doc"))
+      .orderBy("doc_id").collect().toSeq
+    val gated = TextOps.t49BloomDecontaminate(spark, sf)
+      .collect().toSeq
+    assert(gated === exact)
+  }
+
   test("t26 span decontamination strikes exactly the t21-flagged docs " +
       "and its counts reconcile with the rebuilt text") {
     val rows = TextOps.t26SpanDecontaminate(spark, sf).collect()
