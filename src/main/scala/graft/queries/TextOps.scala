@@ -3203,13 +3203,27 @@ object TextOps {
     * banded, key4-escalated, full-ladder — on a 30%-hot registry, a
     * prefix-AND-length-concentrated one, and a 4-shared-leading-
     * chars one (receipts: scalecheck_r17.json, scalecheck_r18.json).
+    *
+    * MAXIMAL-PREFIX RUNG (r19): the k=32/64 extension of the conc4
+    * probe showed salt alone is NOT a floor when cells sharing pre5
+    * at one length keep growing with the corpus (word-built names:
+    * 8× wall time for 2× names once 16 mega-cells carry ~70% of the
+    * mass). Cells still hot at key5 now route — PRE-pass only — to
+    * pre_{blen−7}, the longest prefix the two-pass recall argument
+    * admits while the suf ladder caps at suf5 (see the rung comment
+    * in-line for the argument and the deliberate asymmetry). Salt
+    * remains the last rung, now only for names identical up to
+    * their final ≤ 7 characters — a genuine indistinguishability
+    * floor. Unlike salt, this rung PRUNES candidates, so the oracle
+    * mirrors it (hp5 + the substr equality in the pre-side chain).
     */
   private[graft] def fuzzyResolveOf(clean: DataFrame,
       dirty: DataFrame, lengthBand: Boolean = true,
       hotBudget: Int = FuzzyHotBudget,
       // probe-only regime switches (ScaleCheck prices each ladder
       // rung; production and the oracle always run the full ladder)
-      deepKey: Boolean = true, saltHot: Boolean = true): DataFrame = {
+      deepKey: Boolean = true, saltHot: Boolean = true,
+      maxKey: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = clean.select(col("k").as("clean_id"),
       col("name").as("clean_name"),
@@ -3279,16 +3293,51 @@ object TextOps {
             .agg(count(lit(1)).as("cell_n"))
             .filter(col("cell_n") > hotBudget && col("blen") >= 11)
             .select(col(k4), col("blen"), lit(1).as("hot4"))
-          def route(df: DataFrame): DataFrame = {
+          // MAXIMAL-PREFIX rung (r19 — the fuzzy_conc4 k=32/64 probe
+          // refuted "salt is the floor": word-registry corpora
+          // collapse into cells sharing pre5 AT ONE LENGTH whose
+          // members still differ deep inside the string, and salting
+          // spreads but cannot shrink their quadratic pair mass).
+          // Cells hot even at key5 — PRE-pass only — route to the
+          // LONGEST prefix the two-pass recall argument allows:
+          // pre_{blen−7}, everything but the last 7 characters.
+          // Completeness: the suf-pass ladder caps at suf5, so an
+          // edit event (span ≤ 2) corrupting pre_{blen−7} starts at
+          // p ≤ blen−7 and cannot also corrupt suf5 (needs
+          // p ≥ blen−6) — the suf-pass catches it at whatever rung
+          // its cell routed; a trailing edit corrupting any suf key
+          // starts at p ≥ blen−6 > blen−7 and leaves the maximal
+          // prefix intact, so the pre-pass catches it. Asymmetry is
+          // deliberate: ONE pass may hold a maximal key only while
+          // the other stays bounded (a+b+2 ≤ blen), and real
+          // registries are prefix-heavy ("Alaska … No. 123"), so the
+          // discriminating tail is exactly what pre_{blen−7}
+          // reaches. blen ≥ 13 keeps the rung a strict lengthening
+          // of pre5; what is STILL hot after it — names identical
+          // but for their last ≤ 7 characters — falls through to
+          // salt, now a genuine indistinguishability floor.
+          // Mirrored in the oracle as a substr equality under the
+          // hp5/hs5-less pre-side chain (suf side unchanged).
+          val useMax = maxKey && deepKey && key == "pre"
+          val hot5 = cx.groupBy(col(k5), col("blen"))
+            .agg(count(lit(1)).as("cell_n"))
+            .filter(col("cell_n") > hotBudget && col("blen") >= 13 &&
+              lit(useMax))
+            .select(col(k5), col("blen"), lit(1).as("hot5"))
+          def route(df: DataFrame, nameCol: Column): DataFrame = {
             val tagged =
               if (deepKey) df
                 .join(broadcast(hot3), Seq(key, "blen"), "left")
                 .join(broadcast(hot4), Seq(k4, "blen"), "left")
+                .join(broadcast(hot5), Seq(k5, "blen"), "left")
               else df
                 .join(broadcast(hot3), Seq(key, "blen"), "left")
                 .withColumn("hot4", lit(null).cast("int"))
+                .withColumn("hot5", lit(null).cast("int"))
             tagged.withColumn("bkey",
-              when(col("hot4") === 1, col(k5))
+              when(col("hot5") === 1,
+                nameCol.substr(lit(1), col("blen") - 7))
+                .when(col("hot4") === 1, col(k5))
                 .when(col("hot3") === 1, col(k4))
                 .otherwise(col(key)))
           }
@@ -3309,7 +3358,7 @@ object TextOps {
           // mutual candidates and must be compared; salting spreads
           // that inherent work across the cluster instead of one
           // executor core.
-          val rc = route(cx)
+          val rc = route(cx, col("clean_name"))
           val salted = rc.groupBy(col("bkey"), col("blen"))
             .agg(count(lit(1)).as("cell_n"))
             .filter(col("cell_n") > hotBudget && lit(saltHot))
@@ -3319,7 +3368,7 @@ object TextOps {
           def withSalt(df: DataFrame): DataFrame = df
             .join(broadcast(salted), Seq("bkey", "blen"), "left")
             .withColumn("nsalt", coalesce(col("nsalt"), lit(1)))
-          withSalt(route(dx))
+          withSalt(route(dx, col("dirty_name")))
             .withColumn("salt",
               explode(sequence(lit(0), col("nsalt") - 1)))
             .select("dirty_id", "dirty_name", "bkey", "blen", "salt")
@@ -3923,6 +3972,8 @@ object TextOps {
            |        HAVING count(*) > $FuzzyHotBudget AND blen >= 11),
            |hs4 AS (SELECT suf4, blen FROM c GROUP BY 1, 2
            |        HAVING count(*) > $FuzzyHotBudget AND blen >= 11),
+           |hp5 AS (SELECT pre5, blen FROM c GROUP BY 1, 2
+           |        HAVING count(*) > $FuzzyHotBudget AND blen >= 13),
            |cand AS (
            |  SELECT DISTINCT dirty_id, dirty_name, clean_id,
            |    clean_name
@@ -3934,8 +3985,13 @@ object TextOps {
            |    LEFT JOIN hp ON hp.pre = c.pre AND hp.blen = c.blen
            |    LEFT JOIN hp4 ON hp4.pre4 = c.pre4
            |      AND hp4.blen = c.blen
+           |    LEFT JOIN hp5 ON hp5.pre5 = c.pre5
+           |      AND hp5.blen = c.blen
            |    WHERE hp.pre IS NULL OR (d.pre4 = c.pre4 AND
-           |      (hp4.pre4 IS NULL OR d.pre5 = c.pre5))
+           |      (hp4.pre4 IS NULL OR (d.pre5 = c.pre5 AND
+           |        (hp5.pre5 IS NULL OR
+           |          substr(d.dirty_name, 1, c.blen - 7) =
+           |          substr(c.clean_name, 1, c.blen - 7)))))
            |    UNION ALL
            |    SELECT d.dirty_id, d.dirty_name, c.clean_id,
            |      c.clean_name

@@ -1248,9 +1248,13 @@ class TextSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
     def candVolume(r: org.apache.spark.sql.DataFrame): Long = r
       .agg(sum(col("n_candidates"))).collect()(0).getLong(0)
-    val salted = TextOps.fuzzyResolveOf(reg, dirty, hotBudget = 50)
+    // maxKey pinned off: this test prices SALT on a cell no key
+    // rung may split, and the r19 maximal-prefix rung would reroute
+    // it first (its own test follows)
+    val salted = TextOps.fuzzyResolveOf(reg, dirty, hotBudget = 50,
+      maxKey = false)
     val noSalt = TextOps.fuzzyResolveOf(reg, dirty, hotBudget = 50,
-      saltHot = false)
+      saltHot = false, maxKey = false)
     assert(matches(salted) === matches(noSalt))
     assert(matches(salted).size === n)
     assert(salted.collect()
@@ -1259,6 +1263,69 @@ class TextSpec extends SparkSpec {
     // per-dirty candidate counts are unchanged by the shard split
     assert(candVolume(salted) === candVolume(noSalt),
       "salting must not change the candidate set")
+  }
+
+  test("t47 maximal-prefix rung: a cell hot at pre5 whose members " +
+      "differ only deep inside the string splits on pre_{blen-7} " +
+      "with recall intact — including edits that corrupt the " +
+      "maximal key itself — and candidate volume collapses vs the " +
+      "salt-final ladder") {
+    import org.apache.spark.sql.functions._
+    // head(10) shared by every name, 3 discriminating digits in the
+    // middle, 7-digit unique tail: blen 20 ≥ 13, the (pre5, blen)
+    // cell holds all n names, pre_{13} reaches the middle digits
+    // (unique per name) while the last 7 stay outside the key —
+    // exactly the word-registry shape the k=32/64 conc4 probe
+    // showed salting cannot shrink
+    val n = 800
+    val reg = spark.range(n).select(col("id").as("k"),
+      concat(lit("AAAAABBBBB"),
+        lpad(col("id").cast("string"), 3, "0"),
+        lpad(col("id").cast("string"), 7, "0")).as("name"),
+      lit(13).as("wlen"))
+    val dirty = TextOps.fuzzyDirtyOf(reg)
+    def matches(r: org.apache.spark.sql.DataFrame) = r
+      .select("dirty_id", "match_id", "distance").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    def candVolume(r: org.apache.spark.sql.DataFrame): Long = r
+      .agg(sum(col("n_candidates"))).collect()(0).getLong(0)
+    val maxed = TextOps.fuzzyResolveOf(reg, dirty, hotBudget = 50)
+    val saltFinal = TextOps.fuzzyResolveOf(reg, dirty,
+      hotBudget = 50, maxKey = false)
+    // recall: the dirty edits land anywhere in positions 1..14
+    // (fuzzyDirtyOf's residue arithmetic over wlen 13) — edits
+    // INSIDE pre_{13} corrupt the maximal key and must be caught by
+    // the suffix pass (unique digit tails keep it cold), edits at
+    // the tail leave the maximal key intact and ride the new rung.
+    // The regime-invariant is each dirty name's BEST DISTANCE: any
+    // single-edit-relationship pair (the recall contract) survives
+    // every rung, while INCIDENTAL pairs two independent edits
+    // apart — which prefix/suffix blocking never promised — may be
+    // pruned by the wider key and flip a distance-2 tie's winner;
+    // the rung changes candidates, so the oracle mirrors it and the
+    // declared semantics stay pinned there
+    def distOf(r: org.apache.spark.sql.DataFrame) = r
+      .select("dirty_id", "distance").collect()
+      .map(x => (x.getLong(0), x.getInt(1))).toMap
+    val dMax = distOf(maxed)
+    assert(dMax === distOf(saltFinal))
+    assert(dMax.size === n)
+    assert(matches(maxed).size === n)
+    // ground truth holds for every single-edit dirty; transposition
+    // rows (k % 4 == 2, distance 2) can LEGITIMATELY tie with a
+    // clean name sharing the swapped digits' prefix (e.g. dirty of
+    // 38 swaps "…038|0…" into "…030|8…" — distance 2 from both
+    // clean 38 and clean 30, and the deterministic tie-break picks
+    // the smaller id), so they assert resolution, not identity
+    assert(maxed.collect()
+      .filter(_.getAs[Long]("dirty_id") % 4 != 2)
+      .forall(_.getAs[Int]("is_correct") === 1))
+    // the rung must bite where salt cannot: the salt-final ladder
+    // carries the full n² cell as candidates (spread, not shrunk),
+    // the maximal key cuts it to near-linear
+    val (vMax, vSalt) = (candVolume(maxed), candVolume(saltFinal))
+    assert(vMax * 20 < vSalt,
+      s"maximal-rung candidate volume $vMax not << salt-final $vSalt")
   }
 
   test("t48 cutoff: threshold semantics on the weight histogram — " +
