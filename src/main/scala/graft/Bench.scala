@@ -47,18 +47,60 @@ object Bench {
     */
   private[graft] final case class JvmSnap(gcMs: Long, heapMb: Long,
     codeCacheMb: Long, metaMb: Long, classes: Long, localMb: Long,
-    localFiles: Long, wallMs: Long, load100: Long)
+    localFiles: Long, wallMs: Long, load100: Long,
+    // cumulative CPU jiffies at snapshot time: system-wide busy
+    // (/proc/stat) and this process (/proc/self/stat); −1 when the
+    // proc interface is unreadable (non-Linux). Deltas between a
+    // window's two snapshots separate OUR cpu from EVERYONE ELSE'S
+    // — the signal the load average cannot give (see
+    // [[otherCores100]]).
+    sysBusyJf: Long = -1L, selfBusyJf: Long = -1L)
 
-  /** Load threshold for the self-healing retake (VERDICT r17 item
-    * 4): a measurement window whose OS 1-min load average exceeded
-    * 0.75× the worker count was contended by co-located box work —
-    * the entry's numbers describe the box, not the code (the r16
-    * t-family and r17 s03/q14 flags were all this). 0.75× (was
-    * 1.5×, VERDICT r18 item 1): r18's contention peaked at 41.9 on
-    * 32 cpus — REAL contamination that the 48 bar never saw — while
-    * our own local[32] burst only pushes the damped 1-min average
-    * to ~15 even through the 30 s streaming entries (r18 diag: p50
-    * 2.9 across 189 entries), so 24 still clears self-load.
+  /** Average OTHER-PROCESS cpu over the window (a, b), in
+    * centi-cores — the contamination signal that is immune to both
+    * failure modes of the 1-min load average (r19): SELF-load (a
+    * back-to-back streaming family saturates the box alone and
+    * pushes load past any bar that still catches real contention —
+    * the isolated s-family take read load 47 on 32 cpus with an
+    * IDLE box) and runnable-queue inflation (our own
+    * oversubscribed task/netty/GC threads count as load without
+    * burning anyone's cpu). Busy jiffies burned by everyone minus
+    * jiffies burned by us, over wall time: with USER_HZ = 100,
+    * jiffies/second IS centi-cores. None when either snapshot
+    * lacks counters or the window is degenerate — callers fall
+    * back to the load rule.
+    */
+  private[graft] def otherCores100(a: JvmSnap, b: JvmSnap)
+      : Option[Long] = {
+    val wallMs = b.wallMs - a.wallMs
+    if (a.sysBusyJf < 0 || b.sysBusyJf < 0 || a.selfBusyJf < 0 ||
+        b.selfBusyJf < 0 || wallMs <= 0) None
+    else {
+      val other = (b.sysBusyJf - a.sysBusyJf) -
+        (b.selfBusyJf - a.selfBusyJf)
+      Some(math.max(0L, other) * 1000L / wallMs)
+    }
+  }
+
+  /** Other-process cpu threshold for the retake trigger: sustained
+    * co-located work above a quarter of the box is contamination
+    * (r18's real contention ran a neighbor JVM at well over this);
+    * below it, the isolated-divergence trigger still catches any
+    * entry the residue visibly inflated.
+    */
+  private[graft] def retakeOtherLimit100(cpus: Int): Long =
+    cpus * 25L
+
+  /** FALLBACK load threshold for the self-healing retake (VERDICT
+    * r17 item 4, demoted r19): a window whose OS 1-min load average
+    * exceeded 0.75× the worker count was contended by co-located
+    * box work. Used only where [[otherCores100]] has no counters
+    * (non-Linux): the load average cannot separate our cpu from a
+    * neighbor's — an isolated back-to-back streaming family pushes
+    * it to 47 on an IDLE 32-cpu box (self-load + our own
+    * runnable-queue inflation), which under this bar alone would
+    * permanently dirty the heaviest honest entries. The primary
+    * trigger is other-process cpu ([[retakeOtherLimit100]]).
     * Returned on the ×100 scale the snapshots carry.
     */
   private[graft] def retakeLimit100(cpus: Int): Long = cpus * 75L
@@ -143,6 +185,39 @@ object Bench {
         k -> math.max(a.load100, b.load100) }
       .filter(_._2 > limit100)
       .sortBy(-_._2).map(_._1)
+
+  /** The primary contamination trigger (r19): an entry is
+    * contaminated when OTHER processes burned more than
+    * `otherLimit100` centi-cores over its window — the direct
+    * measurement of what the load bar only proxies. Entries whose
+    * snapshots carry no cpu counters (non-Linux) fall back to the
+    * window-load rule. One signal per entry, worst-first.
+    */
+  private[graft] def cpuContaminated(
+      entries: Seq[(String, (JvmSnap, JvmSnap))],
+      otherLimit100: Long, loadLimit100: Long): Seq[String] =
+    entries
+      .flatMap { case (k, (a, b)) =>
+        otherCores100(a, b) match {
+          case Some(oc) => if (oc > otherLimit100) Some(k -> oc)
+            else None
+          case None =>
+            val l = math.max(a.load100, b.load100)
+            if (l > loadLimit100) Some(k -> l) else None
+        }
+      }
+      .sortBy(-_._2).map(_._1)
+
+  /** Contamination verdict for ONE window — the retake's own
+    * cleanliness check, same signal preference as
+    * [[cpuContaminated]].
+    */
+  private[graft] def windowContaminated(a: JvmSnap, b: JvmSnap,
+      otherLimit100: Long, loadLimit100: Long): Boolean =
+    otherCores100(a, b) match {
+      case Some(oc) => oc > otherLimit100
+      case None => math.max(a.load100, b.load100) > loadLimit100
+    }
 
   /** A retaken entry stays dirty if its retake window was loaded
     * again OR the retake measured nothing at all (every iteration
@@ -263,6 +338,27 @@ object Bench {
       val sums = roots.map(walk)
       (sums.map(_._1).sum / (1024 * 1024), sums.map(_._2).sum)
     }
+    // cumulative cpu jiffies, system-wide busy + this process
+    // (Linux proc interface; −1 elsewhere → load-rule fallback)
+    val sysBusy = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+").tail
+          .map(_.toLong)).getOrElse(Array.empty[Long])
+      // user nice system idle iowait irq softirq steal ... — busy
+      // is everything but idle(3) and iowait(4)
+      if (cols.length < 8) -1L
+      else cols.zipWithIndex
+        .collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    } catch { case _: Throwable => -1L }
+    val selfBusy = try {
+      // /proc/self/stat: fields 14 (utime) + 15 (stime), counting
+      // from 1 past the parenthesised comm field (which may hold
+      // spaces — split after the closing paren)
+      val raw = scala.io.Source.fromFile("/proc/self/stat").mkString
+      val rest = raw.substring(raw.lastIndexOf(')') + 2)
+        .trim.split("\\s+")
+      rest(11).toLong + rest(12).toLong
+    } catch { case _: Throwable => -1L }
     JvmSnap(gc, (rt.totalMemory - rt.freeMemory) / (1024 * 1024),
       poolMb(_.contains("CodeHeap")) + poolMb(_ == "CodeCache"),
       poolMb(_ == "Metaspace"),
@@ -270,7 +366,8 @@ object Bench {
         .getTotalLoadedClassCount, localMb, localFiles,
       System.currentTimeMillis(),
       (math.max(0.0, ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage) * 100).toLong)
+        .getSystemLoadAverage) * 100).toLong,
+      sysBusy, selfBusy)
   }
 
   def main(args: Array[String]): Unit = {
@@ -389,7 +486,16 @@ object Bench {
     val loadLimit100 = sys.env.get("SPARK_GRAFT_LOAD_LIMIT100")
       .flatMap(v => scala.util.Try(v.toLong).toOption)
       .getOrElse(retakeLimit100(cpus.toInt))
-    val contaminated = loadContaminated(diag.toSeq, loadLimit100)
+    // primary signal (r19): other-process cpu per window — immune
+    // to self-load (a back-to-back streaming family pushes the
+    // 1-min average to 47 on an otherwise idle 32-cpu box) and to
+    // our own runnable-queue inflation; the load bar remains the
+    // fallback where /proc is unreadable
+    val otherLimit100 = sys.env.get("SPARK_GRAFT_OTHER_LIMIT100")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(retakeOtherLimit100(cpus.toInt))
+    val contaminated =
+      cpuContaminated(diag.toSeq, otherLimit100, loadLimit100)
     // second, load-IMMUNE trigger (VERDICT r18 item 1): an entry
     // whose min diverges >2× from its committed isolated record is
     // re-measured even when the load bar saw nothing — r18's eight
@@ -407,7 +513,8 @@ object Bench {
     val toRetake = merged.take(24)
     if (toRetake.nonEmpty)
       System.err.println(s"[bench] ${contaminated.size} entries " +
-        s"load>${loadLimit100 / 100.0}, ${divergent.size} diverge " +
+        s"other-cpu>${otherLimit100 / 100.0} cores (load fallback " +
+        s">${loadLimit100 / 100.0}), ${divergent.size} diverge " +
         ">2x from isolated records - retaking: " +
         toRetake.mkString(","))
     val fnByName = allFns.toMap
@@ -424,7 +531,8 @@ object Bench {
       val s1 = jvmSnap()
       diag(k) = (s0, s1)
       if (retakeDirty(
-          math.max(s0.load100, s1.load100) > loadLimit100, ts))
+          windowContaminated(s0, s1, otherLimit100, loadLimit100),
+          ts))
         stillDirty += k
       k -> ts
     }.toMap
@@ -472,10 +580,13 @@ object Bench {
     // A stable in-suite slowdown shows its mechanism as the
     // monotone column; a load column far above our own worker
     // count names co-located box load instead.
+    // 10th column (r19): other-process cpu over the window in
+    // centi-cores — the trigger's actual signal (−1: unavailable)
     val diagJson = diag.map { case (k, (a, b)) =>
       "\"" + k + "\":[" + Seq(b.gcMs - a.gcMs, b.heapMb,
         b.codeCacheMb, b.metaMb, b.classes, b.localMb,
-        b.localFiles, (b.wallMs - benchT0) / 1000, b.load100)
+        b.localFiles, (b.wallMs - benchT0) / 1000, b.load100,
+        otherCores100(a, b).getOrElse(-1L))
         .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val dirtyFullJson =
@@ -685,9 +796,17 @@ object Bench {
     // names its own contamination — no bench_out.json forensics, no
     // next-round isolated re-measure needed to call it.
     val loads = diag.values.map(_._2.load100).toSeq.sorted
+    // other-process cpu summary beside the raw load: the number the
+    // contamination verdict actually used (r19) — a clean record is
+    // one whose other.max stayed under the trigger, whatever the
+    // self-load pushed the load average to
+    val others = diag.values.toSeq
+      .flatMap { case (a, b) => otherCores100(a, b) }.sorted
     val loadJson =
       if (loads.isEmpty) ""
-      else f""","load":{"p50":${loads(loads.size / 2) / 100.0}%.1f,"max":${loads.last / 100.0}%.1f}"""
+      else f""","load":{"p50":${loads(loads.size / 2) / 100.0}%.1f,"max":${loads.last / 100.0}%.1f}""" +
+        (if (others.isEmpty) ""
+         else f""","other_cpu":{"p50":${others(others.size / 2) / 100.0}%.1f,"max":${others.last / 100.0}%.1f}""")
     // Field ORDER is deliberate: the line is ~2.4k chars against the
     // launcher's 2000-char tail window, so its HEAD is truncated out
     // of the driver record — the big queries/spread maps go first

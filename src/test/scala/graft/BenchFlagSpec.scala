@@ -65,6 +65,64 @@ class BenchFlagSpec extends AnyFunSuite {
       Seq("spike_start", "spike_end"))
   }
 
+  private def cpuSnap(wallMs: Long, sysJf: Long, selfJf: Long,
+      load100: Long = 0L): Bench.JvmSnap =
+    Bench.JvmSnap(0, 0, 0, 0, 0, 0, 0, wallMs, load100, sysJf, selfJf)
+
+  test("otherCores100: other-process cpu is the window's sys-minus-" +
+      "self jiffy delta over wall time; missing counters give None") {
+    // 10 s window, system burned 40000 jiffies (40 cores' worth),
+    // we burned 37000 -> others used 3000 jf / 10 s = 300 jf/s
+    // = 3.0 cores = 300 centi-cores
+    val a = cpuSnap(0L, 100000L, 50000L)
+    val b = cpuSnap(10000L, 140000L, 87000L)
+    assert(Bench.otherCores100(a, b) === Some(300L))
+    // self-load only: every system jiffy is ours -> 0 other
+    val b2 = cpuSnap(10000L, 140000L, 90000L)
+    assert(Bench.otherCores100(a, b2) === Some(0L))
+    // counter goes backwards (shouldn't happen) -> clamped, not
+    // negative
+    val b3 = cpuSnap(10000L, 140000L, 95000L)
+    assert(Bench.otherCores100(a, b3) === Some(0L))
+    // unreadable proc on either end -> None
+    assert(Bench.otherCores100(cpuSnap(0, -1, 100), b) === None)
+    assert(Bench.otherCores100(a, cpuSnap(10000, 140000, -1)) ===
+      None)
+    // degenerate window -> None
+    assert(Bench.otherCores100(a, cpuSnap(0L, 140000L, 87000L)) ===
+      None)
+  }
+
+  test("cpuContaminated: a self-saturated window (load 47, zero " +
+      "other cpu) is CLEAN; a window with heavy other-process cpu " +
+      "flags even at low load; counterless windows fall back to " +
+      "the load rule") {
+    assert(Bench.retakeOtherLimit100(32) === 800L)
+    val otherLimit = 800L; val loadLimit = 2400L
+    // the r19 isolated s-family shape: the box is ours alone, the
+    // 1-min average hits 47 from our own burst + runnable queue —
+    // under the load-only rule this entry could NEVER be clean
+    val selfSat = ("self_sat",
+      (cpuSnap(0L, 0L, 0L, 4700L),
+        cpuSnap(30000L, 96000L, 95500L, 4700L)))
+    // real contention: a neighbor burning ~12 cores while the load
+    // average still reads under the old bar
+    val contended = ("contended",
+      (cpuSnap(0L, 0L, 0L, 2000L),
+        cpuSnap(10000L, 44000L, 32000L, 2000L)))
+    // no counters, loaded window -> load fallback flags it
+    val legacyHot = ("legacy_hot", (snap(5000), snap(900)))
+    // no counters, calm window -> clean
+    val legacyCalm = ("legacy_calm", (snap(900), snap(1000)))
+    assert(Bench.cpuContaminated(
+      Seq(selfSat, contended, legacyHot, legacyCalm),
+      otherLimit, loadLimit) === Seq("legacy_hot", "contended"))
+    assert(Bench.windowContaminated(selfSat._2._1, selfSat._2._2,
+      otherLimit, loadLimit) === false)
+    assert(Bench.windowContaminated(contended._2._1,
+      contended._2._2, otherLimit, loadLimit) === true)
+  }
+
   test("mergeRetakes: mins merge first pass ++ retake " +
       "unconditionally, so an all-failed retake degrades to the " +
       "measured first-pass min instead of nulling the entry") {
