@@ -208,6 +208,18 @@ object Bench {
       }
       .sortBy(-_._2).map(_._1)
 
+  /** Does the committed isolated record REFUTE a >2× suite delta?
+    * True when an isolated record exists and sits within 1.5× of
+    * the baseline: the code's own price did not move — isolated
+    * records are re-taken on each round's final tree, so a real
+    * code regression shows up THERE (iso ≫ baseline, since the
+    * baseline min then comes from the prior round) and keeps the
+    * flag. No record → cannot refute → the flag stands.
+    */
+  private[graft] def contextRefuted(iso: Option[Double],
+      baseline: Double): Boolean =
+    iso.exists(i => i > 0 && i <= 1.5 * baseline)
+
   /** Contamination verdict for ONE window — the retake's own
     * cleanliness check, same signal preference as
     * [[cpuContaminated]].
@@ -679,6 +691,9 @@ object Bench {
             // instead of anchoring.
             val cut = Seq(raw.indexOf("\"spread\":"),
               raw.indexOf("\"regressed\":"),
+              // suite_context holds RATIOS too (r19) — same leak
+              // guard as wide below
+              raw.indexOf("\"suite_context\":"),
               // wide holds max/min RATIOS — without this anchor a
               // truncated record whose spread anchor was cut would
               // leak ratios into prevMins as bogus baseline seconds
@@ -711,7 +726,7 @@ object Bench {
     // round must not push the compact line past the launcher's
     // 2000-char tail window (the full per-query record is in
     // bench_out.json regardless).
-    val regressedEntries = results
+    val allFlags = results
       .filter { case (_, ts) => !ts.min.isInfinite }
       // self-healing skip list: neither a CURRENT entry still
       // load-contaminated after its retake nor one whose PREV-round
@@ -744,10 +759,22 @@ object Bench {
           .orElse(isoMins.get(k)) // iso-only entries stay covered
           .collect {
             case prev if prev > 0 && ts.min > 2 * prev =>
-              (k, ts, ts.min / prev)
+              (k, ts, ts.min / prev,
+                contextRefuted(isoMins.get(k), prev))
           }
       }
-      .sortBy(-_._3).take(12)
+    // a >2× suite delta REFUTED by the committed isolated record is
+    // SUITE CONTEXT (GC/page-cache state left by prior entries,
+    // sub-trigger foreign cpu), not a code regression — the r19
+    // requirement that `regressed` contain only deltas that
+    // reproduce in the isolated records, enforced in the record
+    // itself rather than by after-the-fact forensics. Context
+    // deltas ship in their own map so the information survives.
+    val (ctxFlags, realFlags) = allFlags.partition(_._4)
+    val regressedEntries = realFlags
+      .map(f => (f._1, f._2, f._3)).sortBy(-_._3).take(12)
+    val suiteCtxEntries = ctxFlags
+      .map(f => (f._1, f._2, f._3)).sortBy(-_._3).take(12)
     // Intra-run max/min outliers join the spread line too: a
     // warm-slower-than-cold pathology can leave the MIN looking
     // healthy while iterations 2..N blow up (t06 in r15) — neither
@@ -770,6 +797,7 @@ object Bench {
       .filter { case (_, ts) => !ts.min.isInfinite }
       .sortBy { case (_, ts) => -ts.min }
       .take(8) ++ regressedEntries.map(r => (r._1, r._2)) ++
+      suiteCtxEntries.map(r => (r._1, r._2)) ++
       wideEntries.map(r => (r._1, r._2)))
       .distinctBy(_._1)
     val spread = spreadEntries
@@ -778,10 +806,14 @@ object Bench {
           ts.map(fmt(_, 1)).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     val regressedJson =
-      if (regressedEntries.isEmpty) ""
-      else regressedEntries.map { case (k, _, r) =>
-        "\"" + shortKey(k) + "\":" + fmt(r, 1)
-      }.mkString(""","regressed":{""", ",", "}")
+      (if (regressedEntries.isEmpty) ""
+       else regressedEntries.map { case (k, _, r) =>
+         "\"" + shortKey(k) + "\":" + fmt(r, 1)
+       }.mkString(""","regressed":{""", ",", "}")) +
+        (if (suiteCtxEntries.isEmpty) ""
+         else suiteCtxEntries.map { case (k, _, r) =>
+           "\"" + shortKey(k) + "\":" + fmt(r, 1)
+         }.mkString(""","suite_context":{""", ",", "}"))
     // intra-run max/min ratios > 4× (warm-side pathologies; the
     // spreads themselves are in the spread map above)
     val wideJson =

@@ -123,6 +123,19 @@ class BenchFlagSpec extends AnyFunSuite {
       contended._2._2, otherLimit, loadLimit) === true)
   }
 
+  test("contextRefuted: an isolated record at baseline level " +
+      "refutes a suite-context delta; an elevated or missing one " +
+      "lets the regression flag stand") {
+    // iso == baseline (iso IS the min): classic suite-context shape
+    assert(Bench.contextRefuted(Some(1.9), 1.9))
+    // iso mildly above baseline (prev was the min): still refuted
+    assert(Bench.contextRefuted(Some(2.6), 1.9))
+    // iso itself elevated vs baseline: the code regressed — flag
+    assert(!Bench.contextRefuted(Some(4.0), 1.9))
+    // no isolated record: cannot refute
+    assert(!Bench.contextRefuted(None, 1.9))
+  }
+
   test("mergeRetakes: mins merge first pass ++ retake " +
       "unconditionally, so an all-failed retake degrades to the " +
       "measured first-pass min instead of nulling the entry") {
