@@ -122,17 +122,35 @@ object Bench {
     }
   }
 
-  /** Per-query mins from the committed `bench_isolated_r*.json`
-    * family records in `dirs` (first dir with any record wins, like
-    * the prev-record search): later rounds override earlier ones,
-    * records for a different SF are skipped. These are the CLEANEST
-    * committed numbers per entry — each was re-taken alone on the
-    * final tree of its round — so they anchor the two self-healing
-    * checks below (VERDICT r18 item 1): the divergence retake
-    * trigger and the baseline floor for regression flags.
+  /** One committed isolated measurement: the entry's min seconds and
+    * the source-tree hash of the code it was taken on (None on
+    * pre-r20 records, which carried no stamp).
     */
-  private[graft] def isolatedMins(dirs: Seq[String], sfDir: String)
-      : Map[String, Double] = {
+  private[graft] final case class IsoRecord(min: Double,
+    tree: Option[String])
+
+  /** Parse a record's `"tree":"<hash>"` stamp, None when absent. */
+  private[graft] def parseTree(raw: String): Option[String] =
+    """"tree":"([0-9a-f]+)"""".r.findFirstMatchIn(raw)
+      .map(_.group(1))
+
+  /** Per-query isolated records from the committed
+    * `bench_isolated_r*.json` family records in `dirs` (first dir
+    * with any record wins, like the prev-record search): later
+    * rounds override earlier ones, records for a different SF are
+    * skipped, and — VERDICT r19 item 2b — entries the record itself
+    * marked `dirty` are refused (their numbers stayed contaminated
+    * after the isolated run's own retake and cannot anchor
+    * anything). These are the CLEANEST committed numbers per entry —
+    * each was re-taken alone on the final tree of its round — so
+    * they anchor the two self-healing checks below (VERDICT r18
+    * item 1): the divergence retake trigger and the baseline floor
+    * for regression flags. Each entry carries its record's
+    * source-tree stamp so [[contextRefuted]] can demand the record
+    * actually measured the benched code (ADVICE r19).
+    */
+  private[graft] def isolatedRecords(dirs: Seq[String], sfDir: String)
+      : Map[String, IsoRecord] = {
     val files = dirs.iterator.map { d =>
       Option(new java.io.File(d).listFiles())
         .getOrElse(Array.empty).toSeq
@@ -141,7 +159,7 @@ object Bench {
     files
       .sortBy(f => ("""r(\d+)""".r.findFirstMatchIn(f.getName)
         .map(_.group(1).toInt).getOrElse(0), f.getName))
-      .foldLeft(Map.empty[String, Double]) { (acc, f) =>
+      .foldLeft(Map.empty[String, IsoRecord]) { (acc, f) =>
         val raw =
           try new String(java.nio.file.Files.readAllBytes(f.toPath),
             java.nio.charset.StandardCharsets.UTF_8)
@@ -149,8 +167,55 @@ object Bench {
         val recSf = """"sf":"([^"]+)"""".r
           .findFirstMatchIn(raw).map(_.group(1))
         if (recSf.exists(_ != sfDir)) acc
-        else acc ++ parseQueriesMap(raw)
+        else {
+          val tree = parseTree(raw)
+          val dirty = parseDirty(raw)
+          acc ++ parseQueriesMap(raw)
+            .filterNot(kv => dirty.contains(kv._1))
+            .map { case (k, v) => k -> IsoRecord(v, tree) }
+        }
       }
+  }
+
+  /** The mins-only view of [[isolatedRecords]] (the divergence
+    * trigger and the baseline floor need no tree identity — both
+    * only get MORE conservative under a stale-but-fast record).
+    */
+  private[graft] def isolatedMins(dirs: Seq[String], sfDir: String)
+      : Map[String, Double] =
+    isolatedRecords(dirs, sfDir)
+      .map { case (k, r) => k -> r.min }
+
+  /** Content hash of the Scala source tree under `root` — the
+    * identity that ties a committed bench record to the CODE it
+    * measured (ADVICE r19: a suite_context demotion against an
+    * isolated record from a different tree silently reclassifies a
+    * genuine code regression). MD5 over the sorted relative paths
+    * and bytes of src/main/scala/&#42;&#42;/&#42;.scala; None when the tree is
+    * absent (bench run outside a checkout).
+    */
+  private[graft] def sourceTreeHash(
+      root: String = System.getProperty("user.dir", "."))
+      : Option[String] = {
+    val base = new java.io.File(root, "src/main/scala")
+    if (!base.isDirectory) return None
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .toSeq.flatMap(walk)
+    val files = walk(base)
+      .filter(_.getName.endsWith(".scala"))
+      .sortBy(_.getAbsolutePath)
+    if (files.isEmpty) return None
+    try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.foreach { f =>
+        md.update(base.toPath.relativize(f.toPath).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(java.nio.file.Files.readAllBytes(f.toPath))
+      }
+      Some(md.digest().map("%02x".format(_)).mkString)
+    } catch { case _: Throwable => None }
   }
 
   /** Entries whose first-pass min exceeds `factor`× their committed
@@ -209,16 +274,23 @@ object Bench {
       .sortBy(-_._2).map(_._1)
 
   /** Does the committed isolated record REFUTE a >2× suite delta?
-    * True when an isolated record exists and sits within 1.5× of
-    * the baseline: the code's own price did not move — isolated
-    * records are re-taken on each round's final tree, so a real
-    * code regression shows up THERE (iso ≫ baseline, since the
-    * baseline min then comes from the prior round) and keeps the
-    * flag. No record → cannot refute → the flag stands.
+    * True when an isolated record exists, sits within 1.5× of the
+    * baseline, AND was taken on the SAME source tree as this bench
+    * run (ADVICE r19): the refutation's whole argument is "the
+    * code's own price did not move", which a record from a
+    * different tree cannot witness — an entry missing from the
+    * latest isolated refresh inherits a stale older-round value,
+    * and a mid-round bench runs against code the prior-tree record
+    * never measured; in both cases a genuine code regression would
+    * be silently reclassified as suite_context. Tree unknown on
+    * either side → cannot refute → the flag stands (the
+    * conservative direction: a real context delta then ships as
+    * `regressed` and the next isolated refresh clears it).
     */
-  private[graft] def contextRefuted(iso: Option[Double],
-      baseline: Double): Boolean =
-    iso.exists(i => i > 0 && i <= 1.5 * baseline)
+  private[graft] def contextRefuted(iso: Option[IsoRecord],
+      baseline: Double, benchTree: Option[String]): Boolean =
+    iso.exists(r => r.min > 0 && r.min <= 1.5 * baseline &&
+      benchTree.isDefined && r.tree == benchTree)
 
   /** Contamination verdict for ONE window — the retake's own
     * cleanliness check, same signal preference as
@@ -351,22 +423,35 @@ object Bench {
       (sums.map(_._1).sum / (1024 * 1024), sums.map(_._2).sum)
     }
     // cumulative cpu jiffies, system-wide busy + this process
-    // (Linux proc interface; −1 elsewhere → load-rule fallback)
+    // (Linux proc interface; −1 elsewhere → load-rule fallback).
+    // Sources are closed in finally (ADVICE r19): two leaked fds per
+    // snapshot across hundreds of windows otherwise wait on the GC's
+    // stream cleaners.
+    def readProc(path: String): Option[String] = try {
+      val src = scala.io.Source.fromFile(path)
+      try Some(src.mkString) finally src.close()
+    } catch { case _: Throwable => None }
     val sysBusy = try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+      val cols = readProc("/proc/stat").iterator
+        .flatMap(_.linesIterator)
         .find(_.startsWith("cpu ")).map(_.trim.split("\\s+").tail
           .map(_.toLong)).getOrElse(Array.empty[Long])
-      // user nice system idle iowait irq softirq steal ... — busy
-      // is everything but idle(3) and iowait(4)
+      // user nice system idle iowait irq softirq steal — the
+      // standard busy-jiffies formula: skip idle(3) and iowait(4),
+      // and skip guest(8)/guest_nice(9) too (ADVICE r19): the kernel
+      // already folds guest time into user/nice, so summing the
+      // guest columns double-counts VM cpu and can trip the
+      // contamination trigger on a box running VMs
       if (cols.length < 8) -1L
-      else cols.zipWithIndex
+      else cols.take(8).zipWithIndex
         .collect { case (v, i) if i != 3 && i != 4 => v }.sum
     } catch { case _: Throwable => -1L }
     val selfBusy = try {
       // /proc/self/stat: fields 14 (utime) + 15 (stime), counting
       // from 1 past the parenthesised comm field (which may hold
       // spaces — split after the closing paren)
-      val raw = scala.io.Source.fromFile("/proc/self/stat").mkString
+      val raw = readProc("/proc/self/stat").getOrElse(
+        throw new java.io.IOException("no /proc/self/stat"))
       val rest = raw.substring(raw.lastIndexOf(')') + 2)
         .trim.split("\\s+")
       rest(11).toLong + rest(12).toLong
@@ -518,25 +603,46 @@ object Bench {
     val recordDirs = Seq(
       Option(new java.io.File(out).getAbsoluteFile.getParent),
       Some(System.getProperty("user.dir", "."))).flatten.distinct
-    val isoMins = isolatedMins(recordDirs, sfDir)
+    val isoRecords = isolatedRecords(recordDirs, sfDir)
+    val isoMins = isoRecords.map { case (k, r) => k -> r.min }
+    // the tree this bench run measures — stamped into the records it
+    // writes, and required of any isolated record that wants to
+    // refute a regression flag (ADVICE r19)
+    val benchTree = sourceTreeHash()
     val divergent = isolatedDivergent(firstPass, isoMins)
       .filterNot(contaminated.contains)
-    val merged = contaminated ++ divergent
+    // third retake trigger (VERDICT r19 item 1): a wide-spread entry
+    // whose MIN is healthy never hit the other two triggers, so a
+    // 24× warm blowup (t06 2.0/47.4/26.1 s in the r19 driver record)
+    // shipped unattributed — ~53 s of suite total priced to self-
+    // context residue with no second window to confirm or clear it.
+    // The retake either reproduces the blowup (real — the wide flag
+    // then reads the retake and fires) or replaces it. Ordered LAST
+    // so the cap sheds these first: their mins are already sound.
+    val wideRetake = wideSpreadEntries(firstPass).map(_._1)
+      .filterNot(k => contaminated.contains(k) ||
+        divergent.contains(k))
+    val merged = contaminated ++ divergent ++ wideRetake
     val toRetake = merged.take(24)
     if (toRetake.nonEmpty)
       System.err.println(s"[bench] ${contaminated.size} entries " +
         s"other-cpu>${otherLimit100 / 100.0} cores (load fallback " +
         s">${loadLimit100 / 100.0}), ${divergent.size} diverge " +
-        ">2x from isolated records - retaking: " +
-        toRetake.mkString(","))
+        s">2x from isolated records, ${wideRetake.size} wide-spread" +
+        " - retaking: " + toRetake.mkString(","))
     val fnByName = allFns.toMap
     val stillDirty = scala.collection.mutable.LinkedHashSet[String]()
     // entries past the retake cap never got a second pass: whether
     // load-flagged or isolated-divergent, their numbers are
     // uncertified — they must ship in the dirty list too, or their
     // inflated mins would raise phantom flags now and poison the
-    // next round's baseline (review r18)
-    merged.drop(24).foreach(stillDirty += _)
+    // next round's baseline (review r18). Wide-spread entries are
+    // the exception: their MINS are sound (the blowup spares the
+    // min by definition), so past the cap they simply keep their
+    // first-pass numbers and the wide flag reads the first pass —
+    // the pre-r20 behavior.
+    merged.drop(24).filterNot(wideRetake.contains)
+      .foreach(stillDirty += _)
     val retakeTimes = toRetake.map { k =>
       val s0 = jvmSnap()
       val ts = runIters(k, fnByName(k))
@@ -605,16 +711,40 @@ object Bench {
       if (stillDirty.isEmpty) ""
       else stillDirty.map("\"" + _ + "\"")
         .mkString(""","dirty":[""", ",", "]")
+    // OS load + other-process cpu summaries (r17/r19): computed here
+    // so BOTH records carry them — a committed isolated record then
+    // states its own cleanliness (VERDICT r19 item 2b: an inflated
+    // isolated record silently weakens contextRefuted and the
+    // divergence trigger; the per-entry other-cpu column is in diag,
+    // the summary is what a reviewer reads first)
+    val loads = diag.values.map(_._2.load100).toSeq.sorted
+    val others = diag.values.toSeq
+      .flatMap { case (a, b) => otherCores100(a, b) }.sorted
+    val loadJson =
+      if (loads.isEmpty) ""
+      else f""","load":{"p50":${loads(loads.size / 2) / 100.0}%.1f,"max":${loads.last / 100.0}%.1f}""" +
+        (if (others.isEmpty) ""
+         else f""","other_cpu":{"p50":${others(others.size / 2) / 100.0}%.1f,"max":${others.last / 100.0}%.1f}""")
+    // the source-tree stamp: ties this record to the code it
+    // measured (ADVICE r19 — contextRefuted demands it of isolated
+    // records)
+    val treeJson = benchTree.map(t => s""","tree":"$t"""").getOrElse("")
     val lineFull =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsFull,"iters":$itersJson,"diag":$diagJson,"index_warm":$warmSec%.3f$failedJson$onlyJson$dirtyFullJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_ok":$nOk,"queries":$qsFull,"iters":$itersJson,"diag":$diagJson,"index_warm":$warmSec%.3f$failedJson$onlyJson$dirtyFullJson$loadJson$treeJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), lineFull)
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     // Compact line → stdout, printed LAST so it lands inside the
     // launcher's 2000-char tail window (sbt appends one ~80-char
-    // "[success]" line after us). Keys are the unique id prefix of each
-    // query name ("t08_winnow_fingerprint" → "t08"); ~1.2k chars total.
+    // "[success]" line after us). The per-query map does NOT ride
+    // here (VERDICT r19 item 3: 193 entries are ~2.4k chars alone —
+    // the head of the line was truncated out of the driver record
+    // for 19 straight rounds and `parsed` never populated); the full
+    // map lives in bench_out.json, stdout carries per-FAMILY totals,
+    // the flagship seconds, and the flag maps. Keys in the flag maps
+    // are the unique id prefix of each query name
+    // ("t08_winnow_fingerprint" → "t08").
     val prefixCounts = mins.groupBy(_._1.takeWhile(_ != '_')).map {
       case (p, g) => p -> g.size
     }
@@ -622,9 +752,23 @@ object Bench {
       val p = k.takeWhile(_ != '_')
       if (prefixCounts.getOrElse(p, 2) == 1) p else k
     }
-    val qsShort = mins.map { case (k, v) =>
-      "\"" + shortKey(k) + "\":" + fmt(v, 2)
-    }.mkString("{", ",", "}")
+    // per-family (first letter: g/m/q/s/t/v) second totals — the
+    // drift signal the full map carried, at 1/30th the chars
+    val famJson = ok.groupBy(_._1.take(1)).toSeq.sortBy(_._1)
+      .map { case (f, g) => "\"" + f + "\":" + fmt(g.map(_._2).sum, 1) }
+      .mkString("{", ",", "}")
+    // the flagship rows the judge compares against BASELINE.md ride
+    // the compact line explicitly (they no longer have a map to
+    // live in)
+    val minsMap = mins.toMap
+    val flagshipJson = Seq("g06_alaska_cleaned_replay" -> "g06",
+      "g06b_cleaned_geometry" -> "g06b")
+      .flatMap { case (full, short) => minsMap.get(full)
+        .filter(!_.isInfinite).map(v => "\"" + short + "\":" + fmt(v, 3)) }
+      match {
+        case Nil => ""
+        case fs => fs.mkString(""","flagship":{""", ",", "}")
+      }
     // Previous-round mins, for regression flagging (VERDICT r14 item
     // 4): a sub-second entry that blows up 4× never reaches the
     // slowest-8 spread, so its noise-vs-regression signature was
@@ -760,7 +904,7 @@ object Bench {
           .collect {
             case prev if prev > 0 && ts.min > 2 * prev =>
               (k, ts, ts.min / prev,
-                contextRefuted(isoMins.get(k), prev))
+                contextRefuted(isoRecords.get(k), prev, benchTree))
           }
       }
     // a >2× suite delta REFUTED by the committed isolated record is
@@ -772,9 +916,9 @@ object Bench {
     // deltas ship in their own map so the information survives.
     val (ctxFlags, realFlags) = allFlags.partition(_._4)
     val regressedEntries = realFlags
-      .map(f => (f._1, f._2, f._3)).sortBy(-_._3).take(12)
+      .map(f => (f._1, f._2, f._3)).sortBy(-_._3).take(8)
     val suiteCtxEntries = ctxFlags
-      .map(f => (f._1, f._2, f._3)).sortBy(-_._3).take(12)
+      .map(f => (f._1, f._2, f._3)).sortBy(-_._3).take(8)
     // Intra-run max/min outliers join the spread line too: a
     // warm-slower-than-cold pathology can leave the MIN looking
     // healthy while iterations 2..N blow up (t06 in r15) — neither
@@ -783,7 +927,7 @@ object Bench {
     // capped like regressedEntries: an across-the-board contention
     // round must not push the compact line past the launcher's
     // 2000-char tail window
-    val wideEntries = wideSpreadEntries(wideBasis).take(12)
+    val wideEntries = wideSpreadEntries(wideBasis).take(8)
     // Iteration spreads for the slowest entries OVERALL → the stdout
     // line too (VERDICT r12 item 7, widened per r13 item 6: the
     // round-13 contention cluster hit the t-family and was only
@@ -793,15 +937,18 @@ object Bench {
     // shifted one as a real regression. Bounded to the 8 slowest
     // plus the >2×-regressed set so the line stays inside the
     // launcher's 2000-char tail window.
+    // slowest-4 + flagged only (VERDICT r19 item 3: the former
+    // slowest-8 + up-to-36 flagged pushed the line past the
+    // launcher's window — everything else lives in bench_out.json)
     val spreadEntries = (results
       .filter { case (_, ts) => !ts.min.isInfinite }
       .sortBy { case (_, ts) => -ts.min }
-      .take(8) ++ regressedEntries.map(r => (r._1, r._2)) ++
+      .take(4) ++ regressedEntries.map(r => (r._1, r._2)) ++
       suiteCtxEntries.map(r => (r._1, r._2)) ++
       wideEntries.map(r => (r._1, r._2)))
       .distinctBy(_._1)
-    val spread = spreadEntries
-      .map { case (k, ts) =>
+    def spreadJson(entries: Seq[(String, Seq[Double])]): String =
+      entries.map { case (k, ts) =>
         "\"" + shortKey(k) + "\":" +
           ts.map(fmt(_, 1)).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
@@ -821,40 +968,25 @@ object Bench {
       else wideEntries.map { case (k, _, r) =>
         "\"" + shortKey(k) + "\":" + fmt(r, 1)
       }.mkString(""","wide":{""", ",", "}")
-    // OS load summary on the DRIVER-VISIBLE line (r17, after the
-    // in-suite t-family forensics attributed driver-record slowdowns
-    // to co-located box load): p50/max of the per-entry 1-min load
-    // average. A record whose max load far exceeds the worker count
-    // names its own contamination — no bench_out.json forensics, no
-    // next-round isolated re-measure needed to call it.
-    val loads = diag.values.map(_._2.load100).toSeq.sorted
-    // other-process cpu summary beside the raw load: the number the
-    // contamination verdict actually used (r19) — a clean record is
-    // one whose other.max stayed under the trigger, whatever the
-    // self-load pushed the load average to
-    val others = diag.values.toSeq
-      .flatMap { case (a, b) => otherCores100(a, b) }.sorted
-    val loadJson =
-      if (loads.isEmpty) ""
-      else f""","load":{"p50":${loads(loads.size / 2) / 100.0}%.1f,"max":${loads.last / 100.0}%.1f}""" +
-        (if (others.isEmpty) ""
-         else f""","other_cpu":{"p50":${others(others.size / 2) / 100.0}%.1f,"max":${others.last / 100.0}%.1f}""")
-    // Field ORDER is deliberate: the line is ~2.4k chars against the
-    // launcher's 2000-char tail window, so its HEAD is truncated out
-    // of the driver record — the big queries/spread maps go first
-    // (losing their alphabetically-early keys to the cut; the full
-    // record is bench_out.json) and every scalar that must survive —
-    // totals, failures, the regression flags, load, sf — sits at the
-    // END, guaranteed inside the window.
-    // dirty sits with the other must-survive scalars at the END of
-    // the line: the NEXT round's baseline parse needs it even when
-    // the head of the record is truncated away
     val dirtyJson =
       if (stillDirty.isEmpty) ""
       else stillDirty.map("\"" + shortKey(_) + "\"")
         .mkString(""","dirty":[""", ",", "]")
-    val lineShort =
-      f"""{"metric":"total","queries":$qsShort,"spread":$spread$regressedJson$wideJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"value":$total%.3f,"unit":"sec","n_ok":$nOk$loadJson$dirtyJson,"sf":"$sfDir"}"""
+    // The WHOLE line must fit the launcher's 2000-char stdout tail
+    // window (minus sbt's ~80-char [success] trailer) or the
+    // driver's `parsed` field records null — which it did for 19
+    // straight rounds under the old full-map format (VERDICT r19
+    // item 3). Typical size is now ~700 chars; the guard below
+    // sheds spread entries (never the scalars or flag ratios) in
+    // the worst all-flagged case.
+    def mkShort(sp: Seq[(String, Seq[Double])]): String =
+      f"""{"metric":"total","fam":$famJson$flagshipJson,"spread":${spreadJson(sp)}$regressedJson$wideJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"value":$total%.3f,"unit":"sec","n_ok":$nOk$loadJson$treeJson$dirtyJson,"sf":"$sfDir"}"""
+    var spreadKept = spreadEntries
+    var lineShort = mkShort(spreadKept)
+    while (lineShort.length > 1900 && spreadKept.nonEmpty) {
+      spreadKept = spreadKept.dropRight(1)
+      lineShort = mkShort(spreadKept)
+    }
     println(lineShort)
     spark.stop()
   }

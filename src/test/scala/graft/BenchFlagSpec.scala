@@ -123,17 +123,58 @@ class BenchFlagSpec extends AnyFunSuite {
       contended._2._2, otherLimit, loadLimit) === true)
   }
 
-  test("contextRefuted: an isolated record at baseline level " +
-      "refutes a suite-context delta; an elevated or missing one " +
-      "lets the regression flag stand") {
+  test("contextRefuted: an isolated record at baseline level from " +
+      "the SAME tree refutes a suite-context delta; an elevated, " +
+      "missing, stale-tree, or unstamped one lets the flag stand") {
+    val tree = Some("abc123")
+    def rec(min: Double, t: Option[String] = tree) =
+      Some(Bench.IsoRecord(min, t))
     // iso == baseline (iso IS the min): classic suite-context shape
-    assert(Bench.contextRefuted(Some(1.9), 1.9))
+    assert(Bench.contextRefuted(rec(1.9), 1.9, tree))
     // iso mildly above baseline (prev was the min): still refuted
-    assert(Bench.contextRefuted(Some(2.6), 1.9))
+    assert(Bench.contextRefuted(rec(2.6), 1.9, tree))
     // iso itself elevated vs baseline: the code regressed — flag
-    assert(!Bench.contextRefuted(Some(4.0), 1.9))
+    assert(!Bench.contextRefuted(rec(4.0), 1.9, tree))
     // no isolated record: cannot refute
-    assert(!Bench.contextRefuted(None, 1.9))
+    assert(!Bench.contextRefuted(None, 1.9, tree))
+    // ADVICE r19: a record from a DIFFERENT tree never measured the
+    // benched code — it cannot witness "the code's price did not
+    // move", so the flag stands
+    assert(!Bench.contextRefuted(rec(1.9, Some("other")), 1.9, tree))
+    // pre-r20 records carry no stamp: conservative, flag stands
+    assert(!Bench.contextRefuted(rec(1.9, None), 1.9, tree))
+    // the bench run itself outside a checkout: no identity, no
+    // refutation
+    assert(!Bench.contextRefuted(rec(1.9), 1.9, None))
+    assert(!Bench.contextRefuted(rec(1.9, None), 1.9, None))
+  }
+
+  test("sourceTreeHash: stable for an unchanged tree, moves when " +
+      "any source file's bytes move, None outside a checkout") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tree").toFile
+    val src = new java.io.File(root, "src/main/scala/x")
+    src.mkdirs()
+    def put(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(src, name).toPath, body)
+    try {
+      put("A.scala", "object A")
+      put("B.scala", "object B")
+      val h1 = Bench.sourceTreeHash(root.getAbsolutePath)
+      val h2 = Bench.sourceTreeHash(root.getAbsolutePath)
+      assert(h1.isDefined && h1 === h2, "same tree, same hash")
+      put("B.scala", "object B { val x = 1 }")
+      val h3 = Bench.sourceTreeHash(root.getAbsolutePath)
+      assert(h3.isDefined && h3 != h1, "edited tree, new hash")
+      assert(Bench.sourceTreeHash("/nonexistent-root").isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
   }
 
   test("mergeRetakes: mins merge first pass ++ retake " +
@@ -240,6 +281,18 @@ class BenchFlagSpec extends AnyFunSuite {
         "m01_media_meta" -> 0.400))
       // no record in the first dir with any -> empty for a bogus dir
       assert(Bench.isolatedMins(Seq("/nonexistent"), "/sf").isEmpty)
+      // VERDICT r19 item 2b: an entry the record itself marked
+      // dirty (contaminated through its own retake) is refused;
+      // the record's tree stamp rides on every surviving entry
+      write("bench_isolated_r19_s.json",
+        """{"queries":{"s01_a":1.0,"s02_b":2.0},""" +
+          """"dirty":["s02_b"],"tree":"deadbeef","sf":"/sf"}""")
+      val recs = Bench.isolatedRecords(Seq(dir.getAbsolutePath), "/sf")
+      assert(recs("s01_a") === Bench.IsoRecord(1.0, Some("deadbeef")))
+      assert(!recs.contains("s02_b"),
+        "a dirty isolated entry must not anchor anything")
+      // unstamped (pre-r20) records parse with tree = None
+      assert(recs("t16_band_index").tree.isEmpty)
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete(); ()
     }
