@@ -85,7 +85,9 @@ object SparkEntry {
         "s29_stream_cdc_compose" -> ((s, d) =>
           EventStreams.replayCdcCompose(s, d)),
         "s30_stream_schema_evolution" -> ((s, d) =>
-          EventStreams.replaySchemaEvolution(s, d)))
+          EventStreams.replaySchemaEvolution(s, d)),
+        "s31_stream_compaction" -> ((s, d) =>
+          EventStreams.replayCompaction(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -148,6 +150,7 @@ object SparkEntry {
     }
     VectorOps.ensureIvfPqIndex(spark, dir)
     VectorOps.ensureMatryoshkaPrefix(spark, dir) // v18's narrow prefix
+    VectorOps.ensureKnnGraphIndex(spark, dir) // v24's serve artifact
     TextOps.ensureDedupGroups(spark, dir) // t27's persisted cluster map
     // m18's staged media-side blob table (review r17 item 2) — the
     // two-scan pair join reads it as its own parquet source
@@ -422,5 +425,14 @@ object SparkEntry {
             |        mm.lo + 8 * ((mm.hi - mm.lo + 9) // 10)
             |      THEN CAST(round(value * 100) AS BIGINT) END)
             |    AS max_cents_since_evo
-            |FROM f, mm GROUP BY user_id ORDER BY user_id""".stripMargin)
+            |FROM f, mm GROUP BY user_id ORDER BY user_id""".stripMargin,
+        // s31 compacts the artifact mid-lifecycle (after slice 7 of
+        // 10) and resumes the merge loop on top of the compacted
+        // generations; compaction rewrites committed bytes without
+        // changing them and the commit marker never moves, so the
+        // head ≡ the uncompacted head ≡ batch q46 — q46's oracle
+        // proves the rewrite lost nothing and the resumed merges
+        // read the compacted state correctly
+        "s31_stream_compaction" ->
+          Relational.oracles("q46_changelog_compact"))
 }

@@ -1864,8 +1864,193 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
+  /** v24 beam width (HNSW's efSearch), hop budget, result depth, and
+    * query-set bound — each pinned independently by the oracle.
+    */
+  private[graft] val KnnBeamEf = 32
+  private[graft] val KnnBeamHops = 3
+  private[graft] val KnnBeamTopK = 3
+  private val KnnBeamMaxQid = 3
+
+  /** Build-or-reuse the persisted kNN-graph SERVE artifact for sf-dir
+    * `d` (StageCache keyed by the embeddings fingerprint, like v09's
+    * IVF+PQ index): one row per corpus node — its snapped grid vector,
+    * its cell under the trained integer coarse quantizer, and its
+    * ordered top-[[KnnGraphK]] adjacency list — partitioned by cell,
+    * which is what lets a serve query read ONLY its own cell's
+    * partition. This is the storage shape a graph-ANN serve tier
+    * actually holds: vectors and adjacency co-located per shard.
+    */
+  private[graft] def ensureKnnGraphIndex(s: SparkSession, d: String)
+      : DataFrame = {
+    import graft.pipeline.StageCache
+    val cache = new StageCache(s, StageCache.indexRoot)
+    val ver = cache.versionHash(Seq("knngraph", "v1",
+      s"nlist=$IvfIntNlist", s"k=$KnnGraphK", s"dim=$Dim"))
+    val inputs = Seq(s"$d/embeddings.parquet")
+    cache.stage("knn_graph_adj", ver, inputs,
+        partitionCols = Seq("cell")) {
+      val (edges, assigned) = knnGraphRanked(s, d)
+      val adj = edges
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("rank"),
+          col("neighbor_id"), col("d2")))).as("rnbrs"))
+        .select(col("vec_id"), transform(col("rnbrs"),
+          x => struct(x.getField("neighbor_id").as("neighbor_id"),
+            x.getField("d2").as("d2"))).as("nbrs"))
+      val out = assigned.select("vec_id", "qv", "cell")
+        .join(adj, Seq("vec_id"), "left")
+        .localCheckpoint() // the cache's write re-reads `assigned`
+      assigned.unpersist()
+      out
+    }
+  }
+
+  /** v24 — GRAPH-SERVE ANN: greedy beam search over the MAINTAINED
+    * kNN graph (the HNSW-style serve shape that completes the graph
+    * family — v20 builds it, s17 maintains it, s25/s28 time-travel
+    * and diff it; this is the query that serves FROM it). Per query:
+    * enter at the minimum vec_id of the query's cell, then
+    * [[KnnBeamHops]] rounds of expand-and-prune — candidates are the
+    * current beam plus every graph neighbor of a beam member, the
+    * next beam is the top-[[KnnBeamEf]] by exact integer (d²,
+    * vec_id) — and the answer is the beam's top-[[KnnBeamTopK]]
+    * excluding the query itself. Every step is integer-exact and
+    * deterministically tie-broken, so the DuckDB oracle replays the
+    * whole search as a generated fixed-depth CTE chain (one
+    * candidate/distance/rank block per hop — the v22/v23 pattern)
+    * on top of the shared quantizer + graph CTEs.
+    *
+    * SCALE SHAPE — the distributed serve pattern every graph-ANN
+    * system uses (route the query to its shard; the shard walks its
+    * own subgraph in memory): the corpus side is ONE artifact read,
+    * partition-PRUNED to the queries' cells (plan-gated in
+    * PlanSpec); the walk runs inside `flatMapGroups` per cell, so
+    * per-task state is one cell's nodes — constant width, since
+    * nlist grows ∝ corpus (the v16/v20 receipt) — and the frontier
+    * itself is bounded by ef, a config constant, per query. Edges
+    * are intra-cell by construction, so a cell group is closed
+    * under expansion: no hop ever needs data the pruned read did
+    * not already co-locate. No driver round-trips, no per-hop
+    * shuffles — one exchange to group the pruned cells, then pure
+    * in-memory search.
+    */
+  val v24GraphBeamServe: Q = (s, d) => {
+    import org.apache.spark.sql.{Encoders, Row}
+    val idx = ensureKnnGraphIndex(s, d)
+    val cents = intCoarseModel(s, d)
+    // query meta (snap + route): driver-side and BOUNDED — the fixed
+    // query set, never the corpus
+    val qMeta: Seq[(Long, Int, Array[Long])] = fixedEmb(s, d)
+      .filter(col("vec_id") < KnnBeamMaxQid)
+      .select("vec_id", "qv").collect().toSeq
+      .map { r =>
+        val qv = r.getSeq[Long](1).toArray
+        (r.getLong(0), nearestCellInt(cents, qv), qv)
+      }
+    val cells = qMeta.map(_._2).distinct.sorted
+    // ONE pruned artifact read: only the queries' cell partitions
+    val sub = graft.streaming.EventStreams
+      .pruneToPartitions(idx, "cell", cells)
+      .select("cell", "vec_id", "qv", "nbrs")
+    val bcQ = s.sparkContext.broadcast(qMeta)
+    val ef = KnnBeamEf; val hops = KnnBeamHops; val topK = KnnBeamTopK
+    val served = sub
+      .groupByKey((r: Row) => r.getInt(0))(Encoders.scalaInt)
+      .flatMapGroups { (cell: Int, rows: Iterator[Row]) =>
+        val nodes = rows.map { r =>
+          val nbrs = Option(r.getSeq[Row](3)).getOrElse(Seq.empty)
+            .map(_.getLong(0)).toArray
+          (r.getLong(1), r.getSeq[Long](2).toArray, nbrs)
+        }.toArray
+        val byId = nodes.map(n => n._1 -> n).toMap
+        val entry = nodes.iterator.map(_._1).min
+        bcQ.value.iterator.filter(_._2 == cell).flatMap {
+          case (qid, _, qv) =>
+            def d2(x: Array[Long]): Long = {
+              var i = 0; var acc = 0L
+              while (i < qv.length) {
+                val t = qv(i) - x(i); acc += t * t; i += 1
+              }
+              acc
+            }
+            var beam: Seq[Long] = Seq(entry)
+            (1 to hops).foreach { _ =>
+              val cand = (beam ++ beam.flatMap(id => byId(id)._3))
+                .distinct
+              beam = cand.map(id => (d2(byId(id)._2), id))
+                .sorted.take(ef).map(_._2)
+            }
+            beam.map(id => (d2(byId(id)._2), id))
+              .filter(_._2 != qid).sorted.take(topK)
+              .zipWithIndex.map { case ((d, id), i) =>
+                (qid, i + 1, id, d)
+              }
+        }
+      }(Encoders.product[(Long, Int, Long, Long)])
+      .toDF("qid", "rk", "vec_id", "d2")
+    served.orderBy("qid", "rk")
+  }
+
+  /** v24's oracle: the shared quantizer + graph CTEs, entry points
+    * (min vec_id per cell), then one generated
+    * candidates/distances/beam CTE block per hop — SQL UNION dedups
+    * exactly like the engine's `.distinct`, and every rank is over
+    * the same BIGINT (d², vec_id) order — finishing with the
+    * self-excluded top-[[KnnBeamTopK]].
+    */
+  private def knnBeamServeOracle: String = {
+    val hops = (1 to KnnBeamHops).map { i =>
+      s"""cnd$i AS (
+         |  SELECT qid, node FROM bm${i - 1}
+         |  UNION
+         |  SELECT b.qid, g.neighbor_id AS node
+         |  FROM bm${i - 1} b JOIN g ON g.vec_id = b.node),
+         |cd$i AS (
+         |  SELECT c.qid, c.node,
+         |    CAST(sum((fa.qx - fb.qx) * (fa.qx - fb.qx)) AS BIGINT)
+         |      AS d2
+         |  FROM cnd$i c
+         |  JOIN fx fa ON fa.vec_id = c.node
+         |  JOIN fx fb ON fb.vec_id = c.qid AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |bm$i AS (
+         |  SELECT qid, node FROM (
+         |    SELECT qid, node, row_number() OVER (
+         |      PARTITION BY qid ORDER BY d2, node) AS rn
+         |    FROM cd$i) WHERE rn <= $KnnBeamEf)""".stripMargin
+    }.mkString(",\n")
+    s"""$ivfIntCoreCtes,
+       |$knnGraphEdgeCtes,
+       |qc AS (
+       |  SELECT vec_id AS qid, cell FROM asg
+       |  WHERE vec_id < $KnnBeamMaxQid),
+       |ent AS (SELECT cell, min(vec_id) AS entry FROM asg GROUP BY 1),
+       |bm0 AS (
+       |  SELECT q.qid, e.entry AS node
+       |  FROM qc q JOIN ent e ON e.cell = q.cell),
+       |$hops,
+       |fin AS (
+       |  SELECT b.qid, b.node,
+       |    CAST(sum((fa.qx - fb.qx) * (fa.qx - fb.qx)) AS BIGINT)
+       |      AS d2
+       |  FROM bm$KnnBeamHops b
+       |  JOIN fx fa ON fa.vec_id = b.node
+       |  JOIN fx fb ON fb.vec_id = b.qid AND fb.i = fa.i
+       |  WHERE b.node <> b.qid
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rn AS INT) AS rk, node AS vec_id, d2
+       |FROM (
+       |  SELECT qid, node, d2, row_number() OVER (
+       |    PARTITION BY qid ORDER BY d2, node) AS rn
+       |  FROM fin)
+       |WHERE rn <= $KnnBeamTopK
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "v23_mmr_rerank" -> v23MmrRerank,
+    "v24_graph_beam_serve" -> v24GraphBeamServe,
     "v17_range_search" -> v17RangeSearch,
     "v18_ann_matryoshka" -> v18AnnMatryoshka,
     "v19_cluster_profile" -> v19ClusterProfile,
@@ -2497,6 +2682,11 @@ object VectorOps {
     // power-iteration layers — all-integer arithmetic (// truncation
     // pairs with Spark's DIV), recomputed from scratch
     "v22_graph_centrality" -> graphCentralityOracle,
+    // v24: the shared quantizer + graph CTEs, then the generated
+    // per-hop beam blocks — the whole greedy search (entry points,
+    // every candidate set, every beam cut, the final self-excluded
+    // top-k) recomputed from the raw table
+    "v24_graph_beam_serve" -> knnBeamServeOracle,
     // v21: v12's candidate/rank CTEs widened to top-10, an exact
     // brute top-10 per query, and the (qid, vec_id)-keyed hit count —
     // recall recomputed bit-for-bit

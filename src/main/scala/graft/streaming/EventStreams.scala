@@ -938,6 +938,87 @@ object EventStreams {
     } finally deleteRecursively(work)
   }
 
+  /** s31 — COMPACTION IN A LIVE LIFECYCLE (the declared surface of
+    * [[compactArtifact]]): the s16 changelog-compaction loop runs
+    * through slice 7 of 10, the artifact is compacted — every
+    * committed partition rewritten into one fresh generation from
+    * the [[CompactionGenFloor]] range under a new current-snapshot
+    * commit, history files untouched — and the REDEPLOYED loop then
+    * merges the remaining slices on top of the compacted state. The
+    * head readout must equal batch q46 over the whole log, which is
+    * exactly what q46's oracle recomputes from the raw table: the
+    * hash-match proves the rewrite lost and invented nothing, the
+    * commit marker did not move (a moved marker would make the
+    * resumed engine skip real batches — the readout would be missing
+    * three slices of events), and post-compaction merges read the
+    * compacted generations correctly. The deeper format properties —
+    * as-of reads resolving their ORIGINAL generations across a
+    * compaction, the file/generation collapse, crash-mid-compaction
+    * recovery — are StreamingSpec's, on purpose-built artifacts.
+    */
+  def replayCompaction(spark: SparkSession, dir: String): DataFrame =
+    replayCompactionWithStats(spark, dir)._1
+
+  /** Slice index (of 10) after which the s31 compaction runs. */
+  private[graft] val CompactSliceOfTen = 7
+
+  /** s31 plus (head batch when compaction ran, the compacted
+    * snapshot's distinct generation ids, head batch after the
+    * resumed deployment) for the StreamingSpec assertions: the
+    * generation set must be one id at-or-above
+    * [[CompactionGenFloor]], and the marker must sit at
+    * compactAt−1 / nBatches−1 respectively — compaction moves
+    * generations, never the batch clock.
+    */
+  def replayCompactionWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 10): (DataFrame, (Long, Seq[Long], Long)) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s31")
+      .toFile
+    try {
+      val all = stagedEventBatches(spark, dir, nBatches)
+      val compactAt = nBatches * CompactSliceOfTen / 10
+      // one incoming dir across both deployments (the s30 pattern):
+      // the checkpoint tracks processed files, so the resumed loop's
+      // AvailableNow picks up only the post-compaction slices
+      val src = s"${work.getAbsolutePath}/incoming"
+      new java.io.File(src).mkdirs()
+      def stage(r: Range): Unit = r.foreach { i =>
+        val s0 = new java.io.File(all, f"b$i%02d.parquet")
+        val d0 = new java.io.File(src, s0.getName)
+        java.nio.file.Files.copy(s0.toPath, d0.toPath)
+        d0.setLastModified(s0.lastModified) // keep slice order
+        ()
+      }
+      stage(0 until compactAt)
+      runArtifactMergeLoop(spark, work.getAbsolutePath, src,
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8)(
+        preAggUserState,
+        (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
+      val stateDir = s"${work.getAbsolutePath}/state"
+      val headBefore = lastCommittedBatch(stateDir)
+      compactArtifact(spark, stateDir,
+        lockBase = Some(work.getAbsolutePath))
+      val gensAfter = readSnapshot(stateDir)
+        .map(_._2.values.toSeq.distinct.sorted)
+        .getOrElse(Seq.empty)
+      stage(compactAt until nBatches)
+      val (artifact, _) = runArtifactMergeLoop(spark,
+        work.getAbsolutePath, src, stagedEventSchema,
+        bucketKey = Some("user_id"), nBuckets = 8)(
+        preAggUserState,
+        (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
+      val headAfter = lastCommittedBatch(stateDir)
+      val fin = compactReadout(artifact
+        .getOrElse(preAggUserState(emptyStagedFrame(spark))))
+      // HARNESS-bounded materialization before the temp dir dies
+      // (the s16 note applies: a deployment serves from the base)
+      val rows = fin.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fin.schema),
+        (headBefore, gensAfter, headAfter))
+    } finally deleteRecursively(work)
+  }
+
   /** s18 — STREAMING QUALITY-GATE ADMISSION (t39's streaming twin,
     * the admission controller at the ingest door): each arriving
     * document batch runs the full t39 rule chain INSIDE its
@@ -2301,6 +2382,96 @@ object EventStreams {
       }
   }
 
+  /** Floor of the generation-id range COMPACTION rewrites allocate
+    * from (2⁴⁰ ≈ 1.1e12): streaming generations are batch ids and
+    * legacy swaps allocate max+1 from the same small range, so a
+    * compacted generation living above the floor can never collide
+    * with a FUTURE streaming batch id — the collision the mixed-mode
+    * guard in [[swapPartitionDirs]] exists to refuse. Within the
+    * range, successive compactions count up from the floor.
+    */
+  private[graft] val CompactionGenFloor = 1L << 40
+
+  private def nextCompactionGen(liveDir: String): Long =
+    retainedGenerations(liveDir).values.flatten
+      .filter(_ >= CompactionGenFloor)
+      .maxOption.getOrElse(CompactionGenFloor - 1L) + 1L
+
+  /** s31 — TABLE-FORMAT COMPACTION (the OPTIMIZE /
+    * `rewrite_data_files` member of the artifact lifecycle, VERDICT
+    * r19 item 1 — the format now has current / as-of / diff /
+    * compose / evolve reads; this is the MAINTENANCE write that
+    * keeps them cheap after thousands of batches): rewrite every
+    * partition of the CURRENT committed snapshot into one fresh
+    * single-file generation and commit a new current snapshot
+    * referencing only those, without touching the retained history
+    * snapshots — time-travel readers keep resolving their ORIGINAL
+    * generations (`_snapshot_v<b>` files are not rewritten, and
+    * APPLY never deletes a retained generation), and retention
+    * releases the superseded generations on the ordinary schedule as
+    * later commits roll the history window forward. Reference
+    * analogue: the targets cache's one-object-per-node discipline
+    * (`_targets/meta/meta` — the cleaned store never accumulates
+    * stale object versions).
+    *
+    * Placement in the commit protocol: the rewrite is an ordinary
+    * [[swapPartitionDirs]] commit with `batchId = -1` (no commit
+    * marker — compaction is not a data batch, so the merge loop's
+    * replay-skip mark must not move) and a generation from the
+    * disjoint [[CompactionGenFloor]] range (no future batch-id
+    * collision). Crash-safe for free: the swap journals its full
+    * intent in the manifest before mutating anything, every
+    * committed snapshot stays readable at any crash point (APPLY
+    * keeps retained generations), and [[recoverTornSwap]] at the
+    * next loop start completes the interrupted compaction —
+    * StreamingSpec drives all three properties.
+    *
+    * THE 100 TB ARGUMENT: a long-lived merge loop leaves each hot
+    * partition with one generation dir per retained snapshot that
+    * touched it (bounded by retention, but each a full small-file
+    * write), and a real deployment's staged writes can leave
+    * several files per generation. Compaction is one distributed
+    * job — read the committed leaf dirs, one shuffle to re-cluster
+    * by partition, one file per partition out — after which the
+    * current snapshot references a single generation id across the
+    * artifact and read fan-in is one file per partition. It runs
+    * under the artifact's single-writer lock (pass `lockBase`)
+    * between batches, exactly like Iceberg's rewrite_data_files
+    * under its commit lock. Schema stamps are PRESERVED (the
+    * commit passes no DDL), and an evolved artifact's compacted
+    * files materialize the head schema with nulls — the Iceberg
+    * add-column backfill-on-rewrite behavior — while pre-deploy
+    * as-of reads keep their own stamp and their own bytes.
+    */
+  private[graft] def compactArtifact(spark: SparkSession,
+      liveDir: String, lockBase: Option[String] = None,
+      onPartitionApplied: String => Unit = _ => ()): Unit = {
+    val lock = lockBase.map(acquireWriterLock)
+    try {
+      // heal any torn prior commit (and run loop-start GC) before
+      // staging at the same stage path
+      recoverTornSwap(liveDir)
+      readSnapshotFull(liveDir) match {
+        case None => () // chained-mode / empty: nothing to compact
+        case Some((_, entries, _)) if entries.isEmpty => ()
+        case Some((_, entries, _)) =>
+          val partCol = entries.keysIterator.next()
+            .takeWhile(_ != '=')
+          // the committed head, under its schema stamp (an evolved
+          // artifact compacts to head-schema files, nulls filled)
+          val cur = readCommitted(spark, liveDir).get
+          cur
+            .repartition(col(partCol))
+            .write.partitionBy(partCol)
+            .parquet(stageDirFor(liveDir))
+          swapPartitionDirs(stageDirFor(liveDir), liveDir,
+            entries.keys.toSeq, batchId = -1L,
+            onPartitionApplied = onPartitionApplied,
+            genOverride = Some(nextCompactionGen(liveDir)))
+      }
+    } finally lock.foreach(_.close())
+  }
+
   /** Reader-side snapshot isolation (review r15): resolve a
     * swap-managed artifact's partitions from its last COMMITTED
     * snapshot — exact `k=v/g<gen>` leaf dirs, `basePath`-anchored so
@@ -2546,7 +2717,8 @@ object EventStreams {
       liveDir: String, touched: Seq[String] = Seq.empty,
       batchId: Long = -1L,
       onPartitionApplied: String => Unit = _ => (),
-      schemaDdl: Option[String] = None): Unit = {
+      schemaDdl: Option[String] = None,
+      genOverride: Option[Long] = None): Unit = {
     val live = new java.io.File(liveDir)
     java.nio.file.Files.createDirectories(live.toPath)
     // upgrade path: a pre-snapshot artifact (loose files directly
@@ -2562,11 +2734,15 @@ object EventStreams {
     // (strictly growing — the batch-0 guard and the replay skip
     // enforce it), else one past EVERY retained generation (not just
     // the current snapshot's — colliding with a history-referenced
-    // gen would overwrite a retained version in place, review r16)
-    val gen =
+    // gen would overwrite a retained version in place, review r16).
+    // `genOverride` is the COMPACTION path (s31): its rewrites
+    // allocate from the disjoint [[CompactionGenFloor]] range so a
+    // later streaming batch id can never land on a retained
+    // compaction generation and trip the mixed-mode guard below.
+    val gen = genOverride.getOrElse(
       if (batchId >= 0L) batchId
       else (committed.values ++ retained.values.flatten)
-        .maxOption.getOrElse(-1L) + 1L
+        .maxOption.getOrElse(-1L) + 1L)
     // mixed-mode guard (ADVICE r16): a legacy (batchId = -1) swap
     // allocates past every retained generation, so a LATER streaming
     // swap whose batch id lands on a still-retained legacy gen would

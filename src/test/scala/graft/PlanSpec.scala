@@ -71,6 +71,43 @@ class PlanSpec extends SparkSpec {
       s"query-set filter not pushed into the parquet scan:\n$p")
   }
 
+  test("v24: the serve plan reads the graph artifact ONCE, " +
+      "partition-pruned to the queries' cells; the walk itself adds " +
+      "no corpus shuffle beyond the single cell grouping") {
+    val df = SparkEntry.queries("v24_graph_beam_serve")(spark, sf)
+    val inner = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val scans = inner.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // ONE pruned artifact read: the stored node+adjacency artifact is
+    // the plan's only file source (queries were resolved driver-side,
+    // bounded), and its scan selects at most one cell partition per
+    // query instead of the whole graph
+    assert(scans.length === 1,
+      s"expected exactly one file scan, got ${scans.length}:\n$inner")
+    assert(scans.head.relation.location.rootPaths
+      .exists(_.toString.contains("knn_graph_adj")),
+      s"the sole scan must read the serve artifact:\n$inner")
+    val pruned = scans.head.selectedPartitions.partitionCount
+    assert(pruned >= 1 && pruned <= 3,
+      s"scan must touch at most one cell per query (3 queries), " +
+        s"read $pruned partitions:\n$inner")
+    val p = inner.toString
+    assert(p.contains("PartitionFilters: [cell") && p.contains(" IN ("),
+      s"cell pruning must land in PartitionFilters:\n$p")
+    // the search is in-memory per cell group: at most one hash
+    // exchange (the groupByKey on cell — elided entirely when the
+    // pruned read is already narrow enough) and no join of any kind
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"the walk must not shuffle beyond the cell grouping:\n$p")
+    assert(!p.contains("Join"),
+      s"the serve path must not join — adjacency is co-located:\n$p")
+  }
+
   test("t47: fuzzy-resolution candidates come from the two block-key " +
       "equi-joins — no all-pairs join, best-match top-1 pruned " +
       "before the final pick") {

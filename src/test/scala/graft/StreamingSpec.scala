@@ -1504,6 +1504,227 @@ class StreamingSpec extends SparkSpec {
       "expected at least one post-deploy-active user")
   }
 
+  test("s31 declared replay: compaction mid-lifecycle leaves the " +
+      "head ≡ the uncompacted head, the batch clock untouched, and " +
+      "the compacted snapshot on one generation id above the floor") {
+    val (df, (headBefore, gensAfter, headAfter)) =
+      EventStreams.replayCompactionWithStats(spark, sf)
+    assert(headBefore === 6L,
+      s"compaction must run at the 7-slice mark, got $headBefore")
+    assert(headAfter === 9L,
+      "the resumed deployment must commit the remaining slices — a " +
+        s"moved marker would have skipped them, got $headAfter")
+    assert(gensAfter.length === 1 &&
+      gensAfter.head >= EventStreams.CompactionGenFloor,
+      s"the compacted snapshot must reference ONE generation id " +
+        s"from the compaction range, got $gensAfter")
+    val (headDf, _) =
+      EventStreams.replayChangelogCompactWithStats(spark, sf)
+    assert(df.orderBy("user_id").collect().toSeq ===
+      headDf.orderBy("user_id").collect().toSeq,
+      "the compacted-then-resumed head must equal the plain s16 head")
+  }
+
+  // shared builder for the compaction format tests: a 4-bucket
+  // artifact committed by `nBatches` streaming swaps whose staged
+  // generations hold exactly FOUR files per partition (four
+  // single-task appends into the stage) — the small-file shape a
+  // real deployment's staged writes leave.
+  private def buildMultiFileArtifact(base: String, nBatches: Int)
+      : String = {
+    import spark.implicits._
+    val live = s"$base/state"
+    (0 until nBatches).foreach { b =>
+      val stage = EventStreams.stageDirFor(live)
+      (0L until 4L).foreach { j =>
+        (0L until 8L).map(k => (k, 100L * b + 10L * k + j))
+          .toDF("k", "v")
+          .withColumn("bkt", pmod(col("k"), lit(4)).cast("int"))
+          .coalesce(1)
+          .write.mode("append").partitionBy("bkt").parquet(stage)
+      }
+      EventStreams.swapPartitionDirs(stage, live,
+        (0 until 4).map(i => s"bkt=$i"), batchId = b.toLong)
+    }
+    live
+  }
+
+  private def dataFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).toSeq
+
+  // the snapshot file format is a public on-disk contract
+  // (batch=…, part=<name>\tgen=<id> lines) — parse it here so the
+  // test observes the artifact exactly as an external tool would
+  private def readSnapshotEntries(live: String)
+      : Map[String, Long] =
+    readSnapshotFileEntries(new java.io.File(live, "_snapshot"))
+
+  private def readSnapshotFileEntries(f: java.io.File)
+      : Map[String, Long] =
+    new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.startsWith("part="))
+      .map { l =>
+        val cols = l.split("\t")
+        cols(0).stripPrefix("part=") ->
+          cols(1).stripPrefix("gen=").toLong
+      }.toMap
+
+  test("compactArtifact: the head collapses to one single-file " +
+      "generation per partition, retained as-of snapshots keep " +
+      "resolving their ORIGINAL generations byte-for-byte, and " +
+      "retention + loop-start GC release the superseded " +
+      "generations on the ordinary schedule") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-s31-fmt").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val live = buildMultiFileArtifact(base, 2)
+      def headRows(): Seq[(Long, Long)] =
+        EventStreams.readCommitted(spark, live).get
+          .select("k", "v").orderBy("k", "v")
+          .as[(Long, Long)].collect().toSeq
+      def asOfRows(b: Long): Seq[(Long, Long)] =
+        EventStreams.readCommittedAsOf(spark, live, b).get
+          .select("k", "v").orderBy("k", "v")
+          .as[(Long, Long)].collect().toSeq
+      val headBefore = headRows()
+      val asOf0Before = asOfRows(0L)
+      // the retained history files and the generation dirs they
+      // reference, byte-for-byte, BEFORE the compaction
+      val histFiles = Option(new java.io.File(live).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("_snapshot_v")).toSeq
+      assert(histFiles.nonEmpty)
+      val histBytes = histFiles.map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      val origGenFiles = histFiles.flatMap { h =>
+        readSnapshotFileEntries(h).map { case (p, g) =>
+          val d = new java.io.File(live, s"$p/g$g")
+          (s"$p/g$g", dataFiles(d).map(_.getName).sorted)
+        }
+      }.toMap
+      // pre-compaction committed generations hold the deployment's
+      // small files — the shape compaction exists to fix
+      readSnapshotEntries(live).foreach { case (p, g) =>
+        val n = dataFiles(new java.io.File(live, s"$p/g$g")).size
+        assert(n > 1, s"$p/g$g expected multi-file, got $n")
+      }
+      EventStreams.compactArtifact(spark, live)
+      // (1) head content identical, layout collapsed: one
+      // generation id across the artifact, one file per partition
+      assert(headRows() === headBefore,
+        "compaction must not change the head's rows")
+      val snapAfter = readSnapshotEntries(live)
+      assert(snapAfter.values.toSet.size === 1 &&
+        snapAfter.values.forall(_ >= EventStreams.CompactionGenFloor))
+      snapAfter.foreach { case (p, g) =>
+        val n = dataFiles(new java.io.File(live, s"$p/g$g")).size
+        assert(n === 1, s"$p/g$g expected 1 file after compaction, " +
+          s"got $n")
+      }
+      // (2) retained snapshots untouched: same history bytes, same
+      // original generation dirs with the same files, same as-of rows
+      histFiles.foreach { f =>
+        assert(java.nio.file.Files.readAllBytes(f.toPath).toSeq ===
+          histBytes(f.getName),
+          s"${f.getName} must not be rewritten by compaction")
+      }
+      origGenFiles.foreach { case (leaf, files) =>
+        assert(dataFiles(new java.io.File(live, leaf))
+          .map(_.getName).sorted === files,
+          s"retained generation $leaf must keep its original files")
+      }
+      assert(asOfRows(0L) === asOf0Before,
+        "as-of reads must resolve the original generations")
+      // (3) the batch clock did not move — a resumed deployment
+      // continues from batch 2, and its swaps pass the mixed-mode
+      // guard because compaction generations live above the floor
+      assert(EventStreams.lastCommittedBatch(live) === 1L)
+      (2 until 5).foreach { b =>
+        val stage = EventStreams.stageDirFor(live)
+        (0L until 8L).flatMap(k => (0L until 4L).map(j =>
+          (k, 100L * b + 10L * k + j)))
+          .toDF("k", "v")
+          .withColumn("bkt", pmod(col("k"), lit(4)).cast("int"))
+          .repartition(4, col("v"))
+          .write.partitionBy("bkt").parquet(stage)
+        EventStreams.swapPartitionDirs(stage, live,
+          (0 until 4).map(i => s"bkt=$i"), batchId = b.toLong)
+      }
+      assert(EventStreams.lastCommittedBatch(live) === 4L)
+      // (4) retention rolled past both the pre-compaction and the
+      // compaction generations; loop-start GC releases them — the
+      // generation sprawl is gone, not just hidden
+      EventStreams.recoverTornSwap(live)
+      val gensLeft = Option(new java.io.File(live).listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("bkt="))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .map(_.getName).toSet
+      assert(gensLeft === Set("g2", "g3", "g4"),
+        s"only the retained streaming generations may remain, got " +
+          s"$gensLeft")
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
+  test("compactArtifact: a crash mid-rewrite leaves every committed " +
+      "snapshot readable with its pre-compaction content, and " +
+      "recovery at the next loop start COMPLETES the compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-s31-crash").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val live = buildMultiFileArtifact(base, 2)
+      def headRows(): Seq[(Long, Long)] =
+        EventStreams.readCommitted(spark, live).get
+          .select("k", "v").orderBy("k", "v")
+          .as[(Long, Long)].collect().toSeq
+      val headBefore = headRows()
+      val snapBefore = readSnapshotEntries(live)
+      val asOf0Before = EventStreams
+        .readCommittedAsOf(spark, live, 0L).get
+        .select("k", "v").orderBy("k", "v")
+        .as[(Long, Long)].collect().toSeq
+      // crash after the SECOND partition apply: the live tree holds
+      // a mix of compacted and uncompacted partitions, the manifest
+      // is still in place, the snapshot still points at the old gens
+      var applied = 0
+      val boom = intercept[RuntimeException](
+        EventStreams.compactArtifact(spark, live,
+          onPartitionApplied = _ => {
+            applied += 1
+            if (applied == 2) throw new RuntimeException("crash")
+          }))
+      assert(boom.getMessage === "crash")
+      // every committed snapshot still serves its pre-crash content
+      // (APPLY never touches a retained generation; the current
+      // snapshot is only rewritten at COMMIT, which never ran)
+      assert(readSnapshotEntries(live) === snapBefore,
+        "a torn compaction must not have committed")
+      assert(headRows() === headBefore)
+      assert(EventStreams.readCommittedAsOf(spark, live, 0L).get
+        .select("k", "v").orderBy("k", "v")
+        .as[(Long, Long)].collect().toSeq === asOf0Before)
+      // recovery completes the interrupted compaction from its
+      // journal: same head, compacted layout, journal + stage gone
+      EventStreams.recoverTornSwap(live)
+      assert(headRows() === headBefore,
+        "recovery must complete the rewrite without changing rows")
+      val snapAfter = readSnapshotEntries(live)
+      assert(snapAfter.values.toSet.size === 1 &&
+        snapAfter.values.forall(_ >= EventStreams.CompactionGenFloor),
+        s"recovery must land the compacted snapshot, got $snapAfter")
+      assert(!new java.io.File(live, "_swap_manifest").exists())
+      assert(!new java.io.File(
+        EventStreams.stageDirFor(live)).exists())
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
   test("s26 pruned read: a version diff scans ONLY the bucket " +
       "partitions whose generation changed between the two " +
       "snapshots — a final batch touching one bucket yields a " +

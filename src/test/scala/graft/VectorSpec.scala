@@ -416,6 +416,64 @@ class VectorSpec extends SparkSpec {
       "recall is constant across queries — eval not discriminating")
   }
 
+  test("v24 graph-beam serve: ranked/self-excluded/d2-monotone per " +
+      "query, every result a graph node of the query's own cell, " +
+      "and recall vs the exact integer top-k shows the walk finds " +
+      "real neighbors (the v21-style receipt)") {
+    val rows = VectorOps.v24GraphBeamServe(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L), "one group per query")
+    byQ.foreach { case (qid, g) =>
+      val sorted = g.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length),
+        s"q$qid: ranks must be contiguous from 1")
+      val d2s = sorted.map(_.getLong(3))
+      assert(d2s.zip(d2s.tail).forall(p => p._1 <= p._2),
+        s"q$qid: d2 must be monotone over rank")
+      assert(!sorted.exists(_.getLong(2) == qid),
+        s"q$qid: the query itself must be excluded")
+    }
+    // exact integer top-k per query, brute-forced on the snapped
+    // grid under the SAME fixed coarse model the serve routes with.
+    // The walk's recall is measured against the exact top-k WITHIN
+    // THE QUERY'S CELL — what a single-probe graph serve can
+    // possibly return; recall against the global top-k additionally
+    // prices the IVF routing bet (a property of the quantizer, owned
+    // by v21's receipt, and legitimately lossy at this tiny SF where
+    // a query's true neighbors can land across a cell boundary).
+    val cents = VectorOps.intCoarseModel(spark, sf)
+    val all = VectorOps.assignIntCells(
+      Tables.embeddings(spark, sf).select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v")), cents)
+      .select("vec_id", "qv", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getInt(2)))
+    val vecs = all.map(t => t._1 -> t._2).toMap
+    val cellOf = all.map(t => t._1 -> t._3).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var acc = 0L
+      while (i < a.length) {
+        val t = a(i) - b(i); acc += t * t; i += 1
+      }
+      acc
+    }
+    val recalls = byQ.map { case (qid, g) =>
+      val inCell = all.iterator
+        .filter(t => t._1 != qid && t._3 == cellOf(qid))
+        .map { case (id, v, _) => (d2(vecs(qid), v), id) }
+        .toSeq.sorted.take(VectorOps.KnnBeamTopK).map(_._2).toSet
+      val got = g.map(_.getLong(2)).toSet
+      assert(got.forall(id => cellOf(id) == cellOf(qid)),
+        s"q$qid: every served id must come from the query's cell")
+      (got & inCell).size.toDouble / math.max(1, inCell.size)
+    }.toSeq
+    // a broken walk (wrong entry, wrong ordering, dead expansion)
+    // scores ~0 here; the greedy beam over the cell subgraph should
+    // find most of the true in-cell neighbors
+    assert(recalls.sum / recalls.size >= 2.0 / 3,
+      s"mean in-cell recall implausibly low: $recalls")
+  }
+
   test("v16 SemDeDup: groups re-derived by independent union-find, " +
       "exactly one kept representative per group, never cross-cell") {
     val rows = VectorOps.v16Semdedup(spark, sf).collect()
