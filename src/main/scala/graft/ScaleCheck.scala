@@ -77,7 +77,7 @@ object ScaleCheck {
     // the whole sweep. Default (unset) runs everything.
     val KnownProbes = Set("scale", "knn_graph", "spatial_grid",
       "knn_graph_incr", "fuzzy_skew", "fuzzy_conc", "fuzzy_conc4",
-      "fuzzy_conc5", "dsir")
+      "fuzzy_conc5", "dsir", "bloom_decon")
     val probeSet = sys.env.get("SPARK_GRAFT_PROBES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // a typo'd probe name must fail loudly, not run an empty sweep
@@ -138,6 +138,48 @@ object ScaleCheck {
         f"""{"probe":"scale","k":$k,"n_docs":$nDocs,"neardup_pairs":$pairs,"neardup_sec":$tPairs%.2f,"ingest_batch":500,"ingest_kept":$kept,"ingest_sec":$tIngest%.2f}""")
       docs.unpersist()
       index.unpersist()
+    }
+
+    // claim (t49, VERDICT r19 item 4): the Bloom decontamination
+    // gate's behavior is corpus-size-invariant — (a) the map-side
+    // pruning ratio stays ~(1 − overlap-share − fpp) at every k
+    // (replicas never cross-match, so overlap share is constant by
+    // construction), (b) the survivor set — the only rows the
+    // corpus-scaled shuffle ever carries — tracks the TRUE overlap
+    // plus an fpp-bounded sliver, and (c) the sketch build + gate is
+    // one reference scan + one candidate scan (~linear seconds).
+    // The sketch is sized through the PROVIDED item count (the
+    // table-statistics path a 100 TB deployment uses), not a
+    // counting pass — the probe passes the occurrence count it
+    // already took for the receipt columns.
+    if (probeOn("bloom_decon")) locally {
+      val (r0, c0) = TextOps.bloomRefCand(base.limit(200))
+      TextOps.bloomSurvivors(spark, r0, c0, Some(1000L)).count()
+      ()
+    }
+    (if (probeOn("bloom_decon")) ks else Seq.empty[Int]).foreach { k =>
+      val docs = scaled(base, k)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+      val nDocs = docs.count()
+      val (ref, cand) = TextOps.bloomRefCand(docs)
+      val refP = ref.persist()
+      val candP = cand.persist()
+      val nRefOcc = refP.count() // ← becomes the provided item count
+      val nCand = candP.count()
+      // exact overlap, outside the timed region: the floor the
+      // survivor set must sit just above
+      val overlap = candP
+        .join(refP.select("g").distinct(), "g").count()
+      val (survivors, tGate) = timed {
+        TextOps.bloomSurvivors(spark, refP, candP, Some(nRefOcc))
+          .count()
+      }
+      val prune = 1.0 - survivors.toDouble / math.max(1L, nCand)
+      println(
+        f"""{"probe":"bloom_decon","k":$k,"n_docs":$nDocs,"ref_grams":$nRefOcc,"cand_grams":$nCand,"true_overlap":$overlap,"survivors":$survivors,"fp_sliver":${survivors - overlap},"prune_ratio":$prune%.4f,"build_gate_sec":$tGate%.2f}""")
+      docs.unpersist(); refP.unpersist(); candP.unpersist()
+      ()
     }
 
     // claim 3: the v20/s17 kNN-graph build stays ~linear when nlist

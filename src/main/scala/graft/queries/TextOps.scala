@@ -3704,17 +3704,22 @@ object TextOps {
   /** Candidate grams surviving the broadcast Bloom gate — exposed so
     * the spec can receipt the map-side reduction (survivors ≈ true
     * overlap + fpp·rest, never the full candidate volume). The sketch
-    * is sized from a count pass over the reference occurrences (an
-    * upper bound on distinct grams, so realized fpp ≤ [[BloomFpp]]);
-    * at 100 TB the item count comes from table statistics instead.
-    * No false negatives is the Bloom invariant the verify join's
-    * exactness rests on.
+    * is sized from `refItems` when the caller provides one — the
+    * 100 TB path, where the item count comes from table statistics
+    * rather than a counting pass (exercised by the ScaleCheck
+    * `bloom_decon` probe) — and falls back to one count pass over the
+    * reference occurrences otherwise (an upper bound on distinct
+    * grams either way, so realized fpp ≤ [[BloomFpp]]). No false
+    * negatives is the Bloom invariant the verify join's exactness
+    * rests on — an UNDER-sized sketch would only raise fpp, never
+    * drop a true positive.
     */
   private[graft] def bloomSurvivors(s: SparkSession,
       ref: org.apache.spark.sql.DataFrame,
-      cand: org.apache.spark.sql.DataFrame)
+      cand: org.apache.spark.sql.DataFrame,
+      refItems: Option[Long] = None)
       : org.apache.spark.sql.DataFrame = {
-    val nRef = ref.count()
+    val nRef = refItems.getOrElse(ref.count())
     val bf = ref.stat.bloomFilter("g", math.max(nRef, 1L), BloomFpp)
     val bfb = s.sparkContext.broadcast(bf)
     val mightContain =
