@@ -87,7 +87,9 @@ object SparkEntry {
         "s30_stream_schema_evolution" -> ((s, d) =>
           EventStreams.replaySchemaEvolution(s, d)),
         "s31_stream_compaction" -> ((s, d) =>
-          EventStreams.replayCompaction(s, d)))
+          EventStreams.replayCompaction(s, d)),
+        "s32_stream_rebucket" -> ((s, d) =>
+          EventStreams.replayRebucket(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -434,5 +436,13 @@ object SparkEntry {
         // proves the rewrite lost nothing and the resumed merges
         // read the compacted state correctly
         "s31_stream_compaction" ->
+          Relational.oracles("q46_changelog_compact"),
+        // s32 rebuckets the artifact 8→16 mid-lifecycle (after slice
+        // 7 of 10) and resumes the loop under the new spec; the
+        // rewrite moves rows, never changes them, and the redeploy's
+        // pruned merges must find every key in its 16-spec bucket —
+        // a misrouted row would be double-counted and break the
+        // hash, so q46's oracle proves the whole respec end-to-end
+        "s32_stream_rebucket" ->
           Relational.oracles("q46_changelog_compact"))
 }

@@ -1019,6 +1019,76 @@ object EventStreams {
     } finally deleteRecursively(work)
   }
 
+  /** s32 — PARTITION-SPEC EVOLUTION IN A LIVE LIFECYCLE (the
+    * declared surface of [[rebucketArtifact]]): the s16 loop runs
+    * through slice 7 of 10 under an 8-bucket layout, the artifact is
+    * rebucketed to 16 — every partition rewritten into the new
+    * layout under a new spec-stamped snapshot commit, history
+    * untouched — and the REDEPLOYED loop (nBuckets = 16, the
+    * scale-out config the respec exists to enable) merges the
+    * remaining slices on top. The head readout must equal batch q46
+    * over the whole log — the hash-match proves the rewrite moved
+    * every row to the bucket the 16-spec routing expects (a
+    * misrouted row would be missed by its own bucket's pruned merge
+    * read and double-counted), the batch clock never moved, and the
+    * redeploy's pruned merges read the new layout correctly. The
+    * spec-mismatch refusal, the old-layout as-of read, and the
+    * shrink direction are StreamingSpec's, on purpose-built
+    * artifacts.
+    */
+  def replayRebucket(spark: SparkSession, dir: String): DataFrame =
+    replayRebucketWithStats(spark, dir)._1
+
+  /** s32 plus ((spec, partition count) before, (spec, partition
+    * count) after the respec) for the StreamingSpec assertions.
+    */
+  def replayRebucketWithStats(spark: SparkSession, dir: String,
+      nBatches: Int = 10)
+      : (DataFrame, ((Option[Int], Int), (Option[Int], Int))) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s32")
+      .toFile
+    try {
+      val all = stagedEventBatches(spark, dir, nBatches)
+      val respecAt = nBatches * CompactSliceOfTen / 10
+      val src = s"${work.getAbsolutePath}/incoming"
+      new java.io.File(src).mkdirs()
+      def stage(r: Range): Unit = r.foreach { i =>
+        val s0 = new java.io.File(all, f"b$i%02d.parquet")
+        val d0 = new java.io.File(src, s0.getName)
+        java.nio.file.Files.copy(s0.toPath, d0.toPath)
+        d0.setLastModified(s0.lastModified) // keep slice order
+        ()
+      }
+      stage(0 until respecAt)
+      runArtifactMergeLoop(spark, work.getAbsolutePath, src,
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8)(
+        preAggUserState,
+        (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
+      val stateDir = s"${work.getAbsolutePath}/state"
+      def specAndParts(): (Option[Int], Int) =
+        (readSnapshotSpec(stateDir),
+          readSnapshot(stateDir).map(_._2.size).getOrElse(0))
+      val before = specAndParts()
+      rebucketArtifact(spark, stateDir, "user_id", 16,
+        lockBase = Some(work.getAbsolutePath))
+      val after = specAndParts()
+      stage(respecAt until nBatches)
+      val (artifact, _) = runArtifactMergeLoop(spark,
+        work.getAbsolutePath, src, stagedEventSchema,
+        bucketKey = Some("user_id"), nBuckets = 16)(
+        preAggUserState,
+        (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
+      val fin = compactReadout(artifact
+        .getOrElse(preAggUserState(emptyStagedFrame(spark))))
+      // HARNESS-bounded materialization before the temp dir dies
+      // (the s16 note applies: a deployment serves from the base)
+      val rows = fin.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fin.schema),
+        (before, after))
+    } finally deleteRecursively(work)
+  }
+
   /** s18 — STREAMING QUALITY-GATE ADMISSION (t39's streaming twin,
     * the admission controller at the ingest door): each arriving
     * document batch runs the full t39 rule chain INSIDE its
@@ -1426,6 +1496,26 @@ object EventStreams {
         "replay, so the artifact would silently rebuild " +
         "incomplete. Delete the base (state, checkpoint, sentinel) " +
         "together, or restore the state dir")
+    // partition-spec guard (s32): a deployment whose nBuckets
+    // differs from the layout the artifact was written under would
+    // compute a DIFFERENT bucket for an existing key, prune its
+    // artifact read to partitions that do not hold that key's rows,
+    // treat the key as new, and silently double-count its state.
+    // The committed spec stamp turns that into a loud refusal;
+    // [[rebucketArtifact]] is the sanctioned way to change layouts.
+    // Pre-s32 artifacts carry no stamp (cannot validate — the first
+    // commit of this run stamps them going forward).
+    bucketKey.foreach { _ =>
+      readSnapshotSpec(stateDir).filter(_ != nBuckets).foreach { n =>
+        throw new IllegalStateException(
+          s"artifact $stateDir is laid out under partition spec " +
+            s"bkt:$n but this deployment is configured with " +
+            s"nBuckets=$nBuckets — a mismatched spec would prune " +
+            "merges to the wrong buckets and silently double-count " +
+            s"keys; redeploy with nBuckets=$n, or migrate the " +
+            "layout first (EventStreams.rebucketArtifact)")
+      }
+    }
     // chained-mode resume: seed the version chain with the latest
     // COMPLETE prior artifact (a b<N> dir with _SUCCESS — a torn
     // write has none and is redone by the replay)
@@ -1486,8 +1576,7 @@ object EventStreams {
               // in the artifact — merging again would double-count
               if (states.isEmpty) states += stateDir
             case Some(key) =>
-              def bktOf(c: Column) =
-                pmod(xxhash64(c), lit(nBuckets)).cast("int")
+              def bktOf(c: Column) = bucketOf(c, nBuckets)
               // the batch's TOUCHED bucket set, collected to the
               // driver — BOUNDED by nBuckets (a config constant),
               // never corpus-sized. The bounded collect is what buys
@@ -1533,7 +1622,10 @@ object EventStreams {
                 // redeploy with added columns re-stamps and readers
                 // resolve the schema from the snapshot they read
                 schemaDdl =
-                  if (stampSchema) Some(merged.schema.toDDL) else None)
+                  if (stampSchema) Some(merged.schema.toDDL) else None,
+                // s32: every bucketed commit declares its layout so
+                // a later mismatched deployment refuses loudly
+                specBuckets = Some(nBuckets))
               writeExpectedCommit(base, batchId)
               if (states.isEmpty) states += stateDir
             case None =>
@@ -2209,8 +2301,30 @@ object EventStreams {
       : Option[(Long, Map[String, Long])] =
     parseSnapshotFileFull(f).map(t => (t._1, t._2))
 
+  /** The snapshot's PARTITION-SPEC STAMP (s32 partition-spec
+    * evolution): an optional `spec=<nBuckets>` line commits the
+    * bucket count the artifact's `bkt=` layout was written under.
+    * Without it, a redeployed merge loop whose `nBuckets` differs
+    * from the layout would compute a DIFFERENT bucket for an
+    * existing key, prune its artifact read to partitions that do
+    * not hold that key's rows, treat the key as new, and silently
+    * double-count — the stamp turns that into a loud loop-start
+    * refusal, and [[rebucketArtifact]] is the sanctioned way to
+    * change it. Absent on pre-s32 and non-bucketed artifacts.
+    */
+  private[graft] def readSnapshotSpec(liveDir: String): Option[Int] =
+    parseSnapshotSpec(new java.io.File(liveDir, SnapshotName))
+
+  private def parseSnapshotSpec(f: java.io.File): Option[Int] =
+    parseSnapshotRaw(f).flatMap(_._4)
+
   private def parseSnapshotFileFull(f: java.io.File)
-      : Option[(Long, Map[String, Long], Option[String])] = {
+      : Option[(Long, Map[String, Long], Option[String])] =
+    parseSnapshotRaw(f).map(t => (t._1, t._2, t._3))
+
+  private def parseSnapshotRaw(f: java.io.File)
+      : Option[(Long, Map[String, Long], Option[String],
+        Option[Int])] = {
     if (!f.isFile) return None
     val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
@@ -2224,10 +2338,20 @@ object EventStreams {
     val batch = try lines.head.stripPrefix("batch=").toLong
       catch { case _: NumberFormatException =>
         malformed(s"unparseable batch line '${lines.head}'") }
-    val (schemaLines, entryLines) = lines.tail.filter(_.nonEmpty)
-      .partition(_.startsWith("schema="))
+    val body = lines.tail.filter(_.nonEmpty)
+    val schemaLines = body.filter(_.startsWith("schema="))
+    val specLines = body.filter(_.startsWith("spec="))
+    val entryLines = body.filterNot(l =>
+      l.startsWith("schema=") || l.startsWith("spec="))
     if (schemaLines.length > 1)
       malformed(s"${schemaLines.length} schema lines (at most one)")
+    if (specLines.length > 1)
+      malformed(s"${specLines.length} spec lines (at most one)")
+    val spec = specLines.headOption.map { l =>
+      try l.stripPrefix("spec=").toInt
+      catch { case _: NumberFormatException =>
+        malformed(s"unparseable spec line '$l'") }
+    }
     val entries = entryLines.map { l =>
       val cols = l.split("\t")
       if (cols.length != 2 || !cols(0).startsWith("part=") ||
@@ -2240,18 +2364,20 @@ object EventStreams {
       cols(0).stripPrefix("part=") -> g
     }.toMap
     Some((batch, entries,
-      schemaLines.headOption.map(_.stripPrefix("schema="))))
+      schemaLines.headOption.map(_.stripPrefix("schema=")), spec))
   }
 
   private def writeSnapshotFile(target: java.io.File, batchId: Long,
       entries: Map[String, Long],
-      schema: Option[String] = None): Unit = {
+      schema: Option[String] = None,
+      spec: Option[Int] = None): Unit = {
     val tmp = new java.io.File(target.getParentFile,
       target.getName + ".tmp")
-    // the stamp sits between the batch line and the entries; a DDL
+    // the stamps sit between the batch line and the entries; a DDL
     // is single-line by construction (StructType.toDDL)
     val body = (Seq(s"batch=$batchId") ++
       schema.map(s => s"schema=$s") ++
+      spec.map(n => s"spec=$n") ++
       entries.toSeq.sortBy(_._1).map { case (n, g) =>
         s"part=$n\tgen=$g" }).mkString("\n")
     java.nio.file.Files.write(tmp.toPath,
@@ -2264,9 +2390,10 @@ object EventStreams {
 
   private def writeSnapshot(liveDir: String, batchId: Long,
       entries: Map[String, Long],
-      schema: Option[String] = None): Unit =
+      schema: Option[String] = None,
+      spec: Option[Int] = None): Unit =
     writeSnapshotFile(new java.io.File(liveDir, SnapshotName),
-      batchId, entries, schema)
+      batchId, entries, schema, spec)
 
   /** The retained history files, ascending by batch id. */
   private def snapshotHistoryFiles(liveDir: String)
@@ -2304,7 +2431,8 @@ object EventStreams {
     */
   private def commitSnapshot(liveDir: String, batchId: Long,
       touched: Seq[(String, Boolean)], gen: Long,
-      schemaDdl: Option[String] = None): Unit = {
+      schemaDdl: Option[String] = None,
+      specBuckets: Option[Int] = None): Unit = {
     val full = readSnapshotFull(liveDir)
     val prev = full.map(_._2).getOrElse(Map.empty[String, Long])
     // schema stamp: a commit that declares one (an evolving writer)
@@ -2314,12 +2442,18 @@ object EventStreams {
     // the writer's schema, inherit the pre-crash stamp until the
     // next live commit re-stamps)
     val stamp = schemaDdl.orElse(full.flatMap(_._3))
+    // partition-spec stamp: same declare-or-preserve rule (s32) —
+    // the bucketed merge loop declares its nBuckets every commit,
+    // rebucketArtifact declares the new count, and every other
+    // commit (compaction, recovery replays) inherits
+    val spec = specBuckets.orElse(readSnapshotSpec(liveDir))
     val next = prev -- touched.map(_._1) ++
       touched.collect { case (n, true) => n -> gen }
-    writeSnapshot(liveDir, batchId, next, stamp)
+    writeSnapshot(liveDir, batchId, next, stamp, spec)
     if (batchId >= 0L) {
       writeSnapshotFile(new java.io.File(liveDir,
-        s"$SnapshotHistoryPrefix$batchId"), batchId, next, stamp)
+        s"$SnapshotHistoryPrefix$batchId"), batchId, next, stamp,
+        spec)
       snapshotHistoryFiles(liveDir)
         .dropRight(SnapshotHistoryRetention + 1)
         .foreach(h => java.nio.file.Files.deleteIfExists(h._2.toPath))
@@ -2468,6 +2602,74 @@ object EventStreams {
             entries.keys.toSeq, batchId = -1L,
             onPartitionApplied = onPartitionApplied,
             genOverride = Some(nextCompactionGen(liveDir)))
+      }
+    } finally lock.foreach(_.close())
+  }
+
+  /** The bucketed artifacts' one true bucket function — the merge
+    * loop's routing, the rebucket rewrite, and any future reader
+    * must all agree on it, so it is defined exactly once.
+    */
+  private[graft] def bucketOf(c: Column, nBuckets: Int): Column =
+    pmod(xxhash64(c), lit(nBuckets)).cast("int")
+
+  /** s32 — PARTITION-SPEC EVOLUTION (rebucketing): rewrite the
+    * CURRENT committed snapshot from its `bkt:<old>` layout into
+    * `bkt:<newBuckets>` under a new snapshot commit that also
+    * re-stamps the spec line — the scale-out move a bucketed
+    * artifact needs when key cardinality outgrows its layout (at
+    * 100 TB per-bucket state grows with the corpus; the bucket
+    * count must be able to grow with it, and Iceberg models exactly
+    * this as a partition-spec change). Mechanically a
+    * [[compactArtifact]]-shaped rewrite: one distributed job (read
+    * the committed leaf dirs, one shuffle to re-cluster on the NEW
+    * bucket, one file per new partition), committed through the
+    * ordinary swap journal with a [[CompactionGenFloor]]-range
+    * generation and `batchId = -1` (the batch clock never moves),
+    * `touched` = old partitions ∪ staged new partitions so
+    * shrinking layouts drop their orphaned directories from the
+    * snapshot. History files are untouched: retained as-of reads
+    * keep serving the OLD layout byte-for-byte (readers resolve
+    * explicit leaf dirs, so layout is per-snapshot by
+    * construction), and retention releases the old-layout
+    * generations on the ordinary schedule. Crash-safe through
+    * [[recoverTornSwap]] like every other swap.
+    *
+    * The redeployed merge loop then runs with `nBuckets =
+    * newBuckets`; any deployment still configured with the old
+    * count hits the loop-start spec refusal instead of silently
+    * double-counting (the guard s32 exists to make possible).
+    *
+    * CDC caveat (shared with compaction, documented here once): a
+    * version diff whose window crosses a rewrite commit sees every
+    * partition's generation move and prunes nothing for that step —
+    * file-level CDC cannot distinguish "rewritten" from "changed"
+    * (Iceberg's changelog has the same property across
+    * rewrite_data_files). Correctness is unaffected: s29's
+    * composition replaces partition bytes verbatim, so composing
+    * across a rewrite lands on the head exactly — it just reads
+    * O(state) for that one step.
+    */
+  private[graft] def rebucketArtifact(spark: SparkSession,
+      liveDir: String, key: String, newBuckets: Int,
+      lockBase: Option[String] = None): Unit = {
+    val lock = lockBase.map(acquireWriterLock)
+    try {
+      recoverTornSwap(liveDir)
+      readSnapshotFull(liveDir) match {
+        case None => ()
+        case Some((_, entries, _)) if entries.isEmpty => ()
+        case Some((_, entries, _)) =>
+          val cur = readCommitted(spark, liveDir).get
+          cur.drop("bkt")
+            .withColumn("bkt", bucketOf(col(key), newBuckets))
+            .repartition(col("bkt"))
+            .write.partitionBy("bkt")
+            .parquet(stageDirFor(liveDir))
+          swapPartitionDirs(stageDirFor(liveDir), liveDir,
+            entries.keys.toSeq, batchId = -1L,
+            genOverride = Some(nextCompactionGen(liveDir)),
+            specBuckets = Some(newBuckets))
       }
     } finally lock.foreach(_.close())
   }
@@ -2718,7 +2920,8 @@ object EventStreams {
       batchId: Long = -1L,
       onPartitionApplied: String => Unit = _ => (),
       schemaDdl: Option[String] = None,
-      genOverride: Option[Long] = None): Unit = {
+      genOverride: Option[Long] = None,
+      specBuckets: Option[Int] = None): Unit = {
     val live = new java.io.File(liveDir)
     java.nio.file.Files.createDirectories(live.toPath)
     // upgrade path: a pre-snapshot artifact (loose files directly
@@ -2793,7 +2996,7 @@ object EventStreams {
     if (batchId >= 0L) writeCommitMarker(liveDir, batchId)
     commitSnapshot(liveDir, batchId, all.map(n =>
       n -> new java.io.File(liveDir, s"$n/g$gen").isDirectory), gen,
-      schemaDdl)
+      schemaDdl, specBuckets)
     java.nio.file.Files.deleteIfExists(manifest.toPath)
     deleteRecursively(new java.io.File(stageDir))
   }
@@ -2970,12 +3173,14 @@ object EventStreams {
             .getOrElse(Array.empty).flatMap(genOf).maxOption
             .map(n -> _)
         }
-      // re-write preserves the stamp commitSnapshot above carried
+      // re-write preserves the stamps commitSnapshot above carried
       val stamp = readSnapshotFull(liveDir).flatMap(_._3)
-      writeSnapshot(liveDir, batchId, fixed, stamp)
+      val spec = readSnapshotSpec(liveDir)
+      writeSnapshot(liveDir, batchId, fixed, stamp, spec)
       if (batchId >= 0L)
         writeSnapshotFile(new java.io.File(liveDir,
-          s"$SnapshotHistoryPrefix$batchId"), batchId, fixed, stamp)
+          s"$SnapshotHistoryPrefix$batchId"), batchId, fixed, stamp,
+          spec)
     }
     java.nio.file.Files.deleteIfExists(manifest.toPath)
     deleteRecursively(new java.io.File(stageDir))

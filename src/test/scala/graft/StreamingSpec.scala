@@ -1725,6 +1725,123 @@ class StreamingSpec extends SparkSpec {
     } finally EventStreams.deleteRecursively(dir)
   }
 
+  test("s32 declared replay: the respec re-stamps the spec line, " +
+      "widens the layout, and the redeployed loop's head equals " +
+      "the plain s16 head") {
+    val (df, (before, after)) =
+      EventStreams.replayRebucketWithStats(spark, sf)
+    assert(before._1 === Some(8),
+      s"pre-respec spec must be the deploy's 8 buckets, got $before")
+    assert(after._1 === Some(16),
+      s"post-respec spec must be 16, got $after")
+    assert(after._2 >= before._2 && after._2 <= 16,
+      s"respec must not lose partitions: $before -> $after")
+    val (headDf, _) =
+      EventStreams.replayChangelogCompactWithStats(spark, sf)
+    assert(df.orderBy("user_id").collect().toSeq ===
+      headDf.orderBy("user_id").collect().toSeq,
+      "the rebucketed-then-resumed head must equal the plain s16 head")
+  }
+
+  test("rebucketArtifact: the head survives both respec directions " +
+      "byte-equal, retained as-of reads keep the OLD layout, a " +
+      "mismatched redeploy refuses loudly, and a matching one " +
+      "resumes on the new layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-s32-fmt").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val srcDir = s"$base/incoming"
+      new java.io.File(srcDir).mkdirs()
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType)))
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      def stageBatch(i: Int): Unit = {
+        val stage = s"$base/in$i"
+        (0L until 8L).map(k => (k, k * 10 + i + 1)).toDF("k", "v")
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      (0 until 3).foreach(stageBatch)
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(sum("v").as("v"))
+      def merge(p: DataFrame, a: DataFrame): DataFrame =
+        agg(p.unionByName(a))
+      def run(n: Int): Unit = {
+        EventStreams.runArtifactMergeLoop(spark, base, srcDir,
+          schema, bucketKey = Some("k"), nBuckets = n)(agg, merge)
+        ()
+      }
+      run(4)
+      val state = s"$base/state"
+      def rows(df: DataFrame): Seq[(Long, Long)] =
+        df.select("k", "v").orderBy("k")
+          .as[(Long, Long)].collect().toSeq
+      def headRows(): Seq[(Long, Long)] =
+        rows(EventStreams.readCommitted(spark, state).get)
+      def through(j: Int): Seq[(Long, Long)] =
+        (0L until 8L).map(k =>
+          (k, (j + 1) * 10 * k + (j + 1).toLong * (j + 2) / 2))
+      assert(EventStreams.readSnapshotSpec(state) === Some(4),
+        "every bucketed commit must stamp its layout")
+      val head0 = headRows()
+      assert(head0 === through(2))
+      val asOf1 = rows(EventStreams
+        .readCommittedAsOf(spark, state, 1L).get)
+      val histFiles = Option(new java.io.File(state).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("_snapshot_v")).toSeq
+      val histBytes = histFiles.map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      // GROW 4 → 8
+      EventStreams.rebucketArtifact(spark, state, "k", 8,
+        lockBase = Some(base))
+      assert(EventStreams.readSnapshotSpec(state) === Some(8))
+      assert(headRows() === head0,
+        "a respec moves rows, never changes them")
+      histFiles.foreach(f => assert(
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq ===
+          histBytes(f.getName),
+        s"${f.getName} must not be rewritten by a respec"))
+      assert(rows(EventStreams
+        .readCommittedAsOf(spark, state, 1L).get) === asOf1,
+        "retained as-of reads must keep serving the OLD layout")
+      // a redeploy still configured with the old count REFUSES
+      val boom = intercept[IllegalStateException](run(4))
+      assert(boom.getMessage.contains("spec") &&
+        boom.getMessage.contains("nBuckets=4") &&
+        boom.getMessage.contains("rebucketArtifact"),
+        s"unexpected message: ${boom.getMessage}")
+      // ...and a matching redeploy resumes ON the new layout: one
+      // more batch merges correctly through the 8-bucket routing
+      stageBatch(3)
+      run(8)
+      assert(headRows() === through(3),
+        "the resumed loop must merge correctly on the new layout")
+      // SHRINK 8 → 2: orphaned partitions leave the snapshot
+      EventStreams.rebucketArtifact(spark, state, "k", 2,
+        lockBase = Some(base))
+      assert(EventStreams.readSnapshotSpec(state) === Some(2))
+      val snapParts = readSnapshotEntries(state).keySet
+      assert(snapParts.subsetOf(Set("bkt=0", "bkt=1")) &&
+        snapParts.nonEmpty,
+        s"shrunk snapshot must hold only the 2-spec buckets, got " +
+          s"$snapParts")
+      assert(headRows() === through(3),
+        "the shrink direction must preserve every row too")
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
   test("s26 pruned read: a version diff scans ONLY the bucket " +
       "partitions whose generation changed between the two " +
       "snapshots — a final batch touching one bucket yields a " +
