@@ -77,7 +77,7 @@ object ScaleCheck {
     // the whole sweep. Default (unset) runs everything.
     val KnownProbes = Set("scale", "knn_graph", "spatial_grid",
       "knn_graph_incr", "fuzzy_skew", "fuzzy_conc", "fuzzy_conc4",
-      "fuzzy_conc5", "dsir", "bloom_decon")
+      "fuzzy_conc5", "dsir", "bloom_decon", "compaction_fanin")
     val probeSet = sys.env.get("SPARK_GRAFT_PROBES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // a typo'd probe name must fail loudly, not run an empty sweep
@@ -179,6 +179,82 @@ object ScaleCheck {
       println(
         f"""{"probe":"bloom_decon","k":$k,"n_docs":$nDocs,"ref_grams":$nRefOcc,"cand_grams":$nCand,"true_overlap":$overlap,"survivors":$survivors,"fp_sliver":${survivors - overlap},"prune_ratio":$prune%.4f,"build_gate_sec":$tGate%.2f}""")
       docs.unpersist(); refP.unpersist(); candP.unpersist()
+      ()
+    }
+
+    // claim (s31, round 20): compaction cost and the artifact's
+    // retained footprint are functions of STATE, not of artifact
+    // AGE. The same events table is merged through n ∈ {10, 20, 40}
+    // batches — the final state is identical in all three runs — and
+    // the probe receipts (a) the retained generation-dir count on
+    // disk stays retention-bounded (flat in n, never one dir per
+    // batch: retention prunes at COMMIT), (b) the compaction rewrite
+    // is one O(state) job (~flat seconds in n — it reads the
+    // committed head, never the history), (c) the compacted head
+    // resolves ONE generation id across the artifact with one file
+    // per partition (the read fan-in the 100 TB claim names), and
+    // (d) the head readout is row-identical across the rewrite
+    // (enforced by require — a lossy rewrite aborts the probe). A
+    // compaction that secretly scanned history, or a retention that
+    // leaked generations with age, would bend (a)/(b) upward and
+    // refute the claim.
+    (if (probeOn("compaction_fanin")) Seq(10, 20, 40)
+     else Seq.empty[Int]).foreach { n =>
+      import graft.streaming.EventStreams
+      // the s16 user-state shape, restated here because the probe
+      // owns its own merge contract (any associative agg works; this
+      // one matches the declared lifecycle ops so the timings are
+      // like-for-like with s31's bench entry)
+      val preAgg = (df: DataFrame) => df.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"),
+          col("event_type"), col("value"))).as("last"),
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val mergeAgg = (prev: DataFrame, agg: DataFrame) =>
+        prev.unionByName(agg).groupBy(col("user_id"))
+          .agg(max(col("last")).as("last"),
+            sum(col("n_events")).as("n_events"),
+            sum(col("cents")).as("cents"))
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft-cfanin$n").toFile
+      try {
+        val srcDir = EventStreams.stagedEventBatches(spark, sfDir, n)
+        EventStreams.runArtifactMergeLoop(spark,
+          work.getAbsolutePath, srcDir,
+          EventStreams.stagedEventSchema,
+          bucketKey = Some("user_id"), nBuckets = 8)(preAgg, mergeAgg)
+        val live = s"${work.getAbsolutePath}/state"
+        def genDirs(): Int =
+          Option(new java.io.File(live).listFiles())
+            .getOrElse(Array.empty)
+            .filter(d => d.isDirectory && d.getName.startsWith("bkt="))
+            .map(d => Option(d.listFiles()).getOrElse(Array.empty)
+              .count(g => g.isDirectory && g.getName.startsWith("g")))
+            .sum
+        def headRows(): Seq[String] =
+          EventStreams.readCommitted(spark, live).get
+            .drop("bkt").orderBy("user_id")
+            .collect().map(_.toString).toSeq
+        val (rowsBefore, tReadB) = timed(headRows())
+        val gensBefore = genDirs()
+        val (_, tCompact) = timed(
+          EventStreams.compactArtifact(spark, live,
+            lockBase = Some(work.getAbsolutePath)))
+        val (rowsAfter, tReadA) = timed(headRows())
+        val snap = EventStreams.readSnapshot(live).get._2
+        val headGens = snap.values.toSet.size
+        val headFiles = snap.map { case (p, g) =>
+          Option(new java.io.File(live, s"$p/g$g").listFiles())
+            .getOrElse(Array.empty)
+            .count(f => f.isFile && !f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))
+        }.sum
+        require(rowsAfter == rowsBefore,
+          s"compaction_fanin n=$n: the head changed across the " +
+            "rewrite — the compaction lost or invented rows")
+        println(
+          f"""{"probe":"compaction_fanin","n_batches":$n,"rows":${rowsBefore.size},"gen_dirs_before":$gensBefore,"gen_dirs_after":${genDirs()},"head_gens_after":$headGens,"head_files_after":$headFiles,"compact_sec":$tCompact%.2f,"read_before_sec":$tReadB%.2f,"read_after_sec":$tReadA%.2f}""")
+      } finally EventStreams.deleteRecursively(work)
       ()
     }
 

@@ -89,7 +89,9 @@ object SparkEntry {
         "s31_stream_compaction" -> ((s, d) =>
           EventStreams.replayCompaction(s, d)),
         "s32_stream_rebucket" -> ((s, d) =>
-          EventStreams.replayRebucket(s, d)))
+          EventStreams.replayRebucket(s, d)),
+        "s33_artifact_manifest" -> ((s, d) =>
+          EventStreams.replayArtifactManifest(s, d)))
 
   /** Benched-but-not-oracled scale-path twins (e.g. approx_percentile
     * next to exact q29); Bench times these alongside `queries`, the
@@ -444,5 +446,16 @@ object SparkEntry {
         // a misrouted row would be double-counted and break the
         // hash, so q46's oracle proves the whole respec end-to-end
         "s32_stream_rebucket" ->
-          Relational.oracles("q46_changelog_compact"))
+          Relational.oracles("q46_changelog_compact"),
+        // s33 reads the manifest of the s16 artifact — one row per
+        // retained snapshot, counts from parquet footers only (no
+        // row group opened); ascending event-time slices + one state
+        // row per user make snapshot b's count the distinct users in
+        // the prefix through slice b, which the oracle (generated
+        // from the SAME retention constant the engine prunes with)
+        // recomputes from the raw table — the hash proves the
+        // retention window, every retained snapshot's generation
+        // resolution, and the footer statistics in one compare
+        "s33_artifact_manifest" ->
+          EventStreams.manifestOracleSql())
 }

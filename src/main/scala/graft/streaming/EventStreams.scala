@@ -1089,6 +1089,139 @@ object EventStreams {
     } finally deleteRecursively(work)
   }
 
+  /** s33 — SNAPSHOT MANIFEST READ (the metadata-table member of the
+    * artifact lifecycle: Iceberg's `snapshots` table, Delta's
+    * DESCRIBE HISTORY): the s16 changelog-compaction loop commits
+    * `nBatches` versions of the bucket-partitioned user-state
+    * artifact, and the readout serves one row per RETAINED snapshot
+    * — (snap_batch, n_rows) — with every count taken from the
+    * snapshot's parquet FOOTERS ONLY ([[manifestFromFooters]]): the
+    * manifest answers "how big is every version I can still read"
+    * without opening a single row group. Because the staged slices
+    * are ascending event-time spans and the merged state keeps
+    * exactly one row per user, snapshot b's row count is the number
+    * of DISTINCT users in the event-time prefix through slice b —
+    * which the DuckDB oracle recomputes from the raw events table
+    * with s24's lo/span arithmetic ([[manifestOracleSql]]). The
+    * hash-match proves three facts at once: the retention window is
+    * exactly [[SnapshotHistoryRetention]] + 1 snapshots (one extra
+    * or missing manifest row breaks it), every retained snapshot's
+    * partition → generation resolution is right (a wrong generation
+    * carries a wrong footer count), and the footer statistics agree
+    * with full recomputation (a count that double-reads superseded
+    * generations breaks it).
+    */
+  def replayArtifactManifest(spark: SparkSession, dir: String)
+      : DataFrame = replayArtifactManifestWithStats(spark, dir)._1
+
+  /** s33 plus (retained snapshot ids, footer files opened) for the
+    * StreamingSpec assertions: the retained set must be exactly the
+    * last [[SnapshotHistoryRetention]] + 1 committed batches, and
+    * every footer-derived count must agree with the data-scan
+    * second leg ([[readCommittedAsOf]] count per snapshot).
+    */
+  def replayArtifactManifestWithStats(spark: SparkSession,
+      dir: String, nBatches: Int = 10)
+      : (DataFrame, (Seq[Long], Long)) = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s33")
+      .toFile
+    try {
+      val srcDir = stagedEventBatches(spark, dir, nBatches)
+      runArtifactMergeLoop(spark, work.getAbsolutePath, srcDir,
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8)(
+        preAggUserState,
+        (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
+      val stateDir = s"${work.getAbsolutePath}/state"
+      val (fin, snaps, nFiles) = manifestFromFooters(spark, stateDir)
+      // HARNESS-bounded materialization before the temp dir dies
+      // (the s16 note applies: a deployment serves from the base)
+      val rows = fin.collect()
+      (spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fin.schema),
+        (snaps, nFiles))
+    } finally deleteRecursively(work)
+  }
+
+  /** The manifest derivation [[replayArtifactManifest]] declares,
+    * reusable against any swap-managed artifact: resolve each
+    * retained snapshot's pinned generation leaf dirs driver-side
+    * (the same explicit-leaf resolution every reader of this format
+    * does — the listing is manifest-sized, retained snapshots ×
+    * partitions), then ONE distributed job over the resulting FILE
+    * LIST reads each parquet footer's record count
+    * (`ParquetFileReader.getRecordCount`). No row group is ever
+    * opened, so the read costs O(retained files) footer fetches.
+    * AT 100 TB: the naive answer — count(*) per retained version
+    * through the as-of read path — is retention+1 full data scans;
+    * this is the statistics read every table format serves from its
+    * manifest layer, derived here from the immutable parquet
+    * footers the format already owns (a real deployment would
+    * additionally cache the counts in the snapshot files at commit
+    * time; the footer path below is the ground truth that cache
+    * would have to agree with). Returns (manifest frame ordered by
+    * snap_batch, retained snapshot ids, footer files opened).
+    */
+  private[graft] def manifestFromFooters(spark: SparkSession,
+      liveDir: String): (DataFrame, Seq[Long], Long) = {
+    val snaps: Seq[(Long, Map[String, Long])] =
+      snapshotHistoryFiles(liveDir)
+        .flatMap(h => parseSnapshotFile(h._2))
+    val files: Seq[(Long, String)] = snaps.flatMap {
+      case (b, entries) =>
+        entries.toSeq.flatMap { case (part, gen) =>
+          Option(new java.io.File(liveDir, s"$part/g$gen")
+            .listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && !f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))
+            .map(f => (b, f.getAbsolutePath))
+        }
+    }
+    import spark.implicits._
+    val counts: Seq[(Long, Long)] =
+      if (files.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(files, math.min(files.size, 32))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { case (b, p) =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+            val r =
+              org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try (b, r.getRecordCount) finally r.close()
+          }
+        }
+        .reduceByKey(_ + _).collect().toSeq
+    (counts.toDF("snap_batch", "n_rows").orderBy("snap_batch"),
+      snaps.map(_._1), files.size.toLong)
+  }
+
+  /** s33's oracle, generated from the SAME retention constant the
+    * engine prunes with: one UNION ALL leg per retained batch b —
+    * the last [[SnapshotHistoryRetention]] + 1 of `nBatches` — each
+    * counting DISTINCT users in the event-time prefix through slice
+    * b (s24's lo/span arithmetic; b+1 of nBatches spans). A drifted
+    * retention constant desynchronizes the row sets and fails the
+    * rows_match, not just the hash.
+    */
+  def manifestOracleSql(nBatches: Int = 10): String = {
+    val retained =
+      (nBatches - 1 - SnapshotHistoryRetention) until nBatches
+    val legs = retained.map { b =>
+      s"""|SELECT CAST($b AS BIGINT) AS snap_batch,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_rows
+          |FROM f, mm
+          |WHERE f.sec < mm.lo + ${b + 1} *
+          |  ((mm.hi - mm.lo + ${nBatches - 1}) // $nBatches)"""
+        .stripMargin
+    }
+    s"""|WITH f AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events),
+        |mm AS (SELECT min(sec) AS lo, max(sec) + 1 AS hi FROM f)
+        |${legs.mkString("\nUNION ALL\n")}
+        |ORDER BY snap_batch""".stripMargin
+  }
+
   /** s18 — STREAMING QUALITY-GATE ADMISSION (t39's streaming twin,
     * the admission controller at the ingest door): each arriving
     * document batch runs the full t39 rule chain INSIDE its

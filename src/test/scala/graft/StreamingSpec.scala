@@ -1842,6 +1842,80 @@ class StreamingSpec extends SparkSpec {
     } finally EventStreams.deleteRecursively(dir)
   }
 
+  test("s33 declared replay: the manifest is exactly the retained " +
+      "window (last retention+1 batches), ordered, with prefix-" +
+      "monotone footer counts and at least one footer per snapshot") {
+    val (df, (snaps, nFiles)) =
+      EventStreams.replayArtifactManifestWithStats(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = ((9L - EventStreams.SnapshotHistoryRetention)
+      to 9L).toSeq
+    assert(snaps === expect,
+      s"retained snapshot set must be $expect, got $snaps")
+    assert(rows.map(_._1).toSeq === expect,
+      "one manifest row per retained snapshot, ordered")
+    val counts = rows.map(_._2)
+    assert(counts.forall(_ > 0))
+    assert(counts.zip(counts.tail).forall(p => p._1 <= p._2),
+      s"prefix state can only grow, got ${counts.toSeq}")
+    assert(nFiles >= rows.length,
+      "every snapshot resolves at least one footer")
+  }
+
+  test("manifestFromFooters: footer counts equal the as-of data " +
+      "scans for every retained snapshot (counts chosen to differ " +
+      "per snapshot, so a wrong generation resolve cannot hide), " +
+      "and a compaction rewrites the head without changing one " +
+      "manifest number") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-s33-fmt").toFile
+    try {
+      val base = dir.getAbsolutePath
+      val live = s"$base/state"
+      // batch b replaces every partition with 8 × (b+1) rows — each
+      // snapshot has a DIFFERENT total, so footer-vs-scan equality
+      // below is a per-snapshot identity, not a shared constant
+      (0 until 3).foreach { b =>
+        val stage = EventStreams.stageDirFor(live)
+        (0 to b).foreach { j =>
+          (0L until 8L).map(k => (k, 100L * b + 10L * k + j))
+            .toDF("k", "v")
+            .withColumn("bkt", pmod(col("k"), lit(4)).cast("int"))
+            .coalesce(1)
+            .write.mode("append").partitionBy("bkt").parquet(stage)
+        }
+        EventStreams.swapPartitionDirs(stage, live,
+          (0 until 4).map(i => s"bkt=$i"), batchId = b.toLong)
+      }
+      val (m1, snaps1, files1) =
+        EventStreams.manifestFromFooters(spark, live)
+      val rows1 = m1.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(snaps1 === Seq(0L, 1L, 2L))
+      assert(rows1.map(_._2) === Seq(8L, 16L, 24L),
+        s"per-snapshot totals must differ by design, got $rows1")
+      rows1.foreach { case (b, n) =>
+        assert(n === EventStreams
+          .readCommittedAsOf(spark, live, b).get.count(),
+          s"footer count for snapshot $b must equal the data scan")
+      }
+      val snapBefore = readSnapshotEntries(live)
+      EventStreams.compactArtifact(spark, live)
+      assert(readSnapshotEntries(live) !== snapBefore,
+        "the compaction must have moved the head's generations")
+      val (m2, snaps2, files2) =
+        EventStreams.manifestFromFooters(spark, live)
+      val rows2 = m2.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows2 === rows1 && snaps2 === snaps1 &&
+        files2 === files1,
+        "the manifest is a statement about RETAINED snapshots — a " +
+          "head rewrite (batchId = -1, no history commit) must not " +
+          "change a row, an id, or a footer of it")
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
   test("s26 pruned read: a version diff scans ONLY the bucket " +
       "partitions whose generation changed between the two " +
       "snapshots — a final batch touching one bucket yields a " +
