@@ -246,8 +246,7 @@ object ScaleCheck {
         val headFiles = snap.map { case (p, g) =>
           Option(new java.io.File(live, s"$p/g$g").listFiles())
             .getOrElse(Array.empty)
-            .count(f => f.isFile && !f.getName.startsWith("_") &&
-              !f.getName.startsWith("."))
+            .count(EventStreams.isDataFile)
         }.sum
         require(rowsAfter == rowsBefore,
           s"compaction_fanin n=$n: the head changed across the " +

@@ -1114,10 +1114,10 @@ object EventStreams {
   def replayArtifactManifest(spark: SparkSession, dir: String)
       : DataFrame = replayArtifactManifestWithStats(spark, dir)._1
 
-  /** s33 plus (retained snapshot ids, footer files opened) for the
-    * StreamingSpec assertions: the retained set must be exactly the
-    * last [[SnapshotHistoryRetention]] + 1 committed batches, and
-    * every footer-derived count must agree with the data-scan
+  /** s33 plus (retained snapshot ids, distinct footers opened) for
+    * the StreamingSpec assertions: the retained set must be exactly
+    * the last [[SnapshotHistoryRetention]] + 1 committed batches,
+    * and every footer-derived count must agree with the data-scan
     * second leg ([[readCommittedAsOf]] count per snapshot).
     */
   def replayArtifactManifestWithStats(spark: SparkSession,
@@ -1132,13 +1132,11 @@ object EventStreams {
         preAggUserState,
         (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
       val stateDir = s"${work.getAbsolutePath}/state"
+      // no materialization dance here (review r20): the manifest
+      // frame is a driver-local relation of already-collected footer
+      // counts — nothing in its plan references the dying temp dir
       val (fin, snaps, nFiles) = manifestFromFooters(spark, stateDir)
-      // HARNESS-bounded materialization before the temp dir dies
-      // (the s16 note applies: a deployment serves from the base)
-      val rows = fin.collect()
-      (spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), fin.schema),
-        (snaps, nFiles))
+      (fin, (snaps, nFiles))
     } finally deleteRecursively(work)
   }
 
@@ -1147,10 +1145,13 @@ object EventStreams {
     * retained snapshot's pinned generation leaf dirs driver-side
     * (the same explicit-leaf resolution every reader of this format
     * does — the listing is manifest-sized, retained snapshots ×
-    * partitions), then ONE distributed job over the resulting FILE
-    * LIST reads each parquet footer's record count
-    * (`ParquetFileReader.getRecordCount`). No row group is ever
-    * opened, so the read costs O(retained files) footer fetches.
+    * partitions), then ONE distributed job over the DISTINCT file
+    * paths reads each parquet footer's record count
+    * (`ParquetFileReader.getRecordCount`) exactly once — a
+    * generation shared by every snapshot of the retention window is
+    * fetched once, not retention+1 times — with counts mapped back
+    * to snapshots driver-side. No row group is ever opened, so the
+    * read costs O(distinct retained files) footer fetches.
     * AT 100 TB: the naive answer — count(*) per retained version
     * through the as-of read path — is retention+1 full data scans;
     * this is the statistics read every table format serves from its
@@ -1166,34 +1167,51 @@ object EventStreams {
     val snaps: Seq[(Long, Map[String, Long])] =
       snapshotHistoryFiles(liveDir)
         .flatMap(h => parseSnapshotFile(h._2))
-    val files: Seq[(Long, String)] = snaps.flatMap {
+    // per-snapshot file lists, resolved driver-side. A retained
+    // snapshot pinning a missing or file-less generation dir is the
+    // corruption class snapshotEntriesAsOf refuses loudly (review
+    // r20): a silent zero here would serve a plausible-looking
+    // undercount instead of the diagnosable failure every other
+    // reader of this format gives.
+    val filesOf: Seq[(Long, Seq[String])] = snaps.map {
       case (b, entries) =>
-        entries.toSeq.flatMap { case (part, gen) =>
-          Option(new java.io.File(liveDir, s"$part/g$gen")
-            .listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isFile && !f.getName.startsWith("_") &&
-              !f.getName.startsWith("."))
-            .map(f => (b, f.getAbsolutePath))
+        b -> entries.toSeq.flatMap { case (part, gen) =>
+          val leaf = new java.io.File(liveDir, s"$part/g$gen")
+          val fs = Option(leaf.listFiles()).getOrElse(Array.empty)
+            .filter(isDataFile).map(_.getAbsolutePath).toSeq
+          if (fs.isEmpty) throw new IllegalStateException(
+            s"retained snapshot $b of $liveDir pins $part/g$gen " +
+              "but the generation holds no data files — a retained " +
+              "generation was lost (GC fault or partial restore); " +
+              "refusing to serve an undercounted manifest")
+          fs
         }
     }
-    import spark.implicits._
-    val counts: Seq[(Long, Long)] =
-      if (files.isEmpty) Seq.empty
+    // footer job over DISTINCT paths (a generation shared by every
+    // snapshot of the retention window would otherwise be fetched
+    // retention+1 times — review r20), counts mapped back to
+    // snapshots driver-side
+    val distinctPaths = filesOf.flatMap(_._2).distinct
+    val countOf: Map[String, Long] =
+      if (distinctPaths.isEmpty) Map.empty
       else spark.sparkContext
-        .parallelize(files, math.min(files.size, 32))
+        .parallelize(distinctPaths,
+          math.min(distinctPaths.size, 32))
         .mapPartitions { it =>
           val conf = new org.apache.hadoop.conf.Configuration()
-          it.map { case (b, p) =>
+          it.map { p =>
             val in = org.apache.parquet.hadoop.util.HadoopInputFile
               .fromPath(new org.apache.hadoop.fs.Path(p), conf)
             val r =
               org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try (b, r.getRecordCount) finally r.close()
+            try (p, r.getRecordCount) finally r.close()
           }
-        }
-        .reduceByKey(_ + _).collect().toSeq
+        }.collect().toMap
+    val counts: Seq[(Long, Long)] =
+      filesOf.map { case (b, fs) => (b, fs.map(countOf).sum) }
+    import spark.implicits._
     (counts.toDF("snap_batch", "n_rows").orderBy("snap_batch"),
-      snaps.map(_._1), files.size.toLong)
+      snaps.map(_._1), distinctPaths.size.toLong)
   }
 
   /** s33's oracle, generated from the SAME retention constant the
@@ -1203,8 +1221,18 @@ object EventStreams {
     * b (s24's lo/span arithmetic; b+1 of nBatches spans). A drifted
     * retention constant desynchronizes the row sets and fails the
     * rows_match, not just the hash.
+    *
+    * Assumes every staged slice is NON-EMPTY (an empty batch
+    * commits no snapshot, so trailing data-empty slices would shift
+    * the retained ids below the fixed legs here) — true at the
+    * declared SFs, and the same convention s24's fixed as-of target
+    * documents at its oracle.
     */
   def manifestOracleSql(nBatches: Int = 10): String = {
+    require(nBatches > SnapshotHistoryRetention + 1,
+      s"the manifest oracle needs more batches ($nBatches) than " +
+        s"the retained window (${SnapshotHistoryRetention + 1}) — " +
+        "fewer would generate legs for batches that never existed")
     val retained =
       (nBatches - 1 - SnapshotHistoryRetention) until nBatches
     val legs = retained.map { b =>
@@ -2856,8 +2884,7 @@ object EventStreams {
         val files = Option(live.listFiles()).getOrElse(Array.empty)
         val partDirs = files.filter(f =>
           f.isDirectory && f.getName.contains("="))
-        def isData(f: java.io.File): Boolean = f.isFile &&
-          !f.getName.startsWith("_") && !f.getName.startsWith(".")
+        def isData(f: java.io.File): Boolean = isDataFile(f)
         // pre-snapshot-era partition payload: loose files directly
         // under a k=v dir (the migrated layout holds only g<N> dirs)
         val legacyData = partDirs.exists(d =>
@@ -3319,6 +3346,15 @@ object EventStreams {
     deleteRecursively(new java.io.File(stageDir))
     gcUnreferencedGenerations(liveDir)
   }
+
+  /** The format's one data-file rule, shared by the committed read,
+    * the manifest footer scan, and the scale receipts (review r20:
+    * it was drifting toward three inline copies): a plain file that
+    * is neither a `_`-prefixed marker nor a `.`-prefixed sidecar.
+    */
+  private[graft] def isDataFile(f: java.io.File): Boolean =
+    f.isFile && !f.getName.startsWith("_") &&
+      !f.getName.startsWith(".")
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty)
