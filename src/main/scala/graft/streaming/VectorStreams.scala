@@ -33,37 +33,31 @@ object VectorStreams {
     */
   def replayIndexIngest(spark: SparkSession, dir: String,
       nBatches: Int = 4): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-s12")
-      .toFile.getAbsolutePath
-    // one try around staging AND streaming: a failure in the staging
-    // write/move loop must still delete the work dir, not leak it
-    // (the memory sink holds the result driver-side, so the work dir
-    // is safe to delete before the caller materializes the frame)
-    try {
-      replayIndexIngestStaged(spark, dir, nBatches, work)
-    } finally deleteRecursively(new java.io.File(work))
-  }
-
-  private def replayIndexIngestStaged(spark: SparkSession, dir: String,
-      nBatches: Int, work: String): DataFrame = {
     val (model, _) = graft.queries.VectorOps.ensureIvfPqIndex(spark, dir)
-    val srcDir = s"$work/incoming"
-    new java.io.File(srcDir).mkdirs()
-    // stage the corpus as nBatches single-file spans, ascending mtimes
-    val all = spark.read.schema(embSchema).parquet(s"$dir/embeddings.parquet")
-    val t0 = System.currentTimeMillis() - 3600L * 1000
-    (0 until nBatches).foreach { i =>
-      val stage = s"$work/stage$i"
-      all.filter(pmod(col("vec_id"), lit(nBatches)) === i)
-        .coalesce(1).write.parquet(stage)
-      new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).headOption
-        .foreach { f =>
-          val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
-          java.nio.file.Files.move(f.toPath, dst.toPath)
-          dst.setLastModified(t0 + i * 60000L)
-          ()
-        }
+    // staged corpus spans shared across iterations (r20: input
+    // preparation — the stagedEventsCache rule); single-file batches
+    // with ascending mtimes
+    val srcDir = EventStreams.memoizedStagedInput(
+      s"s12#$dir#$nBatches") { work =>
+      val src = s"$work/incoming"
+      new java.io.File(src).mkdirs()
+      val all = spark.read.schema(embSchema)
+        .parquet(s"$dir/embeddings.parquet")
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      (0 until nBatches).foreach { i =>
+        val stage = s"$work/stage$i"
+        all.filter(pmod(col("vec_id"), lit(nBatches)) === i)
+          .coalesce(1).write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { f =>
+            val dst = new java.io.File(src, f"b$i%02d.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 60000L)
+            ()
+          }
+      }
+      src
     }
     val stream = spark.readStream.schema(embSchema)
       .option("maxFilesPerTrigger", 1)
@@ -77,8 +71,11 @@ object VectorStreams {
       .select(col("vec_id"), col("cell"),
         codesStrUdf(col("codes")).as("codes_str"))
     val qn = s"stream_index_ingest_${math.abs(dir.hashCode)}"
-    val q = coded.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(qn).start()
+    val q = EventStreams.withStreamShuffle(spark,
+      EventStreams.stagedBytes(srcDir)) {
+      coded.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(qn).start()
+    }
     try q.processAllAvailable()
     finally q.stop()
     spark.table(qn).orderBy("vec_id")
@@ -253,45 +250,52 @@ object VectorStreams {
     try {
       val cents = VectorOps.intCoarseModel(spark, dir)
       val k = VectorOps.knnGraphDegree
-      val srcDir = s"${work.getAbsolutePath}/incoming"
-      new java.io.File(srcDir).mkdirs()
-      val all = spark.read.schema(embSchema)
-        .parquet(s"$dir/embeddings.parquet")
-      // arrival shape: ascending vec_id spans (the append-only ingest
-      // default), or cell-grouped spans for the incremental-merge
-      // probe (batch i = cells [i·g, (i+1)·g) under the fixed model)
-      val batchKeyed =
-        if (cellGrouped) {
-          val asgAll = VectorOps.assignIntCells(
-            all.select(col("vec_id"),
-              transform(col("embedding"), x => x.cast("double"))
-                .as("v")), cents)
-            .select(col("vec_id"), col("cell"))
-          val g = (cents.length + nBatches - 1) / nBatches
-          all.join(asgAll, Seq("vec_id"))
-            .withColumn("bkey", floor(col("cell") / g).cast("int"))
-            .select(col("vec_id"), col("embedding"), col("label"),
-              col("bkey"))
-        } else {
-          val maxId = all.agg(max("vec_id")).head().getLong(0)
-          val span = maxId / nBatches + 1
-          all.withColumn("bkey",
-            floor(col("vec_id") / span).cast("int"))
-        }
-      val t0 = System.currentTimeMillis() - 3600L * 1000
-      (0 until nBatches).foreach { i =>
-        val stage = s"${work.getAbsolutePath}/stage$i"
-        batchKeyed.filter(col("bkey") === i)
-          .drop("bkey")
-          .coalesce(1).write.parquet(stage)
-        new java.io.File(stage).listFiles()
-          .filter(_.getName.endsWith(".parquet")).headOption
-          .foreach { f =>
-            val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
-            java.nio.file.Files.move(f.toPath, dst.toPath)
-            dst.setLastModified(t0 + i * 60000L)
-            ()
+      // staged arrival spans shared across iterations/harnesses (r20:
+      // input preparation — the stagedEventsCache rule); the staging
+      // is a pure function of (dir, nBatches, arrival shape)
+      val srcDir = EventStreams.memoizedStagedInput(
+        s"s17#$dir#$nBatches#$cellGrouped") { stgBase =>
+        val src = s"$stgBase/incoming"
+        new java.io.File(src).mkdirs()
+        val all = spark.read.schema(embSchema)
+          .parquet(s"$dir/embeddings.parquet")
+        // arrival shape: ascending vec_id spans (the append-only
+        // ingest default), or cell-grouped spans for the incremental-
+        // merge probe (batch i = cells [i·g, (i+1)·g) under the model)
+        val batchKeyed =
+          if (cellGrouped) {
+            val asgAll = VectorOps.assignIntCells(
+              all.select(col("vec_id"),
+                transform(col("embedding"), x => x.cast("double"))
+                  .as("v")), cents)
+              .select(col("vec_id"), col("cell"))
+            val g = (cents.length + nBatches - 1) / nBatches
+            all.join(asgAll, Seq("vec_id"))
+              .withColumn("bkey", floor(col("cell") / g).cast("int"))
+              .select(col("vec_id"), col("embedding"), col("label"),
+                col("bkey"))
+          } else {
+            val maxId = all.agg(max("vec_id")).head().getLong(0)
+            val span = maxId / nBatches + 1
+            all.withColumn("bkey",
+              floor(col("vec_id") / span).cast("int"))
           }
+        val t0 = System.currentTimeMillis() - 3600L * 1000
+        (0 until nBatches).foreach { i =>
+          val stage = s"$stgBase/stage$i"
+          batchKeyed.filter(col("bkey") === i)
+            .drop("bkey")
+            .coalesce(1).write.parquet(stage)
+          new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).headOption
+            .foreach { f =>
+              val dst = new java.io.File(src, f"b$i%02d.parquet")
+              java.nio.file.Files.move(f.toPath, dst.toPath)
+              dst.setLastModified(t0 + i * 60000L)
+              ()
+            }
+        }
+        src
       }
       val base = work.getAbsolutePath
       val asgPath = s"$base/asg"
@@ -326,7 +330,9 @@ object VectorStreams {
           s"$expected0: an artifact dir was reset against a live " +
           "checkpoint — delete the base and checkpoint together")
       val stats = scala.collection.mutable.ListBuffer[KnnBatchStat]()
-      val q = spark.readStream.schema(embSchema)
+      val q = EventStreams.withStreamShuffle(spark,
+        EventStreams.stagedBytes(srcDir)) {
+        spark.readStream.schema(embSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$srcDir/b*.parquet")
         .writeStream.outputMode(OutputMode.Append())
@@ -355,7 +361,7 @@ object VectorStreams {
                   "checkpoint was reset against a stale artifact " +
                   "base — delete the base and checkpoint together")
             }
-          if (!batch.isEmpty) {
+          locally {
             val s = batch.sparkSession
             val asgB = VectorOps.assignIntCells(
               batch.select(col("vec_id"),
@@ -370,8 +376,12 @@ object VectorStreams {
             // collect-free broadcast-semi-join alternative was
             // measured (r14) to scan EVERY partition — DPP does not
             // fire when the build side has no selective filter.
-            val touched = asgB.select("cell").distinct()
-              .collect().map(_.getInt(0)).sorted.toSeq
+            // It doubles as the empty-batch probe (r20: an empty
+            // touched set ⟺ an empty batch — the former separate
+            // `batch.isEmpty` job is gone; distinctInts keeps it ONE
+            // job where distinct().collect() ran 2–3 AQE stage jobs).
+            val touched = EventStreams.distinctInts(asgB, col("cell"))
+            if (touched.nonEmpty) {
             def pruneTouched(df: DataFrame): DataFrame =
               EventStreams.pruneToPartitions(df, "cell", touched)
             // accumulated store: ONE append-mode cell-partitioned
@@ -444,29 +454,49 @@ object VectorStreams {
             // batch, duplicating every intra-batch pair.
             val graphSwapRan =
               batchId > EventStreams.lastCommittedBatch(gPath)
-            if (graphSwapRan) {
-              pruned.repartition(col("cell"))
-                .write.partitionBy("cell")
-                .parquet(EventStreams.stageDirFor(gPath))
+            val storeSwapRan =
+              batchId > EventStreams.lastCommittedBatch(asgPath)
+            // the two STAGING writes are independent (each reads its
+            // own prior artifact plus the persisted asgB) and
+            // overlap (guide §2.6: the scheduler happily runs both;
+            // one write's task tail backfills the other's idle
+            // cores); the SWAPS stay strictly ordered below — graph
+            // commits first, which is what the replay-idempotency
+            // argument relies on. A crash between the staging
+            // writes and either swap leaves manifest-less staging
+            // dirs that recoverTornSwap discards.
+            locally {
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.ExecutionContext.Implicits.global
+              val fG = Future {
+                if (graphSwapRan)
+                  pruned.repartition(col("cell"))
+                    .write.partitionBy("cell")
+                    .parquet(EventStreams.stageDirFor(gPath))
+              }
+              val fS = Future {
+                if (storeSwapRan)
+                  store.map(_.unionByName(asgB)).getOrElse(asgB.toDF())
+                    .repartition(col("cell"))
+                    .write.partitionBy("cell")
+                    .parquet(EventStreams.stageDirFor(asgPath))
+              }
+              Await.result(fG, scala.concurrent.duration.Duration.Inf)
+              Await.result(fS, scala.concurrent.duration.Duration.Inf)
+            }
+            if (graphSwapRan)
               EventStreams.swapPartitionDirs(
                 EventStreams.stageDirFor(gPath), gPath,
                 touched.map(v => s"cell=$v"), batchId)
-            }
             // the assignment store takes the SAME journaled
             // merge-swap (an append is not replay-idempotent): the
             // touched cells' prior rows ∪ the batch's assignments,
-            // staged and swapped under its own batch marker
-            val storeSwapRan =
-              batchId > EventStreams.lastCommittedBatch(asgPath)
-            if (storeSwapRan) {
-              store.map(_.unionByName(asgB)).getOrElse(asgB.toDF())
-                .repartition(col("cell"))
-                .write.partitionBy("cell")
-                .parquet(EventStreams.stageDirFor(asgPath))
+            // staged and swapped under its own batch marker, AFTER
+            // the graph's swap
+            if (storeSwapRan)
               EventStreams.swapPartitionDirs(
                 EventStreams.stageDirFor(asgPath), asgPath,
                 touched.map(v => s"cell=$v"), batchId)
-            }
             // both artifacts now hold this batch — record it beside
             // the checkpoint for the reverse lifecycle guard
             EventStreams.writeExpectedCommit(base, batchId)
@@ -491,12 +521,14 @@ object VectorStreams {
                 committedGraph.count(),
                 partsRead, partsTotal)
             }
+            }
             asgB.unpersist()
             ()
           }
           ()
         }
         .start()
+      }
       val stateRows =
         try {
           q.awaitTermination()
