@@ -26,6 +26,20 @@ object Components {
     var labels = bidir.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
+    // Convergence check via the label-sum invariant (r20, guide §2.4):
+    // each node's label is min(own, neighbors') so labels are
+    // elementwise NON-INCREASING across iterations over a FIXED node
+    // set — the iteration converged iff the label sum is unchanged.
+    // The sum is one tiny aggregate over the just-checkpointed labels,
+    // replacing the old old-vs-new equi-join + filter + count, which
+    // shuffled the full label set once more per iteration (O(nodes)
+    // per round at any scale). Decimal(38,0) keeps the sum exact —
+    // a wrapped Long sum could alias two different label states.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head().getDecimal(0)) // null on an empty node set
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -37,12 +51,10 @@ object Components {
         .union(viaNeighbors)
         .groupBy("node").agg(min("component").as("component"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     bidir.unpersist()

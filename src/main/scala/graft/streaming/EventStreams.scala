@@ -536,14 +536,30 @@ object EventStreams {
   def replayAttributionPairsTightRocksWithStats(spark: SparkSession,
       dir: String): (DataFrame, Long) = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    // changelog checkpointing (r20): without it every batch uploads a
+    // FULL RocksDB snapshot per store at commit; with it the commit
+    // ships only the batch's changed keys and snapshots happen in
+    // background maintenance — the recommended production setting for
+    // frequent-commit RocksDB state at any scale, and exactly the
+    // cost this twin exists to price
+    val clKey = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
     val prev = spark.conf.getOption(key)
+    val prevCl = spark.conf.getOption(clKey)
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
+    spark.conf.set(clKey, "true")
     try replayAttributionPairsTightWithStats(spark, dir,
       qnSuffix = "_rocks")
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      prevCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
     }
   }
 

@@ -38,6 +38,23 @@ class ComponentsSpec extends SparkSpec {
     // re-examination shows transitive still keeps exactly one of {5,6,7}
   }
 
+  test("sum-invariant convergence: a long chain (diameter ≫ 2) still " +
+      "collapses to one component — the early exit cannot stop while " +
+      "any label is still moving") {
+    import spark.implicits._
+    // a 12-node path needs several propagation rounds; a convergence
+    // check that exits one round early would leave the tail nodes
+    // labeled with an intermediate (non-min) id
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comp = Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(comp(_) == 1L), s"got $comp")
+    // and an empty edge set converges immediately to an empty label set
+    val empty = Components.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("d1", "d2"))
+    assert(empty.count() == 0L)
+  }
+
   test("real corpus: minhash pairs → transitive groups ⊆ greedy drops") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val pairs = TextOps.minHashPairs(docs, 0.5).select("d1", "d2")
