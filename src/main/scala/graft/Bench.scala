@@ -757,6 +757,14 @@ object Bench {
     val famJson = ok.groupBy(_._1.take(1)).toSeq.sortBy(_._1)
       .map { case (f, g) => "\"" + f + "\":" + fmt(g.map(_._2).sum, 1) }
       .mkString("{", ",", "}")
+    // slowest-10 entries with their min seconds (VERDICT r20 item 2:
+    // per-query round-over-round visibility at the top of the cost
+    // ranking, without the full map that blew the tail window for 19
+    // rounds) — the complete per-query record is in bench_out.json,
+    // which is committed as the round's record
+    val topJson = ok.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, 2) }
+      .mkString(""","top":{""", ",", "}")
     // the flagship rows the judge compares against BASELINE.md ride
     // the compact line explicitly (they no longer have a map to
     // live in)
@@ -980,7 +988,7 @@ object Bench {
     // sheds spread entries (never the scalars or flag ratios) in
     // the worst all-flagged case.
     def mkShort(sp: Seq[(String, Seq[Double])]): String =
-      f"""{"metric":"total","fam":$famJson$flagshipJson,"spread":${spreadJson(sp)}$regressedJson$wideJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"value":$total%.3f,"unit":"sec","n_ok":$nOk$loadJson$treeJson$dirtyJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","fam":$famJson$flagshipJson$topJson,"spread":${spreadJson(sp)}$regressedJson$wideJson,"index_warm":$warmSec%.2f$failedJson$onlyJson,"value":$total%.3f,"unit":"sec","n_ok":$nOk$loadJson$treeJson$dirtyJson,"sf":"$sfDir"}"""
     var spreadKept = spreadEntries
     var lineShort = mkShort(spreadKept)
     while (lineShort.length > 1900 && spreadKept.nonEmpty) {

@@ -34,6 +34,9 @@ object StreamProbe {
     // job-level breakdown: which actions inside foreachBatch bodies
     // cost what (duration, task count, first-stage name)
     val jobs = scala.collection.mutable.ArrayBuffer[String]()
+    // rep-start nanotime, for job start offsets (gap analysis)
+    val probeT0 = new java.util.concurrent.atomic.AtomicLong(
+      System.nanoTime())
     val jobStart = new java.util.concurrent.ConcurrentHashMap[
       Integer, (Long, Int, String)]()
     spark.sparkContext.addSparkListener(
@@ -53,9 +56,31 @@ object StreamProbe {
           Option(jobStart.remove(e.jobId)).foreach {
             case (t0, tasks, site) =>
               val ms = (System.nanoTime() - t0) / 1000000
+              val off = (t0 - probeT0.get()) / 1000000
               jobs.synchronized {
-                jobs += f"job=${e.jobId}%4d ms=$ms%5d tasks=$tasks%3d $site"
+                jobs += f"job=${e.jobId}%4d t0=$off%6d ms=$ms%5d tasks=$tasks%3d $site"
               }
+          }
+        }
+        // per-stage wall + cumulative task time: names which stage of
+        // a multi-stage micro-batch job carries the cost
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val si = e.stageInfo
+          val wall = (for {
+            a <- si.submissionTime; b <- si.completionTime
+          } yield b - a).getOrElse(-1L)
+          val m = si.taskMetrics
+          val detail =
+            if (m == null) ""
+            else f" run=${m.executorRunTime}%4d " +
+              f"deser=${m.executorDeserializeTime}%3d " +
+              f"gc=${m.jvmGCTime}%3d cpu=${m.executorCpuTime / 1000000}%4d" +
+              f" sched=${wall * si.numTasks - m.executorRunTime - m.executorDeserializeTime}%4d"
+          jobs.synchronized {
+            jobs += f"  stage=${si.stageId}%4d ms=$wall%5d " +
+              f"tasks=${si.numTasks}%3d$detail ${si.name.take(40)}"
           }
         }
       })
@@ -91,6 +116,7 @@ object StreamProbe {
       lines.synchronized(lines.clear())
       jobs.synchronized(jobs.clear())
       spark.catalog.clearCache()
+      probeT0.set(System.nanoTime())
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9

@@ -306,6 +306,12 @@ object EventStreams {
   private val stagedInputCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Session-memoized input staging, keyed on the LOGICAL key only
+    * (ADVICE r20: the invariant is that a source dir's contents are
+    * immutable for the life of the JVM — true for the bench/verify
+    * fixtures this serves; a test that mutates its data dir must use
+    * a fresh key or its staged input goes stale).
+    */
   private[graft] def memoizedStagedInput(key: String)(
       build: String => String): String =
     stagedInputCache.getOrElseUpdate(key, {
@@ -356,13 +362,21 @@ object EventStreams {
   /** Bytes of the parquet source files `prefix*.parquet` under `dir`
     * (driver-side listing only) — the input-size signal
     * [[withStreamShuffle]] derives the stream's shuffle width from.
+    * A directory-style table (`events.parquet/` holding part files)
+    * is summed one level deep (ADVICE r20: a flat-only sum returned
+    * 0 for that layout and the derived width silently collapsed to
+    * the floor — a perf cliff with no signal).
     */
   private[graft] def sourceBytes(dir: String, prefix: String): Long =
     Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith(prefix) &&
+      .filter(f => f.getName.startsWith(prefix) &&
         f.getName.endsWith(".parquet"))
-      .map(_.length).sum
+      .map { f =>
+        if (f.isFile) f.length
+        else Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).map(_.length).sum
+      }.sum
 
   /** Total bytes of a staged batch dir (flat single-file batches). */
   private[graft] def stagedBytes(srcDir: String): Long =
@@ -407,7 +421,12 @@ object EventStreams {
     * streaming query CLONES the session conf at `start()`, so the
     * override pins the stream's shuffle AND state-store partition
     * count (and every job its foreachBatch body runs) without
-    * touching the batch queries around it.
+    * touching the batch queries around it. Single-threaded-driver
+    * assumption (ADVICE r20): the set→start→restore window mutates
+    * the SHARED session conf, so a batch query or second stream
+    * started CONCURRENTLY on the same session would inherit the
+    * stream-derived width — the bench/verify drivers run strictly
+    * sequentially, which is what makes the scoping sound.
     *
     * `udfHeavy = true` floors the width at the session's core count:
     * streams whose per-row work dominates (the near-dup band kernel +
@@ -417,19 +436,89 @@ object EventStreams {
     * 8–16, while the commit-bound s14b wants exactly the opposite.
     * One task per core is the floor that scales with the hardware,
     * not with either environment's tuning.
+    *
+    * `sortHeavy = true` is the same work-based floor for streams
+    * whose per-batch cost is a per-partition SORT (merging/session-
+    * window aggregation buffers sort each state partition): the sort
+    * parallelizes across partitions while the state-commit cost grows
+    * with them, so the floor is the measured knee min(cores, 4) —
+    * work-based (any merging-window aggregation), not entry-based
+    * (VERDICT r20 item 3; s15 measured 3.18 / 2.76 / 2.63 / 2.88 s
+    * at widths 1 / 2 / 4 / 8 — commit cost takes over past the
+    * sort's parallelism gain).
+    *
+    * `aqeOff = true` disables adaptive query execution for the
+    * stream's cloned session (VERDICT r20 item 1, guide §2 job
+    * count): inside a foreachBatch artifact-merge loop every batch
+    * query is micro-sized and its shuffle width is ALREADY derived
+    * from the input here, so AQE's per-stage re-optimization only
+    * splits each merge/write into 3+ stage-materialization JOBS —
+    * pure planning overhead paid once per batch, forever. Batch
+    * queries outside the stream keep AQE (the restore below).
+    *
+    * `fanout > 1` floors the width at min(cores, fanout) — the
+    * work-based floor for the STATELESS partitioned-artifact merge
+    * loops (r21): their per-batch cost is the staged write of up to
+    * `fanout` partition dirs (one parquet writer open/write/commit
+    * each), which `repartition(partCol)` spreads across min(cores,
+    * fanout) tasks — at width 1 the single write task paid the whole
+    * fan-out serially (measured on s16: the write stage was
+    * ~190–200 ms of a ~650 ms batch at width 1). These loops keep NO
+    * engine state (foreachBatch, the artifact is the state), so the
+    * state-commit penalty that makes narrow width right for stateful
+    * streams does not apply.
     */
   private[graft] def withStreamShuffle[T](spark: SparkSession,
-      bytes: Long, udfHeavy: Boolean = false)(f: => T): T = {
+      bytes: Long, udfHeavy: Boolean = false,
+      sortHeavy: Boolean = false, aqeOff: Boolean = false,
+      fanout: Int = 1)(f: => T)
+      : T = {
     val key = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    // staging writes commit with FileOutputCommitter v2 (task output
+    // renamed straight into the job dir): the loops' own manifest-
+    // journaled swap is the real commit protocol — a torn staging
+    // write is discarded by recoverTornSwap either way — so v1's
+    // driver-side per-partition commitJob renames are pure per-batch
+    // overhead (r21, guide §6 tiny-file I/O)
+    val cmtKey =
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version"
+    // scan-split floor 1 for the micro-batch jobs: the local default
+    // (leaf parallelism = cores) splits a KB-sized artifact read into
+    // one task per core — pure task-scheduling overhead per batch; at
+    // scale `maxPartitionBytes` (128 MB) still bounds splits, so this
+    // only stops the TINY-scan oversplit (guide §6 input split size)
+    val minPartKey = "spark.sql.files.minPartitionNum"
     val prev = spark.conf.getOption(key)
-    val floor =
-      if (udfHeavy) spark.sparkContext.defaultParallelism else 1
+    val prevAqe = spark.conf.getOption(aqeKey)
+    val prevCmt = spark.conf.getOption(cmtKey)
+    val prevMinPart = spark.conf.getOption(minPartKey)
+    val flagFloor =
+      if (udfHeavy) spark.sparkContext.defaultParallelism
+      else if (sortHeavy)
+        math.min(spark.sparkContext.defaultParallelism, 4)
+      else 1
+    val floor = math.max(flagFloor,
+      math.min(spark.sparkContext.defaultParallelism, fanout))
     spark.conf.set(key,
       streamShufflePartitions(bytes, floor).toString)
+    if (aqeOff) {
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(cmtKey, "2")
+      spark.conf.set(minPartKey, "1")
+    }
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(x) => spark.conf.set(k, x)
+      case None => spark.conf.unset(k)
+    }
     try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally {
+      restore(key, prev)
+      if (aqeOff) {
+        restore(aqeKey, prevAqe)
+        restore(cmtKey, prevCmt)
+        restore(minPartKey, prevMinPart)
+      }
     }
   }
 
@@ -442,8 +531,12 @@ object EventStreams {
     */
   private[graft] def distinctInts(df: DataFrame,
       c: org.apache.spark.sql.Column): Seq[Int] =
+    // null rows are skipped rather than NPE-ing in-task (ADVICE r20:
+    // this generic helper doubles as the empty-batch probe, so a
+    // future null-producing column must not kill the stream)
     df.select(c.cast("int")).rdd
-      .mapPartitions(it => Iterator(it.map(_.getInt(0)).toSet))
+      .mapPartitions(it => Iterator(
+        it.filter(!_.isNullAt(0)).map(_.getInt(0)).toSet))
       .fold(Set.empty[Int])(_ ++ _).toSeq.sorted
 
   /** Stage the events table as `nBatches` single-file parquet batches
@@ -630,7 +723,12 @@ object EventStreams {
   def replaySessionWindowsWithStats(spark: SparkSession, dir: String)
       : (DataFrame, Long) = {
     val qn = s"stream_sessions_${math.abs(dir.hashCode)}"
-    val q = withStreamShuffle(spark, sourceBytes(dir, "events")) {
+    // sortHeavy: merging-window aggregation sorts each state
+    // partition per batch — the work-based floor (see
+    // withStreamShuffle; measured knee at 4: 3.18/2.76/2.63/2.88 s
+    // at widths 1/2/4/8, r21)
+    val q = withStreamShuffle(spark, sourceBytes(dir, "events"),
+      sortHeavy = true) {
       readEvents(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"),
@@ -702,6 +800,20 @@ object EventStreams {
         sum(col("n_events")).as("n_events"),
         sum(col("cents")).as("cents"))
 
+  /** [[compactUserState]] in the loop's KEYED-merge shape (r21,
+    * guide §2.4 reuse the exchange): grouping carries `bkt` so the
+    * pre-union `repartition(bkt)` Exchange already satisfies the
+    * aggregation's required clustering (bkt ⊆ group keys — same
+    * groups, since bkt is a function of user_id) and the staged
+    * write follows in the SAME stage. Identical results: max/sum
+    * over the same per-user groups.
+    */
+  private def compactUserStateKeyed(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), col("bkt"))
+      .agg(max(col("last")).as("last"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("cents")).as("cents"))
+
   private def preAggUserState(df: DataFrame): DataFrame =
     df.groupBy(col("user_id"))
       .agg(max(struct(col("ts"), col("event_id"),
@@ -748,7 +860,8 @@ object EventStreams {
       // "optimize" this back to the full rewrite on bench numbers.
       val (artifact, stateRows) = runArtifactMergeLoop(spark,
         work.getAbsolutePath, srcDir, stagedEventSchema,
-        bucketKey = Some("user_id"), nBuckets = 8)(
+        bucketKey = Some("user_id"), nBuckets = 8,
+        mergeKeyed = Some(compactUserStateKeyed))(
         preAggUserState,
         (prev, batchAgg) =>
           compactUserState(prev.unionByName(batchAgg)))
@@ -801,7 +914,8 @@ object EventStreams {
     try {
       val srcDir = stagedEventBatches(spark, dir, nBatches)
       runArtifactMergeLoop(spark, work.getAbsolutePath, srcDir,
-        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8)(
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8,
+        mergeKeyed = Some(compactUserStateKeyed))(
         preAggUserState,
         (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
       val stateDir = s"${work.getAbsolutePath}/state"
@@ -870,7 +984,8 @@ object EventStreams {
     try {
       val srcDir = stagedEventBatches(spark, dir, nBatches)
       runArtifactMergeLoop(spark, work.getAbsolutePath, srcDir,
-        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8)(
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8,
+        mergeKeyed = Some(compactUserStateKeyed))(
         preAggUserState,
         (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
       val stateDir = s"${work.getAbsolutePath}/state"
@@ -959,7 +1074,8 @@ object EventStreams {
     try {
       val srcDir = stagedEventBatches(spark, dir, nBatches)
       runArtifactMergeLoop(spark, work.getAbsolutePath, srcDir,
-        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8)(
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8,
+        mergeKeyed = Some(compactUserStateKeyed))(
         preAggUserState,
         (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
       val stateDir = s"${work.getAbsolutePath}/state"
@@ -1071,6 +1187,20 @@ object EventStreams {
         max("max_cents").as("max_cents"))
   }
 
+  /** The s30 merges in the loop's KEYED shape (see
+    * [[compactUserStateKeyed]]); the evolved one's null-fill of a
+    * pre-deploy prev happens in the loop's allowMissingColumns
+    * union — null stays the identity of max.
+    */
+  private def mergeEvoOldKeyed(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), col("bkt"))
+      .agg(sum("n_events").as("n_events"), sum("cents").as("cents"))
+
+  private def mergeEvoNewKeyed(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), col("bkt"))
+      .agg(sum("n_events").as("n_events"), sum("cents").as("cents"),
+        max("max_cents").as("max_cents"))
+
   /** s30 plus (head artifact columns, as-of-pre-deploy columns) for
     * the StreamingSpec schema assertions.
     */
@@ -1097,12 +1227,14 @@ object EventStreams {
       stage(0 until evoAt)
       runArtifactMergeLoop(spark, work.getAbsolutePath, src,
         stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8,
-        stampSchema = true)(preAggEvoOld, mergeEvoOld)
+        stampSchema = true,
+        mergeKeyed = Some(mergeEvoOldKeyed))(preAggEvoOld, mergeEvoOld)
       stage(evoAt until nBatches)
       val (artifact, _) = runArtifactMergeLoop(spark,
         work.getAbsolutePath, src, stagedEventSchema,
         bucketKey = Some("user_id"), nBuckets = 8,
-        stampSchema = true)(preAggEvoNew, mergeEvoNew)
+        stampSchema = true,
+        mergeKeyed = Some(mergeEvoNewKeyed))(preAggEvoNew, mergeEvoNew)
       val stateDir = s"${work.getAbsolutePath}/state"
       val asOfCols: Seq[String] =
         if (lastCommittedBatch(stateDir) < evoAt) Seq.empty
@@ -1176,7 +1308,8 @@ object EventStreams {
       }
       stage(0 until compactAt)
       runArtifactMergeLoop(spark, work.getAbsolutePath, src,
-        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8)(
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8,
+        mergeKeyed = Some(compactUserStateKeyed))(
         preAggUserState,
         (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
       val stateDir = s"${work.getAbsolutePath}/state"
@@ -1189,7 +1322,8 @@ object EventStreams {
       stage(compactAt until nBatches)
       val (artifact, _) = runArtifactMergeLoop(spark,
         work.getAbsolutePath, src, stagedEventSchema,
-        bucketKey = Some("user_id"), nBuckets = 8)(
+        bucketKey = Some("user_id"), nBuckets = 8,
+        mergeKeyed = Some(compactUserStateKeyed))(
         preAggUserState,
         (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
       val headAfter = lastCommittedBatch(stateDir)
@@ -1246,7 +1380,8 @@ object EventStreams {
       }
       stage(0 until respecAt)
       runArtifactMergeLoop(spark, work.getAbsolutePath, src,
-        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8)(
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8,
+        mergeKeyed = Some(compactUserStateKeyed))(
         preAggUserState,
         (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
       val stateDir = s"${work.getAbsolutePath}/state"
@@ -1260,7 +1395,8 @@ object EventStreams {
       stage(respecAt until nBatches)
       val (artifact, _) = runArtifactMergeLoop(spark,
         work.getAbsolutePath, src, stagedEventSchema,
-        bucketKey = Some("user_id"), nBuckets = 16)(
+        bucketKey = Some("user_id"), nBuckets = 16,
+        mergeKeyed = Some(compactUserStateKeyed))(
         preAggUserState,
         (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
       val fin = compactReadout(artifact
@@ -1313,7 +1449,8 @@ object EventStreams {
     try {
       val srcDir = stagedEventBatches(spark, dir, nBatches)
       runArtifactMergeLoop(spark, work.getAbsolutePath, srcDir,
-        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8)(
+        stagedEventSchema, bucketKey = Some("user_id"), nBuckets = 8,
+        mergeKeyed = Some(compactUserStateKeyed))(
         preAggUserState,
         (prev, batchAgg) => compactUserState(prev.unionByName(batchAgg)))
       val stateDir = s"${work.getAbsolutePath}/state"
@@ -1798,12 +1935,27 @@ object EventStreams {
       base: String, srcDir: String, schema: StructType,
       bucketKey: Option[String] = None, nBuckets: Int = 32,
       onSwapApply: (Long, String) => Unit = (_, _) => (),
-      stampSchema: Boolean = false)(
+      stampSchema: Boolean = false,
+      // KEYED merge (r21, guide §2.4): an aggregation over the
+      // pre-unioned (prev ∪ batch-agg) frame that groups by
+      // (key, "bkt") — the loop repartitions the union by bkt ONCE
+      // and the grouping's required clustering is already satisfied
+      // (bkt ⊆ group keys), so the staged write follows the merge
+      // aggregate in the same stage instead of paying a second
+      // merge-keyed Exchange plus a repartition Exchange. When None,
+      // the classic (prev, agg) => merged path runs unchanged.
+      mergeKeyed: Option[DataFrame => DataFrame] = None)(
       batchAgg: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame)
       : (Option[DataFrame], Long) = {
     val states = scala.collection.mutable.ListBuffer[String]()
     val stateDir = s"$base/state"
+    // the artifact's schema as THIS loop writes it (data columns +
+    // bkt), captured from the first staged write's frame — later
+    // batches hand it to readCommitted so the unstamped artifact
+    // read skips per-batch parquet footer inference (r21). A stamped
+    // artifact (stampSchema) resolves its committed stamp instead.
+    @volatile var artifactSchemaHint: Option[StructType] = None
     // single-writer guard: the swap protocol and the version chain
     // both assume exactly one loop per base (VERDICT r14 item 3) —
     // a second concurrent loop fails fast here instead of corrupting
@@ -1863,11 +2015,22 @@ object EventStreams {
         .lastOption.foreach(d => states += d.getAbsolutePath)
     // stream width derived from the staged input, not the session's
     // batch default (r20, guide §2: the foreachBatch jobs inherit the
-    // cloned conf, so the merge/write shuffles size to the data)
-    val q = withStreamShuffle(spark, stagedBytes(srcDir)) {
+    // cloned conf, so the merge/write shuffles size to the data);
+    // AQE off for the micro-batch jobs (r21, guide §2 job count: the
+    // adaptive staged write ran 3 stage-materialization jobs per
+    // batch for an already-derived width); width floored at the
+    // bucket fan-out so the staged write's per-bucket parquet files
+    // go out in parallel tasks instead of one serial write task
+    val q = withStreamShuffle(spark, stagedBytes(srcDir),
+      aqeOff = true,
+      fanout = bucketKey.map(_ => nBuckets).getOrElse(1)) {
       spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$srcDir/b*.parquet")
+      // plain dir, not a b*.parquet glob (r21): the staged incoming
+      // dir holds ONLY the bNN.parquet batch files, and Hadoop glob
+      // expansion re-runs per trigger in latestOffset — a per-batch
+      // driver cost the listing-only dir read does not pay
+      .parquet(srcDir)
       .writeStream.outputMode(OutputMode.Append())
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1943,22 +2106,37 @@ object EventStreams {
               // partition list, not a live listing — and within it,
               // only the touched buckets (static partition pruning,
               // plan-gated in PlanSpec)
-              val prev = readCommitted(s, stateDir)
-                .map(df => pruneToPartitions(df, "bkt", touched)
-                  .drop("bkt"))
-              val merged = prev
-                .map(p => merge(p, agg))
-                .getOrElse(agg)
-                .withColumn("bkt", bktOf(col(key)))
+              val prevB = readCommitted(s, stateDir,
+                  schemaHint = artifactSchemaHint)
+                .map(df => pruneToPartitions(df, "bkt", touched))
               // ONE job per batch: write the touched buckets to a
               // staging dir (reads prev from the live artifact — a
               // different path, so no read-overwrite hazard and no
               // extra checkpoint materialization), then commit with
-              // the manifest-journaled partition swap. The
-              // repartition makes one file per touched bucket
-              // instead of tasks × buckets.
+              // the manifest-journaled partition swap. Exactly one
+              // file per touched bucket either way: the keyed path
+              // clusters by bkt before the merge aggregate, the
+              // classic path repartitions the merged result.
+              val merged = mergeKeyed match {
+                case Some(mk) =>
+                  // allowMissingColumns: a pre-evolution prev enters
+                  // the evolved union with its added columns
+                  // null-filled (mergeEvoNew's explicit null-fill,
+                  // now at the union seam)
+                  val aggB = agg.withColumn("bkt", bktOf(col(key)))
+                  mk(prevB
+                    .map(_.unionByName(aggB,
+                      allowMissingColumns = true))
+                    .getOrElse(aggB)
+                    .repartition(col("bkt")))
+                case None =>
+                  prevB.map(p => merge(p.drop("bkt"), agg))
+                    .getOrElse(agg)
+                    .withColumn("bkt", bktOf(col(key)))
+                    .repartition(col("bkt"))
+              }
+              artifactSchemaHint = Some(merged.schema)
               merged
-                .repartition(col("bkt"))
                 .write.partitionBy("bkt")
                 .parquet(stageDirFor(stateDir))
               swapPartitionDirs(stageDirFor(stateDir), stateDir,
@@ -2028,7 +2206,8 @@ object EventStreams {
     // snapshot too (chained-mode version dirs have none and fall
     // back to the plain read — they are immutable once complete)
     (states.lastOption.flatMap(p =>
-      readCommitted(spark, p).map(_.drop("bkt"))), stateRows)
+      readCommitted(spark, p, schemaHint = artifactSchemaHint)
+        .map(_.drop("bkt"))), stateRows)
     } finally writerLock.close()
   }
 
@@ -3069,8 +3248,18 @@ object EventStreams {
     * returning None would present committed data as an empty
     * artifact (ADVICE r16).
     */
+  /** `schemaHint`: the artifact's known schema (data columns + the
+    * partition column), used ONLY when the snapshot carries no
+    * schema stamp — a stamp is the committed read contract (s30
+    * schema evolution) and always wins. The merge loops pass the
+    * schema of the frame they themselves write (r21): it skips the
+    * per-batch parquet footer-inference job (one driver-blocking
+    * 1-task job per micro-batch, measured ~25 ms + planning) that
+    * inference costs on unstamped artifacts.
+    */
   private[graft] def readCommitted(spark: SparkSession,
-      liveDir: String): Option[DataFrame] = {
+      liveDir: String,
+      schemaHint: Option[StructType] = None): Option[DataFrame] = {
     if (!new java.io.File(liveDir).exists()) return None
     readSnapshotFull(liveDir) match {
       case None =>
@@ -3105,7 +3294,8 @@ object EventStreams {
         // AND this final snapshot read, in that order.
         if (partDirs.nonEmpty) readSnapshotFull(liveDir) match {
           case Some((_, entries, schema)) =>
-            return readEntries(spark, liveDir, entries, schema)
+            return readEntries(spark, liveDir, entries, schema,
+              schemaHint)
           case None => ()
         }
         if (legacyData || (partDirs.nonEmpty && !inFlight))
@@ -3130,7 +3320,7 @@ object EventStreams {
           Some(spark.read.parquet(liveDir))
         else None
       case Some((_, entries, schema)) =>
-        readEntries(spark, liveDir, entries, schema)
+        readEntries(spark, liveDir, entries, schema, schemaHint)
     }
   }
 
@@ -3145,14 +3335,19 @@ object EventStreams {
     */
   private def readEntries(spark: SparkSession, liveDir: String,
       entries: Map[String, Long],
-      schemaDdl: Option[String] = None): Option[DataFrame] =
+      schemaDdl: Option[String] = None,
+      schemaHint: Option[StructType] = None): Option[DataFrame] =
     if (entries.isEmpty) None
     else {
       val leafs = entries.toSeq.sortBy(_._1)
         .map { case (n, g) => s"$liveDir/$n/g$g" }
       val base = spark.read.option("basePath", liveDir)
-      val reader = schemaDdl.fold(base)(ddl =>
-        base.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+      // precedence: the snapshot's committed schema stamp (s30), then
+      // the caller's hint (r21, skips footer inference), then infer
+      val reader = schemaDdl
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .orElse(schemaHint)
+        .fold(base)(st => base.schema(st))
       Some(reader.parquet(leafs: _*))
     }
 

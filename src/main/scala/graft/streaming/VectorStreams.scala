@@ -330,8 +330,21 @@ object VectorStreams {
           s"$expected0: an artifact dir was reset against a live " +
           "checkpoint — delete the base and checkpoint together")
       val stats = scala.collection.mutable.ListBuffer[KnnBatchStat]()
+      // known artifact schemas (data columns + the cell partition
+      // column), captured from the frames this loop writes — hands
+      // readCommitted a hint so the unstamped artifact reads skip
+      // per-batch parquet footer inference (r21, see readCommitted)
+      @volatile var graphSchemaHint: Option[StructType] = None
+      @volatile var storeSchemaHint: Option[StructType] = None
+      // AQE off + width floored at the cell fan-out (nlist) so the
+      // two staged per-cell writes go out in parallel tasks (r21,
+      // same rationale as runArtifactMergeLoop — measured same-window
+      // on s17: aqeOff 6.9–7.3 s vs 7.7 s r20 vs 8.4 s aqe-on at
+      // fanout 16; the per-batch joins are bounded by nlist-sized
+      // cells, so static planning at the derived width wins)
       val q = EventStreams.withStreamShuffle(spark,
-        EventStreams.stagedBytes(srcDir)) {
+        EventStreams.stagedBytes(srcDir), aqeOff = true,
+        fanout = cents.length) {
         spark.readStream.schema(embSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$srcDir/b*.parquet")
@@ -387,7 +400,8 @@ object VectorStreams {
             // accumulated store: ONE append-mode cell-partitioned
             // dataset; the join needs only the touched cells,
             // resolved through the committed snapshot (review r15)
-            val store = EventStreams.readCommitted(s, asgPath)
+            val store = EventStreams.readCommitted(s, asgPath,
+                schemaHint = storeSchemaHint)
               .map(df => pruneTouched(df)
                 .select(col("vec_id"), col("qv"), col("cell")))
             def edges(a: DataFrame, b: DataFrame): DataFrame =
@@ -407,7 +421,8 @@ object VectorStreams {
             }
             // prior graph slice: ONLY the touched-cell partitions,
             // snapshot-resolved
-            val prev = EventStreams.readCommitted(s, gPath)
+            val prev = EventStreams.readCommitted(s, gPath,
+                schemaHint = graphSchemaHint)
               .map(df => pruneTouched(df)
                 .select(col("cell"), col("vec_id"),
                   col("neighbor_id"), col("d2")))
@@ -468,6 +483,10 @@ object VectorStreams {
             locally {
               import scala.concurrent.{Await, Future}
               import scala.concurrent.ExecutionContext.Implicits.global
+              val storeOut = store.map(_.unionByName(asgB))
+                .getOrElse(asgB.toDF())
+              graphSchemaHint = Some(pruned.schema)
+              storeSchemaHint = Some(storeOut.schema)
               val fG = Future {
                 if (graphSwapRan)
                   pruned.repartition(col("cell"))
@@ -476,11 +495,17 @@ object VectorStreams {
               }
               val fS = Future {
                 if (storeSwapRan)
-                  store.map(_.unionByName(asgB)).getOrElse(asgB.toDF())
+                  storeOut
                     .repartition(col("cell"))
                     .write.partitionBy("cell")
                     .parquet(EventStreams.stageDirFor(asgPath))
               }
+              // await BOTH before propagating either failure (ADVICE
+              // r20): rethrowing fG's error while fS still runs would
+              // let a detached write race the per-call cleanup of the
+              // staging dirs and mask the original error
+              Await.ready(fG, scala.concurrent.duration.Duration.Inf)
+              Await.ready(fS, scala.concurrent.duration.Duration.Inf)
               Await.result(fG, scala.concurrent.duration.Duration.Inf)
               Await.result(fS, scala.concurrent.duration.Duration.Inf)
             }
