@@ -77,7 +77,8 @@ object ScaleCheck {
     // the whole sweep. Default (unset) runs everything.
     val KnownProbes = Set("scale", "knn_graph", "spatial_grid",
       "knn_graph_incr", "fuzzy_skew", "fuzzy_conc", "fuzzy_conc4",
-      "fuzzy_conc5", "dsir", "bloom_decon", "compaction_fanin")
+      "fuzzy_conc5", "dsir", "bloom_decon", "compaction_fanin",
+      "stream_width")
     val probeSet = sys.env.get("SPARK_GRAFT_PROBES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // a typo'd probe name must fail loudly, not run an empty sweep
@@ -684,6 +685,98 @@ object ScaleCheck {
           f"""{"probe":"dsir","k":$k,"n_docs":$nDocs,"model_rows":$modelRows,"admitted":$admitted,"sec":$t%.2f}""")
         docs.unpersist()
         ()
+      }
+    }
+    // stream_width (r21, VERDICT r20 item 6): the streaming width
+    // derivation at scale. Two receipts:
+    //  (a) the pure derivation — synthetic byte counts through
+    //      streamShufflePartitions — showing width is a function of
+    //      INPUT BYTES (ceil(bytes/32 MB), clamped), with the session
+    //      core count nowhere in the formula (`cpus` is printed on
+    //      every row so two runs at different SPARK_GRAFT_CPUS show
+    //      identical widths);
+    //  (b) empirical — the events slice replicated k×, staged as 4
+    //      single-file micro-batches, run through a watermarked
+    //      tumbling-window count on the derived width: state rows and
+    //      the per-run state-commit sum track the DATA (more bytes ⇒
+    //      wider state ⇒ flat-per-partition commits), not the session
+    //      width that would have fixed 32 state partitions per store
+    //      regardless of input (the r20 C1 finding).
+    if (probeOn("stream_width")) locally {
+      import graft.streaming.EventStreams
+      Seq(1L << 20, 32L << 20, 1L << 30, 100L << 30, 1L << 40,
+        100L << 40).foreach { b =>
+        println(s"""{"probe":"stream_width","cpus":$cpus,"bytes":$b,"derived_width":${EventStreams.streamShufflePartitions(b)}}""")
+      }
+      val wks = sys.env.getOrElse("SPARK_GRAFT_WIDTH_KS", "1,4,16")
+        .split(",").map(_.trim.toInt).toSeq
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      wks.foreach { k =>
+        val work = java.nio.file.Files
+          .createTempDirectory("graft-swidth").toFile
+        try {
+          val src = new java.io.File(work, "incoming")
+          src.mkdirs()
+          // k× replication with DISTINCT user ids per replica so the
+          // state (users × hours) grows with the data, as a real
+          // backlog's would
+          val rep = (0 until k).map(r => ev
+              .withColumn("user_id",
+                col("user_id") + lit(r.toLong * 1000000000L)))
+            .reduce(_.unionByName(_))
+          (0 until 4).foreach { i =>
+            val stage = new java.io.File(work, s"stage$i")
+            rep.filter(pmod(col("event_id"), lit(4)) === i)
+              .coalesce(1).write.parquet(stage.getAbsolutePath)
+            val part = Option(stage.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = new java.io.File(src, f"b$i%02d.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            dst.setLastModified(
+              System.currentTimeMillis() - 3600000L + i * 60000L)
+            ()
+          }
+          val bytes = EventStreams.stagedBytes(src.getAbsolutePath)
+          val width = EventStreams.streamShufflePartitions(bytes)
+          val commits = scala.collection.mutable.ArrayBuffer[Long]()
+          val rows = scala.collection.mutable.ArrayBuffer[Long]()
+          val ((), t) = timed {
+            val qn = s"swidth_k$k"
+            val q = EventStreams.withStreamShuffle(spark, bytes) {
+              spark.readStream
+                .schema(rep.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src.getAbsolutePath)
+                .withWatermark("ts", "35 days")
+                .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+                .agg(count(lit(1)).as("n"))
+                .select(col("user_id"), col("n"))
+                .writeStream
+                .outputMode(org.apache.spark.sql.streaming
+                  .OutputMode.Append())
+                .trigger(org.apache.spark.sql.streaming
+                  .Trigger.AvailableNow())
+                .format("noop").queryName(qn).start()
+            }
+            try {
+              q.awaitTermination()
+              q.recentProgress.foreach { p =>
+                p.stateOperators.foreach { s =>
+                  commits += s.commitTimeMs; rows += s.numRowsTotal
+                }
+              }
+            } finally q.stop()
+          }
+          println(f"""{"probe":"stream_width","k":$k,"cpus":$cpus,"bytes":$bytes,"derived_width":$width,"state_rows":${rows.lastOption.getOrElse(0L)},"commit_ms_sum":${commits.sum},"batches":${commits.size},"sec":$t%.2f}""")
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(work)
+        }
       }
     }
     spark.stop()

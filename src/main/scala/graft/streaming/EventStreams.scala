@@ -643,7 +643,7 @@ object EventStreams {
       "state.RocksDBStateStoreProvider")
     spark.conf.set(clKey, "true")
     try replayAttributionPairsTightWithStats(spark, dir,
-      qnSuffix = "_rocks")
+      qnSuffix = "_rocks", widthFloor = 2)
     finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -657,7 +657,15 @@ object EventStreams {
   }
 
   def replayAttributionPairsTightWithStats(spark: SparkSession,
-      dir: String, nBatches: Int = 10, qnSuffix: String = "")
+      dir: String, nBatches: Int = 10, qnSuffix: String = "",
+      // backend-based width floor (r21): the RocksDB twin passes 2 —
+      // its per-batch cost is the off-heap put/eviction path, which
+      // parallelizes across state partitions while its changelog
+      // commit stays O(delta); the default HDFS-store caller keeps 1
+      // (its commit fsync cost SCALES with partitions × stores, the
+      // r20 C1 finding). Measured same-window on s14c: 10.5 s at
+      // width 1, 9.3 at 2, 9.5 at 4, 10.4 at 8.
+      widthFloor: Int = 1)
       : (DataFrame, Long) = {
     val srcDir = stagedEventBatches(spark, dir, nBatches)
     val staged = spark.readStream.schema(stagedEventSchema)
@@ -673,7 +681,8 @@ object EventStreams {
         col("event_type").as("touch_type"), col("ts").as("touch_ts"))
       .withWatermark("touch_ts", "25 hours")
     val qn = s"stream_attr_tight_${math.abs(dir.hashCode)}$qnSuffix"
-    val q = withStreamShuffle(spark, stagedBytes(srcDir)) {
+    val q = withStreamShuffle(spark, stagedBytes(srcDir),
+      fanout = widthFloor) {
       conv.join(touch,
         expr("""c_uid = t_uid AND touch_ts < conv_ts
           AND touch_ts >= conv_ts - INTERVAL 24 HOURS"""))
@@ -2382,7 +2391,13 @@ object EventStreams {
       val docSchema = StructType(
         cols.map { case (n, t) => StructField(n, t) })
       val verdicts = scala.collection.mutable.ListBuffer[String]()
-      val q = withStreamShuffle(spark, stagedBytes(srcDir)) {
+      // AQE off for the micro-batch gate jobs (r21, guide §2 job
+      // count — the runArtifactMergeLoop rationale): the gates'
+      // internal doc-keyed aggregations/joins ran 5-7 AQE
+      // stage-materialization jobs per micro-batch at batch sizes
+      // where the derived width already right-sizes the shuffles
+      val q = withStreamShuffle(spark, stagedBytes(srcDir),
+        aqeOff = true) {
         spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$srcDir/b*.parquet")
