@@ -1143,6 +1143,64 @@ class StreamingSpec extends SparkSpec {
     } finally EventStreams.deleteRecursively(dir)
   }
 
+  test("keyed merge (r21): the single-Exchange mergeKeyed path " +
+      "produces the SAME artifact as the classic merge-then-" +
+      "repartition path — grouping by (key, bkt) with bkt a function " +
+      "of the key changes plan shape, never groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-keyed-merge").toFile
+    try {
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType)))
+      def stage(base: String): String = {
+        val srcDir = s"$base/incoming"
+        new java.io.File(srcDir).mkdirs()
+        val t0 = System.currentTimeMillis() - 3600L * 1000
+        (0 until 4).foreach { i =>
+          val st = s"$base/in$i"
+          (0L until 8L).map(k => (k, k * 10 + i + 1)).toDF("k", "v")
+            .coalesce(1).write.parquet(st)
+          new java.io.File(st).listFiles()
+            .filter(_.getName.endsWith(".parquet")).headOption
+            .foreach { f =>
+              val dst = new java.io.File(srcDir, f"b$i%02d.parquet")
+              java.nio.file.Files.move(f.toPath, dst.toPath)
+              dst.setLastModified(t0 + i * 60000L)
+              ()
+            }
+        }
+        srcDir
+      }
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("k").agg(sum("v").as("v"))
+      def merge(p: DataFrame, a: DataFrame): DataFrame =
+        agg(p.unionByName(a))
+      def keyed(df: DataFrame): DataFrame =
+        df.groupBy(col("k"), col("bkt")).agg(sum("v").as("v"))
+      val baseA = s"${dir.getAbsolutePath}/classic"
+      val baseB = s"${dir.getAbsolutePath}/keyed"
+      val (artA, _) = EventStreams.runArtifactMergeLoop(spark, baseA,
+        stage(baseA), schema, bucketKey = Some("k"), nBuckets = 4)(
+        agg, merge)
+      val (artB, _) = EventStreams.runArtifactMergeLoop(spark, baseB,
+        stage(baseB), schema, bucketKey = Some("k"), nBuckets = 4,
+        mergeKeyed = Some(keyed))(agg, merge)
+      val a = artA.get.select("k", "v").orderBy("k")
+        .as[(Long, Long)].collect().toSeq
+      val b = artB.get.select("k", "v").orderBy("k")
+        .as[(Long, Long)].collect().toSeq
+      val want = (0L until 8L).map(k => (k, 40 * k + 10))
+      assert(a === want, "classic path must equal the direct sums")
+      assert(b === want, "keyed path must equal the direct sums — " +
+        "including batch 0, where the keyed aggregate runs over the " +
+        "batch aggregate alone and must be an identity")
+    } finally EventStreams.deleteRecursively(dir)
+  }
+
   test("merge-loop reader snapshot isolation: a committed read " +
       "CONCURRENT with a swap's APPLY phase returns exactly the " +
       "pre-swap artifact; the post-commit read returns the new " +
